@@ -1,0 +1,144 @@
+"""Iterative graph algorithms as DataFrame loops (SURVEY.md §7.0/§7.2).
+
+The reference's flagship read is a depth≤3 directed expansion
+(`first-graph.py:141` — "matched node and its connected nodes up to three
+levels deep in the downward direction"); Neo4j runs it as `[*1..3]`. Spark
+has no recursive CTE, so traversal is a driver-side loop of joins. GraphX is
+JVM/Scala-only and GraphFrames isn't assumed — this is the Pregel pattern in
+pure DataFrames.
+
+Scale discipline for every loop here:
+* ``localCheckpoint(eager=True)`` per iteration — truncates lineage so plan
+  size / task count stays O(1) per hop instead of O(2^hops);
+* early exit on an empty/stable frontier (driver reads one count per hop —
+  a scalar, not a collect of data);
+* frontier is deduplicated per hop (cycle safety + keeps the join input
+  minimal);
+* edges are re-used across iterations; for a many-iteration algorithm the
+  caller should cache/bucket the edge table on ``src`` so every hop's join
+  co-locates on the same partitioning and AQE skips re-shuffling the big
+  side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def k_hop(seeds: DataFrame, edges: DataFrame, depth: int,
+          direction: str = "out") -> DataFrame:
+    """Directed k-hop expansion from seed nodes.
+
+    Parameters
+    ----------
+    seeds : DataFrame with columns (seed: long, node: long) — typically
+        ``node == seed`` at depth 0.
+    edges : DataFrame with columns (src: long, dst: long).
+    depth : maximum number of hops (k). The reference contract is k=3.
+    direction : 'out' follows src→dst, 'in' follows dst→src, 'both' is
+        undirected.
+
+    Returns (seed, node, depth) with depth = minimal hop distance ≤ k.
+    Cycle-safe: the visited set is subtracted from each new frontier.
+    """
+    if direction == "in":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        edges = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    edges = edges.select("src", "dst")
+
+    visited = seeds.select("seed", "node", F.lit(0).alias("depth")).distinct()
+    frontier = visited
+    for hop in range(1, depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"), F.lit(hop).alias("depth"))
+            .distinct()
+            # min-depth semantics: drop nodes already reached at a lower depth
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    vertices: (node: long); edges: (src, dst) treated as undirected.
+    Returns (node, component) where component = min node id reachable.
+
+    Each iteration: every node adopts min(own label, neighbors' labels);
+    stop when no label changes (exact fixpoint, not an iteration cap —
+    ``max_iter`` is a runaway guard). Per-iteration cost: one join on node
+    id + one groupBy — both hash-partitioned on the same key, so with a
+    pre-partitioned edge table successive iterations reuse the layout.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = vertices.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """PageRank with dangling-mass redistribution, fixed iteration count.
+
+    vertices: (node,); edges: (src, dst) directed. Returns (node, rank)
+    with ranks summing to ~N (classic formulation, rank_0 = 1.0).
+    """
+    n = vertices.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = vertices.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        ranks = (
+            vertices.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+    return ranks

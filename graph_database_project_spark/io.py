@@ -1,0 +1,47 @@
+"""Table loading over the driver-provided parquet testdata.
+
+All scans go through here so that (a) the ns-timestamp quirk of
+``events.parquet`` is normalized in exactly one place, and (b) every query
+reads through the same code path Catalyst can push filters/projections into
+(plain ``spark.read.parquet`` — scan pruning verified via .explain in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is INT64 TIMESTAMP(NANOS); read as long ns (legacy conf set in
+        # session.py) and truncate to micros — same flooring DuckDB applies —
+        # as timestamp_ntz so wall-clock values match the naive oracle.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+                .cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

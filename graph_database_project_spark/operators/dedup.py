@@ -1,0 +1,330 @@
+"""Deduplication operator family over the ``documents`` table (north-star
+LLM-pipeline surface): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Determinism discipline: every hash is md5 (identical in Spark and DuckDB),
+so even the MinHash/LSH pipeline — normally checked only rows-wise — has an
+exact value-level oracle. All token/shingle work uses higher-order array
+functions (codegen'd, no Python), and candidate generation is always via an
+equi-join on a derived key (shingle, LSH band), never a cross join: that is
+the property that survives 100 TB. Thresholds are calibrated to the synthetic
+corpus (25 planted near-dup pairs at jaccard ≥ 0.2 at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+SHINGLE_N = 3            # words per shingle
+JACCARD_THRESHOLD = 0.2
+NUM_MINHASHES = 12
+LSH_BANDS = 4            # 12 minhashes → 4 bands × 3 rows
+COSINE_THRESHOLD = 0.35
+
+
+def _shingles(col):
+    """Distinct n-word shingles as an array column (no explode needed until
+    candidate generation)."""
+    words = F.split(F.lower(col), " ")
+    n = F.size(words)
+    idx = F.when(n >= SHINGLE_N, F.sequence(F.lit(1), n - (SHINGLE_N - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_N)))
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "  range(1, greatest(len(words) - {nm1}, 0) + 1),"
+    "  i -> array_to_string(words[i:i+{nm1}], ' ')))"
+).format(nm1=SHINGLE_N - 1)
+
+_WORDS_SQL = "string_split(lower(text), ' ')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text —
+    the hash-groupBy form of the reference's processedNodes Set
+    (new-converter.js:6,99-105)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies", F.length("text").alias("text_len"))
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, length(text) AS text_len
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-word shingles.
+
+    Candidate generation is an equi-join on the shingle value (inverted
+    index), so cost is Σ per-shingle df² — bounded by shingle selectivity,
+    not |docs|². At 100 TB you'd pre-filter hot shingles (stop-shingles);
+    here the vocabulary is small enough not to need it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        _shingles(F.col("text")).alias("shingles"),
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+Q_DEDUP_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_cols():
+    """NUM_MINHASHES md5-based minhash expressions over a `shingles` array
+    column. md5(seed || ':' || shingle) compared as hex strings — identical
+    in Spark and DuckDB, so the oracle checks actual signatures."""
+    return [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(NUM_MINHASHES)
+    ]
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
+
+    Pipeline: shingle → 12 md5-minhashes → 4 bands of 3 (band key = md5 of
+    the concatenated band signature) → equi-join on (band_idx, band_key)
+    for candidates → exact-Jaccard verification of candidates only.
+
+    Scale: the only join key is the band bucket; everything before it is
+    per-row array math. This is the textbook sub-quadratic fuzzy-dedup
+    layout for a 100 TB corpus (candidates ≈ true-positive pairs +
+    band-collision noise, both ≪ n²).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
+             .filter(F.size("shingles") > 0)
+    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+    rows_per_band = NUM_MINHASHES // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select("doc_id", "shingles", *band_cols)
+    pairs = None
+    for b in range(LSH_BANDS):
+        l = banded.select(F.col("doc_id").alias("doc_a"),
+                          F.col("shingles").alias("sh_a"),
+                          F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("doc_id").alias("doc_b"),
+                          F.col("shingles").alias("sh_b"),
+                          F.col(f"band{b}").alias("bk"))
+        cand = l.join(r, "bk").filter(F.col("doc_a") < F.col("doc_b")) \
+                .select("doc_a", "doc_b", "sh_a", "sh_b")
+        pairs = cand if pairs is None else pairs.union(cand)
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - common
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("jaccard", F.round(common / union_n, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+
+
+def _band_sql(b: int) -> str:
+    rows_per_band = NUM_MINHASHES // LSH_BANDS
+    parts = " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+    return f"md5({parts})"
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+), sig AS (
+  SELECT doc_id, shingles,
+         {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES))}
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, shingles,
+         {", ".join(f"{_band_sql(b)} AS band{b}" for b in range(LSH_BANDS))}
+  FROM sig
+), cand AS (
+  {" UNION ALL ".join(
+      f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.shingles AS sh_a, b.shingles AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
+      for b in range(LSH_BANDS))}
+), uniq AS (
+  SELECT doc_a, doc_b, any_value(sh_a) AS sh_a, any_value(sh_b) AS sh_b
+  FROM cand GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sh_a, sh_b)) * 1.0
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+FROM uniq
+WHERE round(len(list_intersect(sh_a, sh_b)) * 1.0
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5 token hashes.
+
+    Per-doc bit votes are computed with array higher-order functions —
+    zero shuffle, one narrow projection over the corpus. Hamming-close
+    simhashes ⇒ near-dup candidates (the scale path pre-buckets on the
+    simhash value; here we emit the signatures themselves, which the
+    oracle reproduces bit-exactly).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    # 16-bit integer hash per token: first 4 hex chars of md5.
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
+    n_tok = F.size(hashes)
+    def bit_term(b: int):
+        # one-arg lambda only (two-arg form would bind the element index)
+        ones = F.size(F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        return F.when(F.lit(2) * ones > n_tok, F.lit(1 << b)).otherwise(F.lit(0))
+
+    bit_terms = [bit_term(b) for b in range(SIMHASH_BITS)]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        simhash.cast("long").alias("simhash"),
+    )
+
+
+_SIMHASH_BIT_SQL = " + ".join(
+    f"""CASE WHEN 2 * len(list_filter(hashes, h -> (h >> {b}) & 1 = 1)) > len(hashes)
+             THEN {1 << b} ELSE 0 END"""
+    for b in range(SIMHASH_BITS)
+)
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''),
+           w -> CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT)) AS hashes
+  FROM documents
+)
+SELECT doc_id,
+       len(hashes) AS n_tokens,
+       CAST({_SIMHASH_BIT_SQL} AS BIGINT) AS simhash
+FROM tok
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold).
+
+    Brute-force all-pairs is the *correctness baseline* (sf-scale corpus);
+    at 100 TB the LSH bucketing in similarity.py:q_sim_lsh_buckets cuts the
+    candidate set first. Dot/norm computed as explicit sequential folds in
+    double on both engines, rounded before the threshold so the filter
+    can't flip on last-bit float drift.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, t: acc + t)
+
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+Q_DEDUP_EMBED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": Q_DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+    "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": Q_DEDUP_EMBED_SQL,
+}

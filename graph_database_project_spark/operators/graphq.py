@@ -1,0 +1,183 @@
+"""Graph operators exercised over a *derived* graph built from the driver's
+relational testdata, so the DuckDB oracle can verify them with recursive
+CTEs (SURVEY.md §2.B "Multi-hop self-join … SQL (recursive CTE)").
+
+The graph: the region → nation → customer → orders containment hierarchy,
+encoded exactly like the engine's property-graph tables (surrogate long
+ids, disjoint id ranges per label — the same trick the XML shredder uses).
+This mirrors the reference's flagship query shape — a depth-3 downward
+expansion from a seed node (`first-graph.py:141`) — on data the oracle can
+see.
+
+PageRank is genuinely iterative-with-aggregation, which recursive CTEs
+can't express (no aggregates in the recursive term) → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..graph.traverse import connected_components, k_hop, pagerank
+from ..io import load_table
+
+# Disjoint surrogate-id ranges per node label.
+_NATION_BASE = 10
+_CUST_BASE = 1_000
+_ORDER_BASE = 10_000_000
+
+
+def _hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    e1 = nation.select(
+        F.col("n_regionkey").cast("long").alias("src"),
+        (F.col("n_nationkey") + _NATION_BASE).cast("long").alias("dst"),
+    )
+    e2 = cust.select(
+        (F.col("c_nationkey") + _NATION_BASE).cast("long").alias("src"),
+        (F.col("c_custkey") + _CUST_BASE).cast("long").alias("dst"),
+    )
+    e3 = orders.select(
+        (F.col("o_custkey") + _CUST_BASE).cast("long").alias("src"),
+        (F.col("o_orderkey") + _ORDER_BASE).cast("long").alias("dst"),
+    )
+    return e1.union(e2).union(e3)
+
+
+def q_khop_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop downward expansion from every region seed (reference flagship
+    shape: seed match → bounded directed traversal → per-seed rollup).
+
+    Oracle: recursive CTE over the same derived edges.
+    """
+    region = load_table(spark, sf_dir, "region")
+    seeds = region.select(
+        F.col("r_regionkey").cast("long").alias("seed"),
+        F.col("r_regionkey").cast("long").alias("node"),
+    )
+    reached = k_hop(seeds, _hierarchy_edges(spark, sf_dir), depth=3, direction="out")
+    return reached.groupBy("seed", "depth").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+Q_KHOP_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {_NATION_BASE} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_nationkey + {_NATION_BASE} AS BIGINT), CAST(c_custkey + {_CUST_BASE} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(o_custkey + {_CUST_BASE} AS BIGINT), CAST(o_orderkey + {_ORDER_BASE} AS BIGINT) FROM orders
+), walk AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS seed, CAST(r_regionkey AS BIGINT) AS node, 0 AS depth
+  FROM region
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 3
+), dists AS (
+  SELECT seed, node, min(depth) AS depth FROM walk GROUP BY seed, node
+)
+SELECT seed, depth, count(*) AS n_nodes FROM dists GROUP BY seed, depth
+"""
+
+
+def q_khop_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-seed variant returning the actual frontier rows (node ids +
+    min depth) — the exact result shape the reference's chat query consumes
+    (`first-graph.py:168-176` groups connected nodes per seed)."""
+    seeds = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select(
+            F.col("r_regionkey").cast("long").alias("seed"),
+            F.col("r_regionkey").cast("long").alias("node"),
+        )
+    )
+    return k_hop(seeds, _hierarchy_edges(spark, sf_dir), depth=2, direction="out") \
+        .select("seed", "node", "depth")
+
+
+Q_KHOP_SEEDED_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {_NATION_BASE} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_nationkey + {_NATION_BASE} AS BIGINT), CAST(c_custkey + {_CUST_BASE} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(o_custkey + {_CUST_BASE} AS BIGINT), CAST(o_orderkey + {_ORDER_BASE} AS BIGINT) FROM orders
+), walk AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS seed, CAST(r_regionkey AS BIGINT) AS node, 0 AS depth
+  FROM region WHERE r_name = 'EUROPE'
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 2
+)
+SELECT seed, node, min(depth) AS depth FROM walk GROUP BY seed, node
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a chain graph: customers are linked to the
+    next custkey when they share a nation — components are maximal runs.
+    Verified against a DuckDB transitive-closure recursive CTE (UNION
+    dedup terminates the cycle).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"), "c_nationkey")
+    b = cust.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("vn"))
+    edges = (
+        a.join(b, (b.v == a.u + 1) & (a.c_nationkey == b.vn))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    return connected_components(vertices, edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")))
+
+
+Q_CC_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 1 AND a.c_nationkey = b.c_nationkey
+), und AS (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), reach AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node, CAST(c_custkey AS BIGINT) AS r FROM customer
+  UNION
+  SELECT reach.node, CAST(und.v AS BIGINT) FROM reach JOIN und ON und.u = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 iterations, d=0.85) over the customer→customer referral
+    ring derived from orders: edge custkey → (custkey*7+1) mod n_cust.
+    Deterministic synthetic digraph with cycles and varying in-degree.
+    Iterative-with-aggregation → no SQL oracle (rows-only check); exactness
+    is covered by tests/test_graph.py on a closed-form graph.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 1) % n).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(vertices, edges, n_iter=10, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+QUERIES = {
+    "graph_khop_hierarchy": q_khop_hierarchy,
+    "graph_khop_seeded": q_khop_seeded,
+    "graph_connected_components": q_connected_components,
+    "graph_pagerank": q_pagerank,
+}
+
+ORACLE = {
+    "graph_khop_hierarchy": Q_KHOP_SQL,
+    "graph_khop_seeded": Q_KHOP_SEEDED_SQL,
+    "graph_connected_components": Q_CC_SQL,
+    # graph_pagerank: intentionally absent → rows-only check.
+}

@@ -1,0 +1,843 @@
+"""Relational operator surface (SURVEY.md §2.B, milestone M1).
+
+Each query exists twice: a DataFrame-API implementation (Spark) and an ANSI
+SQL string (the DuckDB oracle the driver runs side-by-side). Parity rules
+observed throughout — these are the difference between green and red on the
+driver's value-hash compare:
+
+* every computed column is aliased identically on both sides;
+* float aggregates are ``round()``-ed on both sides (engine-order float sums
+  differ at ~1e-9 relative; rounding absorbs it);
+* timestamps/dates are stringified in final projections (Spark returns
+  tz-aware values under Arrow, DuckDB naive — same instant, different hash);
+* DuckDB integer ``sum()`` returns HUGEINT → explicitly CAST to BIGINT;
+* every LIMIT/top-k has a total-order ORDER BY (unique tie-break columns),
+  ordering on the *rounded* measure so near-equal floats can't swap ranks;
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics.
+
+Scale notes are inline per query: what shuffles, what broadcasts, and why
+the plan survives 1000 executors × 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan + 2-key groupBy.
+
+    Scale: partial aggregation map-side (Catalyst HashAggregate partial →
+    final over 2-key groups), so the shuffle carries ~#groups rows per task,
+    not the 100 TB scan. Filter and 7-column projection push to parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                      AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)        AS sum_charge,
+       round(avg(l_quantity), 4)                                              AS avg_qty,
+       round(avg(l_extendedprice), 4)                                         AS avg_price,
+       round(avg(l_discount), 4)                                              AS avg_disc,
+       count(*)                                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join + group + top-k.
+
+    Scale: customer-filter is small relative to lineitem → Catalyst
+    broadcasts it (verified in test_plans); orders⋈lineitem shuffles on
+    orderkey. Top-10 via TakeOrderedAndProject — no global sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp_ntz"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp_ntz"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _fmt_ts("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')        AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join, revenue per nation.
+
+    Scale: region/nation/supplier/customer are dims → broadcast; the only
+    big-big shuffle is orders⋈lineitem on orderkey. Join order is left to
+    Catalyst+AQE (it reorders by runtime stats).
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; the pushdown showcase.
+
+    Scale: all three predicates and the 2-column projection reach the
+    parquet reader (PushedFilters); single scalar out — shuffle is one row
+    per task.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q06_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-line revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Core operator micro-queries: filter/project, join family, set ops, dedup
+# ---------------------------------------------------------------------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicate — both fully pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.08)
+            & (F.col("l_quantity") >= 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_discount > 0.08
+  AND l_quantity >= 45
+"""
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join fact⋈dim (reference 2.A#6 APPLIES_TO link).
+
+    Scale: customer ≪ orders → broadcast hash join, zero shuffle of the
+    fact side.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+
+
+Q_JOIN_INNER_SQL = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers + per-customer agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+Q_JOIN_LEFT_AGG_SQL = """
+SELECT c_custkey, c_name,
+       count(o_orderkey)           AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi = EXISTS probe (reference 2.A#3 match-or-create probe)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders_1999 = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1999)
+    return cust.join(orders_1999, cust.c_custkey == orders_1999.o_custkey, "left_semi") \
+               .select("c_custkey", "c_name")
+
+
+Q_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1999)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti = NOT EXISTS (reference 2.A#3 'create only if absent',
+    2.A#8 delete propagation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti") \
+               .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+Q_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: events within 10 min after each signup, same user.
+
+    Scale: a naive (user_id) equi-join + range filter degenerates to a
+    per-user cross product. Instead both sides get a 10-minute time bucket;
+    the left side explodes to its bucket and the successor bucket, making
+    the join a pure equi-join on (user_id, bucket) whose per-key cardinality
+    is bounded by event rate — the standard band-join decomposition. The
+    oracle states the same semantics as a plain range join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bucket_ms = 600_000
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .withColumn("bkt", F.explode(F.array(
+            F.floor(F.col("ts_ms") / bucket_ms),
+            F.floor(F.col("ts_ms") / bucket_ms) + 1,
+        )))
+        .select(F.col("event_id").alias("signup_event_id"),
+                F.col("user_id").alias("s_user_id"),
+                F.col("ts_ms").alias("s_ts_ms"), "bkt")
+    )
+    follows = base.withColumn("bkt", F.floor(F.col("ts_ms") / bucket_ms))
+    return (
+        signups.join(
+            follows,
+            (signups.s_user_id == follows.user_id)
+            & (signups.bkt == follows.bkt)
+            & (follows.ts_ms > signups.s_ts_ms)
+            & (follows.ts_ms <= signups.s_ts_ms + bucket_ms),
+        )
+        .groupBy("signup_event_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+Q_JOIN_RANGE_SQL = """
+SELECT s.event_id AS signup_event_id, count(*) AS n_follow
+FROM events s JOIN events f
+  ON f.user_id = s.user_id
+ AND f.ts >  s.ts
+ AND f.ts <= s.ts + INTERVAL 10 MINUTE
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+"""
+
+
+def q_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT across two ingest epochs (reference batch labels)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == 1998).select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+Q_SETOP_UNION_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == 1998).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+Q_SETOP_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == 1998).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+Q_SETOP_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants: count-distinct, rollup, cube
+# ---------------------------------------------------------------------------
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+Q_AGG_COUNT_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey)   AS n_customers,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (catalog-stats shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+Q_AGG_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       round(sum(c_acctbal), 2) AS total_bal,
+       count(*)                 AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+Q_AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranking window (SURVEY §2.B windows).
+
+    Scale: one shuffle on the partition key; rank filter applied before any
+    further join, so downstream sees ≤3 rows/customer.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the event stream per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("value_delta"),
+            "next_type",
+        )
+    )
+
+
+Q_WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value)  OVER w, 2) AS value_delta,
+       lead(event_type) OVER w              AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running total per customer over order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+"""
+
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge), not a full sort — the survives-100TB version of ORDER BY
+    LIMIT."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+Q_SORT_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surfaces: string / date / array / JSON (reference 2.A#14-25)
+# ---------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery mirroring the reference's sanitizers
+    (new-converter.js:44-55 sanitizeRelationship/formatNodeLabel) applied to
+    part attributes. DuckDB regexp_replace needs 'g' for replace-all parity.
+    """
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.regexp_replace("p_type", "[^a-zA-Z0-9]", "_")).alias("type_sanitized"),
+        F.regexp_extract("p_name", "^(\\w+)", 1).alias("name_first_word"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.trim(F.lower("p_brand")).alias("brand_lower"),
+    )
+
+
+Q_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(regexp_replace(p_type, '[^a-zA-Z0-9]', '_', 'g')) AS type_sanitized,
+       regexp_extract(p_name, '^(\\w+)', 1)                    AS name_first_word,
+       length(p_name)                                          AS name_len,
+       concat_ws('::', p_brand, p_type)                        AS brand_type,
+       substring(p_name, 1, 5)                                 AS name_prefix,
+       trim(lower(p_brand))                                    AS brand_lower
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parsing/trunc (reference stores dates as strings and never
+    computes on them — here promoted to real date logic, SURVEY §1.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q_DATE_FUNCS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       quarter(o_orderdate)           AS order_quarter,
+       count(*)                       AS n_orders,
+       round(sum(o_totalprice), 2)    AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → re-aggregate word counts over documents (the
+    fan-out pattern of reference 2.A#16/#17). Top-50 with total order."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(50)
+    )
+
+
+Q_ARRAY_FUNCS_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 50
+"""
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (SURVEY §2.B map/JSON fn)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_JSON_FUNCS_SQL = """
+SELECT event_type,
+       count(*)                                                   AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT))        AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch) + catalog stats
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    the batch twin of streaming session_window (oracle-checkable)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    flagged = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1
+        ).otherwise(F.when(F.lag(ms).over(w).isNull(), 1).otherwise(0)).alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30*60*1000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n_events), 4) AS avg_events_per_session,
+       max(n_events)           AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count catalog over every table — the information_schema-style
+    introspection surface the reference hardcodes (first-graph.py:65-136)."""
+    from ..io import TABLE_NAMES
+    parts = []
+    for name in TABLE_NAMES:
+        parts.append(
+            _t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("tbl"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+Q_CATALOG_STATS_SQL = """
+SELECT 'region' AS tbl, count(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'part', count(*) FROM part
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q05_local_supplier_volume": q05_local_supplier_volume,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "filter_project": q_filter_project,
+    "join_inner": q_join_inner,
+    "join_left_agg": q_join_left_agg,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_range_follow": q_join_range_follow,
+    "setop_union": q_setop_union,
+    "setop_intersect": q_setop_intersect,
+    "setop_except": q_setop_except,
+    "agg_count_distinct": q_agg_count_distinct,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_lag_delta": q_window_lag_delta,
+    "window_running_sum": q_window_running_sum,
+    "sort_topk": q_sort_topk,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "array_funcs": q_array_funcs,
+    "json_funcs": q_json_funcs,
+    "sessionize": q_sessionize,
+    "catalog_stats": q_catalog_stats,
+}
+
+ORACLE = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_shipping_priority": Q03_SQL,
+    "q05_local_supplier_volume": Q05_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q10_returned_items": Q10_SQL,
+    "filter_project": Q_FILTER_PROJECT_SQL,
+    "join_inner": Q_JOIN_INNER_SQL,
+    "join_left_agg": Q_JOIN_LEFT_AGG_SQL,
+    "join_semi": Q_JOIN_SEMI_SQL,
+    "join_anti": Q_JOIN_ANTI_SQL,
+    "join_range_follow": Q_JOIN_RANGE_SQL,
+    "setop_union": Q_SETOP_UNION_SQL,
+    "setop_intersect": Q_SETOP_INTERSECT_SQL,
+    "setop_except": Q_SETOP_EXCEPT_SQL,
+    "agg_count_distinct": Q_AGG_COUNT_DISTINCT_SQL,
+    "agg_rollup": Q_AGG_ROLLUP_SQL,
+    "agg_cube": Q_AGG_CUBE_SQL,
+    "window_topk_per_group": Q_WINDOW_TOPK_SQL,
+    "window_lag_delta": Q_WINDOW_LAG_SQL,
+    "window_running_sum": Q_WINDOW_RUNNING_SQL,
+    "sort_topk": Q_SORT_TOPK_SQL,
+    "string_funcs": Q_STRING_FUNCS_SQL,
+    "date_funcs": Q_DATE_FUNCS_SQL,
+    "array_funcs": Q_ARRAY_FUNCS_SQL,
+    "json_funcs": Q_JSON_FUNCS_SQL,
+    "sessionize": Q_SESSIONIZE_SQL,
+    "catalog_stats": Q_CATALOG_STATS_SQL,
+}

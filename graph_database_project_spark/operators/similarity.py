@@ -1,0 +1,180 @@
+"""Similarity search over the ``embeddings`` table (north-star ANN surface).
+
+Three tiers:
+* brute-force top-k against a query vector — the exactness baseline;
+* k-NN per vector via pair join + ranking window;
+* deterministic random-hyperplane LSH bucketing — the 100 TB path
+  (bucket first, brute-force only within buckets).
+
+The LSH hyperplanes are ±1 vectors derived from md5 parity at query-build
+time in Python, then embedded as literals into BOTH the Spark plan and the
+oracle SQL — fully deterministic, no RNG state anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+EMBED_DIM = 64
+TOP_K = 10
+LSH_PLANES = 8
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, t: acc + t)
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine against the vec_id=0 query vector.
+
+    Scale: the query vector is a 1-row broadcast (crossJoin of a broadcast
+    singleton = map-side only); top-k via rounded-cosine TakeOrdered. No
+    shuffle of the corpus at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cosine", F.round(cos, 6))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+Q_SIM_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                    i -> CAST(e.embedding AS DOUBLE[])[i] * q.qv[i]))
+           / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors for every vector (symmetric pair join +
+    ranking window). Quadratic candidate set — acceptable at sf scale,
+    superseded by LSH bucketing at 100 TB (see q_sim_lsh_buckets)."""
+    from pyspark.sql import Window as W
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("src_id"), F.col("v").alias("va"),
+                 F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"))
+    b = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"),
+                 F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        a.join(b, F.col("src_id") != F.col("nbr_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src_id", "nbr_id", "cosine", "rank")
+    )
+
+
+Q_SIM_KNN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         round(list_sum(list_transform(range(1, {EMBED_DIM} + 1), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM pairs
+)
+SELECT src_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _hyperplanes() -> list[list[int]]:
+    """LSH_PLANES deterministic ±1 hyperplanes from md5 parity."""
+    planes = []
+    for j in range(LSH_PLANES):
+        plane = []
+        for i in range(EMBED_DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            plane.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(plane)
+    return planes
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + bucket occupancy.
+
+    bucket = Σ_j [dot(v, plane_j) > 0] << j  (8-bit signature). This is the
+    partition key under which ANN search becomes per-bucket brute force —
+    the join fan-in drops from n² to Σ bucket². Emitted here: per-bucket
+    populations, the distribution a planner would use to pick probe depth.
+    """
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(F.col("v"), plane_col) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _plane_sql(plane: list[int]) -> str:
+    return "[" + ",".join(f"{float(x)}" for x in plane) + "]::DOUBLE[]"
+
+
+Q_SIM_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id,
+         {" + ".join(
+             f'''CASE WHEN list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                      i -> v[i] * ({_plane_sql(p)})[i])) > 0
+                 THEN {1 << j} ELSE 0 END'''
+             for j, p in enumerate(_hyperplanes()))} AS bucket
+  FROM e
+)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM bucketed GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_knn_per_vector": q_sim_knn_per_vector,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+}
+
+ORACLE = {
+    "sim_topk_bruteforce": Q_SIM_TOPK_SQL,
+    "sim_knn_per_vector": Q_SIM_KNN_SQL,
+    "sim_lsh_buckets": Q_SIM_LSH_SQL,
+}

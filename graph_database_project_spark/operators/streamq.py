@@ -1,0 +1,147 @@
+"""Structured Streaming surface over ``events`` (north-star M4).
+
+Batch/stream parity is the test contract: the same windowed aggregation
+runs as a real ``readStream`` (file source, availableNow trigger, memory
+sink) and as a batch query; the driver's oracle checks the batch-equivalent
+SQL. Session windows use the built-in ``session_window`` (batch mode here;
+tests run the streaming variant with a watermark).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..io import load_table
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # INT64 TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz"),
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table (schema pinned —
+    streaming sources don't infer)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # file streaming source wants a directory; glob-filter to the events
+        # table inside the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_ts(raw)
+
+
+def _run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain an availableNow streaming query into a memory sink and return
+    the materialized table."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation executed as a REAL streaming
+    query (readStream → window agg → availableNow → memory sink).
+
+    Epoch-aligned 1h tumbling windows == date_trunc('hour') — the oracle's
+    batch equivalence. Watermark bounds state at 2h; with availableNow over
+    a static file it does not drop anything.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_available_now(agg, spark)
+    return out.select(
+        F.date_format(F.col("w.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events", "total_value",
+    )
+
+
+Q_STREAM_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap) per user — batch mode, same
+    operator Structured Streaming uses with state + watermark (streaming
+    variant exercised in tests/test_streaming.py).
+
+    session end = last event + gap, so the oracle reproduces it with the
+    lag-gap island technique + max(ts) + INTERVAL.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+Q_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')                      AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "stream_session_window": q_session_window,
+}
+
+ORACLE = {
+    "stream_tumbling_hourly": Q_STREAM_TUMBLING_SQL,
+    "stream_session_window": Q_SESSION_WINDOW_SQL,
+}

@@ -1,0 +1,197 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extensions; SURVEY.md §2.B "LLM-pipeline"): quality stats, language-ID
+heuristic, token counting, document fingerprinting.
+
+Everything is built from JVM-side built-ins (no Python in the hot path) and
+is deterministic, so each query carries a full DuckDB oracle. Higher-order
+array functions (``transform``/``filter``/``aggregate``) keep the per-doc
+token work inside whole-stage codegen instead of exploding rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "du", "et"],
+}
+
+
+def _words(col):
+    return F.filter(F.split(F.lower(col), " "), lambda w: w != "")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: length validation, word stats,
+    punctuation & stopword ratios, and a composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    avg_word_len = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1))
+    )
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    quality = (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        punct.alias("punct_count"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+Q_TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars, words,
+         len(words) AS n_words,
+         len(list_filter(words, w -> w IN ({",".join("'" + w + "'" for w in STOPWORDS)}))) AS stop_hits,
+         list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT)))
+           / greatest(len(words), 1) AS avg_word_len,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count
+  FROM base
+)
+SELECT doc_id,
+       length(text) = n_chars AS n_chars_ok,
+       n_words,
+       round(avg_word_len, 4) AS avg_word_len,
+       punct_count,
+       round(stop_hits * 1.0 / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * (1.0 - stop_hits * 1.0 / greatest(n_words, 1))
+           + 0.3 * least(avg_word_len / 8.0, 1.0), 6) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a fixed argmax tie-break
+    order (en > de > es > fr). The corpus text is synthetic so accuracy is
+    incidental; the contract is deterministic scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    def marker_hits(markers):
+        # NB: the lambda must take exactly one arg — a second (even
+        # defaulted) parameter makes PySpark pass the element *index*.
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang",
+            *[scores[k].alias(f"s_{k}") for k in LANG_MARKERS],
+        )
+        .select(
+            "doc_id", "lang", "s_en", "s_de", "s_es", "s_fr",
+            predicted.alias("predicted_lang"),
+        )
+        .withColumn("is_match", F.col("predicted_lang") == F.col("lang"))
+    )
+
+
+def _markers_sql(lang: str) -> str:
+    return ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+Q_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(words, w -> w IN ({_markers_sql('en')}))) AS s_en,
+         len(list_filter(words, w -> w IN ({_markers_sql('de')}))) AS s_de,
+         len(list_filter(words, w -> w IN ({_markers_sql('es')}))) AS s_es,
+         len(list_filter(words, w -> w IN ({_markers_sql('fr')}))) AS s_fr
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        FROM documents)
+)
+SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END) = lang AS is_match
+FROM scored
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, BPE-ish regex tokens
+    (word pieces + standalone punctuation), chars/4 subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("\\w+|[^\\w\\s]")).alias("regex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("subword_est"),
+    )
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))                AS regex_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)                       AS subword_est
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (reference 2.A#24 dedups on exact name+content strings; this is the
+    canonicalized version used as a dedup key at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+Q_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_id": q_lang_id,
+    "text_token_count": q_token_count,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": Q_TEXT_STATS_SQL,
+    "text_lang_id": Q_LANG_ID_SQL,
+    "text_token_count": Q_TOKEN_COUNT_SQL,
+    "text_fingerprint": Q_FINGERPRINT_SQL,
+}

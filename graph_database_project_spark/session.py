@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the local[32] harness but configured the
+way a 1000-executor cluster job would be: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow transfers on, UTC everywhere, modest
+shuffle-partition count matched to parallelism instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "graph_database_project_spark",
+              cpus: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Every config here is also what you'd set on a real cluster; the only
+    local-mode-specific knob is ``spark.driver.memory`` (local mode = driver
+    is the lone executor).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long and convert in io.load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # In case an outside harness created the session first, set the runtime-
+    # settable confs we depend on.
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,54 @@
+"""Local twin of the driver's DuckDB differential harness: run the Spark
+query and the oracle SQL on the same parquet tables, compare row count,
+column-name set, and order-insensitive values (floats to 1e-6)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
+            return None
+        if isinstance(v, float):
+            return round(v, 6)
+        if isinstance(v, (int,)):
+            return int(v)
+        if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
+            x = v.item()
+            return round(x, 6) if isinstance(x, float) else x
+        return str(v)
+
+    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    spdf = spark_df.toPandas()
+    assert sorted(spdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spdf)} oracle={len(oracle_pdf)}"
+    )
+    a, b = _canon(spdf), _canon(oracle_pdf)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
