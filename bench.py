@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
+
+``value`` is the sum of per-query wall-clock seconds (the driver compares it
+against BASELINE.md round over round). Each query is forced with a cheap
+count()-style action so the timing covers scan→shuffle→agg, not Python-side
+formatting. A warm-up pass on the flagship query first absorbs JVM/codegen
+startup so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# The headline set: the flagship pricing summary plus one representative of
+# each expensive operator family (join-heavy, window, graph loop, dedup, ANN,
+# text). Cheap scalar-function demos are excluded — they don't move at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_per_group",
+    "sessionize",
+    "graph_connected_components",
+    "graph_khop_seeded",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from graph_database_project_spark.session import get_spark
+    from graph_database_project_spark.registry import all_queries
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warm-up: JVM classloading + codegen on a small action.
+    try:
+        queries["q01_pricing_summary"](spark, sf_dir).limit(1).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench alive; a failed query = inf
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = float("nan")
+
+    total = round(sum(v for v in timings.values() if v == v), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""XML document → shred rows → property-graph tables (SURVEY.md §2.A #18/#19
+re-expressed; §3.2 Spark-native restatement).
+
+The reference walks each document recursively, issuing one Neo4j write
+transaction per node/edge (thousands of round-trips per file). Here the
+recursion becomes *data*: one ``mapInPandas`` pass parses each document
+(ElementTree — Python is genuinely required for XML) and emits one row per
+element carrying its position-disambiguated path; nodes and edges are then
+derived relationally — the parent/child edge set is a self-equi-join on the
+path column, dedup/MERGE is ``dropDuplicates``, and both tables are written
+in two bulk Parquet writes.
+
+Semantics decisions (SURVEY.md §7.4 — intended, not bug-compatible):
+* full-tree shred (no multi-line-element drop);
+* node identity keyed on (label, name, content, path, docnbr, batch) so
+  repeated same-tag siblings survive (vs MERGE-on-{name} collapse);
+* `LineNumber` nodes keyed on (label, name) only → shared across bulletins
+  (match-or-create, xml2neo.py:32-41);
+* the `<airplanes>` types × line-numbers fan-out is intentional effectivity
+  semantics (2.A#17);
+* all identifiers sanitized (2.A#22/#23 everywhere).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+DEFAULT_BATCH = "Batch_2024_08_26"
+AIRPLANE_MARKER = " Airplane(s), line number(s) "
+
+SHRED_SCHEMA = T.StructType([
+    T.StructField("src_file", T.StringType()),
+    T.StructField("docnbr", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("parent_path", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("n_children", T.IntegerType()),
+    T.StructField("depth", T.IntegerType()),
+])
+
+NODES_SCHEMA_COLS = ["id", "labels", "name", "content", "docnbr", "batch", "props"]
+EDGES_SCHEMA_COLS = ["src", "dst", "rel_type", "batch"]
+
+
+def _shred_doc(src_file: str, xml_text: str) -> list[tuple]:
+    """One document → element rows. Path segments carry the sibling index
+    (`tag[i]`) so repeated same-tag siblings stay distinct."""
+    root = ET.fromstring(xml_text)
+    docnbr = root.findtext("./header/number")
+    if docnbr is None:
+        docnbr = root.attrib.get("docnbr", src_file.rsplit("/", 1)[-1])
+    docnbr = docnbr.strip()
+    rows: list[tuple] = []
+
+    def walk(el: ET.Element, path: str, parent_path: str | None, depth: int) -> None:
+        text = (el.text or "").strip() or None
+        rows.append((src_file, docnbr, path, parent_path, el.tag, text, len(el), depth))
+        for i, child in enumerate(el):
+            walk(child, f"{path}/{child.tag}[{i}]", path, depth + 1)
+
+    walk(root, f"/{root.tag}[0]", None, 0)
+    return rows
+
+
+def _shred_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for src_file, xml_text in zip(pdf["src_file"], pdf["xml_text"]):
+            out.extend(_shred_doc(src_file, xml_text))
+        yield pd.DataFrame(out, columns=[f.name for f in SHRED_SCHEMA.fields])
+
+
+def shred_xml(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read whole XML files and shred to element rows.
+
+    Scale: `spark.read.text(wholetext)` distributes one file per task;
+    shredding is stateless per file (embarrassingly parallel). For many
+    small files Spark packs them into tasks by `maxPartitionBytes`."""
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = (
+        spark.read.text(paths, wholetext=True)
+        .select(F.input_file_name().alias("src_file"), F.col("value").alias("xml_text"))
+    )
+    return raw.mapInPandas(_shred_batches, schema=SHRED_SCHEMA)
+
+
+def _sanitize_rel(col):
+    return F.upper(F.regexp_replace(col, "[^a-zA-Z0-9]", "_"))
+
+
+def _node_id(label, name, content, path, docnbr, batch):
+    """Deterministic 64-bit id (NOT monotonically_increasing_id — that is
+    nondeterministic across retries/partitioning and breaks oracle
+    reproducibility; SURVEY.md §4.3)."""
+    return F.xxhash64(
+        label, name,
+        F.coalesce(content, F.lit("")),
+        F.coalesce(path, F.lit("")),
+        F.coalesce(docnbr, F.lit("")),
+        batch,
+    )
+
+
+def build_graph(shred: DataFrame, batch: str = DEFAULT_BATCH) -> tuple[DataFrame, DataFrame]:
+    """Shred rows → (nodes, edges) per the engine-native schema
+    (FIXTURES.md §A.2).
+
+    Node labels: `ServiceBulletin` for the document root (keyed by docnbr,
+    new-converter.js:27-30), else the element tag. Edges: parent
+    -[:HAS_<TAG>]-> child and child -[:IS_PART_OF]-> parent (latest.js:41-47
+    bidirectional convention), plus the effectivity fan-out:
+    effectivity -[:effects]-> Airplane -[:includes]-> LineNumber with
+    inverse `affected_by` / `included_in` (xml2neo.py:86-96).
+    """
+    b = F.lit(batch)
+    sh = shred.cache()
+
+    is_root = F.col("parent_path").isNull()
+    base = sh.select(
+        "*",
+        F.when(is_root, F.lit("ServiceBulletin")).otherwise(F.col("tag")).alias("label"),
+        F.when(is_root, F.col("docnbr")).otherwise(F.col("tag")).alias("name"),
+    )
+    # Root nodes are keyed by (label, docnbr) alone — one per bulletin,
+    # stable across re-ingest of the same document (MERGE semantics).
+    node_rows = base.select(
+        F.when(
+            is_root,
+            _node_id(F.col("label"), F.col("name"), F.lit(None), F.lit(None), F.col("docnbr"), b),
+        ).otherwise(
+            _node_id(F.col("label"), F.col("name"), F.col("content"), F.col("path"),
+                     F.col("docnbr"), b)
+        ).alias("id"),
+        F.array(F.col("label"), b).alias("labels"),
+        "name",
+        F.when(is_root, F.lit(None).cast("string")).otherwise(F.col("content")).alias("content"),
+        "docnbr",
+        b.alias("batch"),
+        F.create_map(F.lit("added_for_bulletin"), F.lit("true")).alias("props"),
+        "path", "parent_path", "tag",
+    )
+
+    # Parent/child edges: self-equi-join child.parent_path == parent.path,
+    # restricted per document (docnbr equality keeps the join key selective).
+    child = node_rows.filter(F.col("parent_path").isNotNull()).select(
+        F.col("id").alias("child_id"), F.col("parent_path").alias("jp"),
+        F.col("docnbr").alias("jd"), F.col("tag").alias("child_tag"),
+    )
+    parent = node_rows.select(
+        F.col("id").alias("parent_id"), F.col("path").alias("jp"),
+        F.col("docnbr").alias("jd"),
+    )
+    pc = child.join(parent, ["jp", "jd"])
+    edges_down = pc.select(
+        F.col("parent_id").alias("src"), F.col("child_id").alias("dst"),
+        F.concat(F.lit("HAS_"), _sanitize_rel("child_tag")).alias("rel_type"),
+        b.alias("batch"),
+    )
+    edges_up = pc.select(
+        F.col("child_id").alias("src"), F.col("parent_id").alias("dst"),
+        F.lit("IS_PART_OF").alias("rel_type"), b.alias("batch"),
+    )
+
+    # Effectivity fan-out: <airplanes> "types Airplane(s), line number(s) csv"
+    ap = sh.filter((F.col("tag") == "airplanes") & F.col("content").isNotNull())
+    parts = F.split(F.col("content"), "\\Q" + AIRPLANE_MARKER + "\\E")
+    # F.get (not getItem): NULL-safe on rows without the marker — Catalyst
+    # may collapse this projection into filters evaluated on non-airplane
+    # rows, where strict indexing would throw under ANSI mode.
+    ap = ap.select(
+        "docnbr",
+        F.col("parent_path").alias("eff_path"),
+        F.filter(F.split(F.trim(F.get(parts, 0)), "\\s+"),
+                 lambda t: (t != "") & (t != "and")).alias("types"),
+        F.coalesce(
+            F.filter(F.transform(F.split(F.get(parts, 1), ","), lambda s: F.trim(s)),
+                     lambda s: s != ""),
+            F.array().cast("array<string>"),
+        ).alias("line_numbers"),
+    )
+    # cross product types × line_numbers (intentional semantics, 2.A#17)
+    fan = ap.select(
+        "docnbr", "eff_path",
+        F.explode("types").alias("airplane_type"), "line_numbers",
+    ).select(
+        "docnbr", "eff_path", "airplane_type",
+        F.explode("line_numbers").alias("line_number"),
+    )
+
+    eff_nodes = node_rows.filter(F.col("tag") == "effectivity").select(
+        F.col("id").alias("eff_id"), F.col("path").alias("eff_path"),
+        F.col("docnbr").alias("docnbr"),
+    )
+    fan = fan.join(eff_nodes, ["eff_path", "docnbr"])
+
+    airplane_id = _node_id(F.lit("Airplane"), F.col("airplane_type"), F.lit(None),
+                           F.lit(None), F.col("docnbr"), b)
+    # LineNumber: keyed on (label, name) ONLY — shared across bulletins
+    line_id = _node_id(F.lit("LineNumber"), F.col("line_number"), F.lit(None),
+                       F.lit(None), F.lit(None), b)
+
+    airplane_nodes = fan.select(
+        airplane_id.alias("id"),
+        F.array(F.lit("Airplane"), b).alias("labels"),
+        F.col("airplane_type").alias("name"),
+        F.lit(None).cast("string").alias("content"),
+        "docnbr", b.alias("batch"),
+        F.create_map(F.lit("added_for_bulletin"), F.lit("true")).alias("props"),
+    )
+    line_nodes = fan.select(
+        line_id.alias("id"),
+        F.array(F.lit("LineNumber"), b).alias("labels"),
+        F.col("line_number").alias("name"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("string").alias("docnbr"), b.alias("batch"),
+        F.create_map(F.lit("added_for_bulletin"), F.lit("true")).alias("props"),
+    )
+
+    fan_ids = fan.select(
+        "eff_id", airplane_id.alias("ap_id"), line_id.alias("ln_id"),
+    )
+    eff_edges = [
+        fan_ids.select(F.col("eff_id").alias("src"), F.col("ap_id").alias("dst"),
+                       F.lit("effects").alias("rel_type"), b.alias("batch")),
+        fan_ids.select(F.col("ap_id").alias("src"), F.col("eff_id").alias("dst"),
+                       F.lit("affected_by").alias("rel_type"), b.alias("batch")),
+        fan_ids.select(F.col("ap_id").alias("src"), F.col("ln_id").alias("dst"),
+                       F.lit("includes").alias("rel_type"), b.alias("batch")),
+        fan_ids.select(F.col("ln_id").alias("src"), F.col("ap_id").alias("dst"),
+                       F.lit("included_in").alias("rel_type"), b.alias("batch")),
+    ]
+
+    nodes = (
+        node_rows.select(*NODES_SCHEMA_COLS)
+        .union(airplane_nodes.select(*NODES_SCHEMA_COLS))
+        .union(line_nodes.select(*NODES_SCHEMA_COLS))
+        .dropDuplicates(["id"])
+    )
+    edges = edges_down.union(edges_up)
+    for e in eff_edges:
+        edges = edges.union(e)
+    edges = edges.dropDuplicates(["src", "dst", "rel_type"])
+    return nodes, edges
+
+
+def ingest_xml(spark: SparkSession, paths: str | list[str],
+               batch: str = DEFAULT_BATCH) -> tuple[DataFrame, DataFrame]:
+    """Full ingestion pipeline: files → shred → (nodes, edges)."""
+    return build_graph(shred_xml(spark, paths), batch=batch)

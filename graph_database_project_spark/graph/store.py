@@ -1,0 +1,151 @@
+"""GraphStore: the property graph as two Parquet-backed DataFrames
+(SURVEY.md §1.5), with the reference's mutation surface re-expressed as
+bulk set operations:
+
+* MERGE/upsert        → left-anti + union            (2.A#3/#4)
+* predicate delete    → filter + two anti-joins      (2.A#8, deleteneo.py)
+* property SET        → conditional column overwrite (2.A#7)
+* schema catalog      → aggregation over the tables  (§1.4 → §1.5)
+
+Writes are partitioned by the ``batch`` ingestion-epoch column, so the
+reference's batch rollback (delete all `Batch_X` nodes) is a partition drop
+— metadata-only at scale. Plain Parquet has no ACID merge: mutations return
+new DataFrames; ``write`` materializes under a single-writer assumption
+(documented; Delta/Iceberg slots in here when the environment provides it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .traverse import k_hop
+
+
+@dataclass
+class GraphStore:
+    nodes: DataFrame
+    edges: DataFrame
+
+    # -- IO ----------------------------------------------------------------
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        self.nodes.write.mode(mode).partitionBy("batch").parquet(f"{path}/nodes")
+        self.edges.write.mode(mode).partitionBy("batch").parquet(f"{path}/edges")
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "GraphStore":
+        return cls(
+            nodes=spark.read.parquet(f"{path}/nodes"),
+            edges=spark.read.parquet(f"{path}/edges"),
+        )
+
+    # -- MERGE / upsert ----------------------------------------------------
+    def merge(self, new_nodes: DataFrame, new_edges: DataFrame) -> "GraphStore":
+        """Idempotent MERGE keyed on deterministic ids: only-if-absent via
+        left-anti join (the set-based form of the reference's per-row
+        existence probe, xml2neo.py:32-41)."""
+        add_n = new_nodes.join(self.nodes.select("id"), "id", "left_anti")
+        add_e = new_edges.join(
+            self.edges.select("src", "dst", "rel_type"),
+            ["src", "dst", "rel_type"], "left_anti",
+        )
+        return GraphStore(self.nodes.unionByName(add_n),
+                          self.edges.unionByName(add_e))
+
+    # -- delete ------------------------------------------------------------
+    def delete_where(self, pred: Column) -> "GraphStore":
+        """DETACH DELETE: drop matching nodes and every incident edge
+        (two anti-joins — deleteneo.py:10-12 set-based)."""
+        doomed = self.nodes.filter(pred).select("id")
+        nodes = self.nodes.join(doomed, "id", "left_anti")
+        edges = (
+            self.edges
+            .join(doomed.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(doomed.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select(self.edges.columns)
+        )
+        return GraphStore(nodes, edges)
+
+    def delete_tagged(self, tag: str = "added_for_bulletin") -> "GraphStore":
+        """The reference's boolean-tag cascade delete (deleteneo.py:11:
+        ``MATCH (n) WHERE n.{tag} = true DETACH DELETE n``)."""
+        return self.delete_where(F.col("props").getItem(tag) == "true")
+
+    def delete_batch(self, batch: str) -> "GraphStore":
+        """Batch rollback — with batch partitioning this is a partition
+        drop, no scan of surviving data."""
+        return GraphStore(
+            self.nodes.filter(F.col("batch") != batch),
+            self.edges.filter(F.col("batch") != batch),
+        )
+
+    # -- property SET ------------------------------------------------------
+    def set_content(self, pred: Column, new_content: Column | str) -> "GraphStore":
+        """Point property update (new-converter.js:136-140 SET n.content)."""
+        val = F.lit(new_content) if isinstance(new_content, str) else new_content
+        return GraphStore(
+            self.nodes.withColumn(
+                "content", F.when(pred, val).otherwise(F.col("content"))
+            ),
+            self.edges,
+        )
+
+    # -- catalog (§1.4: the hardcoded 35-label/34-reltype prompt catalog,
+    #    derived instead of maintained) -----------------------------------
+    def catalog_labels(self) -> DataFrame:
+        return (
+            self.nodes.select(F.explode("labels").alias("label"))
+            .filter(~F.col("label").startswith("Batch_"))
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+
+    def catalog_relationships(self) -> DataFrame:
+        """(src_label)-[:rel_type]->(dst_label) signatures with counts —
+        the derived equivalent of first-graph.py:102-136."""
+        lab = self.nodes.select(
+            "id", F.filter("labels", lambda l: ~l.startswith("Batch_")).getItem(0).alias("label")
+        )
+        return (
+            self.edges
+            .join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "src_label"), "src")
+            .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+            .groupBy("src_label", "rel_type", "dst_label")
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+        )
+
+    # -- flagship read: seeded k-hop + grouped result ----------------------
+    def khop_from(self, seed_pred: Column, depth: int = 3,
+                  direction: str = "out") -> DataFrame:
+        """The reference's chat-query contract (first-graph.py:141): matched
+        node + connected nodes ≤ `depth` levels downward; result grouped
+        per seed (first-graph.py:168-176)."""
+        seeds = self.nodes.filter(seed_pred).select(
+            F.col("id").alias("seed"), F.col("id").alias("node")
+        )
+        reached = k_hop(seeds, self.edges.select("src", "dst"), depth, direction)
+        seed_names = self.nodes.select(F.col("id").alias("seed"),
+                                       F.col("name").alias("seed_name"))
+        detail = self.nodes.select(F.col("id").alias("node"),
+                                   F.col("name").alias("node_name"),
+                                   F.col("content").alias("node_content"))
+        return (
+            reached.join(seed_names, "seed").join(detail, "node")
+            .select("seed", "seed_name", "node", "node_name", "node_content", "depth")
+        )
+
+    def khop_grouped(self, seed_pred: Column, depth: int = 3) -> DataFrame:
+        """Grouped shape: per-seed sorted list of reached node names
+        (collect_list is order-nondeterministic → sort_array for stable
+        output, SURVEY.md §7.3e)."""
+        det = self.khop_from(seed_pred, depth)
+        return (
+            det.filter(F.col("depth") > 0)
+            .groupBy("seed_name")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("node_name", "node"))).alias("connected"),
+                F.count(F.lit(1)).alias("n_connected"),
+            )
+            .select("seed_name", F.col("connected.node_name").alias("connected_names"),
+                    "n_connected")
+        )

@@ -12,9 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, graphq, multimodal, relational, similarity, streamq, textops
+from .operators import dedup, graphq, multimodal, relational, similarity, streamq, textops, xmlq
+from .plans import nl2query
 
-_MODULES = [relational, graphq, dedup, similarity, textops, multimodal, streamq]
+_MODULES = [relational, graphq, dedup, similarity, textops, multimodal, streamq, xmlq, nl2query]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

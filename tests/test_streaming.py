@@ -1,0 +1,58 @@
+"""Batch/stream equivalence (SURVEY.md §5.5): the same aggregation through
+readStream must equal its batch twin."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from graph_database_project_spark.io import load_table
+from graph_database_project_spark.operators.streamq import (
+    q_session_window, q_stream_tumbling_hourly, read_events_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream_out = {
+        (r.window_start): (r.n_events, r.total_value)
+        for r in q_stream_tumbling_hourly(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .select(F.date_format(F.col("h").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n", "t")
+    )
+    batch_out = {r.ws: (r.n, r.t) for r in batch.collect()}
+    assert stream_out == batch_out
+
+
+def test_stream_session_window_equals_batch(spark):
+    """session_window through a genuine streaming query (update-mode memory
+    sink, availableNow) vs the batch session_window query."""
+    ev = read_events_stream(spark, SF_SMOKE).withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.date_format(F.col("sw.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream_out = {(r.user_id, r.session_start): r.n_events
+                  for r in spark.table(name).collect()}
+    batch_out = {(r.user_id, r.session_start): r.n_events
+                 for r in q_session_window(spark, SF_SMOKE).collect()}
+    # append-mode watermark may hold back the final (unclosed) session per
+    # user; everything emitted must match the batch result exactly
+    assert stream_out
+    for k, v in stream_out.items():
+        assert batch_out.get(k) == v
