@@ -1,0 +1,147 @@
+"""Mutation semantics as oracle-checkable queries (SURVEY.md §2.B Mutation).
+
+The reference's write path is three verbs: MERGE/match-or-create upsert
+(`xml2neo.py:32-41`, `new-converter.js:27-30`), cascading predicate delete
+(`deleteneo.py:10-12`), and property SET (`new-converter.js:136-140`). The
+GraphStore implements them against the nodes/edges tables (tested in
+tests/test_graph_xml.py); here the same set-based plans run over the
+relational testdata so the DuckDB oracle can value-check them — each query
+returns the *post-mutation* state, which is how an immutable-table engine
+expresses a write (write-temp-then-swap at the storage layer, io.py).
+
+Scale notes: upsert = left-anti + union (one shuffle on the merge key;
+Delta-style MERGE at 100 TB); delete cascade = anti-joins against the
+deleted key set (broadcast when the delete predicate is selective);
+SET = a pure column rewrite, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE an updates batch into ``customer`` and aggregate the merged
+    table. The batch (derived deterministically so the oracle can rebuild
+    it): every customer with a negative balance gets the balance negated
+    (update), and every BUILDING customer with balance > 9000 is inserted
+    again under custkey+10_000_000 (insert).
+
+    Plan shape = exactly GraphStore.merge_nodes: existing rows not hit by
+    an update survive via left-anti on the key, then union the batch.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    updates = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .withColumn("c_acctbal", -F.col("c_acctbal"))
+    )
+    inserts = (
+        cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(10_000_000))
+    )
+    batch = updates.unionByName(inserts)
+    merged = (
+        cust.join(batch.select("c_custkey"), "c_custkey", "left_anti")
+        .unionByName(batch)
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def delete_cascade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETACH-DELETE semantics (deleteneo.py:10-12) on relational data:
+    delete orders matching a predicate and cascade to their lineitems,
+    then summarize the surviving tables — the same filter + anti-join pair
+    GraphStore.delete_where applies to nodes/edges."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "5-LOW")
+    deleted_keys = orders.filter(pred).select("o_orderkey")
+    surviving_orders = orders.filter(~pred)
+    surviving_li = li.join(deleted_keys, li.l_orderkey == deleted_keys.o_orderkey, "left_anti")
+    n_orders = surviving_orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    li_stats = surviving_li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("surviving_revenue"),
+    )
+    return n_orders.crossJoin(li_stats)
+
+
+DELETE_CASCADE_SQL = """
+SELECT (SELECT count(*) FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')) AS n_orders,
+       count(*) AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS surviving_revenue
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
+"""
+
+
+def property_set_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property SET (new-converter.js:136-140): conditionally overwrite a
+    column — PROMO parts get a 10% price raise — and aggregate the updated
+    table. Pure projection rewrite: zero shuffles before the final group."""
+    part = _t(spark, sf_dir, "part")
+    updated = part.withColumn(
+        "p_retailprice",
+        F.when(F.col("p_type") == "PROMO", F.round(F.col("p_retailprice") * 1.1, 2))
+        .otherwise(F.col("p_retailprice")),
+    )
+    return (
+        updated.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PROPERTY_SET_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN round(p_retailprice * 1.1, 2)
+                      ELSE p_retailprice END), 2) AS total_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+QUERIES = {
+    "mutation_merge_upsert": merge_upsert_customers,
+    "mutation_delete_cascade": delete_cascade_orders,
+    "mutation_property_set": property_set_parts,
+}
+
+ORACLE = {
+    "mutation_merge_upsert": MERGE_UPSERT_SQL,
+    "mutation_delete_cascade": DELETE_CASCADE_SQL,
+    "mutation_property_set": PROPERTY_SET_SQL,
+}
