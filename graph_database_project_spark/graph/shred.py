@@ -23,7 +23,7 @@ Semantics decisions (SURVEY.md §7.4 — intended, not bug-compatible):
 
 from __future__ import annotations
 
-import re
+import glob
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -84,7 +84,11 @@ def shred_xml(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     shredding is stateless per file (embarrassingly parallel). For many
     small files Spark packs them into tasks by `maxPartitionBytes`."""
     if isinstance(paths, str):
-        paths = [paths]
+        # Expand local globs eagerly: passing a glob straight to read.text
+        # makes Spark's FileStreamSink metadata probe stat the literal
+        # pattern and log a FileNotFoundException stack per query.
+        expanded = sorted(glob.glob(paths)) if any(c in paths for c in "*?[") else []
+        paths = expanded or [paths]
     raw = (
         spark.read.text(paths, wholetext=True)
         .select(F.input_file_name().alias("src_file"), F.col("value").alias("xml_text"))

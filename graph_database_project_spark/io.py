@@ -21,7 +21,14 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               *, widen: bool = False) -> DataFrame:
+    """``widen=True`` repartitions an under-split scan up to the session's
+    parallelism. Use it for CPU-bound per-row compute (shingling, hashing,
+    vector math) over tables whose parquet has a single row group — Spark
+    can't byte-range-split one row group, so without this the whole compute
+    pins one core. On a real cluster with many files/row groups the scan is
+    already wide and this is a no-op (the partition count check)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is INT64 TIMESTAMP(NANOS); read as long ns (legacy conf set in
@@ -33,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
                 .cast("timestamp_ntz"),
             )
+    if widen:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -71,7 +71,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     not |docs|². At 100 TB you'd pre-filter hot shingles (stop-shingles);
     here the vocabulary is small enough not to need it.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     sh = docs.select(
         "doc_id",
         _shingles(F.col("text")).alias("shingles"),
@@ -118,55 +118,69 @@ WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_THRESHOL
 """
 
 
-def _minhash_cols():
-    """NUM_MINHASHES md5-based minhash expressions over a `shingles` array
-    column. md5(seed || ':' || shingle) compared as hex strings — identical
-    in Spark and DuckDB, so the oracle checks actual signatures."""
-    return [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(NUM_MINHASHES)
-    ]
+# One md5 per shingle (engine-portable base hash: first 8 hex chars → 32-bit
+# int), then NUM_MINHASHES cheap affine transforms (a*h + b) mod P — the
+# classic universal-hash minhash family. 12× less md5 work than hashing every
+# (seed, shingle) pair, and every value is bit-identical in DuckDB.
+MINHASH_P = 4_294_967_311          # prime > 2^32: product a*h < 2^63, no overflow
+MINHASH_A = [2 * i * 1_000_003 + 1_234_577 for i in range(NUM_MINHASHES)]
+MINHASH_B = [7 * i + 12_345 for i in range(NUM_MINHASHES)]
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
 
-    Pipeline: shingle → 12 md5-minhashes → 4 bands of 3 (band key = md5 of
-    the concatenated band signature) → equi-join on (band_idx, band_key)
-    for candidates → exact-Jaccard verification of candidates only.
+    Pipeline: shingle → md5 base hash per shingle → 12 affine minhashes →
+    4 band keys of 3 → explode to a slim (doc_id, band_idx, band_key)
+    relation → ONE self-equi-join on (band_idx, band_key) for candidates →
+    exact-Jaccard verification of the (deduped) candidates only.
 
-    Scale: the only join key is the band bucket; everything before it is
-    per-row array math. This is the textbook sub-quadratic fuzzy-dedup
-    layout for a 100 TB corpus (candidates ≈ true-positive pairs +
-    band-collision noise, both ≪ n²).
+    Scale: everything before the join is per-row array math computed once;
+    the join key is the band bucket (sub-quadratic: candidates ≈ true
+    pairs + collision noise ≪ n²); the heavy shingle arrays are NOT carried
+    through the join — candidates join back to the shingle relation by id.
+    Both self-join sides canonicalize to the same plan → Catalyst reuses
+    one exchange for both.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
              .filter(F.size("shingles") > 0)
-    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+    hvals = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    sig = sh.select("doc_id", hvals.alias("hv"))
+    def _mh(i: int):
+        # bind the constants eagerly — a two-arg lambda would make Spark
+        # pass the element index as the second (Column) argument
+        a_, b_, p_ = F.lit(MINHASH_A[i]), F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
+        return F.array_min(F.transform(F.col("hv"), lambda h: (a_ * h + b_) % p_))
+
+    mh = [_mh(i) for i in range(NUM_MINHASHES)]
     rows_per_band = NUM_MINHASHES // LSH_BANDS
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    banded = sig.select("doc_id", "shingles", *band_cols)
-    pairs = None
-    for b in range(LSH_BANDS):
-        l = banded.select(F.col("doc_id").alias("doc_a"),
-                          F.col("shingles").alias("sh_a"),
-                          F.col(f"band{b}").alias("bk"))
-        r = banded.select(F.col("doc_id").alias("doc_b"),
-                          F.col("shingles").alias("sh_b"),
-                          F.col(f"band{b}").alias("bk"))
-        cand = l.join(r, "bk").filter(F.col("doc_a") < F.col("doc_b")) \
-                .select("doc_a", "doc_b", "sh_a", "sh_b")
-        pairs = cand if pairs is None else pairs.union(cand)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[mh[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bk"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    slim = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")) \
+              .select("doc_id", "band.band_idx", "band.bk")
+    a = slim.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+    b_ = slim.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk")
+    cand = (
+        a.join(b_, ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union_n = F.size("sh_a") + F.size("sh_b") - common
     return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
         .withColumn("jaccard", F.round(common / union_n, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -174,13 +188,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+    return (f"list_min(list_transform(hv, h -> "
+            f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))")
 
 
 def _band_sql(b: int) -> str:
     rows_per_band = NUM_MINHASHES // LSH_BANDS
     parts = " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-    return f"md5({parts})"
+    return parts
 
 
 Q_DEDUP_MINHASH_SQL = f"""
@@ -188,30 +203,33 @@ WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles
   FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
 ), sig AS (
-  SELECT doc_id, shingles,
-         {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES))}
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hv
   FROM sh WHERE len(shingles) > 0
-), banded AS (
-  SELECT doc_id, shingles,
-         {", ".join(f"{_band_sql(b)} AS band{b}" for b in range(LSH_BANDS))}
+), mhs AS (
+  SELECT doc_id,
+         {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES))}
   FROM sig
-), cand AS (
+), slim AS (
   {" UNION ALL ".join(
-      f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.shingles AS sh_a, b.shingles AS sh_b
-          FROM banded a JOIN banded b
-            ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
+      f"SELECT doc_id, {b} AS band_idx, {_band_sql(b)} AS bk FROM mhs"
       for b in range(LSH_BANDS))}
-), uniq AS (
-  SELECT doc_a, doc_b, any_value(sh_a) AS sh_a, any_value(sh_b) AS sh_b
-  FROM cand GROUP BY doc_a, doc_b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM slim a JOIN slim b
+    ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(len(list_intersect(sh_a, sh_b)) * 1.0
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
-FROM uniq
-WHERE round(len(list_intersect(sh_a, sh_b)) * 1.0
-            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6)
       >= {JACCARD_THRESHOLD}
 """
 
@@ -227,7 +245,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash value; here we emit the signatures themselves, which the
     oracle reproduces bit-exactly).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     # 16-bit integer hash per token: first 4 hex chars of md5.
     hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
@@ -278,7 +296,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     double on both engines, rounded before the threshold so the filter
     can't flip on last-bit float drift.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     def dot(x, y):

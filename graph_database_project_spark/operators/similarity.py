@@ -76,7 +76,7 @@ def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window). Quadratic candidate set — acceptable at sf scale,
     superseded by LSH bucketing at 100 TB (see q_sim_lsh_buckets)."""
     from pyspark.sql import Window as W
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = e.select(F.col("vec_id").alias("src_id"), F.col("v").alias("va"),
                  F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"))
