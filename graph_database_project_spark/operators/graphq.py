@@ -168,11 +168,57 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count per nation over a derived undirected graph:
+    same-nation customers link at distance 1 and 2 (u—u+1, u—u+2), so every
+    same-nation run of 3 consecutive custkeys closes a triangle.
+
+    Spark shape: canonical (u<v) edge list, two self-joins closing the
+    wedge — the standard distributed triangle enumeration. Scale: both
+    joins shuffle on a custkey endpoint; at 100 TB you'd pre-partition the
+    edge list by src and degree-order endpoints (u<v already does the
+    degree trick's dedup job here).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"), F.col("c_nationkey").alias("un"))
+    b = cust.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("vn"))
+    edges = (
+        a.join(b, ((b.v == a.u + 1) | (b.v == a.u + 2)) & (F.col("un") == F.col("vn")))
+        .select("u", "v", F.col("un").alias("nationkey"))
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "nationkey")
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("nationkey")
+    )
+
+
+Q_TRIANGLE_SQL = """
+WITH edges AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v, a.c_nationkey AS nationkey
+  FROM customer a JOIN customer b
+    ON (b.c_custkey = a.c_custkey + 1 OR b.c_custkey = a.c_custkey + 2)
+   AND a.c_nationkey = b.c_nationkey
+)
+SELECT e1.nationkey, count(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+GROUP BY e1.nationkey ORDER BY e1.nationkey
+"""
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
     "graph_connected_components": q_connected_components,
     "graph_pagerank": q_pagerank,
+    "graph_triangle_count": q_triangle_count,
 }
 
 ORACLE = {
@@ -180,4 +226,5 @@ ORACLE = {
     "graph_khop_seeded": Q_KHOP_SEEDED_SQL,
     "graph_connected_components": Q_CC_SQL,
     # graph_pagerank: intentionally absent → rows-only check.
+    "graph_triangle_count": Q_TRIANGLE_SQL,
 }

@@ -497,6 +497,32 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    (status, priority), (status), and grand total, skipping the
+    (priority)-only set a CUBE would add."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+Q_AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
@@ -800,6 +826,7 @@ QUERIES = {
     "agg_count_distinct": q_agg_count_distinct,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "window_topk_per_group": q_window_topk_per_group,
     "window_lag_delta": q_window_lag_delta,
     "window_running_sum": q_window_running_sum,
@@ -830,6 +857,7 @@ ORACLE = {
     "agg_count_distinct": Q_AGG_COUNT_DISTINCT_SQL,
     "agg_rollup": Q_AGG_ROLLUP_SQL,
     "agg_cube": Q_AGG_CUBE_SQL,
+    "agg_grouping_sets": Q_AGG_GROUPING_SETS_SQL,
     "window_topk_per_group": Q_WINDOW_TOPK_SQL,
     "window_lag_delta": Q_WINDOW_LAG_SQL,
     "window_running_sum": Q_WINDOW_RUNNING_SQL,

@@ -136,12 +136,49 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window, 1-hour slide, per event_type — as a REAL
+    streaming query. Each event lands in exactly two epoch-aligned windows:
+    [trunc(ts)-1h, +2h) and [trunc(ts), +2h) — which is how the batch
+    oracle reproduces the assignment (unnest of the two starts)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_available_now(agg, spark)
+    return out.select(
+        F.date_format(F.col("w.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+Q_STREAM_SLIDING_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws,
+             event_type, value
+      FROM events)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_session_window,
 }
 
 ORACLE = {
     "stream_tumbling_hourly": Q_STREAM_TUMBLING_SQL,
+    "stream_sliding_window": Q_STREAM_SLIDING_SQL,
     "stream_session_window": Q_SESSION_WINDOW_SQL,
 }
