@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
@@ -167,14 +170,55 @@ FROM bucketed GROUP BY bucket
 """
 
 
+def q_udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow pandas_udf seam (SURVEY §2.B "UDF surface") with an exact
+    SQL oracle: L2 norm + argmax dimension per embedding, computed in a
+    vectorized pandas_udf (numpy over Arrow batches — the pattern for any
+    Python-only scoring fn, e.g. a real embedding model).
+
+    Scale: Arrow transfer is columnar and batched (10k rows/batch); the UDF
+    is stateless so it parallelizes per partition with zero shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        m64 = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        return pd.Series(np.round(np.sqrt((m64 * m64).sum(axis=1)), 6))
+
+    @pandas_udf("int")
+    def argmax_dim(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        return pd.Series(mat.argmax(axis=1).astype("int32"))
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return emb.select(
+        "vec_id",
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+        argmax_dim(F.col("embedding")).alias("argmax_dim"),
+    )
+
+
+# list_position of the max gives the FIRST argmax index (1-based) — matching
+# numpy argmax's first-wins tie-break; -1 converts to 0-based.
+Q_UDF_NORM_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER) AS argmax_dim
+FROM embeddings
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "udf_embedding_norm": q_udf_embedding_norm,
 }
 
 ORACLE = {
     "sim_topk_bruteforce": Q_SIM_TOPK_SQL,
     "sim_knn_per_vector": Q_SIM_KNN_SQL,
     "sim_lsh_buckets": Q_SIM_LSH_SQL,
+    "udf_embedding_norm": Q_UDF_NORM_SQL,
 }
