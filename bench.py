@@ -28,15 +28,21 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q07_volume_shipping",
     "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_volume",
     "window_topk_per_group",
     "sessionize",
     "graph_connected_components",
     "graph_khop_seeded",
+    "graph_triangle_count",
     "dedup_minhash_lsh",
     "dedup_exact",
     "sim_topk_bruteforce",
+    "udf_embedding_norm",
     "text_stats",
+    "mutation_merge_upsert",
 ]
 
 
