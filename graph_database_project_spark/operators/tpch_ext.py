@@ -582,9 +582,196 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (min-per-group + join-back)
+# ---------------------------------------------------------------------------
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min subquery decorrelated into a grouped
+    min + equality join-back. partsupp is absent → the "supply cost" is the
+    minimum observed unit price (extendedprice/quantity) per
+    (part, supplier) in lineitem; per part, keep the cheapest supplier(s).
+
+    Scale: unit costs aggregate on (partkey, suppkey) — one shuffle of
+    lineitem; the per-part min is dim-sized and broadcasts back. Rounded
+    before the equality compare on both engines (float-tie discipline).
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_name")
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost"))
+    )
+    min_cost = unit_cost.groupBy(F.col("l_partkey").alias("_pk")) \
+        .agg(F.min("supply_cost").alias("_min_cost"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        unit_cost.join(
+            F.broadcast(min_cost),
+            (unit_cost.l_partkey == F.col("_pk")) & (unit_cost.supply_cost == F.col("_min_cost")),
+        )
+        .join(F.broadcast(sup), unit_cost.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), unit_cost.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_name"), F.col("l_partkey").alias("p_partkey"),
+            "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "supply_cost",
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q02_SQL = """
+WITH unit_cost AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 2) AS supply_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 1
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_name, l_partkey AS p_partkey, s_name,
+       round(s_acctbal, 2) AS s_acctbal, supply_cost
+FROM unit_cost
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supply_cost = (SELECT min(u2.supply_cost) FROM unit_cost u2
+                     WHERE u2.l_partkey = unit_cost.l_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count per part attributes (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery (anti-join) + grouped
+    count-distinct. partsupp absent → part↔supplier association via
+    lineitem; the excluded-supplier predicate (classic: comment LIKE
+    '%Complaints%') becomes a deterministic acctbal < 0 blacklist.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1") \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers of promoted parts (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a two-level semi-join chain — suppliers who shipped
+    a meaningful quantity of PROMO parts in 1996 (inner grouped HAVING
+    replaces the partsupp availqty threshold), projected through nation.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 50)
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(qualified, sup.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who alone returned items (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS (another supplier in the same order) AND
+    NOT EXISTS (another supplier who also failed) — receipt/commit dates are
+    absent, so "failed" is l_returnflag = 'R'. Semi + anti join against the
+    same lineitem relation with inequality on suppkey.
+
+    Scale: all three lineitem roles shuffle on orderkey (one exchange each,
+    AQE dedups the scan); the count aggregates on suppkey afterwards.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R") \
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk2"))
+    l3 = l1.select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3"))
+    sole = (
+        l1.join(l2, (l1.ok == l2.ok) & (l1.sk != l2.sk2), "left_semi")
+        .join(l3, (l1.ok == l3.ok3) & (l1.sk != l3.sk3), "left_anti")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), sole.sk == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q02_min_cost_supplier": q02_min_cost_supplier,
     "q04_priority_exists": q04_priority_exists,
     "q07_volume_shipping": q07_volume_shipping,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_promo_part_suppliers": q20_promo_part_suppliers,
+    "q21_sole_returner": q21_sole_returner,
     "q08_market_share": q08_market_share,
     "q09_profit_by_nation": q09_profit_by_nation,
     "q11_acctbal_share": q11_acctbal_share,
@@ -599,7 +786,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q02_min_cost_supplier": Q02_SQL,
     "q04_priority_exists": Q04_SQL,
+    "q16_supplier_count": Q16_SQL,
+    "q20_promo_part_suppliers": Q20_SQL,
+    "q21_sole_returner": Q21_SQL,
     "q07_volume_shipping": Q07_SQL,
     "q08_market_share": Q08_SQL,
     "q09_profit_by_nation": Q09_SQL,
