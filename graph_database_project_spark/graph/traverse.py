@@ -69,16 +69,22 @@ def k_hop(seeds: DataFrame, edges: DataFrame, depth: int,
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 50) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation + pointer jumping.
 
     vertices: (node: long); edges: (src, dst) treated as undirected.
     Returns (node, component) where component = min node id reachable.
 
-    Each iteration: every node adopts min(own label, neighbors' labels);
-    stop when no label changes (exact fixpoint, not an iteration cap —
-    ``max_iter`` is a runaway guard). Per-iteration cost: one join on node
-    id + one groupBy — both hash-partitioned on the same key, so with a
-    pre-partitioned edge table successive iterations reuse the layout.
+    Each iteration does two steps:
+    1. propagate: every node adopts min(own label, neighbors' labels);
+    2. shortcut (pointer jumping): component ← component[component]. A
+       label is always a reachable node id, so the label's label is also
+       reachable — taking it compresses chains exponentially, giving
+       O(log diameter) iterations instead of O(diameter). On a path graph
+       of length 1000, plain propagation needs 1000 rounds; this needs ~10.
+
+    Stops at the exact fixpoint (no label changed); ``max_iter`` is a
+    runaway guard. Per-iteration cost: two joins + a groupBy, all
+    hash-partitioned on node id, so the exchanges line up across stages.
     """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -90,11 +96,20 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias("component"),
+            )
+        )
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component"))
+        new_labels = (
+            propagated.join(parent, propagated.component == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("p_component", "component")).alias("component"),
             )
         ).localCheckpoint(eager=True)
         changed = (

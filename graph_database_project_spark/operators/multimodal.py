@@ -99,12 +99,81 @@ FROM documents
 """
 
 
+RESIZE_W, RESIZE_H = 224, 224
+FRAMES_PER_DOC = 4
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized_w", T.IntegerType()),
+    T.StructField("resized_h", T.IntegerType()),
+    T.StructField("scale", T.DoubleType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: real path would be PIL thumbnail/resample on the decoded
+    image; here the geometry math (aspect-preserving fit into 224×224) runs
+    on the stub dimensions so the batch shape and schema are the real ones."""
+    if REAL_DECODE_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real image resize not wired in this container")
+    for pdf in batches:
+        digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+        w = (digests.map(lambda d: d[0]).astype("int32") % 640) + 1
+        h = (digests.map(lambda d: d[1]).astype("int32") % 480) + 1
+        scale = pd.concat([RESIZE_W / w, RESIZE_H / h], axis=1).min(axis=1).clip(upper=1.0)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": w, "height": h,
+            "resized_w": (w * scale).round().astype("int32"),
+            "resized_h": (h * scale).round().astype("int32"),
+            "scale": scale.round(6),
+        })
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampling: real path decodes a video container and samples
+    every Nth frame; the fan-out (k output rows per input row) is the real
+    plumbing being exercised."""
+    if REAL_DECODE_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real frame sampling not wired in this container")
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            for i in range(FRAMES_PER_DOC):
+                rows.append((doc_id, i, hashlib.md5(raw + bytes([i])).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_digest"])
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (stub decode): 1:1 row map, no shuffle."""
+    return binarize_documents(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan (stub decode): 1:k row fan-out inside
+    mapInPandas — the partition-local explode a video pipeline needs."""
+    return binarize_documents(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,      # rows-only (Python stub seam)
     "multimodal_blob_stats": q_multimodal_blob_stats,
+    "multimodal_resize": q_multimodal_resize,      # rows-only (stub seam)
+    "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only (stub seam)
 }
 
 ORACLE = {
     "multimodal_blob_stats": Q_MULTIMODAL_BLOB_SQL,
-    # multimodal_decode: intentionally absent → rows-only check (UDF seam).
+    # decode/resize/frame_sample: intentionally absent → rows-only (UDF seams).
 }

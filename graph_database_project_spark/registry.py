@@ -13,13 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
-    dedup, graphq, multimodal, mutation, relational, similarity, streamq,
-    textops, tpch_ext, xmlq,
+    dedup, graphq, multimodal, mutation, pipeline, relational, similarity,
+    streamq, textops, tpch_ext, xmlq,
 )
 from .plans import nl2query
 
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
-            textops, multimodal, streamq, xmlq, nl2query]
+            textops, multimodal, streamq, xmlq, nl2query, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7,7 +7,9 @@ from graph_database_project_spark.registry import all_oracles, all_queries
 
 EXPECTED_ROWS_ONLY = {
     "graph_pagerank",        # iterative-with-aggregation, no recursive-CTE oracle
-    "multimodal_decode",     # Python stub seam
+    "multimodal_decode",     # Python stub seams
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "xml_khop_flagship",     # XML-ingested graph — no DuckDB view
     "xml_label_counts",
     "xml_rel_signatures",
