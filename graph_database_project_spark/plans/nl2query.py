@@ -113,6 +113,29 @@ def explain_result(question: str, rows: list) -> str:
     return f"{n} row(s) for '{question}'. First: {head}."
 
 
+_GRAPH_RULE = re.compile(
+    r"(?:connected to|contents of|what is in)\s+(?:bulletin\s+)?'?([\w.-]+)'?"
+    r"(?:\s+up to\s+(\d+)\s+(?:levels?|hops?))?",
+    re.I,
+)
+
+
+def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
+    """The reference's flagship chat lifecycle (first-graph.py:141,168-176)
+    against the graph store: NL question → seed + depth → k-hop downward
+    expansion → per-seed grouped result. Rule-based translation with the
+    same pluggable-translator contract as ``answer``; an LLM translator
+    would emit the same (seed_name, depth) plan.
+    """
+    from pyspark.sql import functions as F
+
+    m = _GRAPH_RULE.search(question.strip().rstrip("?"))
+    if not m:
+        raise ValueError(f"no graph rule matches question: {question!r}")
+    seed_name, depth = m.group(1), int(m.group(2) or 3)
+    return store.khop_grouped(F.col("name") == seed_name, depth=depth)
+
+
 def q_nl2query_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NL lifecycle as a checkable query: fixed question through the
     rule-based translator, executed by Spark; the oracle runs the reference

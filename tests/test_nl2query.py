@@ -43,3 +43,29 @@ def test_pluggable_translator(spark):
         return "SELECT count(*) AS n FROM orders"
     sql, df = answer(spark, SF_SMOKE, "anything", translate=fake_llm)
     assert df.first()["n"] == 1500
+
+
+def test_graph_question_flagship(spark):
+    """The reference's chat loop end-to-end: NL → 3-hop downward traversal
+    from the named ServiceBulletin → per-seed grouped result → NL text."""
+    from graph_database_project_spark.graph.shred import ingest_xml
+    from graph_database_project_spark.graph.store import GraphStore
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    nodes, edges = ingest_xml(spark, "/root/reference/boeing_service_bulletin_*.xml")
+    store = GraphStore(nodes, edges)
+
+    df = answer_graph(spark, store, "What is connected to bulletin 737-00-1028 up to 3 levels?")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["seed_name"] == "737-00-1028"
+    assert rows[0]["n_connected"] > 10
+
+    # default depth is the reference's contract (3)
+    df2 = answer_graph(spark, store, "contents of '737-00-1028'")
+    assert df2.first()["n_connected"] == rows[0]["n_connected"]
+
+    text = explain_result("what is connected to 737-00-1028", rows)
+    assert "1 row(s)" in text
+
+    with pytest.raises(ValueError):
+        answer_graph(spark, store, "how is the weather")
