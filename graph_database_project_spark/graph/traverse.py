@@ -141,18 +141,20 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
+        # dangling mass stays in the plan as a 1-row broadcast — a driver
+        # .first() here would cost an extra job per iteration
         dangling = (
             ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+            .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dang"))
         )
         ranks = (
             vertices.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(1.0 - damping)
-                    + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0)) + F.col("_dang"))
                 ).alias("rank"),
             )
         ).localCheckpoint(eager=True)

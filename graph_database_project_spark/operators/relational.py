@@ -330,6 +330,58 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+N_SALT = 8
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting for a skewed join key — the manual counterpart to
+    AQE's skew-join splitting, shown end-to-end because at 100 TB you often
+    salt *before* the shuffle rather than letting AQE repair it after.
+
+    The skew is manufactured: every 'view' event collapses onto hot key 0
+    (views dominate the corpus). Fact side gets salt = event_id % 8; the
+    dim side explodes each key into all 8 salts; the join key becomes
+    (key, salt) so the hot key spreads over 8 partitions instead of one.
+    The oracle states the same join unsalted — salting must be
+    result-invariant.
+    """
+    ev = _t(spark, sf_dir, "events")
+    skew_key = F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.col("user_id"))
+    fact = ev.select(
+        skew_key.cast("long").alias("k"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(N_SALT)).cast("int").alias("salt"),
+    )
+    dim = (
+        ev.select(F.col("user_id").cast("long").alias("k")).distinct()
+        .withColumn("grp", F.pmod(F.col("k"), F.lit(7)).cast("int"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)])))
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_JOIN_SALTED_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END AS k, value
+  FROM events
+), dim AS (
+  SELECT DISTINCT user_id AS k, user_id % 7 AS grp FROM events
+)
+SELECT CAST(grp AS INTEGER) AS grp, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM fact JOIN dim USING (k)
+GROUP BY grp ORDER BY grp
+"""
+
+
 def q_join_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/theta join: events within 10 min after each signup, same user.
 
@@ -819,6 +871,7 @@ QUERIES = {
     "join_left_agg": q_join_left_agg,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_salted_skew": q_join_salted_skew,
     "join_range_follow": q_join_range_follow,
     "setop_union": q_setop_union,
     "setop_intersect": q_setop_intersect,
@@ -850,6 +903,7 @@ ORACLE = {
     "join_left_agg": Q_JOIN_LEFT_AGG_SQL,
     "join_semi": Q_JOIN_SEMI_SQL,
     "join_anti": Q_JOIN_ANTI_SQL,
+    "join_salted_skew": Q_JOIN_SALTED_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_union": Q_SETOP_UNION_SQL,
     "setop_intersect": Q_SETOP_INTERSECT_SQL,
