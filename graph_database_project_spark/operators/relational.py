@@ -330,6 +330,90 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the same user's latest view at or
+    before it — the time-series join Spark lacks natively (DuckDB spells it
+    ASOF JOIN; the oracle uses exactly that).
+
+    Spark composition: union both sides with a marker, one window pass per
+    user ordered by (ts, marker) carrying the last seen view timestamp
+    forward, then keep the purchases. One shuffle on user_id total —
+    strictly better than the per-pair range join at 100 TB because state
+    is a single last_value, not a candidate set.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", ts.alias("ts"), F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("ts"), F.lit(1).alias("is_purchase"), "event_id")
+    # views sort before purchases at equal ts → "at or before" semantics
+    w = W.partitionBy("user_id").orderBy("ts", "is_purchase") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = views.unionByName(purchases).withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("is_purchase") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+        )
+    )
+
+
+Q_JOIN_ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) per event type — the
+    data-profiling aggregate. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both use linear interpolation → value-exact oracle.
+
+    Scale: exact percentile shuffles values per group; at 100 TB switch to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — same call
+    shape, bounded memory.
+    """
+    ev = _t(spark, sf_dir, "events")
+    qarr = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qarr.alias("_q"),
+        )
+        # scalar columns, not an array — array cells stringify differently
+        # across engines in hash-compare harnesses
+        .select(
+            "event_type", "n",
+            F.round(F.get("_q", 0), 4).alias("p50"),
+            F.round(F.get("_q", 1), 4).alias("p90"),
+            F.round(F.get("_q", 2), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_AGG_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 N_SALT = 8
 
 
@@ -872,6 +956,8 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_salted_skew": q_join_salted_skew,
+    "join_asof_last_view": q_join_asof_last_view,
+    "agg_quantiles": q_agg_quantiles,
     "join_range_follow": q_join_range_follow,
     "setop_union": q_setop_union,
     "setop_intersect": q_setop_intersect,
@@ -904,6 +990,8 @@ ORACLE = {
     "join_semi": Q_JOIN_SEMI_SQL,
     "join_anti": Q_JOIN_ANTI_SQL,
     "join_salted_skew": Q_JOIN_SALTED_SQL,
+    "join_asof_last_view": Q_JOIN_ASOF_SQL,
+    "agg_quantiles": Q_AGG_QUANTILES_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_union": Q_SETOP_UNION_SQL,
     "setop_intersect": Q_SETOP_INTERSECT_SQL,

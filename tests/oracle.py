@@ -26,7 +26,11 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     def norm(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
-        if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
+        # array-valued cells: Spark gives lists, DuckDB numpy arrays —
+        # normalize elementwise to one canonical tuple
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm(x) for x in v)
+        if pd.isna(v) if not isinstance(v, (set, dict)) else False:
             return None
         if isinstance(v, float):
             return round(v, 6)
