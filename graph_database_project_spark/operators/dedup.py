@@ -149,19 +149,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    sig = sh.select("doc_id", hvals.alias("hv"))
     def _mh(i: int):
         # bind the constants eagerly — a two-arg lambda would make Spark
         # pass the element index as the second (Column) argument
         a_, b_, p_ = F.lit(MINHASH_A[i]), F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
         return F.array_min(F.transform(F.col("hv"), lambda h: (a_ * h + b_) % p_))
 
-    mh = [_mh(i) for i in range(NUM_MINHASHES)]
+    # materialize the 12 minhashes as ONE array column in a dedicated
+    # projection: band keys below reference mh[i] via element_at, so the
+    # 12 transform expressions occur once in the plan instead of being
+    # inlined into every band struct (3× smaller codegen, same result)
+    sig = sh.select("doc_id", hvals.alias("hv")) \
+            .select("doc_id", F.array(*[_mh(i) for i in range(NUM_MINHASHES)]).alias("mh"))
     rows_per_band = NUM_MINHASHES // LSH_BANDS
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.concat_ws("|", *[mh[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bk"),
+            F.concat_ws("|", *[F.get("mh", b * rows_per_band + r) for r in range(rows_per_band)]).alias("bk"),
         )
         for b in range(LSH_BANDS)
     ]

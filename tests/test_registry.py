@@ -30,3 +30,28 @@ def test_rows_only_set_is_exactly_documented():
 def test_all_callables():
     for name, fn in all_queries().items():
         assert callable(fn), name
+
+
+def test_queries_fail_cleanly_on_missing_sf_dir(spark):
+    """Driver robustness probe: a bad sf_dir must raise an
+    AnalysisException (PATH_NOT_FOUND), not hang or return empty."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from graph_database_project_spark.operators.relational import q01_pricing_summary
+
+    with pytest.raises(AnalysisException):
+        q01_pricing_summary(spark, "/root/testdata/sf-does-not-exist").count()
+
+
+def test_queries_sf_agnostic(spark):
+    """Every query must run at a different scale factor than the oracle one
+    (spot-check a representative from each module at sf0.001)."""
+    from graph_database_project_spark.registry import all_queries
+    qs = all_queries()
+    for name in ["q01_pricing_summary", "q22_idle_customers", "mutation_merge_upsert",
+                 "graph_khop_hierarchy", "dedup_minhash_lsh", "sim_lsh_buckets",
+                 "text_stats", "multimodal_blob_stats", "stream_tumbling_hourly",
+                 "nl2query_demo", "pipeline_training_data", "join_asof_last_view"]:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
