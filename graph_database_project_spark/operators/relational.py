@@ -330,6 +330,30 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: per user, rolling 1-hour sum of event values
+    ordered by time — the value-based frame (rows frames are covered by
+    window_running_sum). Ordered on epoch seconds so both engines agree on
+    the frame arithmetic exactly."""
+    ev = _t(spark, sf_dir, "events")
+    epoch_s = F.unix_millis(F.col("ts").cast("timestamp")) / 1000
+    w = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return (
+        ev.select("event_id", "user_id", "value", epoch_s.alias("ts_s"))
+        .withColumn("rolling_1h_sum", F.round(F.sum("value").over(w), 2))
+        .select("event_id", "user_id", "rolling_1h_sum")
+    )
+
+
+Q_WINDOW_RANGE_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+         AS rolling_1h_sum
+FROM events
+"""
+
+
 def q_join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: for every purchase, the same user's latest view at or
     before it — the time-series join Spark lacks natively (DuckDB spells it
@@ -957,6 +981,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_salted_skew": q_join_salted_skew,
     "join_asof_last_view": q_join_asof_last_view,
+    "window_range_frame": q_window_range_frame,
     "agg_quantiles": q_agg_quantiles,
     "join_range_follow": q_join_range_follow,
     "setop_union": q_setop_union,
@@ -991,6 +1016,7 @@ ORACLE = {
     "join_anti": Q_JOIN_ANTI_SQL,
     "join_salted_skew": Q_JOIN_SALTED_SQL,
     "join_asof_last_view": Q_JOIN_ASOF_SQL,
+    "window_range_frame": Q_WINDOW_RANGE_SQL,
     "agg_quantiles": Q_AGG_QUANTILES_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_union": Q_SETOP_UNION_SQL,

@@ -153,3 +153,25 @@ def test_batch_partition_roundtrip(spark, store, tmp_path):
     assert back.nodes.count() == store.nodes.count()
     assert back.edges.count() == store.edges.count()
     assert "batch" in back.nodes.columns
+
+
+def test_batch_epoch_diff_and_rollback(spark):
+    """Ingestion-epoch semantics (new-converter.js:12 Batch_ labels): two
+    epochs coexist under distinct batch values; delete_batch rolls one back
+    without touching the other (partition-drop shape at scale)."""
+    import glob as _g
+    files = sorted(_g.glob("/root/reference/boeing_service_bulletin_*.xml"))
+    n1, e1 = ingest_xml(spark, files[:1], batch="Batch_A")
+    n2, e2 = ingest_xml(spark, files[1:2], batch="Batch_B")
+    store = GraphStore(n1, e1).merge(n2, e2)
+    assert set(r.batch for r in store.nodes.select("batch").distinct().collect()) \
+        == {"Batch_A", "Batch_B"}
+
+    # epoch diff: nodes added by B = everything not in A (set-op row of §2.B)
+    added_by_b = store.nodes.filter(F.col("batch") == "Batch_B")
+    assert added_by_b.count() == n2.count()
+
+    rolled = store.delete_batch("Batch_B")
+    assert rolled.nodes.count() == n1.count()
+    assert rolled.edges.count() == e1.count()
+    assert rolled.nodes.filter(F.col("batch") == "Batch_B").count() == 0
