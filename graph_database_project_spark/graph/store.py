@@ -33,6 +33,36 @@ class GraphStore:
         self.nodes.write.mode(mode).partitionBy("batch").parquet(f"{path}/nodes")
         self.edges.write.mode(mode).partitionBy("batch").parquet(f"{path}/edges")
 
+    def write_atomic(self, path: str) -> None:
+        """Write-temp-then-swap (SURVEY §7.3b): materialize the new graph
+        beside the old one, then switch with two directory renames, so a
+        concurrent reader sees either the old store or the new one — never
+        a half-written mix. Single-writer assumption documented; on a real
+        deployment a transactional table format (Delta/Iceberg) replaces
+        this with a metadata commit.
+
+        NOTE: when self derives FROM the store at ``path`` (read-modify-
+        write), the plan must not scan the old files mid-overwrite — the
+        temp-dir write materializes everything before any rename, which is
+        exactly why this exists instead of mode('overwrite') in place.
+        """
+        import os
+        import shutil
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        self.write(tmp)
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, bak)
+        try:
+            os.rename(tmp, path)
+        except Exception:
+            if os.path.exists(bak):  # roll back
+                os.rename(bak, path)
+            raise
+        shutil.rmtree(bak, ignore_errors=True)
+
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "GraphStore":
         return cls(

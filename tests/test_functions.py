@@ -44,3 +44,18 @@ def test_parse_airplanes_micro_format(spark):
     row = _one(spark, parse_airplanes(F.lit(content)))
     assert list(row.types) == ["737-8", "737-9"]
     assert list(row.line_numbers) == ["5602", "5668", "6975-6976"]
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++ sketch, mergeable map-side — the 100 TB
+    count-distinct) must land within 5% of exact on the orders table."""
+    from pyspark.sql import functions as F
+    from graph_database_project_spark.io import load_table
+    from .conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05

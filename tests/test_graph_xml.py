@@ -175,3 +175,21 @@ def test_batch_epoch_diff_and_rollback(spark):
     assert rolled.nodes.count() == n1.count()
     assert rolled.edges.count() == e1.count()
     assert rolled.nodes.filter(F.col("batch") == "Batch_B").count() == 0
+
+
+def test_write_atomic_read_modify_write(spark, store, tmp_path):
+    """write-temp-then-swap: a store read from disk, mutated, and written
+    back to the SAME path must not corrupt itself (the in-place overwrite
+    failure mode this method exists to prevent)."""
+    path = str(tmp_path / "graph")
+    store.write(path)
+    on_disk = GraphStore.read(spark, path)
+    n_before = on_disk.nodes.count()
+
+    mutated = on_disk.delete_where(F.array_contains("labels", "Airplane"))
+    n_expected = mutated.nodes.count()
+    mutated.write_atomic(path)
+
+    back = GraphStore.read(spark, path)
+    assert back.nodes.count() == n_expected < n_before
+    assert back.nodes.filter(F.array_contains("labels", "Airplane")).count() == 0
