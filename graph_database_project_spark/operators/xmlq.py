@@ -65,11 +65,93 @@ def q_xml_shared_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_subtree_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content aggregation over subtrees (2.A#21, new-converter.js:57-85
+    gatherContent): for every top-level section of each bulletin,
+    concatenate all descendant text in document order.
+
+    The reference recurses per node issuing one query per child; here the
+    shred's path column turns the recursion into one prefix match +
+    groupBy: descendants of a section are exactly the rows whose path
+    starts with the section's path. collect_list is order-nondeterministic
+    → pairs are sorted by path before concatenation (SURVEY §7.3e).
+    """
+    from ..graph.shred import shred_xml
+    sh = shred_xml(spark, REFERENCE_XML_GLOB).cache()
+    sections = sh.filter(F.col("depth") == 1).select(
+        F.col("docnbr").alias("s_doc"), F.col("tag").alias("section"),
+        F.col("path").alias("s_path"),
+    )
+    content = sh.filter(F.col("content").isNotNull()).select(
+        F.col("docnbr").alias("c_doc"), "path", "content")
+    joined = sections.join(
+        content,
+        (F.col("path").startswith(F.col("s_path"))) & (F.col("c_doc") == F.col("s_doc")),
+    )
+    return (
+        joined.groupBy(F.col("s_doc").alias("docnbr"), "section")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("path", "content"))),
+                    lambda s: s.content,
+                ),
+            ).alias("gathered_content"),
+            F.count(F.lit(1)).alias("n_fragments"),
+        )
+        .orderBy("docnbr", "section")
+    )
+
+
+def q_xml_title_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TITLE-driven hierarchy (2.A#20, new-converter.js:87-152): only
+    title-bearing elements become nodes; the node label derives from the
+    *title text* via the sanitize/format functions (2.A#22/#23), and each
+    title nests under the nearest ancestor title (path-prefix resolution)
+    else the ServiceBulletin root."""
+    from ..functions.strings import format_node_label
+    from ..graph.shred import shred_xml
+
+    sh = shred_xml(spark, REFERENCE_XML_GLOB).cache()
+    titles = sh.filter((F.col("tag") == "title") & F.col("content").isNotNull()).select(
+        "docnbr",
+        F.col("parent_path").alias("holder_path"),  # the element the title names
+        format_node_label(F.col("content")).alias("title_label"),
+    )
+    parents = titles.select(
+        F.col("docnbr").alias("p_doc"),
+        F.col("holder_path").alias("p_path"),
+        F.col("title_label").alias("parent_label"),
+    )
+    nested = titles.join(
+        parents,
+        (titles.docnbr == parents.p_doc)
+        & titles.holder_path.startswith(F.col("p_path"))
+        & (titles.holder_path != F.col("p_path")),
+        "left",
+    )
+    # nearest ancestor = the longest matching prefix
+    from pyspark.sql import Window as W
+    w = W.partitionBy("docnbr", "holder_path").orderBy(F.length("p_path").desc())
+    return (
+        nested.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "docnbr", "title_label",
+            F.coalesce("parent_label", F.lit("ServiceBulletin")).alias("parent_label"),
+        )
+        .orderBy("docnbr", "title_label")
+    )
+
+
 QUERIES = {
     "xml_label_counts": q_xml_label_counts,
     "xml_rel_signatures": q_xml_rel_signatures,
     "xml_khop_flagship": q_xml_khop_flagship,
     "xml_shared_linenumbers": q_xml_shared_linenumbers,
+    "xml_subtree_content": q_xml_subtree_content,
+    "xml_title_hierarchy": q_xml_title_hierarchy,
 }
 
 # No DuckDB oracle: the graph tables come from XML ingest, not the

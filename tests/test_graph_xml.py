@@ -193,3 +193,31 @@ def test_write_atomic_read_modify_write(spark, store, tmp_path):
     back = GraphStore.read(spark, path)
     assert back.nodes.count() == n_expected < n_before
     assert back.nodes.filter(F.array_contains("labels", "Airplane")).count() == 0
+
+
+def test_subtree_content_aggregation(spark):
+    """2.A#21 gatherContent parity: per-section descendant text in document
+    order; bulletin 1's summary subtree must start with its background."""
+    from graph_database_project_spark.operators.xmlq import q_xml_subtree_content
+    rows = {(r.docnbr, r.section): r for r in q_xml_subtree_content(spark, "").collect()}
+    summary = rows[("737-00-1028", "summary")]
+    assert summary.gathered_content.startswith("In March 2019")
+    assert summary.n_fragments == 2
+    # every bulletin contributes its six top-level sections
+    assert len({k for k in rows if k[0] == "737-00-1028"}) == 6
+
+
+def test_title_hierarchy(spark):
+    """2.A#20 TITLE-driven hierarchy: numbered sub-titles nest under their
+    parent title; each document's root title hangs off ServiceBulletin."""
+    from graph_database_project_spark.operators.xmlq import q_xml_title_hierarchy
+    rows = q_xml_title_hierarchy(spark, "").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.docnbr, []).append((r.title_label, r.parent_label))
+    for doc, pairs in by_doc.items():
+        roots = [t for t, p in pairs if p == "ServiceBulletin"]
+        assert len(roots) == 1, (doc, pairs)
+        for t, p in pairs:
+            if p != "ServiceBulletin":
+                assert p == roots[0], (doc, t, p)

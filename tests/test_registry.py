@@ -14,6 +14,8 @@ EXPECTED_ROWS_ONLY = {
     "xml_label_counts",
     "xml_rel_signatures",
     "xml_shared_linenumbers",
+    "xml_subtree_content",
+    "xml_title_hierarchy",
 }
 
 
