@@ -182,10 +182,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     a = cust.select(F.col("c_custkey").alias("u"), F.col("c_nationkey").alias("un"))
     b = cust.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("vn"))
-    edges = (
-        a.join(b, ((b.v == a.u + 1) | (b.v == a.u + 2)) & (F.col("un") == F.col("vn")))
-        .select("u", "v", F.col("un").alias("nationkey"))
-    )
+    # two pure equi-joins (key = (u+delta, nation)) instead of one OR-join:
+    # the OR form degrades to a nation-equi join + filter — a per-nation
+    # cross product, quadratic in the hottest nation at scale
+    def link(delta: int):
+        return a.join(b, (b.v == a.u + delta) & (F.col("un") == F.col("vn"))) \
+                .select("u", "v", F.col("un").alias("nationkey"))
+    edges = link(1).union(link(2))
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "nationkey")
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))

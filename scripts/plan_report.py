@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: a compact physical-plan audit of the bench headline
+queries. Counts use the formatted explain's detail-section headers
+(`(N) <Op>`) so operators aren't double-counted between the tree and the
+detail list; shuffles = Exchange blocks with hashpartitioning arguments
+(broadcasts say SinglePartition, presentation sorts rangepartitioning).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    from graph_database_project_spark.session import get_spark
+    from graph_database_project_spark.registry import all_queries
+    import bench
+
+    spark = get_spark("plan-report")
+    jvm = spark._jvm
+    qs = all_queries()
+    rows = []
+    for name in bench.HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        n_shuffle = len(re.findall(r"\(\d+\) Exchange\n[^\n]*\n[^\n]*hashpartitioning", p))
+        n_bc = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+        pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", p) else "–"
+        topk = "yes" if "TakeOrderedAndProject" in p else "–"
+        partial = "yes" if len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2 else "–"
+        rows.append((name, str(n_shuffle), str(n_bc), pushed, partial, topk))
+
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit of the headline queries\n\n"
+            "Generated from `.explain('formatted')` at sf0.01 (regenerate:\n"
+            "`python scripts/plan_report.py`). Columns: hash-shuffle exchanges\n"
+            "in the plan (broadcast exchanges and presentation sorts excluded),\n"
+            "broadcast hash joins, scan-level filter pushdown, map-side partial\n"
+            "aggregation, TakeOrderedAndProject top-k. Hard assertions live in\n"
+            "`tests/test_plans.py`; this table is the audit trail. Iterative\n"
+            "operators (graph loops) and streaming queries report their\n"
+            "per-iteration / per-microbatch shape.\n\n"
+            "| query | shuffles | broadcasts | pushdown | partial agg | top-k |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+    print(f"PLANS.md written ({len(rows)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
