@@ -330,6 +330,94 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority, statuses fanned out to columns.
+    Explicit value list (the scale rule — an unlisted pivot needs an extra
+    distinct pass over the data to discover columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+    ).orderBy("o_orderpriority")
+
+
+Q_AGG_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the customer metric columns stacked into
+    (metric, value) rows — the wide→long reshape."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return (
+        wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+Q_AGG_UNPIVOT_SQL = """
+SELECT metric, count(*) AS n, round(sum(value), 2) AS total
+FROM (
+  SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+)
+GROUP BY metric ORDER BY metric
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of customers by balance within each segment, rolled
+    up to per-(segment, quartile) stats."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+Q_WINDOW_NTILE_SQL = """
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer)
+GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile
+"""
+
+
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame window: per user, rolling 1-hour sum of event values
     ordered by time — the value-based frame (rows frames are covered by
@@ -982,6 +1070,9 @@ QUERIES = {
     "join_salted_skew": q_join_salted_skew,
     "join_asof_last_view": q_join_asof_last_view,
     "window_range_frame": q_window_range_frame,
+    "agg_pivot": q_agg_pivot,
+    "agg_unpivot": q_agg_unpivot,
+    "window_ntile": q_window_ntile,
     "agg_quantiles": q_agg_quantiles,
     "join_range_follow": q_join_range_follow,
     "setop_union": q_setop_union,
@@ -1017,6 +1108,9 @@ ORACLE = {
     "join_salted_skew": Q_JOIN_SALTED_SQL,
     "join_asof_last_view": Q_JOIN_ASOF_SQL,
     "window_range_frame": Q_WINDOW_RANGE_SQL,
+    "agg_pivot": Q_AGG_PIVOT_SQL,
+    "agg_unpivot": Q_AGG_UNPIVOT_SQL,
+    "window_ntile": Q_WINDOW_NTILE_SQL,
     "agg_quantiles": Q_AGG_QUANTILES_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_union": Q_SETOP_UNION_SQL,
