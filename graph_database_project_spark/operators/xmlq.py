@@ -84,10 +84,11 @@ def q_xml_subtree_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     content = sh.filter(F.col("content").isNotNull()).select(
         F.col("docnbr").alias("c_doc"), "path", "content")
-    joined = sections.join(
-        content,
-        (F.col("path").startswith(F.col("s_path"))) & (F.col("c_doc") == F.col("s_doc")),
-    )
+    # descendant test: exact match or prefix + '/' — a bare startswith
+    # would false-match sibling indexes sharing a digit prefix ([1] v [10])
+    is_descendant = (F.col("path") == F.col("s_path")) | \
+        F.col("path").startswith(F.concat(F.col("s_path"), F.lit("/")))
+    joined = sections.join(content, is_descendant & (F.col("c_doc") == F.col("s_doc")))
     return (
         joined.groupBy(F.col("s_doc").alias("docnbr"), "section")
         .agg(
@@ -127,8 +128,8 @@ def q_xml_title_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = titles.join(
         parents,
         (titles.docnbr == parents.p_doc)
-        & titles.holder_path.startswith(F.col("p_path"))
-        & (titles.holder_path != F.col("p_path")),
+        # strict-descendant: prefix + '/' (see q_xml_subtree_content note)
+        & titles.holder_path.startswith(F.concat(F.col("p_path"), F.lit("/"))),
         "left",
     )
     # nearest ancestor = the longest matching prefix
