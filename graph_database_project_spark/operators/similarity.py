@@ -18,7 +18,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 
@@ -170,6 +170,92 @@ FROM bucketed GROUP BY bucket
 """
 
 
+IVF_K = 16           # coarse-quantizer cells
+IVF_ITERS = 5        # Lloyd iterations (fixed count → deterministic)
+IVF_NPROBE = 2       # cells probed at query time
+
+
+def _sq_dist(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, t: acc + t)
+
+
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic k-means coarse quantizer: init = the first IVF_K
+    vectors by vec_id, then IVF_ITERS Lloyd rounds as DataFrame jobs
+    (assign via broadcast cross-join argmin; recompute means by
+    element-wise array aggregation). The Pregel-style loop discipline from
+    graph/traverse.py applies: localCheckpoint per round, no driver data.
+    """
+    cents = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    for _ in range(IVF_ITERS):
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("d", _sq_dist(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d", "cell")))
+            .filter(F.col("rn") == 1)
+            .select("cell", "v")
+        )
+        cents = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.aggregate(
+                    F.collect_list("v"),
+                    F.array_repeat(F.lit(0.0), EMBED_DIM),
+                    lambda acc, vec: F.zip_with(acc, vec, lambda a, b: a + b),
+                ).alias("_sum"),
+            )
+            .select(
+                "cell",
+                F.transform("_sum", lambda s: s / F.col("_n")).alias("cv"),
+            )
+        ).localCheckpoint(eager=True)
+    return cents
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means cells as the coarse quantizer, query
+    probes its IVF_NPROBE nearest cells, brute-force cosine only within
+    them — the inverted-file ANN layout (candidates ≈ n·nprobe/k ≪ n).
+
+    Rows-only for the driver (iterative k-means has no SQL oracle); recall
+    vs the exact brute force is asserted in tests/test_similarity_ivf.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = ivf_centroids(e)
+
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d", _sq_dist(F.col("v"), F.col("cv")))
+    )
+    by_vec = W.partitionBy("vec_id").orderBy("d", "cell")
+    cells = assign.withColumn("rn", F.row_number().over(by_vec)) \
+        .filter(F.col("rn") == 1).select("vec_id", "v", "cell")
+
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+        .orderBy("d", "cell").limit(IVF_NPROBE)
+        .select("cell")
+    )
+    cand = cells.join(F.broadcast(probe), "cell").filter(F.col("vec_id") != 0)
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(cos, 6))
+        .select("vec_id", "cell", "cosine")
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 def q_udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow pandas_udf seam (SURVEY §2.B "UDF surface") with an exact
     SQL oracle: L2 norm + argmax dimension per embedding, computed in a
@@ -213,6 +299,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_topk": q_sim_ivf_topk,    # rows-only (iterative k-means)
     "udf_embedding_norm": q_udf_embedding_norm,
 }
 

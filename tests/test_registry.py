@@ -7,6 +7,7 @@ from graph_database_project_spark.registry import all_oracles, all_queries
 
 EXPECTED_ROWS_ONLY = {
     "graph_pagerank",        # iterative-with-aggregation, no recursive-CTE oracle
+    "sim_ivf_topk",          # iterative k-means quantizer — recall test instead
     "multimodal_decode",     # Python stub seams
     "multimodal_resize",
     "multimodal_frame_sample",
