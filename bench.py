@@ -40,8 +40,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "sim_topk_bruteforce",
+    # sim_ivf_topk intentionally excluded: it rebuilds the k-means index per
+    # call (index build ≠ query serving), making its wall-clock too variable
+    # for a frozen regression baseline
     "udf_embedding_norm",
     "text_stats",
+    "pipeline_training_data",
     "mutation_merge_upsert",
 ]
 

@@ -171,7 +171,7 @@ FROM bucketed GROUP BY bucket
 
 
 IVF_K = 16           # coarse-quantizer cells
-IVF_ITERS = 5        # Lloyd iterations (fixed count → deterministic)
+IVF_ITERS = 3        # Lloyd iterations (fixed count → deterministic)
 IVF_NPROBE = 2       # cells probed at query time
 
 
