@@ -168,6 +168,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_khop_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected 2-hop neighborhood from one customer seed through the
+    hierarchy edges (direction='both') — the reverse/undirected traversal
+    mode the flagship's 'downward' contract doesn't exercise. From a
+    customer, 1 hop reaches its nation and its orders; 2 hops the region
+    and sibling customers."""
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 7)
+        .select(
+            (F.col("c_custkey") + _CUST_BASE).cast("long").alias("seed"),
+            (F.col("c_custkey") + _CUST_BASE).cast("long").alias("node"),
+        )
+    )
+    reached = k_hop(seeds, _hierarchy_edges(spark, sf_dir), depth=2, direction="both")
+    return reached.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    ).orderBy("depth")
+
+
+Q_KHOP_UNDIRECTED_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {_NATION_BASE} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_nationkey + {_NATION_BASE} AS BIGINT), CAST(c_custkey + {_CUST_BASE} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(o_custkey + {_CUST_BASE} AS BIGINT), CAST(o_orderkey + {_ORDER_BASE} AS BIGINT) FROM orders
+), und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), walk AS (
+  SELECT CAST(c_custkey + {_CUST_BASE} AS BIGINT) AS node, 0 AS depth
+  FROM customer WHERE c_custkey = 7
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN und e ON e.src = w.node
+  WHERE w.depth < 2
+), dists AS (
+  SELECT node, min(depth) AS depth FROM walk GROUP BY node
+)
+SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM dists GROUP BY depth ORDER BY depth
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count per nation over a derived undirected graph:
     same-nation customers link at distance 1 and 2 (u—u+1, u—u+2), so every
@@ -219,6 +265,7 @@ GROUP BY e1.nationkey ORDER BY e1.nationkey
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
+    "graph_khop_undirected": q_khop_undirected,
     "graph_connected_components": q_connected_components,
     "graph_pagerank": q_pagerank,
     "graph_triangle_count": q_triangle_count,
@@ -227,6 +274,7 @@ QUERIES = {
 ORACLE = {
     "graph_khop_hierarchy": Q_KHOP_SQL,
     "graph_khop_seeded": Q_KHOP_SEEDED_SQL,
+    "graph_khop_undirected": Q_KHOP_UNDIRECTED_SQL,
     "graph_connected_components": Q_CC_SQL,
     # graph_pagerank: intentionally absent → rows-only check.
     "graph_triangle_count": Q_TRIANGLE_SQL,
