@@ -182,11 +182,97 @@ FROM documents
 """
 
 
+TFIDF_TOP_N = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document: tokenize → term frequency →
+    document frequency → ln(N/df) weighting → top-3 terms by score.
+
+    Scale: the explode fans each doc into its tokens once; TF and DF are
+    partial-aggregating groupBys; DF is vocabulary-sized → broadcast back.
+    ln and rounding computed identically on both engines; rank ties broken
+    on the term string so the top-3 is total-ordered.
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    n_docs = docs.count()  # scalar dimension of the corpus, fixed per sf
+    tokens = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    ).filter(~F.col("term").isin(STOPWORDS))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+Q_TFIDF_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                        w -> w <> '' AND w NOT IN ({",".join("'" + w + "'" for w in STOPWORDS)}))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_N}
+"""
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample of lineitem via an md5 hash-mod
+    gate on the row key — the engine-portable form of TABLESAMPLE (builtin
+    sample() seeds don't reproduce across engines or partitionings).
+    At 100 TB the same predicate pushes into the scan filter and the sample
+    is stable across retries — the property training-data subsampling needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = F.conv(F.substring(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 4), 16, 10) \
+        .cast("long") % 100
+    return (
+        li.filter(gate < 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sampled_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_SAMPLE_SQL = """
+SELECT l_returnflag, count(*) AS n_sampled,
+       round(sum(l_extendedprice), 2) AS sampled_revenue
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 4)) AS BIGINT) % 100 < 5
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
+    "text_tfidf_top_terms": q_tfidf_top_terms,
+    "sample_systematic": q_sample_systematic,
 }
 
 ORACLE = {
@@ -194,4 +280,6 @@ ORACLE = {
     "text_lang_id": Q_LANG_ID_SQL,
     "text_token_count": Q_TOKEN_COUNT_SQL,
     "text_fingerprint": Q_FINGERPRINT_SQL,
+    "text_tfidf_top_terms": Q_TFIDF_SQL,
+    "sample_systematic": Q_SAMPLE_SQL,
 }
