@@ -171,14 +171,92 @@ GROUP BY 1, 2
 """
 
 
+STATEFUL_OUT_SCHEMA = (
+    "user_id LONG, n_events LONG, total_value DOUBLE, n_purchases LONG"
+)
+STATEFUL_STATE_SCHEMA = "n LONG, total DOUBLE, purchases LONG"
+
+
+def _stateful_update(key, pdf_iter, state):
+    """applyInPandasWithState update fn: per-user running totals carried in
+    GroupState across microbatches. Pure-Python per group, Arrow-batched —
+    the custom-stateful-operator seam for logic window aggs can't express
+    (here a multi-metric accumulator; in production e.g. CEP or per-entity
+    model state)."""
+    import pandas as pd
+
+    n, total, purchases = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        purchases += int((pdf["event_type"] == "purchase").sum())
+    state.update((n, total, purchases))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n],
+        "total_value": [round(total, 2)],
+        "n_purchases": [purchases],
+    })
+
+
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, value total, purchase count) state updated per
+    microbatch. With availableNow over the static table the final state
+    equals the batch aggregation — the oracle's equivalence.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _stateful_update,
+            outputStructType=STATEFUL_OUT_SCHEMA,
+            stateStructType=STATEFUL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a row per microbatch per user; keep the final
+    # (max n_events) state per user
+    snap = spark.table(name)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "n_purchases")
+    )
+
+
+Q_STREAM_STATEFUL_SQL = """
+SELECT user_id,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_session_window,
+    "stream_stateful_totals": q_stream_stateful_totals,
 }
 
 ORACLE = {
     "stream_tumbling_hourly": Q_STREAM_TUMBLING_SQL,
     "stream_sliding_window": Q_STREAM_SLIDING_SQL,
     "stream_session_window": Q_SESSION_WINDOW_SQL,
+    "stream_stateful_totals": Q_STREAM_STATEFUL_SQL,
 }
