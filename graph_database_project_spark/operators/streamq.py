@@ -247,11 +247,57 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: signup events joined to the same user's
+    purchase events within the following 2 hours — state kept on BOTH sides,
+    bounded by the watermarks + the interval condition (the planner derives
+    the state eviction from them). availableNow over the static table makes
+    the append output equal the batch interval join (the oracle).
+    """
+    s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "signup") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("s_ts"),
+                F.col("event_id").alias("signup_id")) \
+        .withWatermark("s_ts", "1 hour")
+    p = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("ts").cast("timestamp").alias("p_ts"),
+                F.col("event_id").alias("purchase_id")) \
+        .withWatermark("p_ts", "1 hour")
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "signup_id", "purchase_id",
+        F.date_format(F.col("s_ts").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format(F.col("p_ts").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+Q_STREAM_STREAM_JOIN_SQL = """
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_session_window,
     "stream_stateful_totals": q_stream_stateful_totals,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -259,4 +305,5 @@ ORACLE = {
     "stream_sliding_window": Q_STREAM_SLIDING_SQL,
     "stream_session_window": Q_SESSION_WINDOW_SQL,
     "stream_stateful_totals": Q_STREAM_STATEFUL_SQL,
+    "stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
 }
