@@ -333,6 +333,34 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER_STATUSES = ["F", "O", "P"]
 
 
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event type: sample stddev/variance of the
+    value, correlation and sample covariance of (value, user_id). Spark and
+    DuckDB share the sample formulas exactly (skewness/kurtosis are omitted
+    — the engines use different estimator conventions)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_value_user"),
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 4).alias("covar_value_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_AGG_STATS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 4)                           AS sd_value,
+       round(var_samp(value), 4)                              AS var_value,
+       round(corr(value, CAST(user_id AS DOUBLE)), 4)         AS corr_value_user,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4)   AS covar_value_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority, statuses fanned out to columns.
     Explicit value list (the scale rule — an unlisted pivot needs an extra
@@ -1074,6 +1102,7 @@ QUERIES = {
     "agg_unpivot": q_agg_unpivot,
     "window_ntile": q_window_ntile,
     "agg_quantiles": q_agg_quantiles,
+    "agg_stats_moments": q_agg_stats_moments,
     "join_range_follow": q_join_range_follow,
     "setop_union": q_setop_union,
     "setop_intersect": q_setop_intersect,
@@ -1112,6 +1141,7 @@ ORACLE = {
     "agg_unpivot": Q_AGG_UNPIVOT_SQL,
     "window_ntile": Q_WINDOW_NTILE_SQL,
     "agg_quantiles": Q_AGG_QUANTILES_SQL,
+    "agg_stats_moments": Q_AGG_STATS_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_union": Q_SETOP_UNION_SQL,
     "setop_intersect": Q_SETOP_INTERSECT_SQL,
