@@ -247,6 +247,35 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with watermarked state: ``dropDuplicates``
+    on (event_id) keeps one row per id across microbatches, state evicted
+    past the watermark — the exactly-once ingest pattern for at-least-once
+    sources. Events are unique here, so dedup-then-aggregate equals the
+    batch aggregate (the oracle); the dedup operator in the plan is the
+    point.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_available_now(agg, spark)
+    return out.orderBy("event_type")
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: signup events joined to the same user's
     purchase events within the following 2 hours — state kept on BOTH sides,
@@ -298,6 +327,7 @@ QUERIES = {
     "stream_session_window": q_session_window,
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_stream_join": q_stream_stream_join,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE = {
@@ -306,4 +336,5 @@ ORACLE = {
     "stream_session_window": Q_SESSION_WINDOW_SQL,
     "stream_stateful_totals": Q_STREAM_STATEFUL_SQL,
     "stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
+    "stream_dedup": Q_STREAM_DEDUP_SQL,
 }
