@@ -146,6 +146,31 @@ def q_xml_title_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the full bulletin graph: shared LineNumber
+    nodes (match-or-create entity resolution, xml2neo.py:32-41) are what can
+    fuse separate documents into one component — the cross-document linkage
+    the reference's entity-upsert design exists to create. Emits component
+    sizes + the ServiceBulletin roots each component contains."""
+    from ..graph.traverse import connected_components
+
+    st = _store(spark)
+    vertices = st.nodes.select(F.col("id").alias("node"))
+    comp = connected_components(vertices, st.edges.select("src", "dst"))
+    roots = st.nodes.filter(F.array_contains("labels", "ServiceBulletin")) \
+        .select(F.col("id").alias("node"), F.col("name").alias("bulletin"))
+    return (
+        comp.join(roots, "node", "left")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sort_array(F.collect_list("bulletin")).alias("bulletins"),
+        )
+        .select("n_nodes", F.concat_ws(",", "bulletins").alias("bulletins"))
+        .orderBy(F.desc("n_nodes"))
+    )
+
+
 QUERIES = {
     "xml_label_counts": q_xml_label_counts,
     "xml_rel_signatures": q_xml_rel_signatures,
@@ -153,6 +178,7 @@ QUERIES = {
     "xml_shared_linenumbers": q_xml_shared_linenumbers,
     "xml_subtree_content": q_xml_subtree_content,
     "xml_title_hierarchy": q_xml_title_hierarchy,
+    "xml_connected_components": q_xml_connected_components,
 }
 
 # No DuckDB oracle: the graph tables come from XML ingest, not the

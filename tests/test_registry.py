@@ -11,7 +11,8 @@ EXPECTED_ROWS_ONLY = {
     "multimodal_decode",     # Python stub seams
     "multimodal_resize",
     "multimodal_frame_sample",
-    "xml_khop_flagship",     # XML-ingested graph — no DuckDB view
+    "xml_connected_components",  # XML-ingested graph — no DuckDB view
+    "xml_khop_flagship",
     "xml_label_counts",
     "xml_rel_signatures",
     "xml_shared_linenumbers",
