@@ -29,11 +29,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     can't byte-range-split one row group, so without this the whole compute
     pins one core. On a real cluster with many files/row groups the scan is
     already wide and this is a no-op (the partition count check)."""
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS). The caller's SparkSession may
+        # not have been built by session.get_spark() (the driver harness
+        # passes its own), so set the legacy conf here, runtime-settable and
+        # idempotent, before the scan touches the file.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down — fall through and let the read decide
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is INT64 TIMESTAMP(NANOS); read as long ns (legacy conf set in
-        # session.py) and truncate to micros — same flooring DuckDB applies —
-        # as timestamp_ntz so wall-clock values match the naive oracle.
+        # Read as long ns and truncate to micros — same flooring DuckDB
+        # applies — as timestamp_ntz so wall-clock values match the oracle.
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
