@@ -700,6 +700,31 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
 """
 
 
+def q_setop_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations in one result, each row tagged by operator.
+
+    One registry key covering SURVEY §2.B's union/intersect/except row
+    (reference 2.A#12 epoch reconciliation): customers active in 1997 vs
+    1998 classified via UNION DISTINCT / INTERSECT / EXCEPT. The three
+    branches share one scan shape, so Catalyst reuses the pushed-down
+    orders scan; each setop is a hash shuffle on custkey — at scale they
+    run as three independent stages over the same exchange.
+    """
+    u = q_setop_union(spark, sf_dir).select(F.lit("union").alias("op"), "custkey")
+    i = q_setop_intersect(spark, sf_dir).select(F.lit("intersect").alias("op"), "custkey")
+    e = q_setop_except(spark, sf_dir).select(F.lit("except").alias("op"), "custkey")
+    return u.unionByName(i).unionByName(e)
+
+
+Q_SETOP_OPS_SQL = f"""
+SELECT 'union' AS op, custkey FROM ({Q_SETOP_UNION_SQL})
+UNION ALL
+SELECT 'intersect' AS op, custkey FROM ({Q_SETOP_INTERSECT_SQL})
+UNION ALL
+SELECT 'except' AS op, custkey FROM ({Q_SETOP_EXCEPT_SQL})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregation variants: count-distinct, rollup, cube
 # ---------------------------------------------------------------------------
@@ -978,6 +1003,81 @@ LIMIT 50
 """
 
 
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date + array scalar-function battery as ONE registry key
+    (SURVEY §2.B rows 26-28; reference sanitizers new-converter.js:44-55 and
+    date/array fan-out 2.A#14-17). Three branches with a common
+    (family, key, str_val, num_val) schema unioned together:
+
+    - string: sanitize/regexp/concat over part attributes
+    - date:   format/quarter over orders
+    - array:  split/slice/array_join/size over documents
+
+    Each branch is a pure projection — no shuffle, scan-pruned to the
+    referenced columns; the union is a no-shuffle concatenation.
+    """
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    docs = _t(spark, sf_dir, "documents")
+    s = part.select(
+        F.lit("string").alias("family"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.concat_ws(
+            "::",
+            F.upper(F.regexp_replace("p_type", "[^a-zA-Z0-9]", "_")),
+            F.regexp_extract("p_name", "^(\\w+)", 1),
+            F.trim(F.lower("p_brand")),
+            F.substring("p_name", 1, 5),
+        ).alias("str_val"),
+        F.length("p_name").cast("long").alias("num_val"),
+    )
+    d = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("date").alias("family"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.concat_ws(
+            "::",
+            F.date_format("o_orderdate", "yyyy-MM"),
+            F.dayofweek("o_orderdate").cast("string"),
+        ).alias("str_val"),
+        F.quarter("o_orderdate").cast("long").alias("num_val"),
+    )
+    a = docs.select(
+        F.lit("array").alias("family"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.array_join(
+            F.slice(F.split(F.lower("text"), " "), 1, 3), "-"
+        ).alias("str_val"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("num_val"),
+    )
+    return s.unionByName(d).unionByName(a)
+
+
+Q_SCALAR_FUNCS_SQL = """
+SELECT 'string' AS family,
+       CAST(p_partkey AS BIGINT) AS key,
+       concat_ws('::',
+                 upper(regexp_replace(p_type, '[^a-zA-Z0-9]', '_', 'g')),
+                 regexp_extract(p_name, '^(\\w+)', 1),
+                 trim(lower(p_brand)),
+                 substring(p_name, 1, 5))      AS str_val,
+       CAST(length(p_name) AS BIGINT)          AS num_val
+FROM part
+UNION ALL
+SELECT 'date',
+       CAST(o_orderkey AS BIGINT),
+       concat_ws('::', strftime(o_orderdate, '%Y-%m'),
+                 CAST(dayofweek(o_orderdate) + 1 AS VARCHAR)),
+       CAST(quarter(o_orderdate) AS BIGINT)
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 'array',
+       CAST(doc_id AS BIGINT),
+       array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), '-'),
+       CAST(len(string_split(text, ' ')) AS BIGINT)
+FROM documents
+"""
+
+
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from events.props (SURVEY §2.B map/JSON fn)."""
     ev = _t(spark, sf_dir, "events")
@@ -1104,9 +1204,7 @@ QUERIES = {
     "agg_quantiles": q_agg_quantiles,
     "agg_stats_moments": q_agg_stats_moments,
     "join_range_follow": q_join_range_follow,
-    "setop_union": q_setop_union,
-    "setop_intersect": q_setop_intersect,
-    "setop_except": q_setop_except,
+    "setop_ops": q_setop_ops,
     "agg_count_distinct": q_agg_count_distinct,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
@@ -1115,9 +1213,7 @@ QUERIES = {
     "window_lag_delta": q_window_lag_delta,
     "window_running_sum": q_window_running_sum,
     "sort_topk": q_sort_topk,
-    "string_funcs": q_string_funcs,
-    "date_funcs": q_date_funcs,
-    "array_funcs": q_array_funcs,
+    "scalar_funcs": q_scalar_funcs,
     "json_funcs": q_json_funcs,
     "sessionize": q_sessionize,
     "catalog_stats": q_catalog_stats,
@@ -1143,9 +1239,7 @@ ORACLE = {
     "agg_quantiles": Q_AGG_QUANTILES_SQL,
     "agg_stats_moments": Q_AGG_STATS_SQL,
     "join_range_follow": Q_JOIN_RANGE_SQL,
-    "setop_union": Q_SETOP_UNION_SQL,
-    "setop_intersect": Q_SETOP_INTERSECT_SQL,
-    "setop_except": Q_SETOP_EXCEPT_SQL,
+    "setop_ops": Q_SETOP_OPS_SQL,
     "agg_count_distinct": Q_AGG_COUNT_DISTINCT_SQL,
     "agg_rollup": Q_AGG_ROLLUP_SQL,
     "agg_cube": Q_AGG_CUBE_SQL,
@@ -1154,9 +1248,7 @@ ORACLE = {
     "window_lag_delta": Q_WINDOW_LAG_SQL,
     "window_running_sum": Q_WINDOW_RUNNING_SQL,
     "sort_topk": Q_SORT_TOPK_SQL,
-    "string_funcs": Q_STRING_FUNCS_SQL,
-    "date_funcs": Q_DATE_FUNCS_SQL,
-    "array_funcs": Q_ARRAY_FUNCS_SQL,
+    "scalar_funcs": Q_SCALAR_FUNCS_SQL,
     "json_funcs": Q_JSON_FUNCS_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "catalog_stats": Q_CATALOG_STATS_SQL,

