@@ -291,27 +291,26 @@ FROM tok
 """
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold).
+def _cosine_dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, t: acc + t)
 
-    Brute-force all-pairs is the *correctness baseline* (sf-scale corpus);
-    at 100 TB the LSH bucketing in similarity.py:q_sim_lsh_buckets cuts the
-    candidate set first. Dot/norm computed as explicit sequential folds in
-    double on both engines, rounded before the threshold so the filter
-    can't flip on last-bit float drift.
+
+def q_dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding-cosine near-dup pairs — the EXACT baseline.
+
+    O(n²) theta join: kept out of the registry, used only by
+    tests/test_parity.py's recall assertion against the bucketed form
+    below. Dot/norm as explicit sequential folds in double, rounded before
+    the threshold so the filter can't flip on last-bit float drift.
     """
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, t: acc + t)
-
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                 F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"))
+                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                 F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("nb"))
+    cos = _cosine_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cos, 6))
@@ -320,19 +319,70 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DEDUP_EMBED_SQL = f"""
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB plan).
+
+    Candidates = unordered pairs sharing ≥1 hyperplane-LSH band
+    (similarity.banded_buckets — equi-join on (band_idx, bk), NO theta
+    join), then exact cosine ≥ threshold verified within candidates only,
+    vectors fetched by id-join so heavy arrays never cross the candidate
+    shuffle. The oracle reproduces the banded candidate generation
+    bit-exactly; recall vs the all-pairs exact form
+    (q_dedup_embedding_cosine_allpairs) is asserted in tests.
+    """
+    from .similarity import banded_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bb = banded_buckets(e)
+    cand = (
+        bb.select(F.col("vec_id").alias("vec_a"), "band_idx", "bk")
+        .join(bb.select(F.col("vec_id").alias("vec_b"), "band_idx", "bk"),
+              ["band_idx", "bk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("nb"))
+    cos = _cosine_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _embed_cosine_sql() -> str:
+    from .similarity import banded_buckets_sql
+
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
   FROM embeddings
+), bb AS (
+  {banded_buckets_sql()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b
+    ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT c.vec_a, c.vec_b,
        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
              / (a.nrm * b.nrm), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN e a ON a.vec_id = c.vec_a
+JOIN e b ON b.vec_id = c.vec_b
 WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
             / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
 """
+
+
+Q_DEDUP_EMBED_SQL = _embed_cosine_sql()
 
 
 QUERIES = {

@@ -75,12 +75,28 @@ LIMIT {TOP_K}
 
 
 def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 nearest neighbors for every vector (symmetric pair join +
-    ranking window). Quadratic candidate set — acceptable at sf scale,
-    superseded by LSH bucketing at 100 TB (see q_sim_lsh_buckets)."""
-    from pyspark.sql import Window as W
+    """Top-3 approximate nearest neighbors for every vector, LSH-bucketed.
+
+    Candidates = ordered pairs sharing at least one LSH band (equi-join on
+    (band_idx, bk) — see banded_buckets), then exact cosine + per-src
+    ranking window over candidates only. No theta/cross join anywhere in
+    the plan (asserted in tests/test_plans.py): candidate volume is
+    Σ_band Σ_bucket |bucket|², tunable via PLANES_PER_BAND, instead of n².
+    Vectors whose buckets are all singletons emit no rows (documented
+    approximate semantics; the exact-recall comparison lives in
+    tests/test_similarity_ivf.py).
+    """
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bb = banded_buckets(e)
+    cand = (
+        bb.select(F.col("vec_id").alias("src_id"), "band_idx", "bk")
+        .join(bb.select(F.col("vec_id").alias("nbr_id"), "band_idx", "bk"),
+              ["band_idx", "bk"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .dropDuplicates(["src_id", "nbr_id"])
+    )
     a = e.select(F.col("vec_id").alias("src_id"), F.col("v").alias("va"),
                  F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"))
     b = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"),
@@ -88,7 +104,7 @@ def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
-        a.join(b, F.col("src_id") != F.col("nbr_id"))
+        cand.join(a, "src_id").join(b, "nbr_id")
         .withColumn("cosine", F.round(cos, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -96,16 +112,25 @@ def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_SIM_KNN_SQL = f"""
+def _knn_sql() -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
   FROM embeddings
+), bb AS (
+  {banded_buckets_sql()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+  FROM bb a JOIN bb b
+    ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.vec_id <> b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+  SELECT c.src_id, c.nbr_id,
          round(list_sum(list_transform(range(1, {EMBED_DIM} + 1), i -> a.v[i] * b.v[i]))
                / (a.nrm * b.nrm), 6) AS cosine
-  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  FROM cand c
+  JOIN e a ON a.vec_id = c.src_id
+  JOIN e b ON b.vec_id = c.nbr_id
 ), ranked AS (
   SELECT src_id, nbr_id, cosine,
          row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rank
@@ -115,16 +140,70 @@ SELECT src_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-def _hyperplanes() -> list[list[int]]:
-    """LSH_PLANES deterministic ±1 hyperplanes from md5 parity."""
+def _hyperplanes(n_planes: int = LSH_PLANES) -> list[list[int]]:
+    """``n_planes`` deterministic ±1 hyperplanes from md5 parity."""
     planes = []
-    for j in range(LSH_PLANES):
+    for j in range(n_planes):
         plane = []
         for i in range(EMBED_DIM):
             h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
             plane.append(1 if int(h[0], 16) % 2 == 0 else -1)
         planes.append(plane)
     return planes
+
+
+def _plane_sql(plane: list[int]) -> str:
+    return "[" + ",".join(f"{float(x)}" for x in plane) + "]::DOUBLE[]"
+
+
+# Banded hyperplane LSH (OR-of-ANDs): BAND_COUNT bands of PLANES_PER_BAND
+# sign bits each. Two vectors are candidates iff they agree on ALL bits of
+# at least one band — the same AND/OR construction dedup.py uses for
+# minhash. Candidate volume scales as Σ_bucket |bucket|² per band, i.e.
+# divide-by-2^R vs all-pairs; at 100 TB you raise PLANES_PER_BAND (narrower
+# buckets) and BAND_COUNT (recall) — the equi-join SHAPE is what matters.
+BAND_COUNT = 8
+PLANES_PER_BAND = 4
+
+
+def banded_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, bk) bucket relation for a (vec_id, v) frame.
+
+    One narrow projection computes all BAND_COUNT×PLANES_PER_BAND sign
+    bits, then explodes to BAND_COUNT slim rows per vector — no shuffle;
+    the heavy vector column is NOT carried into the exploded relation.
+    """
+    planes = _hyperplanes(BAND_COUNT * PLANES_PER_BAND)
+    band_structs = []
+    for b in range(BAND_COUNT):
+        key = F.lit(0)
+        for r in range(PLANES_PER_BAND):
+            plane = planes[b * PLANES_PER_BAND + r]
+            plane_col = F.array(*[F.lit(float(x)) for x in plane])
+            key = key + F.when(_dot(F.col("v"), plane_col) > 0,
+                               F.lit(1 << r)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("bk")))
+    return (
+        e.select("vec_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("vec_id", F.col("band.band_idx").alias("band_idx"),
+                F.col("band.bk").alias("bk"))
+    )
+
+
+def banded_buckets_sql() -> str:
+    """DuckDB CTE body reproducing banded_buckets() bit-exactly from the
+    ``e`` CTE (vec_id, v DOUBLE[]) — same plane literals, same sign rule."""
+    planes = _hyperplanes(BAND_COUNT * PLANES_PER_BAND)
+    selects = []
+    for b in range(BAND_COUNT):
+        bits = " + ".join(
+            f"""CASE WHEN list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                     i -> v[i] * ({_plane_sql(planes[b * PLANES_PER_BAND + r])})[i])) > 0
+                THEN {1 << r} ELSE 0 END"""
+            for r in range(PLANES_PER_BAND))
+        selects.append(f"SELECT vec_id, {b} AS band_idx, {bits} AS bk FROM e")
+    return " UNION ALL ".join(selects)
 
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,10 +226,6 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
-
-
-def _plane_sql(plane: list[int]) -> str:
-    return "[" + ",".join(f"{float(x)}" for x in plane) + "]::DOUBLE[]"
 
 
 Q_SIM_LSH_SQL = f"""
@@ -294,6 +369,8 @@ SELECT vec_id,
 FROM embeddings
 """
 
+
+Q_SIM_KNN_SQL = _knn_sql()  # assembled here: needs banded_buckets_sql above
 
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
