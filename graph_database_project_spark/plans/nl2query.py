@@ -26,14 +26,34 @@ from ..io import TABLE_NAMES, register_views
 
 Translator = Callable[[str, dict], str]
 
-_RULES: list[tuple[re.Pattern, Callable[[re.Match], str]]] = [
+
+def _quote_literal(value: str) -> str:
+    """SQL string literal with embedded quotes doubled — question-derived
+    VALUES are escaped, question-derived IDENTIFIERS are validated against
+    the catalog instead (never interpolated raw)."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _check_identifiers(catalog: dict, table: str, cols: list[str]) -> None:
+    """Reject question-derived identifiers the catalog doesn't know.
+    An empty catalog (offline unit tests) skips validation."""
+    if not catalog:
+        return
+    if table not in catalog:
+        raise ValueError(f"unknown table derived from question: {table!r}")
+    for c in cols:
+        if c not in catalog[table]:
+            raise ValueError(f"unknown column {c!r} for table {table!r}")
+
+
+_RULES: list[tuple[re.Pattern, Callable[[re.Match, dict], str]]] = [
     (
         re.compile(r"how many (\w+) (?:are there )?per (\w+)", re.I),
-        lambda m: _count_per(m.group(1), m.group(2)),
+        lambda m, cat: _count_per(m.group(1), m.group(2), cat),
     ),
     (
         re.compile(r"top (\d+) customers by (?:revenue|spend)", re.I),
-        lambda m: (
+        lambda m, cat: (
             "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue "
             "FROM customer JOIN orders ON c_custkey = o_custkey "
             "GROUP BY c_custkey, c_name "
@@ -42,19 +62,25 @@ _RULES: list[tuple[re.Pattern, Callable[[re.Match], str]]] = [
     ),
     (
         re.compile(r"total revenue per nation in region '?([A-Z ]+?)'?\s*$", re.I),
-        lambda m: (
+        lambda m, cat: (
             "SELECT n_name, round(sum(o_totalprice), 2) AS revenue "
             "FROM region JOIN nation ON r_regionkey = n_regionkey "
             "JOIN customer ON n_nationkey = c_nationkey "
             "JOIN orders ON c_custkey = o_custkey "
-            f"WHERE r_name = '{m.group(1).upper()}' GROUP BY n_name"
+            f"WHERE r_name = {_quote_literal(m.group(1).upper())} GROUP BY n_name"
         ),
     ),
     (
         re.compile(r"how many distinct (\w+) values in (\w+)", re.I),
-        lambda m: f"SELECT count(DISTINCT {m.group(1)}) AS n FROM {m.group(2)}",
+        lambda m, cat: _count_distinct(m.group(1), m.group(2), cat),
     ),
 ]
+
+
+def _count_distinct(col: str, table: str, catalog: dict) -> str:
+    col, table = col.lower(), table.lower()
+    _check_identifiers(catalog, table, [col])
+    return f"SELECT count(DISTINCT {col}) AS n FROM {table}"
 
 _PRIORITY_COLS = {
     "orders": {"priority": "o_orderpriority", "status": "o_orderstatus",
@@ -65,24 +91,76 @@ _PRIORITY_COLS = {
 }
 
 
-def _count_per(entity: str, dim: str) -> str:
+def _count_per(entity: str, dim: str, catalog: dict) -> str:
     table = entity.lower() if entity.lower() in _PRIORITY_COLS else entity.lower() + "s"
     table = {"customers": "customer"}.get(table, table)
     key = entity.lower() if entity.lower() in _PRIORITY_COLS else table
     cols = _PRIORITY_COLS.get(entity.lower()) or _PRIORITY_COLS.get(key) or {}
     col = cols.get(dim.lower(), dim.lower())
+    _check_identifiers(catalog, table, [col])
     return f"SELECT {col} AS {dim.lower()}, count(*) AS n FROM {table} GROUP BY {col}"
 
 
 def rule_based_translate(question: str, catalog: dict) -> str:
     """Deterministic fallback translator. Raises ValueError on questions it
-    cannot ground — the caller decides whether to escalate to an LLM."""
+    cannot ground — the caller decides whether to escalate to an LLM.
+    Question-derived identifiers are validated against ``catalog`` (tables →
+    column lists); unmatched ones are rejected, not interpolated."""
     q = question.strip().rstrip("?")
     for pattern, build in _RULES:
         m = pattern.search(q)
         if m:
-            return build(m)
+            return build(m, catalog)
     raise ValueError(f"no rule matches question: {question!r}")
+
+
+# --- multi-turn chat context -------------------------------------------------
+# The reference feeds the whole transcript into translation
+# (first-graph.py:57-144; history collected in static/script.js:79-93). The
+# rule-based analogue: a follow-up like "and for EUROPE?" rewrites the most
+# recent *grounded* prior question by swapping its literal slot, then goes
+# through the normal single-question translator — so follow-ups inherit every
+# rule and validation for free.
+
+_FOLLOWUP = re.compile(
+    r"^(?:and|what about|how about|same(?: thing)?)\b(?:\s+for)?\s+'?([\w .-]+?)'?\s*$",
+    re.I,
+)
+_LAST_LITERAL = re.compile(r"'[^']*'(?!.*'[^']*')|\b([A-Z]{2,}(?: [A-Z]+)*)\s*$")
+
+
+def resolve_question(history: list[str]) -> str:
+    """Collapse a chat transcript (user questions, oldest first) into one
+    self-contained question. Non-follow-up questions pass through; a
+    follow-up referent replaces the literal slot of the nearest prior
+    question that has one."""
+    if not history:
+        raise ValueError("empty chat history")
+    cur = history[-1].strip().rstrip("?")
+    m = _FOLLOWUP.match(cur)
+    if not m:
+        return cur
+    referent = m.group(1)
+    for prev in reversed(history[:-1]):
+        prev_q = prev.strip().rstrip("?")
+        if _FOLLOWUP.match(prev_q):
+            continue  # don't anchor a follow-up on another follow-up
+        lit = _LAST_LITERAL.search(prev_q)
+        if lit:
+            start, end = lit.span()
+            return prev_q[:start] + f"'{referent}'" + prev_q[end:]
+    raise ValueError(f"follow-up {history[-1]!r} has no grounded prior question")
+
+
+def answer_chat(spark: SparkSession, sf_dir: str, history: list[str],
+                translate: Translator = rule_based_translate,
+                ) -> tuple[str, DataFrame]:
+    """Multi-turn lifecycle: transcript → resolved question → catalog →
+    translate → execute. ``history`` is the user-message list the reference
+    posts on every turn."""
+    catalog = derive_catalog(spark, sf_dir)
+    sql = translate(resolve_question(history), catalog)
+    return sql, spark.sql(sql)
 
 
 def derive_catalog(spark: SparkSession, sf_dir: str) -> dict:
@@ -154,5 +232,33 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
-QUERIES = {"nl2query_demo": q_nl2query_demo}
-ORACLE = {"nl2query_demo": Q_NL2QUERY_SQL}
+def q_nl2query_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn chat lifecycle as a checkable query: the second user turn
+    ("and for EUROPE?") resolves against the first question's literal slot,
+    then runs through the normal translator — mirroring the reference's
+    transcript-fed translation (first-graph.py:57-144)."""
+    _, df = answer_chat(spark, sf_dir, [
+        "total revenue per nation in region 'ASIA'",
+        "and for EUROPE?",
+    ])
+    return df
+
+
+Q_NL2QUERY_FOLLOWUP_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM region
+JOIN nation   ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders   ON c_custkey = o_custkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+QUERIES = {
+    "nl2query_demo": q_nl2query_demo,
+    "nl2query_followup": q_nl2query_followup,
+}
+ORACLE = {
+    "nl2query_demo": Q_NL2QUERY_SQL,
+    "nl2query_followup": Q_NL2QUERY_FOLLOWUP_SQL,
+}

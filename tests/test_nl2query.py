@@ -45,6 +45,70 @@ def test_pluggable_translator(spark):
     assert df.first()["n"] == 1500
 
 
+def test_followup_resolves_prior_entity():
+    from graph_database_project_spark.plans.nl2query import resolve_question
+
+    q = resolve_question([
+        "total revenue per nation in region 'ASIA'",
+        "and for EUROPE?",
+    ])
+    assert q == "total revenue per nation in region 'EUROPE'"
+    # follow-up chains anchor on the nearest grounded (non-follow-up) turn
+    q2 = resolve_question([
+        "total revenue per nation in region 'ASIA'",
+        "and for EUROPE?",
+        "what about AFRICA?",
+    ])
+    assert q2 == "total revenue per nation in region 'AFRICA'"
+    # a non-follow-up passes through untouched
+    assert resolve_question(["top 3 customers by revenue"]) == \
+        "top 3 customers by revenue"
+
+
+def test_followup_without_anchor_raises():
+    import pytest as _pytest
+    from graph_database_project_spark.plans.nl2query import resolve_question
+
+    with _pytest.raises(ValueError):
+        resolve_question(["and for EUROPE?"])
+
+
+def test_answer_chat_multi_turn(spark):
+    from graph_database_project_spark.plans.nl2query import answer_chat
+
+    sql, df = answer_chat(spark, SF_SMOKE, [
+        "total revenue per nation in region 'ASIA'",
+        "and for EUROPE?",
+    ])
+    assert "r_name = 'EUROPE'" in sql
+    # result must be exactly EUROPE's nations (synthetic corpus names)
+    expected = {
+        r["n_name"]
+        for r in spark.sql(
+            "SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'").collect()
+    }
+    assert {r["n_name"] for r in df.collect()} == expected and expected
+
+
+def test_unknown_identifier_rejected_not_interpolated(spark):
+    """The injection seam: question-derived identifiers must validate
+    against the derived catalog, not be spliced into SQL."""
+    from graph_database_project_spark.plans.nl2query import derive_catalog
+
+    cat = derive_catalog(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="unknown"):
+        rule_based_translate(
+            "how many distinct name values in pg_tables", cat)
+    with pytest.raises(ValueError, match="unknown column"):
+        rule_based_translate(
+            "how many distinct bogus_col values in orders", cat)
+    # the grounded form still translates
+    sql = rule_based_translate(
+        "how many distinct o_orderpriority values in orders", cat)
+    assert "count(DISTINCT o_orderpriority)" in sql
+
+
 def test_graph_question_flagship(spark):
     """The reference's chat loop end-to-end: NL → 3-hop downward traversal
     from the named ServiceBulletin → per-seed grouped result → NL text."""
