@@ -8,10 +8,13 @@ ONE JSON line::
     {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
 
 ``value`` is the sum of per-query wall-clock seconds (the driver compares it
-against BASELINE.md round over round). Each query is forced with a cheap
-count()-style action so the timing covers scan→shuffle→agg, not Python-side
-formatting. A warm-up pass on the flagship query first absorbs JVM/codegen
-startup so per-query numbers measure the plan, not the JIT.
+against BASELINE.md round over round). Each query is forced through the
+``noop`` batch sink, which materializes EVERY output column JVM-side (a bare
+count() would let Spark prune unused columns out of the final project and
+under-time wide results). A failed query contributes a fixed FAIL_PENALTY to
+the total — breakage must read as a regression, never as a speedup. A warm-up
+pass on the flagship query first absorbs JVM/codegen startup so per-query
+numbers measure the plan, not the JIT.
 """
 
 from __future__ import annotations
@@ -49,6 +52,10 @@ HEADLINE = [
     "mutation_merge_upsert",
 ]
 
+# Charged per failed/missing headline query so breakage can only make the
+# round-over-round total WORSE, never better.
+FAIL_PENALTY = 600.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,33 +72,44 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
+            failed.append(name)
+            timings[name] = FAIL_PENALTY
             continue
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.count()
+            # noop sink: full-width materialization, zero serialization to
+            # Python, no files written
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench alive; a failed query = inf
+        except Exception as exc:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = float("nan")
+            failed.append(name)
+            timings[name] = FAIL_PENALTY
 
-    total = round(sum(v for v in timings.values() if v == v), 3)
+    total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -45,10 +45,21 @@ class GraphStore:
         write), the plan must not scan the old files mid-overwrite — the
         temp-dir write materializes everything before any rename, which is
         exactly why this exists instead of mode('overwrite') in place.
+
+        The rename swap requires a POSIX filesystem local to the driver
+        (os.rename atomicity); object stores (S3/GCS) have no atomic
+        directory rename — there the Delta/Iceberg metadata-commit path
+        above is the only correct option, so this guard refuses non-local
+        schemes rather than doing a silently non-atomic copy.
         """
         import os
         import shutil
         import uuid
+
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"write_atomic needs a local POSIX path, got {path!r}; "
+                "use a transactional table format on object stores")
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         self.write(tmp)
@@ -104,10 +115,12 @@ class GraphStore:
 
     def delete_batch(self, batch: str) -> "GraphStore":
         """Batch rollback — with batch partitioning this is a partition
-        drop, no scan of surviving data."""
+        drop, no scan of surviving data. Null-safe: a plain ``!=`` would
+        evaluate NULL for rows with no batch label and silently drop them."""
+        keep = ~F.col("batch").eqNullSafe(batch)
         return GraphStore(
-            self.nodes.filter(F.col("batch") != batch),
-            self.edges.filter(F.col("batch") != batch),
+            self.nodes.filter(keep),
+            self.edges.filter(keep),
         )
 
     # -- property SET ------------------------------------------------------

@@ -177,6 +177,26 @@ def test_batch_epoch_diff_and_rollback(spark):
     assert rolled.nodes.filter(F.col("batch") == "Batch_B").count() == 0
 
 
+def test_delete_batch_keeps_null_batch_rows(spark):
+    """NULL-batch rows (pre-epoch data) must survive a batch rollback —
+    a plain != predicate would silently drop them."""
+    import glob as _g
+    files = sorted(_g.glob("/root/reference/boeing_service_bulletin_*.xml"))
+    n1, e1 = ingest_xml(spark, files[:1], batch="Batch_A")
+    n_null = n1.withColumn("batch", F.lit(None).cast("string"))
+    e_null = e1.withColumn("batch", F.lit(None).cast("string"))
+    store = GraphStore(n_null, e_null)
+    rolled = store.delete_batch("Batch_A")
+    assert rolled.nodes.count() == n1.count()
+    assert rolled.edges.count() == e1.count()
+
+
+def test_write_atomic_rejects_object_store_paths(store):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="POSIX"):
+        store.write_atomic("s3://bucket/graph")
+
+
 def test_write_atomic_read_modify_write(spark, store, tmp_path):
     """write-temp-then-swap: a store read from disk, mutated, and written
     back to the SAME path must not corrupt itself (the in-place overwrite
