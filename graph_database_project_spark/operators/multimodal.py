@@ -1,11 +1,16 @@
 """Multimodal-column plumbing (north-star): opaque ``binary`` payloads with
 typed metadata, decode/feature-extract as Arrow-batched Pandas functions.
 
-The container has no image/audio libs, so the *decode* step is stubbed
-(deterministic fake features; attempting real decode raises
-NotImplementedError) — but the Spark-side plumbing is real: binary column
-materialization, mapInPandas batch shape, output schema, and partition
-behavior are all exercised and tested (tests/test_multimodal.py).
+Two tiers of codec:
+* REAL — PPM (P6) images and RIFF/WAVE audio decode with stdlib+numpy
+  only: genuine container bytes in the binary column, genuine header
+  parsing and plane math in the decoder, exact DuckDB value oracles
+  (q_multimodal_image_decode / q_multimodal_audio_stats).
+* STUB — formats needing PIL/libav (JPEG decode, resample, video frame
+  extraction) keep deterministic fake features behind the same
+  mapInPandas plumbing; attempting real decode raises
+  NotImplementedError. Batch shape, schema, Arrow transfer and 1:k
+  fan-out are all exercised and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -166,14 +171,249 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs — PPM (P6) and WAV (RIFF/PCM) need only stdlib + numpy, so for
+# these two formats the decode seam is genuine, not stubbed: _synth_media
+# emits actual P6/WAV container bytes (deterministically derived from each
+# document), and the decoders PARSE THOSE BYTES (header grammar, numpy
+# frombuffer, wave module) — the same mapInPandas plumbing the PIL/libav
+# stub path uses, now with a real codec behind it. Because the synthesized
+# content is a closed-form function of (doc_id, text), both queries carry
+# exact DuckDB value oracles: a decoder bug breaks parity.
+# ---------------------------------------------------------------------------
+
+import io as _io
+import re as _re
+import struct as _struct
+import wave as _wave
+
+import numpy as np
+
+WAV_RATE = 8000
+
+
+def _media_digest(doc_id: int, text: str) -> bytes:
+    return hashlib.md5(f"{doc_id}:{text[:32]}".encode()).digest()
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 6 + doc_id % 7
+
+
+def _ppm_bytes(doc_id: int, text: str) -> bytes:
+    """A genuine P6 PPM: ASCII header + w*h*3 raw RGB bytes (the 16 digest
+    bytes tiled)."""
+    w, h = _ppm_dims(doc_id)
+    n = w * h * 3
+    dig = _media_digest(doc_id, text)
+    pix = (dig * (n // 16 + 1))[:n]
+    return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+
+def _wav_frames(doc_id: int) -> int:
+    return 200 + doc_id % 100
+
+
+def _wav_bytes(doc_id: int, text: str) -> bytes:
+    """A genuine RIFF/WAVE container: mono 16-bit PCM at WAV_RATE, samples =
+    the digest bytes tiled and read as little-endian int16."""
+    n = _wav_frames(doc_id)
+    dig = _media_digest(doc_id, text)
+    raw = (dig * (2 * n // 16 + 1))[:2 * n]
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(WAV_RATE)
+        f.writeframes(raw)
+    return buf.getvalue()
+
+
+def decode_ppm(raw: bytes) -> tuple[int, int, int, float]:
+    """Parse a P6 header + pixel plane. Returns (w, h, maxval, pixel_mean
+    in [0,1] rounded to 6)."""
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    pix = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return w, h, maxval, round(float(pix.sum()) / (w * h * 3) / maxval, 6)
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, int, float, float]:
+    """Parse a RIFF/WAVE container via the stdlib codec. Returns
+    (n_channels, sample_rate, n_frames, duration_s, rms) with rms over the
+    int16 samples, both rounded to 6."""
+    with _wave.open(_io.BytesIO(raw), "rb") as f:
+        nch, rate, nfr = f.getnchannels(), f.getframerate(), f.getnframes()
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        data = np.frombuffer(f.readframes(nfr), dtype="<i2").astype("float64")
+    rms = float(np.sqrt((data * data).sum() / len(data)))
+    return nch, rate, nfr, round(nfr / rate, 6), round(rms, 6)
+
+
+IMAGE_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("maxval", T.IntegerType()),
+    T.StructField("pixel_mean", T.DoubleType()),
+])
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("mime_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _synth_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Even doc_ids become PPM images, odd become WAV audio — a mixed-mime
+    corpus with real container bytes in the binary column."""
+    for pdf in batches:
+        mimes, payloads = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if doc_id % 2 == 0:
+                mimes.append("image/x-portable-pixmap")
+                payloads.append(_ppm_bytes(int(doc_id), text))
+            else:
+                mimes.append("audio/wav")
+                payloads.append(_wav_bytes(int(doc_id), text))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "mime_type": mimes, "payload": payloads})
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth_media_batch, schema=MEDIA_SCHEMA)
+
+
+def _image_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [(int(d), *decode_ppm(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "maxval", "pixel_mean"])
+
+
+def _audio_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [(int(d), *decode_wav(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_channels", "sample_rate", "n_frames",
+                           "duration_s", "rms"])
+
+
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: filter the mixed-mime corpus to PPM, parse each
+    P6 container (header grammar + numpy pixel plane) for true geometry and
+    pixel statistics. Two stateless mapInPandas stages pipelined in one
+    task — no shuffle; the binary column crosses Arrow in batches."""
+    media = synthesize_media(spark, sf_dir) \
+        .filter(F.col("mime_type") == "image/x-portable-pixmap")
+    return media.select("doc_id", "payload").mapInPandas(
+        _image_decode_batch, schema=IMAGE_DECODE_SCHEMA)
+
+
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: stdlib wave parses each RIFF container; RMS and
+    duration from the int16 PCM plane. Same stateless no-shuffle shape."""
+    media = synthesize_media(spark, sf_dir) \
+        .filter(F.col("mime_type") == "audio/wav")
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_stats_batch, schema=AUDIO_STATS_SCHEMA)
+
+
+# Oracles: the synthesized content is a closed-form function of
+# (doc_id, text[:32]) — the SQL recomputes the SAME md5 digest, tiles it,
+# and derives geometry/means/RMS arithmetically. The Spark side never sees
+# the formula (it parses real container bytes), so a codec bug = parity
+# break. dg = 16 digest bytes, 1-based lists throughout.
+_DIGEST_BYTES_SQL = (
+    "list_transform(range(0, 16), k -> "
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 32)), "
+    "2 * k + 1, 2)) AS BIGINT))"
+)
+
+Q_MULTIMODAL_IMAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS width,
+         6 + doc_id % 7 AS height,
+         {_DIGEST_BYTES_SQL} AS dg
+  FROM documents WHERE doc_id % 2 = 0
+), sums AS (
+  SELECT doc_id, width, height,
+         width * height * 3 AS n,
+         list_sum(dg) AS s16,
+         dg
+  FROM d
+)
+SELECT doc_id,
+       CAST(width AS INTEGER)  AS width,
+       CAST(height AS INTEGER) AS height,
+       255                     AS maxval,
+       round((s16 * (n // 16) + coalesce(list_sum(dg[1:n % 16]), 0))
+             * 1.0 / n / 255, 6) AS pixel_mean
+FROM sums
+"""
+
+Q_MULTIMODAL_AUDIO_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n,
+         {_DIGEST_BYTES_SQL} AS dg
+  FROM documents WHERE doc_id % 2 = 1
+), samp AS (
+  SELECT doc_id, n,
+         list_transform(range(0, 8), i ->
+           CASE WHEN dg[2 * i + 1] + 256 * dg[2 * i + 2] >= 32768
+                THEN dg[2 * i + 1] + 256 * dg[2 * i + 2] - 65536
+                ELSE dg[2 * i + 1] + 256 * dg[2 * i + 2] END) AS s
+  FROM d
+), ssq AS (
+  SELECT doc_id, n,
+         list_sum(list_transform(s, x -> x * x)) AS sq8,
+         list_transform(s, x -> x * x) AS sqs
+  FROM samp
+)
+SELECT doc_id,
+       1                     AS n_channels,
+       {WAV_RATE}            AS sample_rate,
+       CAST(n AS INTEGER)    AS n_frames,
+       round(n * 1.0 / {WAV_RATE}, 6) AS duration_s,
+       round(sqrt((sq8 * (n // 8) + coalesce(list_sum(sqs[1:n % 8]), 0))
+                  * 1.0 / n), 6) AS rms
+FROM ssq
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,      # rows-only (Python stub seam)
     "multimodal_blob_stats": q_multimodal_blob_stats,
     "multimodal_resize": q_multimodal_resize,      # rows-only (stub seam)
     "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only (stub seam)
+    "multimodal_image_decode": q_multimodal_image_decode,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
 }
 
 ORACLE = {
     "multimodal_blob_stats": Q_MULTIMODAL_BLOB_SQL,
-    # decode/resize/frame_sample: intentionally absent → rows-only (UDF seams).
+    # decode/resize/frame_sample: intentionally absent → rows-only (UDF seams)
+    # for formats needing PIL/libav; PPM/WAV below decode for real and are
+    # value-oracled.
+    "multimodal_image_decode": Q_MULTIMODAL_IMAGE_SQL,
+    "multimodal_audio_stats": Q_MULTIMODAL_AUDIO_SQL,
 }

@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
     "text_fingerprint",
     "text_tfidf_top_terms",
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
-    "multimodal_blob_stats",
+    "multimodal_image_decode",  # REAL PPM codec, value-oracled
     "stream_tumbling_hourly",
     "pipeline_training_data",
     "nl2query_demo",

@@ -17,6 +17,63 @@ def test_binarize_schema(spark):
     assert row.n_bytes == len(row.payload)
 
 
+def test_ppm_roundtrip_pure_python():
+    """The P6 codec is REAL: decode parses header + pixel plane from the
+    bytes; it must recover exactly the geometry/statistics the synthesizer
+    embedded (computed independently here)."""
+    import hashlib
+
+    from graph_database_project_spark.operators.multimodal import (
+        _media_digest, _ppm_bytes, _ppm_dims, decode_ppm,
+    )
+
+    for doc_id, text in [(0, "alpha beta"), (17, "x" * 100), (42, "short")]:
+        raw = _ppm_bytes(doc_id, text)
+        w, h, maxval, mean = decode_ppm(raw)
+        assert (w, h) == _ppm_dims(doc_id) and maxval == 255
+        n = w * h * 3
+        dig = _media_digest(doc_id, text)
+        expect = round(sum((dig * (n // 16 + 1))[:n]) / n / 255, 6)
+        assert mean == expect
+        # it is a real PPM: another parser (not ours) agrees on geometry
+        header, rest = raw.split(b"\n", 1)
+        assert header == b"P6"
+        dims = rest.split(b"\n", 1)[0].split()
+        assert [int(dims[0]), int(dims[1])] == [w, h]
+
+
+def test_wav_roundtrip_pure_python():
+    """The WAV codec is REAL: stdlib wave must accept the container and the
+    decoded RMS must match the closed-form over the embedded samples."""
+    import numpy as np
+
+    from graph_database_project_spark.operators.multimodal import (
+        WAV_RATE, _media_digest, _wav_bytes, _wav_frames, decode_wav,
+    )
+
+    for doc_id, text in [(1, "odd doc"), (99, "another odd one")]:
+        nch, rate, nfr, dur, rms = decode_wav(_wav_bytes(doc_id, text))
+        assert (nch, rate) == (1, WAV_RATE)
+        assert nfr == _wav_frames(doc_id)
+        n = _wav_frames(doc_id)
+        dig = _media_digest(doc_id, text)
+        samples = np.frombuffer((dig * (2 * n // 16 + 1))[:2 * n], "<i2") \
+            .astype("float64")
+        assert rms == round(float(np.sqrt((samples ** 2).sum() / n)), 6)
+        assert dur == round(n / WAV_RATE, 6)
+
+
+def test_mixed_mime_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from graph_database_project_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(spark, SF_SMOKE)
+    counts = {r.mime_type: r.n for r in
+              media.groupBy("mime_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"image/x-portable-pixmap": 250, "audio/wav": 250}
+
+
 def test_decode_deterministic_and_schema(spark):
     a = {r.doc_id: (r.width, r.height, r.mode, r.feat_mean)
          for r in q_multimodal_decode(spark, SF_SMOKE).collect()}
