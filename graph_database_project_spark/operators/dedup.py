@@ -202,8 +202,9 @@ def _band_sql(b: int) -> str:
     return parts
 
 
-Q_DEDUP_MINHASH_SQL = f"""
-WITH sh AS (
+# CTE chain shared between the minhash query and the cluster pipeline below
+# (the latter wraps it in WITH RECURSIVE for the component walk).
+_MINHASH_CTES = f"""sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles
   FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
 ), sig AS (
@@ -223,7 +224,9 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM slim a JOIN slim b
     ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_PAIRS_SELECT = f"""
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
              / (len(sa.shingles) + len(sb.shingles)
@@ -236,6 +239,8 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                - len(list_intersect(sa.shingles, sb.shingles))), 6)
       >= {JACCARD_THRESHOLD}
 """
+
+Q_DEDUP_MINHASH_SQL = f"WITH {_MINHASH_CTES}\n{_MINHASH_PAIRS_SELECT}"
 
 SIMHASH_BITS = 16
 
@@ -385,12 +390,64 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]
 Q_DEDUP_EMBED_SQL = _embed_cosine_sql()
 
 
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline a training corpus actually runs:
+    near-dup PAIRS (minhash-LSH, above) → connected components over the
+    pair graph → one canonical survivor per duplicate cluster.
+
+    A pair list alone can't drive deletion — near-dup is not transitive,
+    so {A~B, B~C} must collapse to ONE cluster keeping one of {A,B,C}.
+    Components via the pointer-jumping propagation in graph/traverse.py
+    (O(log diameter) rounds, localCheckpoint per round); cluster graphs
+    are pair-sparse so the iteration input is tiny relative to the corpus.
+    Output: (canonical_id = min doc_id, n_members, max_doc_id) per
+    cluster. Oracle: same pairs through a recursive-CTE reachability walk.
+    """
+    from ..graph.traverse import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    verts = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(verts, edges)
+    return (
+        comp.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.max("node").alias("max_doc_id"))
+    )
+
+
+Q_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES}, pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SELECT})
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), verts AS (
+  SELECT DISTINCT src AS node FROM und
+), walk AS (
+  SELECT node, node AS reach FROM verts
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN und e ON e.src = w.reach
+), comp AS (
+  SELECT node, min(reach) AS component FROM walk GROUP BY node
+)
+SELECT component AS canonical_id, count(*) AS n_members, max(node) AS max_doc_id
+FROM comp GROUP BY component
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_cluster_canonical": q_dedup_cluster_canonical,
 }
 
 ORACLE = {
@@ -399,4 +456,5 @@ ORACLE = {
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": Q_DEDUP_EMBED_SQL,
+    "dedup_cluster_canonical": Q_DEDUP_CLUSTER_SQL,
 }
