@@ -179,6 +179,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # The verify join-back re-derives `sh` per side, so the shingle
+    # projection appears 3× in the plan. Measured at sf0.1, collapsing the
+    # re-derivations (checkpoint candidates + semi-join-gate the shingle
+    # recompute) LOST ~60% wall-clock: the extra plan boundary doubles
+    # whole-stage-codegen JIT, which dominates at this scale. At true
+    # corpus scale, where data ≫ JIT, the right move is persisting the
+    # slim (doc_id, shingles) relation once (SCALE.md §6) — a storage
+    # decision, not a different plan shape.
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
