@@ -266,13 +266,184 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): a doc
+    whose mass concentrates in few distinct words/bigrams is boilerplate or
+    spam, not prose. Pure higher-order array math per row — no shuffle, no
+    explode; the duplicate-fraction trick is 1 - distinct/total.
+
+    Columns: dup_word_ratio, dup_bigram_ratio (fraction of tokens that are
+    repeats), top_word_dominance (mass of the single most frequent word).
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    # n-1 bigrams via an index sequence (sequence(1,0) would count DOWN, so
+    # guard the <2-word case); one-arg lambda only — see module invariant
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    top_freq = F.array_max(
+        F.transform(F.array_distinct(words),
+                    lambda w: F.size(F.filter(words, lambda x: x == w)))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(words))
+                / F.greatest(n_words, F.lit(1)), 6).alias("dup_word_ratio"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams))
+                / F.greatest(n_bi, F.lit(1)), 6).alias("dup_bigram_ratio"),
+        F.round(top_freq / F.greatest(n_words, F.lit(1)), 6)
+        .alias("top_word_dominance"),
+    )
+
+
+Q_TEXT_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, words, len(words) AS n_words,
+         list_transform(range(1, greatest(len(words), 1)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM base
+)
+SELECT doc_id,
+       n_words,
+       round(1.0 - len(list_distinct(words)) * 1.0 / greatest(n_words, 1), 6)
+         AS dup_word_ratio,
+       round(1.0 - len(list_distinct(bigrams)) * 1.0 / greatest(len(bigrams), 1), 6)
+         AS dup_bigram_ratio,
+       round(list_max(list_transform(list_distinct(words),
+                      w -> len(list_filter(words, x -> x = w))))
+             * 1.0 / greatest(n_words, 1), 6) AS top_word_dominance
+FROM m
+"""
+
+
+BENCHMARK_MOD = 50  # doc_id % 50 == 0 → the held-out "benchmark" slice
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-word shingle with a held-out benchmark set (here: doc_id % 50 == 0,
+    standing in for an eval suite) — the n-gram-overlap rule LLM pipelines
+    run before training.
+
+    Shape: inverted-index equi-join on the shingle value between the
+    (small) benchmark shingle relation and the corpus shingle relation —
+    never a document cross join; cost is bounded by shingle selectivity ×
+    benchmark size. At 100 TB the benchmark side is broadcast.
+    """
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    bench = sh.filter(F.col("doc_id") % BENCHMARK_MOD == 0) \
+        .select(F.col("doc_id").alias("bench_id"), "s").distinct()
+    train = sh.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+def _decontaminate_sql() -> str:
+    from .dedup import _SHINGLES_SQL, _WORDS_SQL
+
+    return Q_TEXT_DECONTAMINATE_TEMPLATE.format(
+        shingles=_SHINGLES_SQL, words=_WORDS_SQL)
+
+
+Q_TEXT_DECONTAMINATE_TEMPLATE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({{shingles}}) AS s
+  FROM (SELECT doc_id, {{words}} AS words FROM documents)
+), bench AS (
+  SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0
+), train AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {BENCHMARK_MOD} <> 0
+)
+SELECT t.doc_id,
+       count(DISTINCT t.s)        AS n_shared_shingles,
+       count(DISTINCT b.bench_id) AS n_benchmark_docs
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+"""
+
+
+STRATUM_TARGET = 50  # per-language sample budget
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: cap every language at STRATUM_TARGET docs with
+    a per-stratum deterministic hash gate — the balanced-mixture step of a
+    corpus build (English can't drown the tail languages).
+
+    rate_g = min(1, target / |g|); keep doc iff md5-hash(doc_id) % 1e6 <
+    rate_g * 1e6. Per-group counts are a tiny aggregate broadcast back
+    onto the corpus — one shuffle for the counts, zero for the gate.
+    Output is per-language totals (stable, small) rather than the sampled
+    rows themselves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 1_000_000
+    rate = F.least(F.lit(1.0), F.lit(float(STRATUM_TARGET)) / F.col("n_docs"))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("_keep", gate < (rate * 1_000_000).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_sampled"),
+            F.round(F.max(rate), 6).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), gated AS (
+  SELECT d.lang, c.n_docs,
+         least(1.0, {STRATUM_TARGET}.0 / c.n_docs) AS rate,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000
+                   < CAST(floor(least(1.0, {STRATUM_TARGET}.0 / c.n_docs) * 1000000) AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN counts c USING (lang)
+)
+SELECT lang, max(n_docs) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled,
+       round(max(rate), 6) AS rate
+FROM gated GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
+    "text_repetition": q_text_repetition,
+    "text_decontaminate": q_text_decontaminate,
     "sample_systematic": q_sample_systematic,
+    "sample_stratified": q_sample_stratified,
 }
 
 ORACLE = {
@@ -281,5 +452,8 @@ ORACLE = {
     "text_token_count": Q_TOKEN_COUNT_SQL,
     "text_fingerprint": Q_FINGERPRINT_SQL,
     "text_tfidf_top_terms": Q_TFIDF_SQL,
+    "text_repetition": Q_TEXT_REPETITION_SQL,
+    "text_decontaminate": _decontaminate_sql(),
     "sample_systematic": Q_SAMPLE_SQL,
+    "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
 }

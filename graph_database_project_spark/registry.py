@@ -86,7 +86,7 @@ _DRIVER_WINDOW = [
     "text_stats",
     "text_lang_id",
     "text_token_count",
-    "text_fingerprint",
+    "text_decontaminate",  # benchmark n-gram decontamination
     "text_tfidf_top_terms",
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
