@@ -750,6 +750,29 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct next to the exact count (SURVEY §2.B
+    "approx variant"). Rows-only for the driver — HLL sketches are not
+    bit-compatible across engines — but self-validating: the relative
+    error column is asserted < 5% in tests/test_functions.py, and at scale
+    approx is the only affordable form (no exact distinct shuffle; the
+    sketch merges map-side).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                    / F.col("exact_customers"), 6),
+        )
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over the region→nation hierarchy (catalog-stats shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1206,6 +1229,7 @@ QUERIES = {
     "join_range_follow": q_join_range_follow,
     "setop_ops": q_setop_ops,
     "agg_count_distinct": q_agg_count_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,  # rows-only (HLL sketch)
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,

@@ -74,7 +74,7 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_cluster_canonical",  # pairs → components → canonical survivor
     "dedup_embedding_cosine",
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "sim_topk_bruteforce",
@@ -92,7 +92,7 @@ _DRIVER_WINDOW = [
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
     "stream_tumbling_hourly",
     "pipeline_training_data",
-    "nl2query_demo",
+    "nl2query_followup",  # multi-turn chat; single-turn demo sits just past the window
 ]
 
 

@@ -59,3 +59,11 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+    # the registered rows-only query self-reports its error per group
+    from graph_database_project_spark.operators.relational import (
+        q_agg_approx_distinct,
+    )
+
+    rows = q_agg_approx_distinct(spark, SF_ORACLE).collect()
+    assert rows and all(r.rel_error < 0.05 for r in rows)
