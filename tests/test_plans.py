@@ -122,3 +122,37 @@ def test_partition_filter_events_ts(spark):
     # min/max row-group pruning needs the filter pushed to parquet
     ev = load_table(spark, SF_ORACLE, "events").filter(F.col("event_type") == "click")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan(ev)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the held-out benchmark shingle set is tiny relative to the corpus —
+    # it must ride a BroadcastExchange, never shuffle the training side
+    # for the join
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_text_decontaminate(spark, SF_ORACLE))
+    assert n_ops(p, "BroadcastHashJoin") >= 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_stratified_sample_broadcasts_group_counts(spark):
+    # per-language counts are a 5-row aggregate joined back onto the
+    # corpus — broadcast, not a corpus-wide shuffle join
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_sample_stratified(spark, SF_ORACLE))
+    assert n_ops(p, "BroadcastHashJoin") >= 1, p
+
+
+def test_repetition_signals_no_shuffle_before_output(spark):
+    # pure per-row array math: zero hash exchanges in the whole plan
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_text_repetition(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
+
+
+def test_scalar_funcs_union_has_no_shuffle(spark):
+    # three projection branches + union: no exchange anywhere
+    p = plan(relational.q_scalar_funcs(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
