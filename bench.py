@@ -52,8 +52,10 @@ HEADLINE = [
     "mutation_merge_upsert",
 ]
 
-# Charged per failed/missing headline query so breakage can only make the
-# round-over-round total WORSE, never better.
+# Floor charged per failed/missing headline query so breakage can only make
+# the round-over-round total WORSE, never better. The actual charge scales
+# with the slowest successful query (100×) so the penalty dominates at any
+# SF, not just sf0.1.
 FAIL_PENALTY = 600.0
 
 
@@ -77,7 +79,6 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             failed.append(name)
-            timings[name] = FAIL_PENALTY
             continue
         t0 = time.perf_counter()
         try:
@@ -89,7 +90,10 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             failed.append(name)
-            timings[name] = FAIL_PENALTY
+
+    penalty = max(FAIL_PENALTY, 100.0 * max(timings.values(), default=0.0))
+    for name in failed:
+        timings[name] = penalty
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

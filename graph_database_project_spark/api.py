@@ -35,9 +35,12 @@ def _jsonable(v):
         return str(v)
 
 
+def _serialize(rows) -> list[dict]:
+    return [{k: _jsonable(v) for k, v in r.asDict().items()} for r in rows]
+
+
 def _rows(df) -> list[dict]:
-    return [{k: _jsonable(v) for k, v in r.asDict().items()}
-            for r in df.limit(ROW_CAP).collect()]
+    return _serialize(df.limit(ROW_CAP).collect())
 
 
 def create_server(spark: SparkSession, sf_dir: str,
@@ -71,8 +74,10 @@ def create_server(spark: SparkSession, sf_dir: str,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(n) or b"{}")
-            except json.JSONDecodeError:
-                self._send(400, {"error": "invalid JSON body"})
+                if not isinstance(data, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError:  # bad Content-Length, bad JSON, non-object body
+                self._send(400, {"error": "invalid JSON object body"})
                 return
             try:
                 if self.path == "/chat":
@@ -83,12 +88,11 @@ def create_server(spark: SparkSession, sf_dir: str,
                         self._send(400, {"error": "No messages provided"})
                         return
                     sql, df = answer_chat(spark, sf_dir, history)
-                    rows = _rows(df)
+                    collected = df.limit(ROW_CAP).collect()
                     self._send(200, {
                         "sql": sql,
-                        "rows": rows,
-                        "answer": explain_result(
-                            history[-1], df.limit(ROW_CAP).collect()),
+                        "rows": _serialize(collected),
+                        "answer": explain_result(history[-1], collected),
                     })
                 elif self.path == "/query":
                     name = data.get("name")

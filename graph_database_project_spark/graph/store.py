@@ -56,7 +56,9 @@ class GraphStore:
         import shutil
         import uuid
 
-        if "://" in path and not path.startswith("file://"):
+        if path.startswith("file://"):
+            path = path[len("file://"):]  # os.rename needs the bare path
+        if "://" in path:
             raise ValueError(
                 f"write_atomic needs a local POSIX path, got {path!r}; "
                 "use a transactional table format on object stores")

@@ -184,7 +184,6 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import io as _io
 import re as _re
-import struct as _struct
 import wave as _wave
 
 import numpy as np

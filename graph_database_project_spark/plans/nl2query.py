@@ -123,7 +123,8 @@ def rule_based_translate(question: str, catalog: dict) -> str:
 # rule and validation for free.
 
 _FOLLOWUP = re.compile(
-    r"^(?:and|what about|how about|same(?: thing)?)\b(?:\s+for)?\s+'?([\w .-]+?)'?\s*$",
+    r"^(?:and|what about|how about|same(?: thing)?)\b(?:\s+for)?"
+    r"\s+'?([\w.-]+(?: [\w.-]+){0,3})'?\s*$",
     re.I,
 )
 _LAST_LITERAL = re.compile(r"'[^']*'(?!.*'[^']*')|\b([A-Z]{2,}(?: [A-Z]+)*)\s*$")
@@ -137,6 +138,11 @@ def resolve_question(history: list[str]) -> str:
     if not history:
         raise ValueError("empty chat history")
     cur = history[-1].strip().rstrip("?")
+    # A question that already grounds on its own ("and how many orders are
+    # there per status?") is not a follow-up, however it starts — the
+    # referent capture is capped at 4 tokens for the same reason.
+    if any(pattern.search(cur) for pattern, _ in _RULES):
+        return cur
     m = _FOLLOWUP.match(cur)
     if not m:
         return cur
@@ -158,9 +164,7 @@ def answer_chat(spark: SparkSession, sf_dir: str, history: list[str],
     """Multi-turn lifecycle: transcript → resolved question → catalog →
     translate → execute. ``history`` is the user-message list the reference
     posts on every turn."""
-    catalog = derive_catalog(spark, sf_dir)
-    sql = translate(resolve_question(history), catalog)
-    return sql, spark.sql(sql)
+    return answer(spark, sf_dir, resolve_question(history), translate)
 
 
 def derive_catalog(spark: SparkSession, sf_dir: str) -> dict:

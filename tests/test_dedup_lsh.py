@@ -14,11 +14,7 @@ import re
 from graph_database_project_spark.operators import dedup, similarity
 
 from .conftest import SF_SMOKE
-
-
-def _plan(df) -> str:
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from .test_plans import plan as _plan
 
 
 def _no_quadratic_join(p: str) -> bool:

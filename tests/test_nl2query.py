@@ -65,6 +65,25 @@ def test_followup_resolves_prior_entity():
         "top 3 customers by revenue"
 
 
+def test_self_grounded_question_is_not_a_followup():
+    from graph_database_project_spark.plans.nl2query import resolve_question
+
+    # Starts with "and" but matches a translation rule on its own — must pass
+    # through untouched, not have its tail swallowed as a follow-up referent.
+    q = resolve_question([
+        "total revenue per nation in region 'ASIA'",
+        "and how many orders are there per status?",
+    ])
+    assert q == "and how many orders are there per status"
+    # referent capture is capped at 4 tokens, so long rule-less sentences
+    # opening with a follow-up cue also fall through rather than rewrite
+    q2 = resolve_question([
+        "total revenue per nation in region 'ASIA'",
+        "and please give me something completely different and unrelated here",
+    ])
+    assert q2.startswith("and please give me")
+
+
 def test_followup_without_anchor_raises():
     import pytest as _pytest
     from graph_database_project_spark.plans.nl2query import resolve_question
