@@ -67,9 +67,21 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # Warm-up: JVM classloading + codegen on a small action.
+    # Warm-up: JVM classloading + codegen on a small action, plus one tiny
+    # pandas_udf call so the Python worker pool + Arrow path is live before
+    # any timed query needs it (worker spin-up is startup cost, not plan
+    # cost, same as the JIT).
     try:
         queries["q01_pricing_summary"](spark, sf_dir).limit(1).count()
+        from pyspark.sql.functions import pandas_udf
+        import pandas as _pd
+
+        @pandas_udf("double")
+        def _warm(s: _pd.Series) -> _pd.Series:
+            return s * 1.0
+
+        spark.range(32).select(_warm("id")).write.format("noop") \
+            .mode("overwrite").save()
     except Exception:
         pass
 
