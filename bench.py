@@ -11,16 +11,22 @@ ONE JSON line::
 against BASELINE.md round over round). Each query is forced through the
 ``noop`` batch sink, which materializes EVERY output column JVM-side (a bare
 count() would let Spark prune unused columns out of the final project and
-under-time wide results). A failed query contributes a fixed FAIL_PENALTY to
-the total — breakage must read as a regression, never as a speedup. A warm-up
-pass on the flagship query first absorbs JVM/codegen startup so per-query
-numbers measure the plan, not the JIT.
+under-time wide results). Per BASELINE.md's frozen plan ("median of 3 warm
+runs"), each query is executed NUM_RUNS times and the median is recorded —
+the median discards both the one-time codegen-JIT hit of the first execution
+and transient machine-load spikes, so round-over-round deltas track the plan,
+not the noise (single-run totals on this box vary ±15% run to run). A failed
+query contributes a fixed FAIL_PENALTY to the total — breakage must read as
+a regression, never as a speedup. A warm-up pass on the flagship query first
+absorbs JVM classloading so even the first per-query run measures mostly the
+plan.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,6 +64,9 @@ HEADLINE = [
 # SF, not just sf0.1.
 FAIL_PENALTY = 600.0
 
+# BASELINE.md freezes the methodology as the median of 3 warm runs per query.
+NUM_RUNS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,19 +95,24 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             failed.append(name)
             continue
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            # noop sink: full-width materialization, zero serialization to
-            # Python, no files written
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for i in range(NUM_RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink: full-width materialization, zero serialization
+                # to Python, no files written
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            cold[name] = round(runs[0], 3)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as exc:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             failed.append(name)
@@ -119,6 +133,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # transparency vs the single-run r01 numbers: the stat used and the
+        # untrimmed first-run (JIT-inclusive) timings alongside the medians
+        "stat": f"median_of_{NUM_RUNS}",
+        "queries_first_run": cold,
     }
     if failed:
         out["failed"] = failed
