@@ -85,3 +85,54 @@ def test_decode_deterministic_and_schema(spark):
     assert 1 <= w <= 640 and 1 <= h <= 480 and mode in ("RGB", "L")
     assert 0.0 <= fm <= 1.0
     assert q_multimodal_decode(spark, SF_SMOKE).schema == FEATURE_SCHEMA
+
+
+def test_png_roundtrip_pure_python():
+    """Encode→decode recovers the exact PPM pixel plane through DEFLATE +
+    all five scanline filters, and chunk CRCs are actually checked."""
+    import zlib
+
+    import pytest as _pytest
+
+    from graph_database_project_spark.operators.multimodal import (
+        _ppm_bytes, _ppm_dims, _png_bytes, decode_png, decode_ppm)
+
+    for doc_id in (0, 1, 7, 12, 33):
+        text = f"doc {doc_id} text for the png codec test"
+        w, h, depth, mean = decode_png(_png_bytes(doc_id, text))
+        pw, ph, maxval, pmean = decode_ppm(_ppm_bytes(doc_id, text))
+        assert (w, h) == (pw, ph) == _ppm_dims(doc_id)
+        assert depth == 8 and mean == pmean
+
+    # every filter type (None/Sub/Up/Average/Paeth) appears in the stream,
+    # so the decoder's full reconstruction path is what the roundtrip proves
+    raw = _png_bytes(11, "x")
+    pos, idat = 8, b""
+    while pos + 12 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        if raw[pos + 4:pos + 8] == b"IDAT":
+            idat += raw[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    plane = zlib.decompress(idat)
+    stride = _ppm_dims(11)[0] * 3
+    h11 = _ppm_dims(11)[1]
+    assert {plane[y * (stride + 1)] for y in range(h11)} == {0, 1, 2, 3, 4}
+
+    # corrupted chunk -> CRC failure, not silent garbage
+    bad = bytearray(_png_bytes(3, "y"))
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really")
+
+
+def test_png_decode_query(spark):
+    from graph_database_project_spark.operators.multimodal import (
+        PNG_DECODE_SCHEMA, q_multimodal_png_decode)
+
+    df = q_multimodal_png_decode(spark, SF_SMOKE)
+    assert df.schema == PNG_DECODE_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r.bit_depth == 8 and 0.0 <= r.pixel_mean <= 1.0 for r in rows)
