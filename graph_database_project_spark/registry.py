@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     dedup, graphq, multimodal, mutation, pipeline, relational, similarity,
-    streamq, textops, tpch_ext, xmlq,
+    streamq, textops, timeseries, tpch_ext, xmlq,
 )
 from .plans import nl2query
 
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
-            textops, multimodal, streamq, xmlq, nl2query, pipeline]
+            textops, multimodal, streamq, xmlq, nl2query, pipeline,
+            timeseries]
 
 # First-50 prefix: every operator family + every §2.B flagship, most load-
 # bearing first. Everything not listed keeps module order after these.
@@ -87,7 +88,9 @@ _DRIVER_WINDOW = [
     "text_lang_id",
     "text_token_count",
     "text_decontaminate",  # benchmark n-gram decontamination
-    "text_tfidf_top_terms",
+    # time-series hypertable ops (tfidf demoted past the window for this:
+    # text keeps 4 reps, timeseries gets its family representative)
+    "ts_rollup_multires",
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
     "stream_tumbling_hourly",

@@ -156,3 +156,26 @@ def test_scalar_funcs_union_has_no_shuffle(spark):
     # three projection branches + union: no exchange anywhere
     p = plan(relational.q_scalar_funcs(spark, SF_ORACLE))
     assert n_hash_shuffles(p) == 0, p
+
+
+def test_ts_rollup_single_expand_single_shuffle(spark):
+    # the multi-resolution rollup must stay ONE grouping-sets aggregation:
+    # one Expand, one hash shuffle — not a re-aggregation cascade
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_rollup_multires(spark, SF_ORACLE))
+    assert n_ops(p, "Expand") == 1
+    assert n_hash_shuffles(p) == 1
+
+
+def test_ts_gapfill_grid_broadcast_no_corpus_cartesian(spark):
+    # the dense grid comes from a broadcast 1-row bounds aggregate; the
+    # only nested-loop join allowed is against that single-row side —
+    # the events scan must never be a cartesian input
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_gapfill_locf(spark, SF_ORACLE))
+    assert "BroadcastExchange" in p
+    assert n_ops(p, "CartesianProduct") == 0
+    # hourly agg + LOCF window partitioning: exactly two data shuffles
+    assert n_hash_shuffles(p) <= 2
