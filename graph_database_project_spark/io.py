@@ -38,6 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # conf locked down — fall through and let the read decide
+        # This engine computes in UTC (every documented result and oracle
+        # assumes it). The ns→ntz conversion below and several downstream
+        # expressions (unix_timestamp, window(), TIMESTAMP↔NTZ casts) read
+        # the session time zone, so a caller session pinned to another zone
+        # would silently shift every events wall-clock value. Same
+        # declare-at-the-seam rationale as nanosAsLong above.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Read as long ns and truncate to micros — same flooring DuckDB

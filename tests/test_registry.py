@@ -74,3 +74,31 @@ def test_queries_sf_agnostic(spark):
                  "nl2query_demo", "pipeline_training_data", "join_asof_last_view"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_events_queries_survive_non_utc_caller_session(spark):
+    """Driver robustness: the harness's own session may carry any time
+    zone; load_table pins UTC at the seam (alongside nanosAsLong), so
+    events wall-clock values cannot shift against the oracle."""
+    from graph_database_project_spark.operators.timeseries import (
+        Q_TS_ROLLUP_SQL, q_ts_rollup_multires)
+
+    from .conftest import SF_ORACLE
+    from .oracle import duckdb_con
+
+    con = duckdb_con(SF_ORACLE)
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spdf = q_ts_rollup_multires(spark, SF_ORACLE).toPandas()
+        opdf = con.execute(Q_TS_ROLLUP_SQL).df()
+        cols = sorted(spdf.columns)
+        sp = spdf[cols].sort_values(cols).reset_index(drop=True)
+        op = opdf[cols].sort_values(cols).reset_index(drop=True) \
+            .astype(sp.dtypes.to_dict())
+        assert sp.equals(op)
+        # the seam declared UTC for the rest of the session
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+        con.close()
