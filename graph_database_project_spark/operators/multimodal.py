@@ -490,13 +490,20 @@ def decode_png(raw: bytes) -> tuple[int, int, int, float]:
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    if ihdr is None:
-        raise ValueError("missing IHDR")
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing or truncated IHDR")
     w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
     depth, color = ihdr[8], ihdr[9]
     if depth != 8 or color != 2 or ihdr[10] or ihdr[11] or ihdr[12]:
         raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
-    plane = _zlib.decompress(idat)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate image dimensions")
+    if not idat:
+        raise ValueError("missing IDAT")
+    try:
+        plane = _zlib.decompress(idat)
+    except _zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = w * 3
     if len(plane) != h * (stride + 1):
         raise ValueError("IDAT length does not match geometry")

@@ -119,21 +119,24 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-filled (last observation carried forward) for the value metric
     — TimescaleDB's ``time_bucket_gapfill`` + ``locf`` as DataFrame ops.
 
-    Plan shape: the grid is sequence+explode over a BROADCAST 1-row bounds
-    aggregate cross-joined with the distinct event types — rows ≈ hours x
-    types, always tiny next to the events table, and computed without any
-    driver-side collect. The hourly aggregate is one shuffle; the LOCF is
-    one window partitioned by event_type over the bounded grid (state =
-    grid rows, not event rows, so the window never sees corpus-sized
-    partitions at any corpus scale).
+    Plan shape: ONE tiny metadata aggregate (min/max hour + collect_set of
+    the low-cardinality event types, a single events pass) feeds a double
+    explode producing the grid — rows ≈ hours x types, always tiny next to
+    the events table, computed without any driver-side collect. The hourly
+    aggregate is the only other events scan; the LOCF is one window
+    partitioned by event_type over the bounded grid (state = grid rows,
+    not event rows, so the window never sees corpus-sized partitions at
+    any corpus scale).
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
+    meta = ev.agg(
         F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
         F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+        F.collect_set("event_type").alias("types"),
     )
-    types = ev.select("event_type").distinct()
-    grid = types.crossJoin(F.broadcast(bounds)).select(
+    grid = meta.select(
+        F.explode("types").alias("event_type"), "lo", "hi",
+    ).select(
         "event_type",
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),

@@ -126,6 +126,26 @@ def test_png_roundtrip_pure_python():
     with _pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot really")
 
+    # malformed-but-CRC-valid containers reject with ValueError, never
+    # IndexError/zlib.error/ZeroDivisionError out of the executor
+    from graph_database_project_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk)
+
+    ihdr = (5).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    ihdr0 = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    for label, raw in [
+        ("short IHDR", _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 8)
+         + _png_chunk(b"IEND", b"")),
+        ("no IDAT", _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IEND", b"")),
+        ("0x0 dims", _PNG_SIG + _png_chunk(b"IHDR", ihdr0)
+         + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b"")),
+        ("bad deflate", _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", b"\x00bogus") + _png_chunk(b"IEND", b"")),
+    ]:
+        with _pytest.raises(ValueError):
+            decode_png(raw)
+
 
 def test_png_decode_query(spark):
     from graph_database_project_spark.operators.multimodal import (

@@ -179,3 +179,6 @@ def test_ts_gapfill_grid_broadcast_no_corpus_cartesian(spark):
     assert n_ops(p, "CartesianProduct") == 0
     # hourly agg + LOCF window partitioning: exactly two data shuffles
     assert n_hash_shuffles(p) <= 2
+    # metadata (bounds+types) and hourly aggregate: exactly two events
+    # scans — the grid must not cost a third pass over the corpus
+    assert n_ops(p, "Scan parquet") == 2

@@ -84,19 +84,14 @@ def test_events_queries_survive_non_utc_caller_session(spark):
         Q_TS_ROLLUP_SQL, q_ts_rollup_multires)
 
     from .conftest import SF_ORACLE
-    from .oracle import duckdb_con
+    from .oracle import compare, duckdb_con
 
     con = duckdb_con(SF_ORACLE)
     original = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        spdf = q_ts_rollup_multires(spark, SF_ORACLE).toPandas()
-        opdf = con.execute(Q_TS_ROLLUP_SQL).df()
-        cols = sorted(spdf.columns)
-        sp = spdf[cols].sort_values(cols).reset_index(drop=True)
-        op = opdf[cols].sort_values(cols).reset_index(drop=True) \
-            .astype(sp.dtypes.to_dict())
-        assert sp.equals(op)
+        compare(q_ts_rollup_multires(spark, SF_ORACLE),
+                con.execute(Q_TS_ROLLUP_SQL).df(), "ts_rollup_multires@ET")
         # the seam declared UTC for the rest of the session
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
