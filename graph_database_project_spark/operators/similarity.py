@@ -376,12 +376,91 @@ FROM embeddings
 
 Q_SIM_KNN_SQL = _knn_sql()  # assembled here: needs banded_buckets_sql above
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    audit: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5), then RMSE
+    and max-abs error of dequantized vs original — the 4x-storage-cut an
+    embedding corpus takes before ANN serving, with the quality check a
+    pipeline gates on.
+
+    ``floor(x/scale + 0.5)`` is used on BOTH sides instead of round() so
+    tie behavior is engine-identical by construction. Output is scalars
+    only (parity discipline: no array columns through the oracle); the
+    quantized array itself stays an internal column.
+
+    Scale: pure per-row higher-order-function math, zero shuffle — scales
+    with scan bandwidth like the text-quality projections.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scale = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12),
+    ) / F.lit(127.0)
+    qz = F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    err2 = F.zip_with(
+        F.col("v"), F.col("qz"),
+        lambda x, q: (x - q * F.col("scale")) * (x - q * F.col("scale")),
+    )
+    return (
+        base
+        .withColumn("scale", scale)
+        .withColumn("qz", qz)
+        # err2 MUST bind to the full-precision scale: materializing it here
+        # prevents the rounded `scale` alias in the select below from
+        # shadowing it via lateral column alias resolution (Spark 3.4+
+        # resolves a later select item against an earlier alias of the
+        # same name in the same list — measured, it silently swapped the
+        # rounded scale into the error math)
+        .withColumn("err2", err2)
+        .select(
+            "vec_id",
+            F.size("v").alias("n_dims"),
+            F.round("scale", 6).alias("scale"),
+            F.round(
+                F.sqrt(F.aggregate("err2", F.lit(0.0), lambda a, t: a + t)
+                       / F.size("v")), 6).alias("rmse"),
+            F.round(
+                F.array_max(F.transform("err2", lambda t: F.sqrt(t))), 6,
+            ).alias("max_abs_err"),
+        )
+    )
+
+
+Q_EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> floor(x / scale + 0.5)) AS qz
+  FROM s
+), errs AS (
+  SELECT vec_id, e, scale,
+         list_transform(range(1, len(e) + 1),
+                        i -> (e[i] - qz[i] * scale) * (e[i] - qz[i] * scale)) AS err2
+  FROM q
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER)          AS n_dims,
+       round(scale, 6)                  AS scale,
+       round(sqrt(list_sum(err2) / len(e)), 6) AS rmse,
+       round(list_max(list_transform(err2, t -> sqrt(t))), 6) AS max_abs_err
+FROM errs
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_topk": q_sim_ivf_topk,    # rows-only (iterative k-means)
     "udf_embedding_norm": q_udf_embedding_norm,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -389,4 +468,5 @@ ORACLE = {
     "sim_knn_per_vector": Q_SIM_KNN_SQL,
     "sim_lsh_buckets": Q_SIM_LSH_SQL,
     "udf_embedding_norm": Q_UDF_NORM_SQL,
+    "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,
 }

@@ -182,3 +182,11 @@ def test_ts_gapfill_grid_broadcast_no_corpus_cartesian(spark):
     # metadata (bounds+types) and hourly aggregate: exactly two events
     # scans — the grid must not cost a third pass over the corpus
     assert n_ops(p, "Scan parquet") == 2
+
+
+def test_embedding_quantize_zero_shuffle(spark):
+    # per-vector quantization is pure projection math: no exchange at all
+    from graph_database_project_spark.operators import similarity
+
+    p = plan(similarity.q_embedding_quantize_int8(spark, SF_ORACLE))
+    assert n_ops(p, "Exchange") == 0
