@@ -1,0 +1,296 @@
+"""Corpus-curation operators for LLM training-data pipelines (north-star
+extensions beyond SURVEY.md §2.B's LLM-pipeline rows): sequence packing,
+deterministic sharding, domain-weight mixing, unigram LM quality scoring,
+and embedding outlier audit.
+
+These are the operations a pretraining-data job runs after filtering/dedup
+(pipeline.py) and before the tokenizer: pack documents into fixed context
+windows, assign output shards, rebalance the domain mix, and score documents
+against corpus statistics. Everything is JVM-side built-ins — the only
+Python is plan construction — and every hash is md5 (bit-identical in Spark
+and DuckDB, same discipline as operators/dedup.py), so each query carries a
+full value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+
+# Context-window budget (tokens) for sequence packing. Small enough that
+# sf0.01's ~25-doc sources produce multiple sequences per source.
+CTX_TOKENS = 512
+
+# Output shard fan-out for the deterministic shard assignment.
+N_SHARDS = 16
+
+# Domain-mix acceptance rates: even-numbered sources are kept in full,
+# odd-numbered sources are downsampled to 30% — the shape of a "web crawl
+# gets downweighted, curated sources kept" mixing policy.
+MIX_EVEN_RATE = 1.0
+MIX_ODD_RATE = 0.3
+
+
+def _words(col):
+    return F.filter(F.split(F.lower(col), " "), lambda w: w != "")
+
+
+def _md5_long(col, n_hex: int = 8):
+    """First ``n_hex`` hex chars of md5 as a non-negative integer —
+    engine-portable uniform hash (same construction as dedup.py)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: concatenate each source's
+    documents in doc_id order and cut the stream into CTX_TOKENS-sized
+    context windows; a document belongs to the window its first token lands
+    in. Returns per-sequence occupancy (doc count, token count, fill ratio).
+
+    Scale: one shuffle — the running-sum window partitions by source, which
+    is exactly the partitioning the downstream tokenizer writer wants, so
+    the sort is reused by the sink. A giant source (web crawl) makes one
+    ordered partition; at 100 TB you range-partition on (source, doc_id)
+    so one source spans many tasks and each task packs its contiguous
+    range independently (the running sum then needs a per-range offset
+    pass — a 2-row-per-task driver-side prefix, not a second shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(_words(F.col("text"))).alias("n_tokens")
+    )
+    running = Window.partitionBy("source").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = toks.withColumn(
+        "start_tok",
+        F.coalesce(F.sum("n_tokens").over(running), F.lit(0)).cast("long"),
+    ).withColumn("seq_id", F.floor(F.col("start_tok") / F.lit(float(CTX_TOKENS))))
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(CTX_TOKENS)), 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+Q_PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM toks
+)
+SELECT source,
+       CAST(floor(start_tok / {CTX_TOKENS}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       round(sum(n_tokens) / {CTX_TOKENS}.0, 4) AS fill_ratio
+FROM packed
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod shard assignment + per-shard balance audit.
+    The md5-of-key shard function is stable across runs/engines (unlike
+    ``pmod(hash(...))``, which is Spark-internal), so shard membership is
+    reproducible — the property a resumable tokenizer job needs.
+
+    Scale: scan-local projection, one dim-sized aggregation (N_SHARDS
+    rows). The audit columns (docs/chars per shard, distinct sources) are
+    what you alert on for shard skew before launching the write.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (_md5_long(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard_id")
+    return (
+        docs.select(shard, "doc_id", "n_chars", "source")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+Q_SHARD_ASSIGN_SQL = f"""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {N_SHARDS} AS shard_id,
+         doc_id, n_chars, source
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling: each source gets a target acceptance rate
+    (even-numbered sources 100%, odd 30%) and documents are kept by a
+    deterministic per-doc hash gate, so the sampled corpus is reproducible
+    and the achieved rate converges to the target per domain.
+
+    Scale: scan-local gate (no shuffle to decide membership — contrast
+    with a global ``orderBy(rand())`` sample), one dim-sized rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(MIX_EVEN_RATE)).otherwise(F.lit(MIX_ODD_RATE))
+    hv = _md5_long(F.col("doc_id").cast("string")) % 1000000
+    keep = (hv < F.floor(rate * 1000000).cast("long")).cast("int")
+    return (
+        docs.select("source", rate.alias("rate"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+            F.round(F.max("rate"), 2).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_SAMPLE_WEIGHTED_MIX_SQL = f"""
+WITH gated AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+              THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END AS rate,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000
+                   < CAST(floor(
+                       (CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+                             THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END) * 1000000)
+                     AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled,
+       round(max(rate), 2) AS target_rate
+FROM gated GROUP BY source ORDER BY source
+"""
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: build the corpus unigram
+    distribution, then score each document by its mean log10 token
+    probability — the cheap proxy for "does this read like the corpus"
+    that pretraining filters (CCNet-style) threshold on.
+
+    Scale: one shuffle for the vocab count (map-side combined), then the
+    vocab joins back in as a broadcast (a natural-language unigram vocab is
+    ~millions of rows regardless of corpus size — it fits every executor).
+    At 100 TB you'd cap to the top-V words and give OOV a floor
+    probability; the corpus total crosses as a broadcast 1-row join, not a
+    driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.log10(F.col("cnt") / F.col("total"))), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+), freq AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
+)
+SELECT t.doc_id, count(*) AS n_words,
+       round(avg(log10(f.cnt * 1.0 / tt.total)), 4) AS avg_logp
+FROM tok t JOIN freq f USING (word) CROSS JOIN total tt
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit: distance of every vector to its
+    label centroid. The distance distribution is how an embedding-based
+    curation job finds mislabeled / off-distribution documents (and the
+    same centroid machinery is the k-means E-step behind sim_ivf_topk).
+
+    Scale: posexplode to (label, dim) rows → map-side-combined avg —
+    centroids are labels×dims rows (tiny) and broadcast back, so the only
+    full shuffle is the per-vector regroup. At 100 TB the explode is 64×
+    row inflation but constant width; the alternative (per-partition numpy
+    partial sums via mapInPandas) trades that for Python serialization —
+    the JVM explode wins until dims get large (≥1k).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    diff = F.col("val") - F.col("c")
+    return (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 4).alias("dist_to_centroid"))
+        .orderBy("vec_id")
+    )
+
+
+Q_EMBEDDING_OUTLIER_SQL = """
+WITH dims AS (
+  SELECT unnest(range(1, 65)) AS pos
+), ex AS (
+  SELECT vec_id, label, d.pos, CAST(embedding[d.pos] AS DOUBLE) AS val
+  FROM embeddings, dims d
+), cent AS (
+  SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+)
+SELECT e.vec_id, e.label,
+       round(sqrt(sum((e.val - c.c) * (e.val - c.c))), 4) AS dist_to_centroid
+FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+GROUP BY e.vec_id, e.label
+ORDER BY e.vec_id
+"""
+
+
+QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "shard_assign": q_shard_assign,
+    "sample_weighted_mix": q_sample_weighted_mix,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "embedding_outlier": q_embedding_outlier,
+}
+
+ORACLE = {
+    "pack_sequences": Q_PACK_SEQUENCES_SQL,
+    "shard_assign": Q_SHARD_ASSIGN_SQL,
+    "sample_weighted_mix": Q_SAMPLE_WEIGHTED_MIX_SQL,
+    "text_unigram_logprob": Q_TEXT_UNIGRAM_LOGPROB_SQL,
+    "embedding_outlier": Q_EMBEDDING_OUTLIER_SQL,
+}

@@ -22,14 +22,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
-    dedup, graphq, multimodal, mutation, pipeline, relational, similarity,
-    streamq, textops, timeseries, tpch_ext, xmlq,
+    curation, dedup, graphq, multimodal, mutation, pipeline, relational,
+    similarity, streamq, textops, timeseries, tpch_ext, xmlq,
 )
 from .plans import nl2query
 
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
             textops, multimodal, streamq, xmlq, nl2query, pipeline,
-            timeseries]
+            timeseries, curation]
 
 # First-50 prefix: every operator family + every §2.B flagship, most load-
 # bearing first. Everything not listed keeps module order after these.
@@ -56,7 +56,7 @@ _DRIVER_WINDOW = [
     "agg_count_distinct",
     "agg_grouping_sets",
     "window_topk_per_group",
-    "agg_pivot",
+    "pack_sequences",  # curation family: context-window sequence packing
     "sort_topk",
     "setop_ops",
     "scalar_funcs",

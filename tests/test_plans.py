@@ -190,3 +190,38 @@ def test_embedding_quantize_zero_shuffle(spark):
 
     p = plan(similarity.q_embedding_quantize_int8(spark, SF_ORACLE))
     assert n_ops(p, "Exchange") == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # the running-sum window shuffles by source; the per-sequence rollup
+    # groups on (source, seq_id) — Spark must recognize the existing
+    # source-partitioning satisfies it and NOT shuffle again. This is the
+    # partitioning-reuse property the tokenizer-writer pipeline relies on.
+    from graph_database_project_spark.operators import curation
+
+    p = plan(curation.q_pack_sequences(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 1, p
+    assert p.count("HashAggregate") >= 2  # map-side partial rollup
+
+
+def test_unigram_logprob_vocab_broadcast_no_smj(spark):
+    # vocab and corpus-total must come back as broadcasts (the vocab is
+    # dim-sized at any corpus scale); the token stream must never be the
+    # build side of a sort-merge join
+    from graph_database_project_spark.operators import curation
+
+    p = plan(curation.q_text_unigram_logprob(spark, SF_ORACLE))
+    assert n_ops(p, "BroadcastHashJoin") >= 1
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_embedding_outlier_centroids_broadcast(spark):
+    # centroids (labels x dims rows) broadcast back to the exploded
+    # vectors; only the centroid agg and per-vector regroup shuffle
+    from graph_database_project_spark.operators import curation
+
+    p = plan(curation.q_embedding_outlier(spark, SF_ORACLE))
+    assert n_ops(p, "BroadcastHashJoin") == 1
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_hash_shuffles(p) <= 2
