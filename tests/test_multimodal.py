@@ -156,3 +156,52 @@ def test_png_decode_query(spark):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r.bit_depth == 8 and 0.0 <= r.pixel_mean <= 1.0 for r in rows)
+
+
+def test_y4m_roundtrip_pure_python():
+    import pytest as _pytest
+
+    from graph_database_project_spark.operators.multimodal import (
+        _y4m_bytes, _y4m_dims, decode_y4m)
+
+    raw = _y4m_bytes(10, "hello video")
+    w, h, fps, n_frames, means = decode_y4m(raw)
+    ew, eh, enf = _y4m_dims(10)
+    assert (w, h, fps, n_frames) == (ew, eh, 25, enf)
+    assert all(0.0 <= m <= 1.0 for m in means)
+    # frames must differ (per-frame +f offset) but only slightly
+    assert len(set(means)) == n_frames
+
+    # malformed containers reject with ValueError, never KeyError /
+    # ZeroDivisionError / IndexError out of the executor
+    for label, bad in [
+        ("wrong magic", b"NOTY4M W8 H6 F25:1\nFRAME\n" + b"\x00" * 144),
+        ("no newline", b"YUV4MPEG2 W8 H6"),
+        ("missing W", b"YUV4MPEG2 H6 F25:1\nFRAME\n"),
+        ("bad number", b"YUV4MPEG2 Wx H6 F25:1\nFRAME\n"),
+        ("zero dims", b"YUV4MPEG2 W0 H0 F25:1\nFRAME\n"),
+        ("chroma 420", b"YUV4MPEG2 W8 H6 F25:1 C420\nFRAME\n" + b"\x00" * 72),
+        ("no FRAME", b"YUV4MPEG2 W8 H6 F25:1\nXXXXX\n" + b"\x00" * 144),
+        ("unterminated FRAME", b"YUV4MPEG2 W8 H6 F25:1\nFRAME"),
+        ("truncated plane", b"YUV4MPEG2 W8 H6 F25:1\nFRAME\n" + b"\x00" * 10),
+    ]:
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
+def test_video_frames_query(spark):
+    from graph_database_project_spark.operators.multimodal import (
+        VIDEO_FRAME_SCHEMA, VIDEO_FRAME_STRIDE, q_multimodal_video_frames)
+
+    df = q_multimodal_video_frames(spark, SF_SMOKE)
+    assert df.schema == VIDEO_FRAME_SCHEMA
+    rows = df.collect()
+    assert rows and all(r.frame_idx % VIDEO_FRAME_STRIDE == 0 for r in rows)
+    assert all(0.0 <= r.frame_mean <= 1.0 for r in rows)
+    # 1:k fan-out: every 5th doc contributes ceil(n_frames / stride) rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frs in by_doc.items():
+        assert doc_id % 5 == 0
+        assert len(frs) == (frs[0].n_frames + VIDEO_FRAME_STRIDE - 1) // VIDEO_FRAME_STRIDE
