@@ -76,6 +76,58 @@ class GraphStore:
             raise
         shutil.rmtree(bak, ignore_errors=True)
 
+    @staticmethod
+    def compact(spark: SparkSession, path: str,
+                target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite the store with right-sized files — the small-files
+        compaction every long-lived ingest accumulates toward (each
+        streaming microbatch / MERGE epoch appends its own files; a 100 TB
+        table fed by minutely batches grows millions of KB-sized files,
+        and scan task-scheduling overhead comes to dominate the read path).
+
+        Sizing: files-per-table = ceil(on-disk bytes / target_bytes),
+        repartitioned BY the batch column so rows stay aligned with the
+        partition directories (a row never crosses its batch dir; a batch
+        smaller than target_bytes compacts to one file). The rewrite goes
+        through the same write-temp-then-swap as write_atomic, so readers
+        never see a half-compacted store. Local-POSIX only, same guard and
+        for the same reason (object stores want Delta/Iceberg OPTIMIZE).
+
+        Returns {table: {files_before, files_after, bytes}} for the audit
+        log a compaction daemon would emit.
+        """
+        import math
+        import os
+
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        if "://" in path:
+            raise ValueError(
+                f"compact needs a local POSIX path, got {path!r}; "
+                "use the table format's OPTIMIZE on object stores")
+
+        def _scan(d: str) -> tuple[int, int]:
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+            return n_files, n_bytes
+
+        stats = {}
+        store = GraphStore.read(spark, path)
+        compacted = {}
+        for table, df in [("nodes", store.nodes), ("edges", store.edges)]:
+            before, nbytes = _scan(os.path.join(path, table))
+            n_out = max(1, math.ceil(nbytes / target_bytes))
+            compacted[table] = df.repartition(n_out, F.col("batch"))
+            stats[table] = {"files_before": before, "bytes": nbytes}
+        GraphStore(compacted["nodes"], compacted["edges"]).write_atomic(path)
+        for table in stats:
+            stats[table]["files_after"] = _scan(os.path.join(path, table))[0]
+        return stats
+
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "GraphStore":
         return cls(

@@ -262,6 +262,67 @@ GROUP BY e1.nationkey ORDER BY e1.nationkey
 """
 
 
+# Supplier nodes offset into their own id range for the bipartite graph.
+_SUPP_BASE = 1_000_000
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (unweighted BFS distances) over a
+    genuinely CYCLIC graph: the part↔supplier co-purchase bipartite graph
+    from lineitem (edge = supplier ships part). Distances from one seed
+    part, capped at 3 hops; output is the distance histogram.
+
+    The tree-shaped hierarchy queries above can't distinguish min-depth
+    BFS from plain expansion (every node has one path); this graph has
+    ~50k edges over 2.1k nodes, so the visited-set subtraction in
+    traverse.k_hop is load-bearing — without it the depth-3 frontier
+    would hold billions of walk rows.
+
+    Scale: per-hop equi-join frontier→edges with the visited-set anti-join
+    and localCheckpoint (see traverse.py); edges distinct-ed once up
+    front. The DuckDB oracle's recursive CTE uses UNION (not UNION ALL)
+    dedup for the same termination guarantee.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + _SUPP_BASE).cast("long").alias("dst"),
+    ).distinct()
+    seeds = spark.range(1).select(
+        F.lit(1).cast("long").alias("seed"), F.lit(1).cast("long").alias("node"))
+    reached = k_hop(seeds, edges, depth=3, direction="both")
+    return (
+        reached.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("depth")
+    )
+
+
+Q_SHORTEST_PATHS_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+         CAST(l_suppkey + {_SUPP_BASE} AS BIGINT) AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), walk AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION
+  SELECT u.dst, w.depth + 1
+  FROM walk w JOIN und u ON u.src = w.node
+  WHERE w.depth < 3
+), dists AS (
+  SELECT node, min(depth) AS depth FROM walk GROUP BY node
+)
+SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM dists GROUP BY depth ORDER BY depth
+"""
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -269,6 +330,7 @@ QUERIES = {
     "graph_connected_components": q_connected_components,
     "graph_pagerank": q_pagerank,
     "graph_triangle_count": q_triangle_count,
+    "graph_shortest_paths": q_shortest_paths,
 }
 
 ORACLE = {
@@ -278,4 +340,5 @@ ORACLE = {
     "graph_connected_components": Q_CC_SQL,
     # graph_pagerank: intentionally absent → rows-only check.
     "graph_triangle_count": Q_TRIANGLE_SQL,
+    "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
 }

@@ -241,3 +241,31 @@ def test_title_hierarchy(spark):
         for t, p in pairs:
             if p != "ServiceBulletin":
                 assert p == roots[0], (doc, t, p)
+
+
+def test_compact_reduces_files_preserves_rows(spark, store, tmp_path):
+    """Small-files compaction: a store written with an artificially
+    fragmented layout (one file per shuffle partition per batch dir) must
+    compact to ~one file per batch dir with identical contents."""
+    path = str(tmp_path / "graph")
+    fragmented = GraphStore(store.nodes.repartition(16),
+                            store.edges.repartition(16))
+    fragmented.write(path)
+    rows_before = (GraphStore.read(spark, path).nodes.count(),
+                   GraphStore.read(spark, path).edges.count())
+
+    stats = GraphStore.compact(spark, path)
+
+    assert stats["nodes"]["files_before"] > stats["nodes"]["files_after"]
+    assert stats["edges"]["files_before"] > stats["edges"]["files_after"]
+    back = GraphStore.read(spark, path)
+    assert (back.nodes.count(), back.edges.count()) == rows_before
+    assert "batch" in back.nodes.columns
+    # batch-dir alignment survives: one partition dir per batch value
+    n_batches = back.nodes.select("batch").distinct().count()
+    assert stats["nodes"]["files_after"] <= max(n_batches, 1) * 2
+
+
+def test_compact_rejects_object_store_paths(spark):
+    with pytest.raises(ValueError):
+        GraphStore.compact(spark, "s3://bucket/graph")
