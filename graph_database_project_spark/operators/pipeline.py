@@ -129,12 +129,72 @@ FROM conv
 """
 
 
+def q_funnel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of their
+    first event; each later week's distinct-active count is reported as a
+    retention rate against the cohort's size — the standard product-
+    analytics triangle chart, and the engagement-decay view a data-flywheel
+    pipeline monitors.
+
+    Scale: activity distinct + per-user min share the user_id shuffle key;
+    the cohort-size table (rows = #weeks) joins back as a broadcast. The
+    raw stream collapses to (user, week) pairs at the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    base = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(base), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+), base AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM cohorts GROUP BY cohort_week
+), grid AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week,
+       g.week_offset, g.n_active, b.cohort_size,
+       round(g.n_active * 1.0 / b.cohort_size, 6) AS retention
+FROM grid g JOIN base b USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "pipeline_training_data": q_pipeline_training_data,
     "funnel_conversion": q_funnel_conversion,
+    "funnel_retention_cohorts": q_funnel_retention_cohorts,
 }
 
 ORACLE = {
     "pipeline_training_data": Q_PIPELINE_SQL,
     "funnel_conversion": Q_FUNNEL_SQL,
+    "funnel_retention_cohorts": Q_RETENTION_SQL,
 }

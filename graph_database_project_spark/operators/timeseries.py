@@ -192,11 +192,76 @@ LEFT JOIN hourly USING (event_type, h)
 """
 
 
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event_type hourly counts scored
+    against a trailing 24-hour baseline (mean/stddev over the 24 rows
+    BEFORE the current hour — the current hour never contaminates its own
+    baseline); hours with |z| ≥ 2 after ≥ 12 hours of warm-up are flagged.
+    This is the alerting query a telemetry pipeline runs on the same
+    hypertable the rollups serve.
+
+    Scale: one partial-aggregated shuffle to hourly grain (rows ≈ hours ×
+    types, tiny at any corpus scale), then one window over that bounded
+    frame — the raw event stream never enters the window state. The
+    threshold compares the ROUNDED z both here and in the oracle, so a
+    1-ulp stddev difference between engines cannot flip a row across the
+    boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type", "h", "n",
+        F.count("n").over(w).alias("n_prior"),
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    ).filter((F.col("n_prior") >= 12) & (F.col("sigma") > 0)) \
+     .withColumn("z", F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4))
+    return scored.filter(F.abs(F.col("z")) >= 2.0).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.round("mu", 4).alias("mu"),
+        F.round("sigma", 4).alias("sigma"),
+        "z",
+    )
+
+
+Q_TS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, h, n,
+         count(n)       OVER w AS n_prior,
+         avg(n)         OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(n AS BIGINT) AS n,
+       round(mu, 4)    AS mu,
+       round(sigma, 4) AS sigma,
+       round((n - mu) / sigma, 4) AS z
+FROM scored
+WHERE n_prior >= 12 AND sigma > 0
+  AND abs(round((n - mu) / sigma, 4)) >= 2.0
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
     "ts_gapfill_locf": q_ts_gapfill_locf,
+    "ts_anomaly_zscore": q_ts_anomaly_zscore,
 }
 ORACLE = {
     "ts_rollup_multires": Q_TS_ROLLUP_SQL,
     "ts_gapfill_locf": Q_TS_GAPFILL_SQL,
+    "ts_anomaly_zscore": Q_TS_ANOMALY_SQL,
 }
