@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from .traverse import k_hop
 
 
+def _require_posix(path: str, what: str) -> str:
+    """Strip a ``file://`` scheme and refuse any other scheme: the rename-
+    swap and compaction paths need local POSIX semantics (atomic
+    os.rename); object stores have no atomic directory rename — there a
+    transactional table format's metadata commit is the only correct
+    option, so refusing beats a silently non-atomic copy."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            f"{what} needs a local POSIX path, got {path!r}; "
+            "use a transactional table format on object stores")
+    return path
+
+
 @dataclass
 class GraphStore:
     nodes: DataFrame
@@ -56,12 +71,7 @@ class GraphStore:
         import shutil
         import uuid
 
-        if path.startswith("file://"):
-            path = path[len("file://"):]  # os.rename needs the bare path
-        if "://" in path:
-            raise ValueError(
-                f"write_atomic needs a local POSIX path, got {path!r}; "
-                "use a transactional table format on object stores")
+        path = _require_posix(path, "write_atomic")
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         self.write(tmp)
@@ -85,26 +95,25 @@ class GraphStore:
         table fed by minutely batches grows millions of KB-sized files,
         and scan task-scheduling overhead comes to dominate the read path).
 
-        Sizing: files-per-table = ceil(on-disk bytes / target_bytes),
-        repartitioned BY the batch column so rows stay aligned with the
-        partition directories (a row never crosses its batch dir; a batch
-        smaller than target_bytes compacts to one file). The rewrite goes
-        through the same write-temp-then-swap as write_atomic, so readers
-        never see a half-compacted store. Local-POSIX only, same guard and
-        for the same reason (object stores want Delta/Iceberg OPTIMIZE).
+        Sizing: rows-per-file is derived from the measured on-disk
+        bytes/row (rows × target_bytes / bytes) and enforced through
+        ``spark.sql.files.maxRecordsPerFile``, so an oversized batch splits
+        into ~target_bytes files and a directory of tiny epoch files
+        collapses toward one file per batch dir. Rows are repartitioned BY
+        the batch column (ceil(bytes/target) partitions for write
+        parallelism), so a row never crosses its batch dir. The rewrite
+        goes through the same write-temp-then-swap as write_atomic, so
+        readers never see a half-compacted store. Local-POSIX only, same
+        guard and for the same reason (object stores want Delta/Iceberg
+        OPTIMIZE).
 
-        Returns {table: {files_before, files_after, bytes}} for the audit
-        log a compaction daemon would emit.
+        Returns {table: {files_before, files_after, bytes, rows}} for the
+        audit log a compaction daemon would emit.
         """
         import math
         import os
 
-        if path.startswith("file://"):
-            path = path[len("file://"):]
-        if "://" in path:
-            raise ValueError(
-                f"compact needs a local POSIX path, got {path!r}; "
-                "use the table format's OPTIMIZE on object stores")
+        path = _require_posix(path, "compact")
 
         def _scan(d: str) -> tuple[int, int]:
             n_files = n_bytes = 0
@@ -118,12 +127,32 @@ class GraphStore:
         stats = {}
         store = GraphStore.read(spark, path)
         compacted = {}
+        rows_per_file = []
         for table, df in [("nodes", store.nodes), ("edges", store.edges)]:
             before, nbytes = _scan(os.path.join(path, table))
+            n_rows = df.count()
             n_out = max(1, math.ceil(nbytes / target_bytes))
+            if nbytes > 0 and n_rows > 0:
+                rows_per_file.append(
+                    max(1, math.floor(n_rows * target_bytes / nbytes)))
             compacted[table] = df.repartition(n_out, F.col("batch"))
-            stats[table] = {"files_before": before, "bytes": nbytes}
-        GraphStore(compacted["nodes"], compacted["edges"]).write_atomic(path)
+            stats[table] = {"files_before": before, "bytes": nbytes,
+                            "rows": n_rows}
+        # maxRecordsPerFile is session-wide: apply the tighter of the two
+        # tables' budgets for the swap write, restore the caller's value
+        # after (small-file overshoot on the other table is bounded by the
+        # ratio of their bytes/row, fine for a maintenance job).
+        conf_key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(conf_key, None)
+        try:
+            if rows_per_file:
+                spark.conf.set(conf_key, str(min(rows_per_file)))
+            GraphStore(compacted["nodes"], compacted["edges"]).write_atomic(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         for table in stats:
             stats[table]["files_after"] = _scan(os.path.join(path, table))[0]
         return stats

@@ -167,13 +167,16 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SAMPLE_WEIGHTED_MIX_SQL = f"""
 WITH gated AS (
+  -- TRY_CAST, not CAST: a digit-less source must yield NULL (NULL % 2 = 0
+  -- is NULL -> ELSE branch), matching Spark's cast('int') null semantics
+  -- instead of crashing the oracle run
   SELECT source,
-         CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+         CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
               THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END AS rate,
          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                    % 1000000
                    < CAST(floor(
-                       (CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+                       (CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
                              THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END) * 1000000)
                      AS BIGINT)
               THEN 1 ELSE 0 END AS keep
@@ -198,7 +201,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability; the corpus total crosses as a broadcast 1-row join, not a
     driver collect.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     tok = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word")
     )

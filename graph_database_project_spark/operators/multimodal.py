@@ -616,7 +616,11 @@ VIDEO_FRAME_STRIDE = 2  # sample every 2nd frame — the training-set decimation
 
 
 def _y4m_dims(doc_id: int) -> tuple[int, int, int]:
-    return 8 + doc_id % 5, 6 + doc_id % 3, 3 + doc_id % 4  # w, h, n_frames
+    # dims keyed on doc_id // 5, NOT doc_id % k: the corpus filter keeps
+    # doc_id % 5 == 0, under which any doc_id % 5-or-multiple expression
+    # is constant and the width variation would be dead (untested) code
+    k = doc_id // 5
+    return 8 + k % 5, 6 + k % 3, 3 + k % 4  # w, h, n_frames
 
 
 def _y4m_bytes(doc_id: int, text: str) -> bytes:
@@ -728,9 +732,9 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MULTIMODAL_VIDEO_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         8 + doc_id % 5 AS width,
-         6 + doc_id % 3 AS height,
-         3 + doc_id % 4 AS n_frames,
+         8 + (doc_id // 5) % 5 AS width,
+         6 + (doc_id // 5) % 3 AS height,
+         3 + (doc_id // 5) % 4 AS n_frames,
          {_DIGEST_BYTES_SQL} AS dg
   FROM documents WHERE doc_id % 5 = 0
 ), frames AS (

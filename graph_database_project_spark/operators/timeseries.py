@@ -194,11 +194,14 @@ LEFT JOIN hourly USING (event_type, h)
 
 def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: per event_type hourly counts scored
-    against a trailing 24-hour baseline (mean/stddev over the 24 rows
-    BEFORE the current hour — the current hour never contaminates its own
-    baseline); hours with |z| ≥ 2 after ≥ 12 hours of warm-up are flagged.
-    This is the alerting query a telemetry pipeline runs on the same
-    hypertable the rollups serve.
+    against a baseline of the 24 most recent ACTIVE hours (a 24-ROW frame
+    before the current row — for a type with empty hours this spans more
+    than 24 wall-clock hours, deliberately: empty buckets produce no rows
+    and would otherwise zero-drag the baseline; compose with
+    ts_gapfill_locf first if strict wall-clock windows are wanted). The
+    current hour never contaminates its own baseline; rows with |z| ≥ 2
+    after ≥ 12 baseline rows are flagged. This is the alerting query a
+    telemetry pipeline runs on the same hypertable the rollups serve.
 
     Scale: one partial-aggregated shuffle to hourly grain (rows ≈ hours ×
     types, tiny at any corpus scale), then one window over that bounded

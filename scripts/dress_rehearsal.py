@@ -49,7 +49,6 @@ def main() -> int:
     mod = importlib.import_module("__spark_entry__")
     qs, os_ = mod.queries(), mod.oracle_sql()
 
-    sys.path.insert(0, "/root/repo/tests")
     from tests.oracle import compare, duckdb_con
 
     con = duckdb_con(args.sf_dir)

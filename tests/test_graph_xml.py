@@ -265,6 +265,13 @@ def test_compact_reduces_files_preserves_rows(spark, store, tmp_path):
     n_batches = back.nodes.select("batch").distinct().count()
     assert stats["nodes"]["files_after"] <= max(n_batches, 1) * 2
 
+    # target_bytes must actually govern sizing: recompacting with a tiny
+    # target splits the just-merged files back up (maxRecordsPerFile path)
+    small = GraphStore.compact(spark, path, target_bytes=8 * 1024)
+    assert small["nodes"]["files_after"] > stats["nodes"]["files_after"]
+    back2 = GraphStore.read(spark, path)
+    assert (back2.nodes.count(), back2.edges.count()) == rows_before
+
 
 def test_compact_rejects_object_store_paths(spark):
     with pytest.raises(ValueError):

@@ -164,13 +164,22 @@ def test_y4m_roundtrip_pure_python():
     from graph_database_project_spark.operators.multimodal import (
         _y4m_bytes, _y4m_dims, decode_y4m)
 
-    raw = _y4m_bytes(10, "hello video")
-    w, h, fps, n_frames, means = decode_y4m(raw)
-    ew, eh, enf = _y4m_dims(10)
-    assert (w, h, fps, n_frames) == (ew, eh, 25, enf)
-    assert all(0.0 <= m <= 1.0 for m in means)
-    # frames must differ (per-frame +f offset) but only slightly
-    assert len(set(means)) == n_frames
+    # sweep doc_ids congruent to the corpus filter (doc_id % 5 == 0) so
+    # every width/height/frame-count residue of _y4m_dims is exercised
+    seen_dims = set()
+    for doc_id in range(0, 300, 5):
+        raw = _y4m_bytes(doc_id, "hello video")
+        w, h, fps, n_frames, means = decode_y4m(raw)
+        ew, eh, enf = _y4m_dims(doc_id)
+        assert (w, h, fps, n_frames) == (ew, eh, 25, enf)
+        assert all(0.0 <= m <= 1.0 for m in means)
+        # frames must differ (per-frame +f offset) but only slightly
+        assert len(set(means)) == n_frames
+        seen_dims.add((w, h, n_frames))
+    # the dims formula must actually vary across the filtered corpus
+    assert len({d[0] for d in seen_dims}) == 5
+    assert len({d[1] for d in seen_dims}) == 3
+    assert len({d[2] for d in seen_dims}) == 4
 
     # malformed containers reject with ValueError, never KeyError /
     # ZeroDivisionError / IndexError out of the executor
