@@ -1,0 +1,57 @@
+"""Continuous-aggregate refresh (streaming/rollup.py): the materialized
+rollup must equal the one-shot batch aggregate after the stream drains, and
+replaying a committed microbatch must be a no-op (the counts/sums are not
+naturally idempotent — the ledger makes them so)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graph_database_project_spark.io import load_table
+from graph_database_project_spark.streaming.rollup import (
+    merge_rollup, read_rollup, rollup_partial, stream_rollup_events)
+
+
+def _canon(df):
+    rows = df.select(
+        "event_type",
+        F.date_format("b15", "yyyy-MM-dd HH:mm:ss").alias("b15"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).collect()
+    return sorted((r.event_type, r.b15, r.n_events, r.sum_value) for r in rows)
+
+
+def test_stream_rollup_matches_batch_and_replay_is_noop(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    # a drop directory of several files → several microbatches
+    events_dir = str(tmp_path / "events")
+    ev.repartition(4).write.parquet(events_dir)
+    rollup_path = str(tmp_path / "rollup")
+
+    stream_rollup_events(spark, events_dir, rollup_path,
+                         schema=ev.schema, max_files_per_trigger=1)
+
+    committed = os.listdir(os.path.join(rollup_path, "_committed"))
+    assert len(committed) >= 2, "expected multiple microbatches"
+
+    got = _canon(read_rollup(spark, rollup_path))
+    want = _canon(rollup_partial(spark.read.parquet(events_dir)))
+    assert got == want
+
+    # replaying an already-committed batch id must change nothing
+    replay_id = int(sorted(committed)[0])
+    applied = merge_rollup(spark, rollup_path,
+                           spark.read.parquet(events_dir), replay_id)
+    assert applied is False
+    assert _canon(read_rollup(spark, rollup_path)) == want
+
+    # a genuinely new batch still applies on top
+    extra = spark.read.parquet(events_dir).limit(10)
+    assert merge_rollup(spark, rollup_path, extra, 10_000) is True
+    n_after = read_rollup(spark, rollup_path).agg(F.sum("n_events")).first()[0]
+    n_want = spark.read.parquet(events_dir).count() + 10
+    assert n_after == n_want
