@@ -225,3 +225,29 @@ def test_embedding_outlier_centroids_broadcast(spark):
     assert n_ops(p, "BroadcastHashJoin") == 1
     assert n_ops(p, "SortMergeJoin") == 0
     assert n_hash_shuffles(p) <= 2
+
+
+def test_ts_anomaly_two_bounded_shuffles(spark):
+    # hourly agg shuffles on (event_type, hour) — wide, map-side combined;
+    # the window then re-shuffles only hourly rows by event_type. Exactly
+    # these two: the raw event stream must never enter the window state.
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_anomaly_zscore(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 2, p
+    assert p.count("HashAggregate") >= 2  # partial agg before the shuffle
+    # NOT one shuffle by design: pre-partitioning the raw scan by
+    # event_type (cardinality ~5) would serialize the aggregation into a
+    # handful of giant partitions at scale.
+
+
+def test_retention_cohorts_no_smj_no_cartesian(spark):
+    # every join is either broadcast (cohort sizes: rows = #weeks) or on
+    # the shared user_id key over post-collapse frames; the raw stream
+    # collapses at the first distinct
+    from graph_database_project_spark.operators import pipeline
+
+    p = plan(pipeline.q_funnel_retention_cohorts(spark, SF_ORACLE))
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastHashJoin") >= 1
