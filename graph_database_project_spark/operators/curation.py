@@ -282,12 +282,73 @@ ORDER BY e.vec_id
 """
 
 
+# train/val/test thresholds over a md5-mod-100 bucket: [0,80) / [80,90) / [90,100)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment + per-split audit.
+    Membership is a pure function of doc_id (md5-mod bucket), so the split
+    is stable across runs, engines, and re-partitioning — documents never
+    migrate between splits when the corpus is re-processed, which is the
+    leakage guarantee an eval pipeline depends on.
+
+    Scale: scan-local gate (no shuffle decides membership), one 3-row
+    rollup. The checksum column makes split drift detectable in CI at a
+    glance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    total = docs.count()  # scalar for the share denominator (one tiny job)
+    return (
+        docs.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+Q_SAMPLE_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < {SPLIT_VAL_PCT} THEN 'val'
+           ELSE 'test' END AS split,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_checksum
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "shard_assign": q_shard_assign,
     "sample_weighted_mix": q_sample_weighted_mix,
     "text_unigram_logprob": q_text_unigram_logprob,
     "embedding_outlier": q_embedding_outlier,
+    "sample_split": q_sample_split,
 }
 
 ORACLE = {
@@ -296,4 +357,5 @@ ORACLE = {
     "sample_weighted_mix": Q_SAMPLE_WEIGHTED_MIX_SQL,
     "text_unigram_logprob": Q_TEXT_UNIGRAM_LOGPROB_SQL,
     "embedding_outlier": Q_EMBEDDING_OUTLIER_SQL,
+    "sample_split": Q_SAMPLE_SPLIT_SQL,
 }

@@ -134,14 +134,107 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: compare ``orders`` (v1) against a
+    deterministically mutated v2 (delete every key % 89 = 0, update
+    priority+price on surviving keys % 97 = 0, insert key-shifted copies
+    of keys % 101 = 0) and emit one row per changed key tagged
+    insert/delete/update with old/new values — the change feed a
+    downstream incremental consumer reads after a batch of writes.
+
+    Scale: one co-partitioned full-outer join on the key (both sides
+    shuffle once on o_orderkey; unchanged keys are filtered AFTER the
+    join by Catalyst's generated predicate, so nothing materializes but
+    the changed rows). This is the MERGE-diff plan shape a Delta/Iceberg
+    CDF implements natively at 100 TB.
+    """
+    v1 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    surviving = v1.filter(F.col("o_orderkey") % 89 != 0)
+    touched = F.col("o_orderkey") % 97 == 0
+    v2 = surviving.select(
+        "o_orderkey",
+        F.when(touched, F.lit("0-DIFF")).otherwise(F.col("o_orderpriority"))
+         .alias("o_orderpriority"),
+        F.when(touched, F.col("o_totalprice") + 100.0)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    ).unionByName(
+        v1.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 2_000_000_000).alias("o_orderkey"),
+            "o_orderpriority", "o_totalprice",
+        )
+    )
+    a = v1.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("old_priority"),
+        F.col("o_totalprice").alias("old_total"),
+    )
+    b = v2.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("new_priority"),
+        F.col("o_totalprice").alias("new_total"),
+    )
+    d = a.join(b, "o_orderkey", "full_outer")
+    change_type = (
+        F.when(F.col("old_priority").isNull(), "insert")
+        .when(F.col("new_priority").isNull(), "delete")
+        .when(
+            (F.col("old_priority") != F.col("new_priority"))
+            | (F.col("old_total") != F.col("new_total")),
+            "update",
+        )
+    )
+    return (
+        d.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type", "o_orderkey", "old_priority", "new_priority",
+            F.round("old_total", 2).alias("old_total"),
+            F.round("new_total", 2).alias("new_total"),
+        )
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN '0-DIFF' ELSE o_orderpriority END
+           AS o_orderpriority,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1 WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 2000000000, o_orderpriority, o_totalprice
+  FROM v1 WHERE o_orderkey % 101 = 0
+), d AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_orderpriority AS old_priority, b.o_orderpriority AS new_priority,
+         a.o_totalprice AS old_total, b.o_totalprice AS new_total
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CASE WHEN old_priority IS NULL THEN 'insert'
+            WHEN new_priority IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o_orderkey, old_priority, new_priority,
+       round(old_total, 2) AS old_total, round(new_total, 2) AS new_total
+FROM d
+WHERE old_priority IS NULL OR new_priority IS NULL
+   OR old_priority <> new_priority OR old_total <> new_total
+"""
+
+
 QUERIES = {
     "mutation_merge_upsert": merge_upsert_customers,
     "mutation_delete_cascade": delete_cascade_orders,
     "mutation_property_set": property_set_parts,
+    "mutation_table_diff": table_diff_orders,
 }
 
 ORACLE = {
     "mutation_merge_upsert": MERGE_UPSERT_SQL,
     "mutation_delete_cascade": DELETE_CASCADE_SQL,
     "mutation_property_set": PROPERTY_SET_SQL,
+    "mutation_table_diff": TABLE_DIFF_SQL,
 }

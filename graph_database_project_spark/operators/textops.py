@@ -434,6 +434,251 @@ FROM gated GROUP BY lang ORDER BY lang
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+# The synthetic corpus carries no PII, so the query deterministically injects
+# it first (emails/phones/IPs derived from doc_id — the same
+# augment-then-operate pattern the multimodal codecs use) and then runs the
+# real scrubber over the augmented text. Patterns are kept to the syntax
+# subset Java regex and RE2 (DuckDB) agree on: character classes, +, {n}.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PII_PHONE_RE = r"555-[0-9]{4}"
+PII_IP_RE = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: count and redact emails, phone
+    numbers, and IPv4 addresses (the minimum a training-data pipeline
+    scrubs before anything ships). Injection varies on doc_id % 3/4/7 so
+    every combination of hit-counts (including zero) is exercised.
+
+    Scale: pure per-row projection — no shuffle, no UDF; regexp work stays
+    inside whole-stage codegen, so this runs at scan speed at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit("."), (F.col("doc_id") % 100).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    d = docs.withColumn("_aug", aug)
+    n_emails = F.size(F.regexp_extract_all("_aug", F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("_aug", F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all("_aug", F.lit(PII_IP_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("_aug", PII_EMAIL_RE, "[EMAIL]"),
+            PII_IP_RE, "[IP]"),
+        PII_PHONE_RE, "[PHONE]")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_phones + n_ips).alias("n_pii"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+Q_PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(t, '{PII_IP_RE}'))    AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_IP_RE}', '[IP]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips AS n_pii,
+       length(redacted) AS redacted_len,
+       md5(redacted) AS redacted_hash
+FROM red
+"""
+
+
+# --- Gopher-style quality filter battery -------------------------------------
+# Rule thresholds are tuned so every rule actually splits THIS corpus (word
+# counts span 10-99, mean word length 3.7-5.3, stopword ratio 0-0.22,
+# distinct-word ratio 0.28-1.0 at sf0.01) — a rule no document can fail is
+# dead, untested variation (same trap as the multimodal dims formulas).
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic filter battery: each document gets a
+    boolean per rule plus a comma-joined ``fail_reasons`` audit column —
+    the reject-with-reason shape a curation pipeline logs so filter drift
+    is debuggable. Pure projection, no shuffle, codegen-friendly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    mwl = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1))
+    )
+    sr = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))) / F.greatest(n_words, F.lit(1))
+    dr = F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))
+    d = (
+        docs.withColumn("n_words", n_words)
+        .withColumn("_mwl", mwl).withColumn("_sr", sr).withColumn("_dr", dr)
+    )
+    r_wc = F.col("n_words").between(30, 90)
+    r_mwl = F.col("_mwl").between(4.0, 5.0)
+    r_sr = F.col("_sr") >= 0.03
+    r_dr = F.col("_dr") >= 0.35
+    reasons = F.concat_ws(
+        ",",
+        F.when(~r_wc, F.lit("word_count")),
+        F.when(~r_mwl, F.lit("mean_word_len")),
+        F.when(~r_sr, F.lit("stopword_ratio")),
+        F.when(~r_dr, F.lit("distinct_ratio")),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round("_mwl", 4).alias("mean_word_len"),
+        F.round("_sr", 6).alias("stopword_ratio"),
+        F.round("_dr", 6).alias("distinct_ratio"),
+        (r_wc & r_mwl & r_sr & r_dr).alias("passes"),
+        reasons.alias("fail_reasons"),
+    )
+
+
+Q_QUALITY_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT)))
+           * 1.0 / greatest(len(words), 1) AS mwl,
+         len(list_filter(words, w -> w IN ({",".join("'" + w + "'" for w in STOPWORDS)})))
+           * 1.0 / greatest(len(words), 1) AS sr,
+         len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS dr
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sr, 6) AS stopword_ratio,
+       round(dr, 6) AS distinct_ratio,
+       (n_words BETWEEN 30 AND 90) AND (mwl BETWEEN 4.0 AND 5.0)
+         AND sr >= 0.03 AND dr >= 0.35 AS passes,
+       concat_ws(',',
+         CASE WHEN NOT (n_words BETWEEN 30 AND 90) THEN 'word_count' END,
+         CASE WHEN NOT (mwl BETWEEN 4.0 AND 5.0) THEN 'mean_word_len' END,
+         CASE WHEN NOT (sr >= 0.03) THEN 'stopword_ratio' END,
+         CASE WHEN NOT (dr >= 0.35) THEN 'distinct_ratio' END) AS fail_reasons
+FROM s
+"""
+
+
+# --- Cross-corpus span-level dedup -------------------------------------------
+SPAN_WORDS = 3  # chunk width; 3 gives ~19% duplicate chunks on this corpus
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) deduplication: split every document into
+    fixed-width word chunks, keep only the globally-first occurrence of
+    each chunk (first = smallest (doc_id, chunk_idx)), and report per-doc
+    kept/dropped counts — the paragraph-dedup step of RefinedWeb/Dolma
+    pipelines, expressed over this corpus's word-soup granularity.
+
+    Scale: chunks shuffle ONCE on their content hash (the dedup window),
+    then once more back to doc grain — both keyed, no all-pairs anywhere.
+    At 100 TB the md5 keys are uniform so the window partitioning has no
+    skew; the heavy text column never crosses a shuffle (only 32-char
+    hashes and ids do).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_chunks = F.ceil(F.size(words) / F.lit(float(SPAN_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * SPAN_WORDS + 1, SPAN_WORDS), " "),
+    )
+    exploded = (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        # only the 32-char hash + ids cross the shuffle, never the text
+        .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
+    )
+    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        )
+        .withColumn("drop_ratio", F.round(F.col("n_dropped") / F.col("n_chunks"), 6))
+    )
+
+
+Q_SPAN_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+), sized AS (
+  SELECT doc_id, words,
+         CAST(ceil(len(words) / {SPAN_WORDS}.0) AS INT) AS nch
+  FROM w
+), c AS (
+  -- two same-length unnests in one SELECT zip together
+  SELECT doc_id,
+         unnest(range(0, nch)) AS chunk_idx,
+         unnest(list_transform(range(0, nch),
+                i -> md5(array_to_string(
+                       list_slice(words, CAST(i AS INT) * {SPAN_WORDS} + 1,
+                                  CAST(i AS INT) * {SPAN_WORDS} + {SPAN_WORDS}), ' ')))) AS h
+  FROM sized
+), flagged AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS drop_ratio
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
@@ -444,6 +689,9 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "sample_systematic": q_sample_systematic,
     "sample_stratified": q_sample_stratified,
+    "text_pii_redact": q_pii_redact,
+    "text_quality_gopher": q_quality_gopher,
+    "text_span_dedup": q_span_dedup,
 }
 
 ORACLE = {
@@ -456,4 +704,7 @@ ORACLE = {
     "text_decontaminate": _decontaminate_sql(),
     "sample_systematic": Q_SAMPLE_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "text_pii_redact": Q_PII_REDACT_SQL,
+    "text_quality_gopher": Q_QUALITY_GOPHER_SQL,
+    "text_span_dedup": Q_SPAN_DEDUP_SQL,
 }

@@ -258,13 +258,91 @@ WHERE n_prior >= 12 AND sigma > 0
 """
 
 
+EWMA_ALPHA = 0.3  # decay factor; weight of the k-th-newest bucket ∝ 0.7^k
+EWMA_SPAN = 24    # finite horizon: trailing 24 active hourly buckets
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    type — the smoothing curve a monitoring dashboard draws next to the
+    raw series. Finite-horizon form (the 24 most recent active buckets;
+    weight of the k-th-newest ∝ (1-α)^k, normalized), so every value is a
+    closed-form dot product both engines compute identically.
+
+    Scale: one partial-aggregated shuffle to hourly grain, then one
+    bounded-frame window over rows ≈ hours × types — the raw stream never
+    enters window state. The per-row dot product is a 24-element
+    higher-order-function fold inside codegen, not a UDF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-(EWMA_SPAN - 1), 0)
+    # collect_list over an ORDER BY frame is frame-ordered: oldest first
+    vals = F.collect_list(F.col("n").cast("double")).over(w)
+    d = hourly.withColumn("_vals", vals).withColumn("m", F.size("_vals"))
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    # element k (oldest-first) has age m-1-k → weight (1-α)^(m-1-k)
+    wts = F.transform(
+        F.sequence(F.lit(0), F.col("m") - 1),
+        lambda k: F.pow(decay, (F.col("m") - 1 - k).cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("_vals"), wts, lambda v, wt: v * wt),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    return d.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.col("m").alias("n_window"),
+        F.round(num / den, 4).alias("ewma"),
+        F.round(F.col("n") - num / den, 4).alias("deviation"),
+    )
+
+
+Q_TS_EWMA_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, h, n,
+         list(CAST(n AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM hourly
+), scored AS (
+  SELECT event_type, h, n, len(vals) AS m,
+         list_dot_product(
+           vals,
+           list_transform(range(0, len(vals)),
+                          k -> pow({1.0 - EWMA_ALPHA}, len(vals) - 1 - k)))
+         / list_sum(list_transform(range(0, len(vals)),
+                          k -> pow({1.0 - EWMA_ALPHA}, len(vals) - 1 - k))) AS ewma
+  FROM framed
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(n AS BIGINT) AS n,
+       CAST(m AS INT) AS n_window,
+       round(ewma, 4) AS ewma,
+       round(n - ewma, 4) AS deviation
+FROM scored
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
     "ts_gapfill_locf": q_ts_gapfill_locf,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
+    "ts_ewma": q_ts_ewma,
 }
 ORACLE = {
     "ts_rollup_multires": Q_TS_ROLLUP_SQL,
     "ts_gapfill_locf": Q_TS_GAPFILL_SQL,
     "ts_anomaly_zscore": Q_TS_ANOMALY_SQL,
+    "ts_ewma": Q_TS_EWMA_SQL,
 }

@@ -251,3 +251,59 @@ def test_retention_cohorts_no_smj_no_cartesian(spark):
     assert n_ops(p, "SortMergeJoin") == 0
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastHashJoin") >= 1
+
+
+def test_pii_redact_and_gopher_pure_projection(spark):
+    # both PII scrubbing and the quality battery are scan-local row maps:
+    # no exchange of any kind, regexp/higher-order work inside codegen
+    from graph_database_project_spark.operators import textops
+
+    for q in (textops.q_pii_redact, textops.q_quality_gopher):
+        p = plan(q(spark, SF_ORACLE))
+        assert n_ops(p, "Exchange") == 0, p
+        assert n_ops(p, "BatchEvalPython") == 0  # no row-at-a-time Python
+
+
+def test_span_dedup_hash_shuffles_only_no_cartesian(spark):
+    # chunks shuffle once on content-hash (the dedup window) and once back
+    # to doc grain; the text column itself must never cross a shuffle —
+    # only the 32-char md5 and ids do
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_span_dedup(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 2, p
+    assert n_ops(p, "CartesianProduct") == 0
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\n[^\n]*", p)
+    assert not any("text" in e for e in exchanges), exchanges
+
+
+def test_table_diff_single_copartitioned_join(spark):
+    # CDC diff: both snapshots shuffle once on the key into one full-outer
+    # sort-merge join; the change filter runs post-join, no second pass
+    from graph_database_project_spark.operators import mutation as mut
+
+    p = plan(mut.table_diff_orders(spark, SF_ORACLE))
+    assert n_ops(p, "SortMergeJoin") == 1, p
+    assert "FullOuter" in p
+    assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_ts_ewma_bounded_window_after_hourly_collapse(spark):
+    # same shape as ts_anomaly: partial-agg to hourly grain, then one
+    # window re-shuffle of hourly rows only — raw events never enter the
+    # 24-element frame state
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_ewma(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 2, p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sample_split_scan_local_gate(spark):
+    # split membership is decided at the scan (md5 projection, no shuffle
+    # to assign); only the 3-row audit rollup exchanges
+    from graph_database_project_spark.operators import curation
+
+    p = plan(curation.q_sample_split(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 1, p
+    assert p.count("HashAggregate") >= 2
