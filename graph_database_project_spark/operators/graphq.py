@@ -323,6 +323,134 @@ FROM dists GROUP BY depth ORDER BY depth
 """
 
 
+# Link prediction over the part↔supplier bipartite graph (same edge set as
+# q_shortest_paths). Hot-node cap: a part shipped by d suppliers contributes
+# d*(d-1)/2 candidate pairs — quadratic in the hottest part — so parts with
+# degree > LINKPRED_MAX_PART_DEG are excluded from pair generation (the
+# stop-shingle trick from dedup_ngram_jaccard applied to graphs). At sf0.01
+# part degrees span 13..41, so the 30-cap is a live filter, not dead config.
+LINKPRED_MAX_PART_DEG = 30
+LINKPRED_TOPK = 100
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction via neighborhood overlap: for every supplier pair,
+    count common parts and score with Jaccard over their part sets — the
+    classic common-neighbors/co-occurrence recommender (reference shape:
+    'which nodes should be connected next').
+
+    Spark shape: candidate pairs from ONE self-equi-join on partkey
+    (never supplier×supplier), pair rollup, then full per-supplier degrees
+    broadcast back onto the ~|S|² pair table. Scale: the part-degree cap
+    bounds the per-key fan-out of the pair join, so the shuffle is
+    O(edges·cap) worst case, not O(hottest-part²); degree tables are
+    node-cardinality and broadcast. Top-k under a total-order sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    part_deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
+    supp_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+    capped = edges.join(
+        F.broadcast(part_deg.filter(F.col("pd") <= LINKPRED_MAX_PART_DEG)), "p")
+    a = capped.select("p", F.col("s").alias("s1"))
+    b = capped.select("p", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = supp_deg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
+    d2 = supp_deg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
+    scored = (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("s1", "s2", "n_common", "deg1", "deg2", "jaccard")
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(LINKPRED_TOPK)
+    )
+
+
+Q_LINK_PREDICTION_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), pdeg AS (
+  SELECT p, count(*) AS pd FROM e GROUP BY p
+), sdeg AS (
+  SELECT s, count(*) AS sd FROM e GROUP BY s
+), capped AS (
+  SELECT e.p, e.s FROM e JOIN pdeg ON pdeg.p = e.p
+  WHERE pdeg.pd <= {LINKPRED_MAX_PART_DEG}
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, n_common,
+       d1.sd AS deg1, d2.sd AS deg2,
+       round(n_common * 1.0 / (d1.sd + d2.sd - n_common), 6) AS jaccard
+FROM pairs
+JOIN sdeg d1 ON d1.s = s1
+JOIN sdeg d2 ON d2.s = s2
+ORDER BY jaccard DESC, s1, s2
+LIMIT {LINKPRED_TOPK}
+"""
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite graph, per node type — the
+    first profiling query run on any new graph (skew detection: the
+    histogram tail IS the hot-key list the link-prediction cap guards
+    against).
+
+    Scale: two keyed aggregations (node → degree, degree → count), both
+    with map-side partial aggregation; output is tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+
+    def hist(keycol: str, label: str) -> DataFrame:
+        return (
+            edges.groupBy(keycol)
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit(label).alias("node_type"), "degree", "n_nodes")
+        )
+
+    return hist("p", "part").unionByName(hist("s", "supplier")) \
+        .orderBy("node_type", "degree")
+
+
+Q_DEGREE_HISTOGRAM_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), pd AS (
+  SELECT 'part' AS node_type, count(*) AS degree FROM e GROUP BY p
+), sd AS (
+  SELECT 'supplier' AS node_type, count(*) AS degree FROM e GROUP BY s
+), u AS (
+  SELECT * FROM pd UNION ALL SELECT * FROM sd
+)
+SELECT node_type, CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+FROM u GROUP BY node_type, degree ORDER BY node_type, degree
+"""
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -331,6 +459,8 @@ QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_triangle_count": q_triangle_count,
     "graph_shortest_paths": q_shortest_paths,
+    "graph_link_prediction": q_link_prediction,
+    "graph_degree_histogram": q_degree_histogram,
 }
 
 ORACLE = {
@@ -341,4 +471,6 @@ ORACLE = {
     # graph_pagerank: intentionally absent → rows-only check.
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
+    "graph_link_prediction": Q_LINK_PREDICTION_SQL,
+    "graph_degree_histogram": Q_DEGREE_HISTOGRAM_SQL,
 }

@@ -307,3 +307,25 @@ def test_sample_split_scan_local_gate(spark):
     p = plan(curation.q_sample_split(spark, SF_ORACLE))
     assert n_hash_shuffles(p) == 1, p
     assert p.count("HashAggregate") >= 2
+
+
+def test_link_prediction_capped_pair_join_broadcast_degrees(spark):
+    # candidate pairs come from ONE part-keyed equi-join (never a
+    # supplier×supplier product); the degree cap and both per-supplier
+    # degree tables attach via broadcast, so only the edge list shuffles
+    from graph_database_project_spark.operators import graphq
+
+    p = plan(graphq.q_link_prediction(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastHashJoin") >= 3, p
+    # top-k under the total-order sort must not globally sort all pairs
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_degree_histogram_partial_aggs_no_join(spark):
+    from graph_database_project_spark.operators import graphq
+
+    p = plan(graphq.q_degree_histogram(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastHashJoin") + n_ops(p, "SortMergeJoin") == 0
+    assert p.count("HashAggregate") >= 4  # partial+final on both grains
