@@ -758,6 +758,200 @@ FROM sampled
 """
 
 
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection via perceptual hash (dHash) — the
+# multimodal arm of the dedup family: same banded-LSH join shape as
+# dedup_minhash_lsh, but the signature comes out of a REAL image codec.
+#
+# Corpus: every document gets a synthesized P6 PPM. Documents sharing
+# doc_id % PHASH_BASES get the same base pixel plane; per group the
+# variant class (variant % 3) makes exact duplicates (untouched plane),
+# near duplicates (ONE pixel byte +64 — flips at most 2 of the 32 dHash
+# bits), and unrelated images (plane keyed on the full doc_id).
+#
+# dHash-32: grayscale g[j] = (r+g+b)//3 over the first 33 pixels; bit k =
+# [g[k] > g[k+1]]; packed into 4 bands of 8 bits. Candidates = pairs
+# sharing ANY equal band (equi-join, never all-pairs); verified at
+# hamming <= PHASH_MAX_HAMMING. With threshold 3 and 4 bands the banding
+# is COMPLETE by pigeonhole (3 flips cannot touch all 4 bands), so the
+# oracle's plain hamming<=3 self-join must match the banded plan
+# bit-exactly — parity proves the LSH recall guarantee, not just values.
+# At 100 TB you widen bands (16-32 bits) so chance band collisions don't
+# blow up the candidate set; the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+
+PHASH_BASES = 50
+PHASH_BITS = 32          # 33 grayscale samples → 32 neighbor comparisons
+PHASH_GBYTES = 99        # 33 pixels × 3 channels; min plane is 8*6*3=144
+PHASH_BANDS = 4          # 4 × 8-bit bands for the candidate join
+PHASH_MAX_HAMMING = 3    # < PHASH_BANDS ⇒ banded recall is provably 1.0
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+PHASH_HASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    *[T.StructField(f"b{i}", T.IntegerType()) for i in range(PHASH_BANDS)],
+])
+
+
+def _phash_ppm_bytes(doc_id: int) -> bytes:
+    base, variant = doc_id % PHASH_BASES, doc_id // PHASH_BASES
+    w, h = 8 + base % 9, 6 + base % 7
+    n = w * h * 3
+    if variant % 3 == 2:  # unrelated image: plane keyed on the full doc_id
+        dig = hashlib.md5(b"far:%d" % doc_id).digest()
+        pix = bytearray((dig * (n // 16 + 1))[:n])
+    else:
+        dig = hashlib.md5(b"phash:%d" % base).digest()
+        pix = bytearray((dig * (n // 16 + 1))[:n])
+        if variant % 3 == 1:  # near dup: one byte nudged
+            p0 = (variant * 29) % PHASH_GBYTES
+            pix[p0] = (pix[p0] + 64) % 256
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+
+def dhash32_bands(raw: bytes) -> tuple[int, ...]:
+    """REAL decode: parse the P6 container, grayscale the first 33 pixels,
+    emit the 32-bit dHash as PHASH_BANDS byte-bands (LSB-first)."""
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    pix = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    g = [(int(pix[3 * j]) + int(pix[3 * j + 1]) + int(pix[3 * j + 2])) // 3
+         for j in range(PHASH_BITS + 1)]
+    bits = [1 if g[k] > g[k + 1] else 0 for k in range(PHASH_BITS)]
+    width = PHASH_BITS // PHASH_BANDS
+    return tuple(
+        sum(bits[b * width + i] << i for i in range(width))
+        for b in range(PHASH_BANDS)
+    )
+
+
+def _phash_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "payload": [_phash_ppm_bytes(int(d)) for d in pdf["doc_id"]],
+        })
+
+
+def _phash_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [(int(d), *dhash32_bands(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows, columns=["doc_id"] + [f"b{i}" for i in range(PHASH_BANDS)])
+
+
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: synthesize → decode (two pipelined stateless
+    mapInPandas stages, no shuffle) → banded equi-join for candidates →
+    hamming verify. Only (doc_id, band_idx, band_val) rows cross the pair
+    shuffle — payloads and full hashes never do; full hashes re-attach by
+    doc id afterwards. The hash table is computed once per reference here
+    (cheap); at scale you'd persist it (it is corpus-sized, not
+    pair-sized)."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    imgs = docs.select("doc_id").mapInPandas(_phash_synth_batch, schema=PHASH_SCHEMA)
+    hashes = imgs.mapInPandas(_phash_decode_batch, schema=PHASH_HASH_SCHEMA)
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"b{i}" for i in range(PHASH_BANDS)]))
+         .alias("band_idx", "val"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "val")
+    cand = (
+        a.join(b, ["band_idx", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"),
+                       *[F.col(f"b{i}").alias(f"a{i}") for i in range(PHASH_BANDS)])
+    hb = hashes.select(F.col("doc_id").alias("doc_b"),
+                       *[F.col(f"b{i}").alias(f"bb{i}") for i in range(PHASH_BANDS)])
+    paired = cand.join(ha, "doc_a").join(hb, "doc_b")
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
+        for i in range(PHASH_BANDS)
+    )
+    return (
+        paired.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Oracle: recompute the plane closed-form (digest-tiled + the one-byte
+# nudge), dHash it with list lambdas, and take ALL pairs at hamming<=3 —
+# no band condition. Equality with the banded Spark plan holds by the
+# pigeonhole argument above; a recall bug in the banding breaks parity.
+def _phash_band_sql(prefix: str) -> str:
+    width = PHASH_BITS // PHASH_BANDS
+    return ", ".join(
+        f"list_sum(list_transform(range(0, {width}), "
+        f"i -> bits[{b * width} + i + 1] * (1 << CAST(i AS INT)))) AS {prefix}{b}"
+        for b in range(PHASH_BANDS)
+    )
+
+
+def _phash_byte_sql(idx: str) -> str:
+    # pixel byte at absolute index idx: digest byte (1-based list) unless
+    # it is the nudged position p0
+    return (
+        f"CASE WHEN ({idx}) = p0 THEN (d[(({idx}) % 16) + 1] + 64) % 256 "
+        f"ELSE d[(({idx}) % 16) + 1] END"
+    )
+
+
+Q_PHASH_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT doc_id, doc_id % {PHASH_BASES} AS base, doc_id // {PHASH_BASES} AS variant
+  FROM documents
+), dg AS (
+  SELECT doc_id,
+         CASE WHEN variant % 3 = 2
+              THEN list_transform(range(0, 16), k ->
+                     CAST(('0x' || substr(md5('far:' || CAST(doc_id AS VARCHAR)),
+                                          2 * k + 1, 2)) AS BIGINT))
+              ELSE list_transform(range(0, 16), k ->
+                     CAST(('0x' || substr(md5('phash:' || CAST(base AS VARCHAR)),
+                                          2 * k + 1, 2)) AS BIGINT)) END AS d,
+         CASE WHEN variant % 3 = 1 THEN (variant * 29) % {PHASH_GBYTES}
+              ELSE -1 END AS p0
+  FROM p
+), gray AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BITS + 1}), j ->
+           ({_phash_byte_sql('3 * j')} + {_phash_byte_sql('3 * j + 1')}
+            + {_phash_byte_sql('3 * j + 2')}) // 3) AS g
+  FROM dg
+), bitted AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BITS}), k ->
+           CASE WHEN g[k + 1] > g[k + 2] THEN 1 ELSE 0 END) AS bits
+  FROM gray
+), hashes AS (
+  SELECT doc_id, {_phash_band_sql('b')}
+  FROM bitted
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+    <= {PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,      # rows-only (Python stub seam)
     "multimodal_blob_stats": q_multimodal_blob_stats,
@@ -767,6 +961,7 @@ QUERIES = {
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
 }
 
 ORACLE = {
@@ -778,4 +973,5 @@ ORACLE = {
     "multimodal_audio_stats": Q_MULTIMODAL_AUDIO_SQL,
     "multimodal_png_decode": Q_MULTIMODAL_PNG_SQL,
     "multimodal_video_frames": Q_MULTIMODAL_VIDEO_SQL,
+    "multimodal_phash_neardup": Q_PHASH_NEARDUP_SQL,
 }

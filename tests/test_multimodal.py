@@ -214,3 +214,33 @@ def test_video_frames_query(spark):
     for doc_id, frs in by_doc.items():
         assert doc_id % 5 == 0
         assert len(frs) == (frs[0].n_frames + VIDEO_FRAME_STRIDE - 1) // VIDEO_FRAME_STRIDE
+
+
+def test_phash_codec_variant_classes():
+    from graph_database_project_spark.operators.multimodal import (
+        PHASH_BASES, PHASH_MAX_HAMMING, _phash_ppm_bytes, dhash32_bands)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    base_doc = 7                      # variant 0 (canonical)
+    exact = 7 + 3 * PHASH_BASES      # variant 3 → canonical again
+    near = 7 + 1 * PHASH_BASES       # variant 1 → one nudged byte
+    far = 7 + 2 * PHASH_BASES        # variant 2 → unrelated plane
+    h0 = dhash32_bands(_phash_ppm_bytes(base_doc))
+    assert dhash32_bands(_phash_ppm_bytes(exact)) == h0
+    assert ham(h0, dhash32_bands(_phash_ppm_bytes(near))) <= 2
+    assert ham(h0, dhash32_bands(_phash_ppm_bytes(far))) > PHASH_MAX_HAMMING
+    # non-PPM payload rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dhash32_bands(b"JFIF not a ppm")
+
+
+def test_phash_banding_complete_under_threshold():
+    # pigeonhole: threshold < n_bands means every qualifying pair shares
+    # at least one intact band — the property the oracle parity relies on
+    from graph_database_project_spark.operators.multimodal import (
+        PHASH_BANDS, PHASH_MAX_HAMMING)
+
+    assert PHASH_MAX_HAMMING < PHASH_BANDS

@@ -329,3 +329,18 @@ def test_degree_histogram_partial_aggs_no_join(spark):
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastHashJoin") + n_ops(p, "SortMergeJoin") == 0
     assert p.count("HashAggregate") >= 4  # partial+final on both grains
+
+
+def test_phash_neardup_banded_equi_join_no_cartesian(spark):
+    # candidates come from the (band_idx, val) equi-join; the all-pairs
+    # product must never appear, and payload/hash columns must not be in
+    # the pair shuffle (only ids + band keys)
+    from graph_database_project_spark.operators import multimodal as mm
+
+    p = plan(mm.q_multimodal_phash_neardup(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    # the binary payload must stop at the decode stage — no exchange
+    # (shuffle or broadcast) may carry it
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n){0,3}", p):
+        assert "payload" not in m.group(0), m.group(0)
