@@ -1,0 +1,231 @@
+"""Table profiling + data-quality expectation auditing — the ANALYZE /
+expectations surface of the engine (reference parity: the ingest scripts
+eyeball node/property completeness by hand, e.g. first-graph.py's ad-hoc
+count prints; here it is a first-class operator pair).
+
+Both queries run over a deterministically DIRTIED orders snapshot (negated
+prices, nulled clerks, dangling customer keys, duplicated order keys — the
+inject-then-operate pattern the multimodal codecs and mutation_table_diff
+use), so every profile column and every audit rule has live violations to
+find; a clean table would make half the assertions dead variation.
+
+Scale notes in each docstring; the profiler is ONE pass over the table
+(multi-distinct via Catalyst's Expand), the audit is one pass plus one
+keyed anti-join for the FK rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+# Dirt injection moduli — chosen co-prime so rule populations overlap but
+# never coincide (a row can be price-negative AND duplicated).
+DIRT_NEG_PRICE = 97     # o_orderkey % 97 == 0 → negated price
+DIRT_NULL_CLERK = 89    # → orderpriority nulled
+DIRT_DANGLING_FK = 101  # → o_custkey shifted out of customer's key space
+DIRT_DUP_KEY = 103      # → row duplicated (breaks key uniqueness)
+_FK_SHIFT = 10_000_000
+
+
+def dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutated snapshot both queries audit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mutated = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % DIRT_DANGLING_FK == 0,
+               F.col("o_custkey") + _FK_SHIFT)
+         .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % DIRT_NEG_PRICE == 0,
+               -F.col("o_totalprice"))
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % DIRT_NULL_CLERK == 0, F.lit(None))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    # duplicate via explode-replication, not a union self-read: the source
+    # is scanned ONCE (the union form re-scans the table — 2× I/O at 100 TB)
+    copies = F.when(F.col("o_orderkey") % DIRT_DUP_KEY == 0, 2).otherwise(1)
+    return mutated.select(
+        "*", F.explode(F.sequence(F.lit(1), copies)).alias("_i")
+    ).drop("_i")
+
+
+_DIRTY_SQL = f"""
+  mutated AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {DIRT_DANGLING_FK} = 0
+                THEN o_custkey + {_FK_SHIFT} ELSE o_custkey END AS o_custkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % {DIRT_NEG_PRICE} = 0
+                THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % {DIRT_NULL_CLERK} = 0
+                THEN NULL ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+  ), dirty AS (
+    SELECT * FROM mutated
+    UNION ALL
+    SELECT * FROM mutated WHERE o_orderkey % {DIRT_DUP_KEY} = 0
+  )
+"""
+
+# (column, stringify-kind) — doubles go through DECIMAL(18,2) so both
+# engines print identical text; dates/ints cast straight to string.
+_PROFILE_COLS = [
+    ("o_orderkey", "plain"),
+    ("o_custkey", "plain"),
+    ("o_orderstatus", "plain"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "plain"),
+    ("o_orderpriority", "plain"),
+]
+
+
+def _str_spark(col: str, kind: str, agg: str):
+    e = F.min(col) if agg == "min" else F.max(col)
+    if kind == "money":
+        e = e.cast("decimal(18,2)")
+    return e.cast("string")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (null count, exact distinct count, min/max) of
+    the dirty snapshot, computed in ONE table pass: every column's
+    aggregates live in a single agg (multi-distinct handled by Catalyst's
+    Expand), then the 1-row result unpivots to a row per column on the
+    driver-free stack path. At 100 TB this is one scan + one small-key
+    shuffle — the ANALYZE-statistics plan — versus a naive per-column loop
+    (6 scans).
+    """
+    d = dirty_orders(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            _str_spark(c, kind, "min").alias(f"{c}__mn"),
+            _str_spark(c, kind, "max").alias(f"{c}__mx"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_value, max_value)",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    ).orderBy("col_name")
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    mn, mx = f"min({c})", f"max({c})"
+    if kind == "money":
+        mn, mx = f"CAST({mn} AS DECIMAL(18,2))", f"CAST({mx} AS DECIMAL(18,2))"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST({mn} AS VARCHAR) AS min_value, CAST({mx} AS VARCHAR) AS max_value "
+        f"FROM dirty"
+    )
+
+
+Q_PROFILE_SQL = "WITH " + _DIRTY_SQL + "\n" + "\nUNION ALL\n".join(
+    _profile_col_sql(c, k) for c, k in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit over the dirty snapshot: five rules
+    (not-null, range, key-uniqueness, referential integrity, domain
+    membership) each report checked/violation counts and a pass flag —
+    the gate report a pipeline publishes before promoting a batch.
+
+    Scale: the four row-local rules fold into ONE aggregation pass
+    (conditional sums + one count-distinct); referential integrity is one
+    left-anti join against the FK parent on its key. Nothing quadratic,
+    nothing per-rule-scan.
+    """
+    d = dirty_orders(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"))
+
+    one = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("v_prio_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_price"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+         .alias("v_status"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+         .alias("v_dupkey"),
+    )
+    fk_viol = d.join(cust, "o_custkey", "left_anti") \
+        .agg(F.count(F.lit(1)).alias("v_fk"), F.count(F.lit(1)).alias("n2"))
+    joined = one.crossJoin(fk_viol)  # 1×1 rows
+
+    rules = [
+        ("priority_not_null", "v_prio_null"),
+        ("fk_custkey_exists", "v_fk"),
+        ("orderkey_unique", "v_dupkey"),
+        ("status_in_domain", "v_status"),
+        ("totalprice_positive", "v_price"),
+    ]
+    stack_args = ", ".join(f"'{r}', {v}" for r, v in rules)
+    return joined.selectExpr(
+        "n",
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)",
+    ).select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passes"),
+        F.round(1.0 - F.col("n_violations") / F.col("n"), 6).alias("pass_rate"),
+    ).orderBy("rule")
+
+
+Q_DQ_AUDIT_SQL = "WITH " + _DIRTY_SQL + f""",
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_prio_null,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_price,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_status,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v_dupkey
+  FROM dirty
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_fk
+  FROM dirty d LEFT JOIN customer c ON c.c_custkey = d.o_custkey
+  WHERE c.c_custkey IS NULL
+), rules AS (
+  SELECT 'priority_not_null' AS rule, n, v_prio_null AS n_violations FROM agg
+  UNION ALL SELECT 'fk_custkey_exists', n, v_fk FROM agg, fk
+  UNION ALL SELECT 'orderkey_unique', n, v_dupkey FROM agg
+  UNION ALL SELECT 'status_in_domain', n, v_status FROM agg
+  UNION ALL SELECT 'totalprice_positive', n, v_price FROM agg
+)
+SELECT rule, n AS n_checked, n_violations,
+       n_violations = 0 AS passes,
+       round(1.0 - n_violations * 1.0 / n, 6) AS pass_rate
+FROM rules ORDER BY rule
+"""
+
+
+QUERIES = {
+    "profile_columns": q_profile_columns,
+    "dq_audit": q_dq_audit,
+}
+
+ORACLE = {
+    "profile_columns": Q_PROFILE_SQL,
+    "dq_audit": Q_DQ_AUDIT_SQL,
+}

@@ -22,14 +22,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
-    curation, dedup, graphq, multimodal, mutation, pipeline, relational,
-    similarity, streamq, textops, timeseries, tpch_ext, xmlq,
+    curation, dedup, graphq, multimodal, mutation, pipeline, profiling,
+    relational, similarity, streamq, textops, timeseries, tpch_ext, xmlq,
 )
 from .plans import nl2query
 
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
             textops, multimodal, streamq, xmlq, nl2query, pipeline,
-            timeseries, curation]
+            timeseries, curation, profiling]
 
 # First-50 prefix: every operator family + every §2.B flagship, most load-
 # bearing first. Everything not listed keeps module order after these.
@@ -47,7 +47,9 @@ _DRIVER_WINDOW = [
     "join_range_follow",
     "sessionize",
     "window_lag_delta",
-    "window_range_frame",
+    # window_range_frame (2nd lag/lead-frames rep) sits past the window so
+    # the profiling family gets a driver slot:
+    "dq_audit",
     "agg_quantiles",
     "agg_stats_moments",
     "json_funcs",

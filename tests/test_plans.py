@@ -344,3 +344,25 @@ def test_phash_neardup_banded_equi_join_no_cartesian(spark):
     # (shuffle or broadcast) may carry it
     for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n){0,3}", p):
         assert "payload" not in m.group(0), m.group(0)
+
+
+def test_profile_columns_single_scan_with_expand(spark):
+    # the profiler is ONE pass: a single parquet scan feeds the
+    # multi-distinct Expand; a per-column loop (N scans) is the regression
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_profile_columns(spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert n_ops(p, "Expand") >= 1
+    # string min/max compiles to SortAggregate — count any aggregate flavor
+    assert len(re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate", p)) >= 2, p
+
+
+def test_dq_audit_anti_join_and_one_by_one_cross(spark):
+    # FK rule = one left-anti join; the only non-equi join is the 1×1
+    # combine of the two scalar aggregate branches
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_dq_audit(spark, SF_ORACLE))
+    assert "LeftAnti" in p, p
+    assert n_ops(p, "CartesianProduct") + n_ops(p, "BroadcastNestedLoopJoin") <= 1
