@@ -1207,6 +1207,105 @@ UNION ALL SELECT 'embeddings', count(*) FROM embeddings
 """
 
 
+OVERLAP_BUCKET_MS = 3_600_000   # hour grid; sessions here are minutes-long
+OVERLAP_GAP_MS = 30 * 60 * 1000
+
+
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: build per-user session intervals (same
+    30-min-gap construction as q_sessionize), then count cross-user pairs
+    of CONCURRENT sessions and their total overlap — the interval×interval
+    theta join (a.start<=b.end AND b.start<=a.end) that point-in-range
+    q_join_range_follow doesn't cover.
+
+    Scale: the naive form is all-pairs over every session. Instead each
+    interval explodes onto the hour buckets it spans (replication factor =
+    interval length / bucket width, ~1 here), making the pair search a pure
+    equi-join on bucket; pairs spanning several shared buckets dedup by
+    (user, seq) keys BEFORE the rollup, so the distinct runs on id tuples,
+    never on payloads. Hot buckets (concurrency spikes) are the skew axis —
+    at 100 TB you'd salt the bucket key exactly like join_salted_skew.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    flagged = ev.select(
+        "user_id", "event_id", "ts", ms.alias("ts_ms"),
+        F.when(ms - F.lag(ms).over(w) > OVERLAP_GAP_MS, 1)
+         .otherwise(F.when(F.lag(ms).over(w).isNull(), 1).otherwise(0))
+         .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    iv = sess.groupBy("user_id", "seq").agg(
+        F.min("ts_ms").alias("st"), F.max("ts_ms").alias("en"))
+    bucketed = iv.withColumn(
+        "bkt",
+        F.explode(F.sequence(
+            F.floor(F.col("st") / OVERLAP_BUCKET_MS),
+            F.floor(F.col("en") / OVERLAP_BUCKET_MS),
+        )),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("ua"), F.col("seq").alias("sa"),
+        F.col("st").alias("sta"), F.col("en").alias("ena"), "bkt")
+    b = bucketed.select(
+        F.col("user_id").alias("ub"), F.col("seq").alias("sb"),
+        F.col("st").alias("stb"), F.col("en").alias("enb"), "bkt")
+    pairs = (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("sta") <= F.col("enb"))
+            & (F.col("stb") <= F.col("ena"))
+        )
+        .select(
+            "ua", "sa", "ub", "sb",
+            (F.least("ena", "enb") - F.greatest("sta", "stb")).alias("ov_ms"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("ov_ms").cast("long").alias("total_overlap_ms"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+Q_JOIN_INTERVAL_OVERLAP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {OVERLAP_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts_ms,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seq
+  FROM flagged
+), iv AS (
+  SELECT user_id, seq, min(ts_ms) AS st, max(ts_ms) AS en
+  FROM sess GROUP BY user_id, seq
+), p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.en, b.en) - greatest(a.st, b.st) AS ov_ms
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+)
+SELECT user_a, user_b, count(*) AS n_overlaps,
+       CAST(sum(ov_ms) AS BIGINT) AS total_overlap_ms
+FROM p GROUP BY user_a, user_b ORDER BY user_a, user_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1240,6 +1339,7 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "json_funcs": q_json_funcs,
     "sessionize": q_sessionize,
+    "join_interval_overlap": q_join_interval_overlap,
     "catalog_stats": q_catalog_stats,
 }
 
@@ -1275,5 +1375,6 @@ ORACLE = {
     "scalar_funcs": Q_SCALAR_FUNCS_SQL,
     "json_funcs": Q_JSON_FUNCS_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
+    "join_interval_overlap": Q_JOIN_INTERVAL_OVERLAP_SQL,
     "catalog_stats": Q_CATALOG_STATS_SQL,
 }

@@ -366,3 +366,13 @@ def test_dq_audit_anti_join_and_one_by_one_cross(spark):
     p = plan(profiling.q_dq_audit(spark, SF_ORACLE))
     assert "LeftAnti" in p, p
     assert n_ops(p, "CartesianProduct") + n_ops(p, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_interval_overlap_bucket_equi_join_no_cartesian(spark):
+    # the interval×interval theta join must run as the hour-bucket
+    # equi-join decomposition — a cartesian (or pure theta nested-loop)
+    # over the session table is the scale regression
+    p = plan(relational.q_join_interval_overlap(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
