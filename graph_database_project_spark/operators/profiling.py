@@ -220,12 +220,79 @@ FROM rules ORDER BY rule
 """
 
 
+ZBUCKET_SHIFT = 24  # keep the top 8 of the 32 Morton bits → 256 buckets
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: key every lineitem row by the
+    interleaved bits of (l_partkey, l_suppkey), bucket on the top Morton
+    byte — one bucket ≈ one file of a ZORDER BY write — and report each
+    bucket's bounding box in both dimensions. Tight boxes (box_area ≪
+    full_range²) are WHY z-ordering skips files for filters on either
+    column; tests/test_zorder.py proves it on real written files.
+
+    Scale: the Morton key is a zero-shuffle codegen projection (bounds
+    ride a 1-row broadcast); the audit is one keyed aggregation.
+    """
+    from ..functions.zorder import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("xmn"), F.max("l_partkey").alias("xmx"),
+        F.min("l_suppkey").alias("ymn"), F.max("l_suppkey").alias("ymx"))
+    keyed = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "z",
+        zorder_value(F.col("l_partkey"), F.col("l_suppkey"),
+                     F.col("xmn"), F.col("xmx"), F.col("ymn"), F.col("ymx")),
+    )
+    return (
+        keyed.groupBy(F.shiftright("z", ZBUCKET_SHIFT).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"), F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"), F.max("l_suppkey").alias("sk_max"),
+        )
+        .withColumn(
+            "box_area",
+            ((F.col("pk_max") - F.col("pk_min") + 1)
+             * (F.col("sk_max") - F.col("sk_min") + 1)).cast("long"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+Q_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS xmn, max(l_partkey) AS xmx,
+         min(l_suppkey) AS ymn, max(l_suppkey) AS ymx
+  FROM lineitem
+), k AS (
+  SELECT l_partkey, l_suppkey,
+         -- list_sum returns DOUBLE/HUGEINT; pin BIGINT for dtype parity
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           (((((l_partkey - xmn) * 65535) // greatest(xmx - xmn, 1)) >> i) & 1)
+             * (CAST(1 AS BIGINT) << (2 * i))
+           + (((((l_suppkey - ymn) * 65535) // greatest(ymx - ymn, 1)) >> i) & 1)
+             * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS z
+  FROM lineitem, b
+)
+SELECT z >> {ZBUCKET_SHIFT} AS zbucket, count(*) AS n_rows,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+       CAST((max(l_partkey) - min(l_partkey) + 1)
+            * (max(l_suppkey) - min(l_suppkey) + 1) AS BIGINT) AS box_area
+FROM k GROUP BY zbucket ORDER BY zbucket
+"""
+
+
 QUERIES = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLE = {
     "profile_columns": Q_PROFILE_SQL,
     "dq_audit": Q_DQ_AUDIT_SQL,
+    "zorder_layout": Q_ZORDER_SQL,
 }

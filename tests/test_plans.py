@@ -376,3 +376,15 @@ def test_interval_overlap_bucket_equi_join_no_cartesian(spark):
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_zorder_layout_key_is_zero_shuffle_projection(spark):
+    # the Morton key must be a codegen projection over a broadcast 1-row
+    # bounds aggregate: exactly one hash shuffle in the whole plan (the
+    # bucket rollup), no nested-loop against the corpus side
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_zorder_layout(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 1, p
+    assert "BroadcastExchange" in p
+    assert n_ops(p, "CartesianProduct") == 0
