@@ -454,6 +454,87 @@ FROM errs
 """
 
 
+PCA_ITERS = 8
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration — the iterative-with-aggregation pattern (PageRank's
+    shape) applied to linear algebra: v ← normalize(Xᵀ(Xv)) over the
+    mean-centered matrix, PCA_ITERS fixed rounds, deterministic all-ones
+    start, sign canonicalized on the largest-|loading| coordinate.
+
+    Each round is two keyed aggregations over the exploded (vec_id, pos,
+    value) relation: Xv needs a d-row broadcast of the current vector
+    (never a driver collect), Xᵀs a co-partitioned join on vec_id. The
+    exploded relation is localCheckpointed ONCE up front; per-round
+    results checkpoint eagerly so the lineage stays O(1) (the iterative
+    invariant every loop in this repo follows). Output: 64 loadings +
+    the eigenvalue (top singular value² / (n-1)) and explained-variance
+    share. Rows-only driver check; exactness is pinned against numpy's
+    identical iteration in tests/test_pca.py. (Round count is a config:
+    the synthetic corpus is near-isotropic, λ2/λ1≈0.93, so full
+    eigenvector convergence needs ~40 rounds of the same plan; 8 rounds
+    keep the registry run cheap while the numpy parity proves the
+    distributed algebra is exact.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x"))
+    mu = ex.groupBy("pos").agg(F.avg("x").alias("mu"))
+    centered = (
+        ex.join(F.broadcast(mu), "pos")
+        .select("vec_id", "pos", (F.col("x") - F.col("mu")).alias("xc"))
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    total_var = (
+        centered.agg((F.sum(F.col("xc") * F.col("xc")) / (n - 1)).alias("tv"))
+    )
+
+    dim = 64
+    v = centered.select("pos").distinct().select(
+        "pos", F.lit(1.0 / dim ** 0.5).alias("v"))
+    for _ in range(PCA_ITERS):
+        scores = (
+            centered.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xc") * F.col("v")).alias("s"))
+        )
+        w = (
+            centered.join(scores, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("pos", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        last_norm = norm
+
+    # canonical sign: positive loading at the max-|v| coordinate (ties →
+    # smallest pos) so the answer is unique across engines/runs
+    pick = v.orderBy(F.abs(F.col("v")).desc(), "pos").limit(1) \
+            .select(F.signum("v").alias("sgn"))
+    eig = last_norm.crossJoin(total_var).select(
+        (F.col("nrm") / (n - 1)).alias("eigenvalue"),
+        (F.col("nrm") / (n - 1) / F.col("tv")).alias("explained"),
+    )
+    return (
+        v.crossJoin(F.broadcast(pick)).crossJoin(F.broadcast(eig))
+        .select(
+            "pos",
+            F.round(F.col("v") * F.col("sgn"), 6).alias("loading"),
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round("explained", 6).alias("explained_var_ratio"),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
@@ -461,6 +542,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,    # rows-only (iterative k-means)
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_pca_power": q_embedding_pca_power,  # rows-only (iterative)
 }
 
 ORACLE = {

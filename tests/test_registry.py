@@ -9,6 +9,7 @@ EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",   # HLL sketches aren't bit-compatible across engines
     "graph_pagerank",        # iterative-with-aggregation, no recursive-CTE oracle
     "sim_ivf_topk",          # iterative k-means quantizer — recall test instead
+    "embedding_pca_power",   # iterative power method — numpy-exact test instead
     "multimodal_decode",     # Python stub seams
     "multimodal_resize",
     "multimodal_frame_sample",
