@@ -388,3 +388,42 @@ def test_zorder_layout_key_is_zero_shuffle_projection(spark):
     assert n_hash_shuffles(p) == 1, p
     assert "BroadcastExchange" in p
     assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side_prejoin(spark):
+    """At 100 TB the winning plan for fact⋈(selectively filtered dim) on a
+    non-broadcastable dim is Catalyst's runtime bloom filter: the dim side
+    aggregates a bloom of its join keys and the fact scan applies
+    might_contain BEFORE the shuffle, cutting exchange volume by the dim
+    filter's selectivity. Local testdata sits under the default size
+    thresholds, so this test pins the thresholds to force the same
+    decision the defaults make at cluster scale, then restores them."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        dim = load_table(spark, SF_ORACLE, "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(dim, li.l_orderkey == dim.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        p = plan(j)
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
