@@ -449,6 +449,96 @@ FROM comp GROUP BY component
 """
 
 
+def q_fuzzy_join_typo_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: match typo'd part names back to the clean
+    catalog at edit distance ≤ 1 — entity resolution, the dedup family's
+    cross-table cousin. A dirty feed is synthesized by substituting one
+    character (position keyed on p_partkey, replacement '#') in every
+    clean name.
+
+    Blocking with PROVABLE recall: a length-preserving single
+    substitution hits exactly one half of the string, so the other half
+    matches the clean record exactly. Each side emits two keys
+    ((side, length, half-text)); the candidate search is a pure equi-join
+    on that key — never name×name — and levenshtein verifies candidates.
+    Because blocking is part of the semantics, the oracle replicates the
+    same keys; a recall bug breaks parity, exactly like the phash
+    banding. Hot blocks (shared first words, e.g. every 'small …' part)
+    are the skew axis — at scale you'd widen halves to thirds-2-of-3 or
+    cap block size like the stop-shingle rule.
+    """
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select(F.col("p_partkey").alias("cid"),
+                        F.col("p_name").alias("cname"))
+    dirty = part.select(
+        (F.col("p_partkey") + 1_000_000).alias("did"),
+        F.concat(
+            F.expr("substring(p_name, 1, (p_partkey % length(p_name)))"),
+            F.lit("#"),
+            F.expr("substring(p_name, (p_partkey % length(p_name)) + 2)"),
+        ).alias("dname"),
+    )
+
+    def keys(df, idc, namec):
+        half_l = F.expr(f"substring({namec}, 1, length({namec}) div 2)")
+        half_r = F.expr(f"substring({namec}, length({namec}) div 2 + 1)")
+        ln = F.length(namec)
+        return df.select(
+            idc, namec,
+            F.explode(F.array(
+                F.concat_ws("|", F.lit("L"), ln, half_l),
+                F.concat_ws("|", F.lit("R"), ln, half_r),
+            )).alias("bk"),
+        )
+
+    cand = (
+        keys(dirty, "did", "dname")
+        .join(keys(clean, "cid", "cname"), "bk")
+        .select("did", "dname", "cid", "cname")
+        .distinct()
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("dname", "cname"))
+        .filter(F.col("lev") <= 1)
+        .select("did", "cid", "lev")
+        .orderBy("did", "cid")
+    )
+
+
+Q_FUZZY_TYPO_SQL = """
+WITH clean AS (
+  SELECT p_partkey AS cid, p_name AS cname FROM part
+), dirty AS (
+  SELECT p_partkey + 1000000 AS did,
+         substr(p_name, 1, p_partkey % length(p_name)) || '#'
+           || substr(p_name, (p_partkey % length(p_name)) + 2) AS dname
+  FROM part
+), dk AS (
+  SELECT did, dname,
+         'L|' || length(dname) || '|' || substr(dname, 1, length(dname) // 2) AS bk
+  FROM dirty
+  UNION ALL
+  SELECT did, dname,
+         'R|' || length(dname) || '|' || substr(dname, length(dname) // 2 + 1) AS bk
+  FROM dirty
+), ck AS (
+  SELECT cid, cname,
+         'L|' || length(cname) || '|' || substr(cname, 1, length(cname) // 2) AS bk
+  FROM clean
+  UNION ALL
+  SELECT cid, cname,
+         'R|' || length(cname) || '|' || substr(cname, length(cname) // 2 + 1) AS bk
+  FROM clean
+), cand AS (
+  SELECT DISTINCT did, dname, cid, cname FROM dk JOIN ck USING (bk)
+)
+SELECT did, cid, levenshtein(dname, cname) AS lev
+FROM cand
+WHERE levenshtein(dname, cname) <= 1
+ORDER BY did, cid
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -456,6 +546,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_cluster_canonical": q_dedup_cluster_canonical,
+    "fuzzy_join_typo_linkage": q_fuzzy_join_typo_linkage,
 }
 
 ORACLE = {
@@ -465,4 +556,5 @@ ORACLE = {
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": Q_DEDUP_EMBED_SQL,
     "dedup_cluster_canonical": Q_DEDUP_CLUSTER_SQL,
+    "fuzzy_join_typo_linkage": Q_FUZZY_TYPO_SQL,
 }

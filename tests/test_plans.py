@@ -427,3 +427,13 @@ def test_runtime_bloom_filter_prunes_fact_side_prejoin(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_typo_linkage_blocked_equi_join(spark):
+    # candidates come from the (side,length,half) block key equi-join;
+    # never a name×name product, and levenshtein runs post-block only
+    from graph_database_project_spark.operators import dedup
+
+    p = plan(dedup.q_fuzzy_join_typo_linkage(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
