@@ -451,6 +451,55 @@ FROM u GROUP BY node_type, degree ORDER BY node_type, degree
 """
 
 
+# Engine-portable recursive SQL: this ONE string is both the Spark query
+# (spark.sql — Spark 4 executes WITH RECURSIVE natively) and the DuckDB
+# oracle, so the parity check asserts the two engines' recursive-CTE
+# semantics agree on the flagship traversal. Same edge derivation and
+# depth cap as q_khop_hierarchy's DataFrame form.
+RECURSIVE_KHOP_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src,
+         CAST(n_nationkey + {_NATION_BASE} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_nationkey + {_NATION_BASE} AS BIGINT),
+         CAST(c_custkey + {_CUST_BASE} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(o_custkey + {_CUST_BASE} AS BIGINT),
+         CAST(o_orderkey + {_ORDER_BASE} AS BIGINT) FROM orders
+), walk AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS seed,
+         CAST(r_regionkey AS BIGINT) AS node, 0 AS depth
+  FROM region
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 3
+), dists AS (
+  SELECT seed, node, min(depth) AS depth FROM walk GROUP BY seed, node
+)
+SELECT seed, depth, count(*) AS n_nodes
+FROM dists GROUP BY seed, depth ORDER BY seed, depth
+"""
+
+
+def q_sql_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship 3-hop expansion as ONE portable ANSI recursive CTE,
+    executed by Spark 4's native WITH RECURSIVE support (spark.sql) — the
+    SQL-API twin of q_khop_hierarchy's DataFrame loop, and the exact text
+    DuckDB runs as the oracle (engine-portability is the assertion).
+
+    Scale: Spark executes the recursive term as iterated joins with a
+    per-step union — the same per-hop shuffle budget as traverse.k_hop,
+    scheduled by the engine instead of driver-side Python. The DataFrame
+    loop keeps two advantages at 100 TB (visited-set anti-join pruning
+    and per-iteration localCheckpoint), which is why the engine's own
+    traversal operator remains the default path.
+    """
+    for t in ("region", "nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(RECURSIVE_KHOP_SQL)
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -461,6 +510,7 @@ QUERIES = {
     "graph_shortest_paths": q_shortest_paths,
     "graph_link_prediction": q_link_prediction,
     "graph_degree_histogram": q_degree_histogram,
+    "sql_recursive_khop": q_sql_recursive_khop,
 }
 
 ORACLE = {
@@ -473,4 +523,5 @@ ORACLE = {
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,
     "graph_degree_histogram": Q_DEGREE_HISTOGRAM_SQL,
+    "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }
