@@ -17,7 +17,7 @@ SET = a pure column rewrite, no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 
@@ -225,11 +225,101 @@ WHERE old_priority IS NULL OR new_priority IS NULL
 """
 
 
+# SCD2 version moduli: v2 touches keys % 97, v3 keys % 59 (co-prime so
+# some keys change twice, most never)
+SCD2_V2_MOD = 97
+SCD2_V3_MOD = 59
+
+
+def scd2_build_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: fold a 3-version history of
+    orders (deterministic updates: v2 bumps priority/price on keys % 97,
+    v3 on keys % 59) into validity-interval rows — one row per key per
+    CHANGED state, with [valid_from_v, valid_to_v) version bounds and an
+    is_current flag. The warehouse temporal-versioning operator a MERGE
+    stream feeds.
+
+    Spark shape: union the versions (explode-style, single scan of the
+    base — versions derive per-row), ONE window partitioned by key ordered
+    by version doing both the change-collapse (lag) and the interval close
+    (lead). Scale: one keyed shuffle (the window), no joins at all; at
+    100 TB the window state per key is the version count (3), constant.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    touched2 = F.col("o_orderkey") % SCD2_V2_MOD == 0
+    touched3 = F.col("o_orderkey") % SCD2_V3_MOD == 0
+    versions = o.select(
+        "o_orderkey",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v"),
+        "o_orderpriority", "o_totalprice",
+    ).select(
+        "o_orderkey", "v",
+        F.when((F.col("v") >= 2) & touched2, F.lit("2-UPDATED"))
+         .when((F.col("v") >= 3) & touched3, F.lit("3-REPRICED"))
+         .otherwise(F.col("o_orderpriority")).alias("prio"),
+        F.round(
+            F.col("o_totalprice")
+            + F.when((F.col("v") >= 2) & touched2, 50.0).otherwise(0.0)
+            + F.when((F.col("v") >= 3) & touched3, 25.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+    )
+    w = W.partitionBy("o_orderkey").orderBy("v")
+    changed = versions.withColumn(
+        "chg",
+        F.lag("prio").over(w).isNull()
+        | (F.col("prio") != F.lag("prio").over(w))
+        | (F.col("price") != F.lag("price").over(w)),
+    ).filter(F.col("chg"))
+    out = changed.withColumn("valid_to_v", F.lead("v").over(w))
+    return out.select(
+        "o_orderkey",
+        "prio",
+        "price",
+        F.col("v").alias("valid_from_v"),
+        "valid_to_v",
+        F.col("valid_to_v").isNull().alias("is_current"),
+    )
+
+
+SCD2_BUILD_SQL = f"""
+WITH versions AS (
+  SELECT o_orderkey, v,
+         CASE WHEN v >= 2 AND o_orderkey % {SCD2_V2_MOD} = 0 THEN '2-UPDATED'
+              WHEN v >= 3 AND o_orderkey % {SCD2_V3_MOD} = 0 THEN '3-REPRICED'
+              ELSE o_orderpriority END AS prio,
+         round(o_totalprice
+               + CASE WHEN v >= 2 AND o_orderkey % {SCD2_V2_MOD} = 0
+                      THEN 50.0 ELSE 0.0 END
+               + CASE WHEN v >= 3 AND o_orderkey % {SCD2_V3_MOD} = 0
+                      THEN 25.0 ELSE 0.0 END, 2) AS price
+  FROM orders, (SELECT unnest(range(1, 4)) AS v)
+), flagged AS (
+  SELECT o_orderkey, v, prio, price,
+         lag(prio) OVER w IS NULL
+           OR prio <> lag(prio) OVER w
+           OR price <> lag(price) OVER w AS chg
+  FROM versions
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)
+), changed AS (
+  SELECT o_orderkey, v, prio, price FROM flagged WHERE chg
+)
+SELECT o_orderkey, prio, price,
+       CAST(v AS INT) AS valid_from_v,
+       CAST(lead(v) OVER w2 AS INT) AS valid_to_v,
+       lead(v) OVER w2 IS NULL AS is_current
+FROM changed
+WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY v)
+"""
+
+
 QUERIES = {
     "mutation_merge_upsert": merge_upsert_customers,
     "mutation_delete_cascade": delete_cascade_orders,
     "mutation_property_set": property_set_parts,
     "mutation_table_diff": table_diff_orders,
+    "mutation_scd2_build": scd2_build_orders,
 }
 
 ORACLE = {
@@ -237,4 +327,5 @@ ORACLE = {
     "mutation_delete_cascade": DELETE_CASCADE_SQL,
     "mutation_property_set": PROPERTY_SET_SQL,
     "mutation_table_diff": TABLE_DIFF_SQL,
+    "mutation_scd2_build": SCD2_BUILD_SQL,
 }

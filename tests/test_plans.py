@@ -437,3 +437,13 @@ def test_fuzzy_typo_linkage_blocked_equi_join(spark):
     p = plan(dedup.q_fuzzy_join_typo_linkage(spark, SF_ORACLE))
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_scd2_build_one_keyed_shuffle_no_joins(spark):
+    # union-of-versions derives per-row from one scan; change-collapse
+    # (lag) and interval-close (lead) share the (key, version) window
+    # partitioning, so the whole build is ONE keyed shuffle and no joins
+    p = plan(mutation.scd2_build_orders(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 1, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "BroadcastHashJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
