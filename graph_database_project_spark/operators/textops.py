@@ -679,6 +679,64 @@ GROUP BY doc_id
 """
 
 
+# --- Python UDTF seam --------------------------------------------------------
+try:  # pyspark >= 4: table-valued Python functions
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="idx: int, bigram: string")
+    class _BigramUDTF:
+        """Row-at-a-time table function: one input row → (n_words - 1)
+        output rows. Same word semantics as _words (lower, split on
+        space, drop empties)."""
+
+        def eval(self, text: str):
+            words = [w for w in (text or "").lower().split(" ") if w]
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    UDTF_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    UDTF_AVAILABLE = False
+
+
+def q_udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (table-valued function) via LATERAL join —
+    the 1:N row-generating member of the UDF surface (scalar pandas_udf:
+    udf_embedding_norm; batch map: multimodal codecs; this: table
+    functions). Emits every adjacent word bigram with its position.
+
+    This is DELIBERATELY the slow path: UDTFs run row-at-a-time Python.
+    The engine's production form of this exact computation is the
+    higher-order-function pipeline (see text_* queries / text_span_dedup's
+    chunker) which stays in codegen — the DuckDB oracle here IS that
+    declarative form, so parity also proves the two forms agree. Use a
+    UDTF only when per-row logic genuinely can't be expressed with
+    built-ins (external parsers, tokenizers).
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("bigrams_udtf", _BigramUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, t.idx, t.bigram "
+        "FROM _udtf_docs d, LATERAL bigrams_udtf(d.text) AS t"
+    )
+
+
+Q_UDTF_BIGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, greatest(len(words) - 1, 0))) AS INT) AS idx,
+       unnest(list_transform(range(0, greatest(len(words) - 1, 0)),
+              i -> words[CAST(i AS INT) + 1] || ' ' || words[CAST(i AS INT) + 2]))
+         AS bigram
+FROM w
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
@@ -692,6 +750,7 @@ QUERIES = {
     "text_pii_redact": q_pii_redact,
     "text_quality_gopher": q_quality_gopher,
     "text_span_dedup": q_span_dedup,
+    "udtf_bigram_explode": q_udtf_bigram_explode,
 }
 
 ORACLE = {
@@ -707,4 +766,5 @@ ORACLE = {
     "text_pii_redact": Q_PII_REDACT_SQL,
     "text_quality_gopher": Q_QUALITY_GOPHER_SQL,
     "text_span_dedup": Q_SPAN_DEDUP_SQL,
+    "udtf_bigram_explode": Q_UDTF_BIGRAM_SQL,
 }
