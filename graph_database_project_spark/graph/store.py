@@ -263,7 +263,10 @@ class GraphStore:
     def khop_grouped(self, seed_pred: Column, depth: int = 3) -> DataFrame:
         """Grouped shape: per-seed sorted list of reached node names
         (collect_list is order-nondeterministic → sort_array for stable
-        output, SURVEY.md §7.3e)."""
+        output, SURVEY.md §7.3e). The list is flattened to a comma-joined
+        string: registered query outputs must stay scalar (the driver's
+        canonicalizer hashes cell values — array cells are unhashable, the
+        r02/r03 `xml_khop_flagship` ERR)."""
         det = self.khop_from(seed_pred, depth)
         return (
             det.filter(F.col("depth") > 0)
@@ -272,6 +275,7 @@ class GraphStore:
                 F.sort_array(F.collect_list(F.struct("node_name", "node"))).alias("connected"),
                 F.count(F.lit(1)).alias("n_connected"),
             )
-            .select("seed_name", F.col("connected.node_name").alias("connected_names"),
+            .select("seed_name",
+                    F.concat_ws(",", F.col("connected.node_name")).alias("connected_names"),
                     "n_connected")
         )

@@ -21,6 +21,31 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def epoch_long_to_ts_ntz(col: F.Column) -> F.Column:
+    """Version-proof epoch-long → timestamp_ntz (UTC wall clock).
+
+    The ``events.ts`` column is INT64 TIMESTAMP(NANOS) on disk. What a
+    LongType-schema read yields depends on the reader: the batch reader
+    under ``nanosAsLong`` returns **nanoseconds**, while the PySpark 4.1
+    *streaming* parquet reader ignores that conf and returns
+    **microseconds**. Rather than assume a unit per code path (the r03
+    regression), detect it from magnitude — epoch values in any plausible
+    data range (1973..2200+) differ by ≥3 orders of magnitude per unit:
+
+        ns ≥ 1e17, µs ≥ 1e14, ms ≥ 1e11, else seconds.
+
+    Truncation to µs matches DuckDB's flooring of nanos, so oracle
+    wall-clock values agree bit-for-bit.
+    """
+    us = (
+        F.when(col >= F.lit(10 ** 17), F.floor(col / F.lit(1000)))
+        .when(col >= F.lit(10 ** 14), col)
+        .when(col >= F.lit(10 ** 11), col * F.lit(1000))
+        .otherwise(col * F.lit(1000000))
+    ).cast("long")
+    return F.timestamp_micros(us).cast("timestamp_ntz")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                *, widen: bool = False) -> DataFrame:
     """``widen=True`` repartitions an under-split scan up to the session's
@@ -50,14 +75,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # Read as long ns and truncate to micros — same flooring DuckDB
-        # applies — as timestamp_ntz so wall-clock values match the oracle.
+        # Truncate to micros — same flooring DuckDB applies — as
+        # timestamp_ntz so wall-clock values match the oracle. Unit is
+        # detected, not assumed (see epoch_long_to_ts_ntz).
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-                .cast("timestamp_ntz"),
-            )
+            df = df.withColumn("ts", epoch_long_to_ts_ntz(F.col("ts")))
     if widen:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

@@ -13,7 +13,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..io import load_table
+from ..io import epoch_long_to_ts_ntz, load_table
 
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -26,10 +26,11 @@ EVENTS_RAW_SCHEMA = T.StructType([
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz"),
-    )
+    # The streaming parquet reader's long value for INT64 TIMESTAMP(NANOS)
+    # is version-dependent (PySpark 4.1 yields µs and ignores nanosAsLong;
+    # earlier readers yield ns). Shared magnitude-based detection with the
+    # batch seam — the two paths can never diverge again.
+    return df.withColumn("ts", epoch_long_to_ts_ntz(F.col("ts")))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,17 +46,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(raw)
 
 
-def _run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def _batch_events_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the same file the stream reads — the drain-sanity
+    denominator. Cached per (session, dir): the count never changes for a
+    given testdata dir, and streaming queries run in bench loops."""
+    cache = getattr(spark, "_sg_events_count", None)
+    if cache is None:
+        cache = {}
+        spark._sg_events_count = cache
+    if sf_dir not in cache:
+        cache[sf_dir] = load_table(spark, sf_dir, "events").count()
+    return cache[sf_dir]
+
+
+def _run_available_now(result: DataFrame, spark: SparkSession,
+                       *, output_mode: str = "complete",
+                       expected_input_rows: int | None = None) -> DataFrame:
     """Drain an availableNow streaming query into a memory sink and return
-    the materialized table."""
+    the materialized table.
+
+    When ``expected_input_rows`` is given, assert the drained source row
+    count matches it — a silent unit/row drop at the source (the r03
+    regression class) fails loudly here instead of producing a
+    wrong-but-plausible aggregate.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if expected_input_rows is not None:
+        drained = sum(p["numInputRows"] for p in q.recentProgress)
+        if drained != expected_input_rows:
+            raise AssertionError(
+                f"streaming drain mismatch: sources delivered {drained} rows, "
+                f"batch read of the same file has {expected_input_rows}"
+            )
     return spark.table(name)
 
 
@@ -77,7 +106,8 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_available_now(agg, spark)
+    out = _run_available_now(agg, spark,
+                             expected_input_rows=_batch_events_count(spark, sf_dir))
     return out.select(
         F.date_format(F.col("w.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_events", "total_value",
@@ -151,7 +181,8 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_available_now(agg, spark)
+    out = _run_available_now(agg, spark,
+                             expected_input_rows=_batch_events_count(spark, sf_dir))
     return out.select(
         F.date_format(F.col("w.start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", "n_events", "total_value",
@@ -265,7 +296,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    out = _run_available_now(agg, spark)
+    out = _run_available_now(agg, spark,
+                             expected_input_rows=_batch_events_count(spark, sf_dir))
     return out.orderBy("event_type")
 
 

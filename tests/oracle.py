@@ -45,8 +45,37 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def assert_driver_canonicalizable(spark_df, name: str = "",
+                                  sample_pdf: pd.DataFrame | None = None) -> None:
+    """Driver-faithfulness lint. The driver's canonicalizer is stricter than
+    local ``_canon``: it hashes cell values, so an array/map/struct column
+    (pandas list/dict/ndarray cells) dies with ``unhashable type`` — the
+    r02/r03 ``xml_khop_flagship`` ERR that local parity missed. Enforce both
+    layers here: no complex top-level types in the schema, and every sampled
+    cell hashable."""
+    from pyspark.sql import types as T
+
+    complex_cols = [f.name for f in spark_df.schema.fields
+                    if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} — registered "
+        f"query outputs must be scalar (flatten with concat_ws/to_json)"
+    )
+    if sample_pdf is not None:
+        for col in sample_pdf.columns:
+            for v in sample_pdf[col].head(20):
+                try:
+                    hash(v)
+                except TypeError:
+                    raise AssertionError(
+                        f"{name}: unhashable cell in column {col!r} "
+                        f"({type(v).__name__}) — driver canonicalizer would ERR"
+                    ) from None
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     spdf = spark_df.toPandas()
+    assert_driver_canonicalizable(spark_df, name, sample_pdf=spdf)
     assert sorted(spdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
     )

@@ -8,7 +8,7 @@ import pytest
 from graph_database_project_spark.registry import all_oracles, all_queries
 
 from .conftest import SF_ORACLE
-from .oracle import compare, duckdb_con
+from .oracle import assert_driver_canonicalizable, compare, duckdb_con
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -34,6 +34,12 @@ def test_query_matches_oracle(spark, con, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
+    """Rows-only queries still cross the driver's canonicalizer (rows +
+    schema recorded), so they get the same driver-shaped lint as the
+    oracle-checked set — this is what would have caught xml_khop_flagship
+    locally in r02."""
     df = QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    sample = df.limit(50).toPandas()
+    assert_driver_canonicalizable(df, name, sample_pdf=sample)
+    assert df.count() >= 0
