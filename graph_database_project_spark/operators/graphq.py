@@ -9,8 +9,13 @@ This mirrors the reference's flagship query shape — a depth-3 downward
 expansion from a seed node (`first-graph.py:141`) — on data the oracle can
 see.
 
-PageRank is genuinely iterative-with-aggregation, which recursive CTEs
-can't express (no aggregates in the recursive term) → rows-only check.
+PageRank is iterative-with-aggregation, which a *recursive* CTE can't
+express (no aggregates in the recursive term) — but the iteration count is
+FIXED (10), so the oracle unrolls it as 10 chained plain CTEs
+(``_pagerank_oracle_sql``). Float determinism holds because the referral
+ring has in-degree ≤ 1 (gcd(7, n_cust) = 1 makes ``(7c+1) mod n``
+injective), so no sum depends on accumulation order; 6-decimal rounding
+then matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -154,8 +159,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the customer→customer referral
     ring derived from orders: edge custkey → (custkey*7+1) mod n_cust.
     Deterministic synthetic digraph with cycles and varying in-degree.
-    Iterative-with-aggregation → no SQL oracle (rows-only check); exactness
-    is covered by tests/test_graph.py on a closed-form graph.
+    Value-checked against ``_pagerank_oracle_sql`` (the fixed 10 iterations
+    unrolled as chained CTEs in DuckDB); closed-form exactness additionally
+    covered in tests/test_traverse.py.
     """
     cust = load_table(spark, sf_dir, "customer")
     n = cust.count()
@@ -166,6 +172,53 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
     ranks = pagerank(vertices, edges, n_iter=10, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of ``q_pagerank``: the fixed iteration count unrolled as
+    chained CTEs, mirroring graph/traverse.py:pagerank term by term —
+    contribution join, dangling-mass redistribution, (1-d) teleport. All
+    literals are CAST AS DOUBLE so both engines do identical IEEE
+    arithmetic ((1-d) is computed Python-side in both, same bits)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+verts AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+e AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST((c_custkey * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM customer
+  WHERE CAST(c_custkey AS BIGINT)
+        != CAST((c_custkey * 7 + 1) % (SELECT n FROM nn) AS BIGINT)
+),
+od AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM verts)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) / (SELECT n FROM nn) AS dm
+  FROM r{p} r LEFT JOIN od ON od.src = r.node
+  WHERE od.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         CAST({one_minus_d} AS DOUBLE)
+         + CAST({d} AS DOUBLE)
+           * (COALESCE(m.in_mass, CAST(0 AS DOUBLE)) + (SELECT dm FROM d{i})) AS rank
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / od.out_deg) AS in_mass
+    FROM e JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) m ON m.node = v.node
+)""")
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 def q_khop_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +571,7 @@ ORACLE = {
     "graph_khop_seeded": Q_KHOP_SEEDED_SQL,
     "graph_khop_undirected": Q_KHOP_UNDIRECTED_SQL,
     "graph_connected_components": Q_CC_SQL,
-    # graph_pagerank: intentionally absent → rows-only check.
+    "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

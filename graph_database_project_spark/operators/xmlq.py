@@ -19,8 +19,23 @@ FLAGSHIP_BULLETIN = "737-00-1028"
 
 
 def _store(spark: SparkSession) -> GraphStore:
-    nodes, edges = ingest_xml(spark, REFERENCE_XML_GLOB)
-    return GraphStore(nodes, edges)
+    """Per-session memoized ingest, keyed on the glob: the 7 ``xml_*``
+    queries all read the same 3-file corpus, and re-shredding per query is
+    pure waste. Safe because GraphStore is immutable (every mutation verb
+    returns a new store). ``localCheckpoint`` materializes the shredded
+    tables once and truncates the mapInPandas lineage so downstream
+    traversals replan from a flat scan."""
+    cache = getattr(spark, "_sg_xml_store_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sg_xml_store_cache = cache
+    st = cache.get(REFERENCE_XML_GLOB)
+    if st is None:
+        nodes, edges = ingest_xml(spark, REFERENCE_XML_GLOB)
+        st = GraphStore(nodes.localCheckpoint(eager=True),
+                        edges.localCheckpoint(eager=True))
+        cache[REFERENCE_XML_GLOB] = st
+    return st
 
 
 def q_xml_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
