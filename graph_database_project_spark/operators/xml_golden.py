@@ -1,0 +1,245 @@
+"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.
+
+The xml_* queries read the reference's STATIC 3-document corpus
+(`boeing_service_bulletin_{1,2,3}.xml`) and take no input from sf_dir, so
+their exact outputs are fixed. Each oracle below pins those hand-verified
+values as a constant VALUES table — a true value check (any behavior change
+in shred/traverse/store hash-mismatches at the driver), the same goldens
+tests/test_graph_xml.py asserts, now enforced end-to-end. Regenerate after
+an INTENDED semantic change with scripts/gen_xml_golden.py.
+
+``xml_subtree_content`` stays rows-only: its cells are multi-KB prose with
+embedded quotes/newlines — a constant-table oracle would be unreviewable.
+"""
+
+from __future__ import annotations
+
+GOLDEN_XML_LABEL_COUNTS_COLS = [('label', 'VARCHAR'), ('n_nodes', 'BIGINT')]
+GOLDEN_XML_LABEL_COUNTS_ROWS = [
+    ('Airplane', 6),
+    ('LineNumber', 534),
+    ('ServiceBulletin', 3),
+    ('accomplishment_instructions', 3),
+    ('airplanes', 3),
+    ('appendix_a', 3),
+    ('approval', 3),
+    ('ata_system', 3),
+    ('background', 3),
+    ('compliance', 3),
+    ('concurrent_requirements', 3),
+    ('content', 4),
+    ('description', 6),
+    ('effectivity', 3),
+    ('elapsed_hours', 7),
+    ('header', 3),
+    ('manpower', 3),
+    ('material_information', 3),
+    ('name', 4),
+    ('number', 10),
+    ('original_issue_date', 3),
+    ('parts_required', 3),
+    ('persons', 4),
+    ('planning_information', 3),
+    ('reason', 3),
+    ('section', 4),
+    ('spares_affected', 3),
+    ('step', 14),
+    ('subject', 3),
+    ('summary', 3),
+    ('task', 4),
+    ('task_hours', 7),
+    ('text', 7),
+    ('title', 7),
+    ('tooling_required', 3),
+    ('total_per_airplane', 3),
+    ('work_instructions', 3),
+]
+
+GOLDEN_XML_REL_SIGNATURES_COLS = [('src_label', 'VARCHAR'), ('rel_type', 'VARCHAR'), ('dst_label', 'VARCHAR'), ('n_edges', 'BIGINT')]
+GOLDEN_XML_REL_SIGNATURES_ROWS = [
+    ('Airplane', 'affected_by', 'effectivity', 6),
+    ('Airplane', 'includes', 'LineNumber', 1166),
+    ('LineNumber', 'included_in', 'Airplane', 1166),
+    ('ServiceBulletin', 'HAS_ACCOMPLISHMENT_INSTRUCTIONS', 'accomplishment_instructions', 3),
+    ('ServiceBulletin', 'HAS_APPENDIX_A', 'appendix_a', 3),
+    ('ServiceBulletin', 'HAS_HEADER', 'header', 3),
+    ('ServiceBulletin', 'HAS_MATERIAL_INFORMATION', 'material_information', 3),
+    ('ServiceBulletin', 'HAS_PLANNING_INFORMATION', 'planning_information', 3),
+    ('ServiceBulletin', 'HAS_SUMMARY', 'summary', 3),
+    ('accomplishment_instructions', 'HAS_WORK_INSTRUCTIONS', 'work_instructions', 3),
+    ('accomplishment_instructions', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('airplanes', 'IS_PART_OF', 'effectivity', 3),
+    ('appendix_a', 'HAS_SECTION', 'section', 4),
+    ('appendix_a', 'HAS_TITLE', 'title', 3),
+    ('appendix_a', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('approval', 'IS_PART_OF', 'planning_information', 3),
+    ('ata_system', 'IS_PART_OF', 'header', 3),
+    ('background', 'IS_PART_OF', 'summary', 3),
+    ('compliance', 'IS_PART_OF', 'planning_information', 3),
+    ('concurrent_requirements', 'IS_PART_OF', 'planning_information', 3),
+    ('content', 'IS_PART_OF', 'section', 4),
+    ('description', 'HAS_STEP', 'step', 7),
+    ('description', 'IS_PART_OF', 'planning_information', 3),
+    ('description', 'IS_PART_OF', 'summary', 3),
+    ('effectivity', 'HAS_AIRPLANES', 'airplanes', 3),
+    ('effectivity', 'HAS_SPARES_AFFECTED', 'spares_affected', 3),
+    ('effectivity', 'IS_PART_OF', 'planning_information', 3),
+    ('effectivity', 'effects', 'Airplane', 6),
+    ('elapsed_hours', 'IS_PART_OF', 'task', 4),
+    ('elapsed_hours', 'IS_PART_OF', 'total_per_airplane', 3),
+    ('header', 'HAS_ATA_SYSTEM', 'ata_system', 3),
+    ('header', 'HAS_NUMBER', 'number', 3),
+    ('header', 'HAS_ORIGINAL_ISSUE_DATE', 'original_issue_date', 3),
+    ('header', 'HAS_SUBJECT', 'subject', 3),
+    ('header', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('manpower', 'HAS_TASK', 'task', 4),
+    ('manpower', 'HAS_TOTAL_PER_AIRPLANE', 'total_per_airplane', 3),
+    ('manpower', 'IS_PART_OF', 'planning_information', 3),
+    ('material_information', 'HAS_PARTS_REQUIRED', 'parts_required', 3),
+    ('material_information', 'HAS_TOOLING_REQUIRED', 'tooling_required', 3),
+    ('material_information', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('name', 'IS_PART_OF', 'task', 4),
+    ('number', 'IS_PART_OF', 'header', 3),
+    ('number', 'IS_PART_OF', 'step', 7),
+    ('original_issue_date', 'IS_PART_OF', 'header', 3),
+    ('parts_required', 'IS_PART_OF', 'material_information', 3),
+    ('persons', 'IS_PART_OF', 'task', 4),
+    ('planning_information', 'HAS_APPROVAL', 'approval', 3),
+    ('planning_information', 'HAS_COMPLIANCE', 'compliance', 3),
+    ('planning_information', 'HAS_CONCURRENT_REQUIREMENTS', 'concurrent_requirements', 3),
+    ('planning_information', 'HAS_DESCRIPTION', 'description', 3),
+    ('planning_information', 'HAS_EFFECTIVITY', 'effectivity', 3),
+    ('planning_information', 'HAS_MANPOWER', 'manpower', 3),
+    ('planning_information', 'HAS_REASON', 'reason', 3),
+    ('planning_information', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('reason', 'IS_PART_OF', 'planning_information', 3),
+    ('section', 'HAS_CONTENT', 'content', 4),
+    ('section', 'HAS_TITLE', 'title', 4),
+    ('section', 'IS_PART_OF', 'appendix_a', 4),
+    ('spares_affected', 'IS_PART_OF', 'effectivity', 3),
+    ('step', 'HAS_NUMBER', 'number', 7),
+    ('step', 'HAS_TEXT', 'text', 7),
+    ('step', 'IS_PART_OF', 'description', 7),
+    ('step', 'IS_PART_OF', 'work_instructions', 7),
+    ('subject', 'IS_PART_OF', 'header', 3),
+    ('summary', 'HAS_BACKGROUND', 'background', 3),
+    ('summary', 'HAS_DESCRIPTION', 'description', 3),
+    ('summary', 'IS_PART_OF', 'ServiceBulletin', 3),
+    ('task', 'HAS_ELAPSED_HOURS', 'elapsed_hours', 4),
+    ('task', 'HAS_NAME', 'name', 4),
+    ('task', 'HAS_PERSONS', 'persons', 4),
+    ('task', 'HAS_TASK_HOURS', 'task_hours', 4),
+    ('task', 'IS_PART_OF', 'manpower', 4),
+    ('task_hours', 'IS_PART_OF', 'task', 4),
+    ('task_hours', 'IS_PART_OF', 'total_per_airplane', 3),
+    ('text', 'IS_PART_OF', 'step', 7),
+    ('title', 'IS_PART_OF', 'appendix_a', 3),
+    ('title', 'IS_PART_OF', 'section', 4),
+    ('tooling_required', 'IS_PART_OF', 'material_information', 3),
+    ('total_per_airplane', 'HAS_ELAPSED_HOURS', 'elapsed_hours', 3),
+    ('total_per_airplane', 'HAS_TASK_HOURS', 'task_hours', 3),
+    ('total_per_airplane', 'IS_PART_OF', 'manpower', 3),
+    ('work_instructions', 'HAS_STEP', 'step', 7),
+    ('work_instructions', 'IS_PART_OF', 'accomplishment_instructions', 3),
+]
+
+GOLDEN_XML_KHOP_FLAGSHIP_COLS = [('seed_name', 'VARCHAR'), ('connected_names', 'VARCHAR'), ('n_connected', 'BIGINT')]
+GOLDEN_XML_KHOP_FLAGSHIP_ROWS = [
+    ('737-00-1028', '737-8,737-9,accomplishment_instructions,airplanes,appendix_a,approval,ata_system,background,compliance,concurrent_requirements,content,content,description,description,effectivity,header,manpower,material_information,number,original_issue_date,parts_required,planning_information,reason,section,section,spares_affected,step,step,step,step,subject,summary,task,task,title,title,title,tooling_required,total_per_airplane,work_instructions', 40),
+]
+
+GOLDEN_XML_SHARED_LINENUMBERS_COLS = [('line_number', 'VARCHAR'), ('n_bulletins', 'BIGINT')]
+GOLDEN_XML_SHARED_LINENUMBERS_ROWS = [
+    ('6542', 2),
+    ('6562', 2),
+    ('6582', 2),
+    ('6612', 2),
+    ('6630', 2),
+    ('6652', 2),
+    ('6672', 2),
+    ('6690', 2),
+    ('6722', 2),
+    ('6740', 2),
+    ('6762', 2),
+    ('6780', 2),
+    ('6792', 2),
+    ('6810', 2),
+    ('6830', 2),
+    ('6850', 2),
+    ('6852', 2),
+    ('6872', 2),
+    ('6890', 2),
+    ('6920', 2),
+    ('6922', 2),
+    ('6940', 2),
+    ('6942', 2),
+    ('6960', 2),
+    ('6970', 2),
+    ('6980', 2),
+    ('7000', 2),
+    ('7010', 2),
+    ('7020', 2),
+    ('7030', 2),
+    ('7040', 2),
+    ('7050', 2),
+    ('7060', 2),
+    ('7062', 2),
+    ('7070', 2),
+    ('7090', 2),
+    ('7100', 2),
+    ('7120', 2),
+    ('7130', 2),
+    ('7140', 2),
+    ('7150', 2),
+    ('7160', 2),
+    ('7170', 2),
+    ('7190', 2),
+    ('7220', 2),
+    ('7250', 2),
+    ('7350', 2),
+    ('7370', 2),
+    ('7430', 2),
+]
+
+GOLDEN_XML_TITLE_HIERARCHY_COLS = [('docnbr', 'VARCHAR'), ('title_label', 'VARCHAR'), ('parent_label', 'VARCHAR')]
+GOLDEN_XML_TITLE_HIERARCHY_ROWS = [
+    ('737-00-1028', '1. operational readiness flight recommendations', 'Operational readiness flight'),
+    ('737-00-1028', '2. operational readiness flight profile', 'Operational readiness flight'),
+    ('737-00-1028', 'Operational readiness flight', 'ServiceBulletin'),
+    ('737-00-1029', '1. fuel pump replacement instructions', 'Fuel pump replacement'),
+    ('737-00-1029', 'Fuel pump replacement', 'ServiceBulletin'),
+    ('737-00-1030', '1. hydraulic system pressure check instructions', 'Hydraulic system pressure check'),
+    ('737-00-1030', 'Hydraulic system pressure check', 'ServiceBulletin'),
+]
+
+GOLDEN_XML_CONNECTED_COMPONENTS_COLS = [('n_nodes', 'BIGINT'), ('bulletins', 'VARCHAR')]
+GOLDEN_XML_CONNECTED_COMPONENTS_ROWS = [
+    (687, '737-00-1028,737-00-1029,737-00-1030'),
+]
+
+
+def _values_sql(cols, rows):
+    """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "BIGINT":
+            return f"CAST({int(v)} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
+    vals = ",\n  ".join(
+        "(" + ", ".join(lit(v, t) for (_, t), v in zip(cols, row)) + ")"
+        for row in rows
+    )
+    names = ", ".join(c for c, _ in cols)
+    return f"SELECT * FROM (VALUES\n  {vals}\n) AS t({names})"
+
+
+ORACLE = {
+
+    "xml_label_counts": _values_sql(GOLDEN_XML_LABEL_COUNTS_COLS, GOLDEN_XML_LABEL_COUNTS_ROWS),
+    "xml_rel_signatures": _values_sql(GOLDEN_XML_REL_SIGNATURES_COLS, GOLDEN_XML_REL_SIGNATURES_ROWS),
+    "xml_khop_flagship": _values_sql(GOLDEN_XML_KHOP_FLAGSHIP_COLS, GOLDEN_XML_KHOP_FLAGSHIP_ROWS),
+    "xml_shared_linenumbers": _values_sql(GOLDEN_XML_SHARED_LINENUMBERS_COLS, GOLDEN_XML_SHARED_LINENUMBERS_ROWS),
+    "xml_title_hierarchy": _values_sql(GOLDEN_XML_TITLE_HIERARCHY_COLS, GOLDEN_XML_TITLE_HIERARCHY_ROWS),
+    "xml_connected_components": _values_sql(GOLDEN_XML_CONNECTED_COMPONENTS_COLS, GOLDEN_XML_CONNECTED_COMPONENTS_ROWS),
+}

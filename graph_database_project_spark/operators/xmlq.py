@@ -196,6 +196,9 @@ QUERIES = {
     "xml_connected_components": q_xml_connected_components,
 }
 
-# No DuckDB oracle: the graph tables come from XML ingest, not the
-# pre-registered relational views → rows-only checks by design.
-ORACLE: dict[str, str] = {}
+# The graph tables come from XML ingest, not the pre-registered relational
+# views — but the corpus is STATIC, so the outputs are fixed and the oracle
+# is a golden-constant VALUES table per query (see xml_golden.py for the
+# rationale and regeneration protocol). Only xml_subtree_content stays
+# rows-only (multi-KB prose cells).
+from .xml_golden import ORACLE as ORACLE  # noqa: F401  (re-export)

@@ -1,0 +1,69 @@
+import sys; sys.path.insert(0, "/root/repo")
+from graph_database_project_spark.session import get_spark
+from graph_database_project_spark.registry import all_queries
+from pyspark.sql import types as T
+spark = get_spark("golden-gen2")
+qs = all_queries()
+names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
+         "xml_shared_linenumbers", "xml_title_hierarchy", "xml_connected_components"]
+out = []
+out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
+out.append('')
+out.append("The xml_* queries read the reference's STATIC 3-document corpus")
+out.append('(`boeing_service_bulletin_{1,2,3}.xml`) and take no input from sf_dir, so')
+out.append('their exact outputs are fixed. Each oracle below pins those hand-verified')
+out.append('values as a constant VALUES table — a true value check (any behavior change')
+out.append('in shred/traverse/store hash-mismatches at the driver), the same goldens')
+out.append('tests/test_graph_xml.py asserts, now enforced end-to-end. Regenerate after')
+out.append('an INTENDED semantic change with scripts/gen_xml_golden.py.')
+out.append('')
+out.append('``xml_subtree_content`` stays rows-only: its cells are multi-KB prose with')
+out.append('embedded quotes/newlines — a constant-table oracle would be unreviewable.')
+out.append('"""')
+out.append('')
+out.append('from __future__ import annotations')
+out.append('')
+
+def sqlt(dt):
+    if isinstance(dt, T.LongType): return "BIGINT"
+    if isinstance(dt, T.StringType): return "VARCHAR"
+    raise ValueError(dt)
+
+for n in names:
+    df = qs[n](spark, "/root/testdata/sf0.01")
+    cols = [(f.name, sqlt(f.dataType)) for f in df.schema.fields]
+    rows = [tuple(r) for r in df.collect()]
+    var = "GOLDEN_" + n.upper()
+    out.append(f"{var}_COLS = {cols!r}")
+    out.append(f"{var}_ROWS = [")
+    for r in sorted(rows):
+        out.append(f"    {r!r},")
+    out.append("]")
+    out.append("")
+
+out.append('''
+def _values_sql(cols, rows):
+    """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "BIGINT":
+            return f"CAST({int(v)} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
+    vals = ",\\n  ".join(
+        "(" + ", ".join(lit(v, t) for (_, t), v in zip(cols, row)) + ")"
+        for row in rows
+    )
+    names = ", ".join(c for c, _ in cols)
+    return f"SELECT * FROM (VALUES\\n  {vals}\\n) AS t({names})"
+
+
+ORACLE = {
+''')
+for n in names:
+    var = "GOLDEN_" + n.upper()
+    out.append(f'    "{n}": _values_sql({var}_COLS, {var}_ROWS),')
+out.append("}")
+open("/root/repo/graph_database_project_spark/operators/xml_golden.py", "w").write("\n".join(out) + "\n")
+print("written", sum(len(l) for l in out), "chars")
+spark.stop()
