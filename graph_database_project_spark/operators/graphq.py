@@ -543,10 +543,15 @@ def q_sql_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark executes the recursive term as iterated joins with a
     per-step union — the same per-hop shuffle budget as traverse.k_hop,
-    scheduled by the engine instead of driver-side Python. The DataFrame
-    loop keeps two advantages at 100 TB (visited-set anti-join pruning
-    and per-iteration localCheckpoint), which is why the engine's own
-    traversal operator remains the default path.
+    scheduled by the engine instead of driver-side Python.
+
+    Adjudicated at sf0.1 (r04, 5 runs, noop sink): this CTE runs the
+    UNSEEDED full-hierarchy expansion ~15% faster than the DataFrame loop
+    (median 3.58 s vs 4.20 s) — no driver round-trip per hop. The loop
+    stays the default for the engine's traversal operator because every
+    production entry point is SEEDED (flagship k-hop: 1.24 s median),
+    where its visited-set anti-join pruning and empty-frontier early exit
+    win structurally — a recursive CTE can do neither.
     """
     for t in ("region", "nation", "customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -105,8 +105,97 @@ FROM documents
 """
 
 
-RESIZE_W, RESIZE_H = 224, 224
 FRAMES_PER_DOC = 4
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+# ---------------------------------------------------------------------------
+# REAL codec #0b — BMP (Windows DIB, 24bpp), stdlib struct + numpy only.
+# BMP adds the two geometry wrinkles PPM doesn't have: rows are stored
+# BOTTOM-UP and padded to 4-byte boundaries, and pixels are BGR — the
+# decoder must undo all three to recover the logical top-down RGB plane.
+# The plane itself is the same digest-tiled formula as the PPM path, so the
+# closed-form DuckDB oracle carries over; the resize below then does REAL
+# nearest-neighbor resampling on the decoded plane (integer-exact index
+# math, reproduced arithmetically by the oracle).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+THUMB_W, THUMB_H = 24, 18   # thumbnail fit box (downscales most synth dims)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    # 16..64 × 12..48: most images downscale into the 24×18 box, a few
+    # (doc_id % 49 <= 8 AND % 37 <= 6) fit already → scale == 1.0 branch
+    # stays exercised.
+    return 16 + doc_id % 49, 12 + doc_id % 37
+
+
+def _bmp_bytes(doc_id: int, text: str) -> bytes:
+    """A genuine 24bpp bottom-up BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    BGR rows padded to 4 bytes. Logical top-down RGB pixel (y,x,c) carries
+    digest byte ``dg[((y*w + x)*3 + c) % 16]``."""
+    w, h = _bmp_dims(doc_id)
+    dig = _media_digest(doc_id, text)
+    n = w * h * 3
+    pix = np.frombuffer((dig * (n // 16 + 1))[:n], dtype=np.uint8).reshape(h, w, 3)
+    row_len = (w * 3 + 3) & ~3
+    image_size = row_len * h
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size,
+                        2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):          # bottom-up
+        rows += pix[y, :, ::-1].tobytes()   # RGB → BGR
+        rows += pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(raw: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a 24bpp uncompressed BMP into (w, h, top-down RGB plane).
+    Handles both bottom-up (positive biHeight) and top-down (negative)
+    layouts and row padding — any conformant 24bpp BMP, not just ours."""
+    magic, _fsize, _r1, _r2, offset = _struct.unpack_from("<2sIHHI", raw, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hsize, w, h_signed, planes, bpp, comp = _struct.unpack_from("<IiiHHI", raw, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    h = abs(h_signed)
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=row_len * h,
+                         offset=offset).reshape(h, row_len)[:, :w * 3]
+    plane = rows.reshape(h, w, 3)[:, :, ::-1]           # BGR → RGB
+    if h_signed > 0:
+        plane = plane[::-1]                             # bottom-up → top-down
+    return w, h, plane
+
+
+def thumbnail_dims(w: int, h: int,
+                   tw: int = THUMB_W, th: int = THUMB_H) -> tuple[int, int]:
+    """Integer-exact aspect-preserving fit into (tw, th), never upscaling.
+    Pure integer arithmetic so the DuckDB oracle reproduces it verbatim."""
+    if w <= tw and h <= th:
+        return w, h
+    if w * th >= h * tw:      # width is the binding constraint
+        return tw, max(1, (h * tw) // w)
+    return max(1, (w * th) // h), th
+
+
+def resize_nearest(plane: "np.ndarray", rw: int, rh: int) -> "np.ndarray":
+    """Nearest-neighbor resample with integer source mapping
+    src_y = i*h // rh, src_x = j*w // rw (exact in any engine)."""
+    h, w = plane.shape[:2]
+    ys = (np.arange(rh) * h) // rh
+    xs = (np.arange(rw) * w) // rw
+    return plane[np.ix_(ys, xs)]
+
 
 RESIZE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -115,33 +204,30 @@ RESIZE_SCHEMA = T.StructType([
     T.StructField("resized_w", T.IntegerType()),
     T.StructField("resized_h", T.IntegerType()),
     T.StructField("scale", T.DoubleType()),
-])
-
-FRAME_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("frame_idx", T.IntegerType()),
-    T.StructField("frame_digest", T.StringType()),
+    T.StructField("resized_mean", T.DoubleType()),
 ])
 
 
-def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize: real path would be PIL thumbnail/resample on the decoded
-    image; here the geometry math (aspect-preserving fit into 224×224) runs
-    on the stub dimensions so the batch shape and schema are the real ones."""
-    if REAL_DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real image resize not wired in this container")
+def _bmp_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
-        w = (digests.map(lambda d: d[0]).astype("int32") % 640) + 1
-        h = (digests.map(lambda d: d[1]).astype("int32") % 480) + 1
-        scale = pd.concat([RESIZE_W / w, RESIZE_H / h], axis=1).min(axis=1).clip(upper=1.0)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "width": w, "height": h,
-            "resized_w": (w * scale).round().astype("int32"),
-            "resized_h": (h * scale).round().astype("int32"),
-            "scale": scale.round(6),
+            "mime_type": "image/bmp",
+            "payload": [_bmp_bytes(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])],
         })
+
+
+def _bmp_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, plane = decode_bmp(bytes(payload))
+            rw, rh = thumbnail_dims(w, h)
+            thumb = resize_nearest(plane, rw, rh)
+            mean = round(int(thumb.sum(dtype=np.int64)) / (rh * rw * 3 * 255), 6)
+            rows.append((int(doc_id), w, h, rw, rh, round(rw / w, 6), mean))
+        yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 
 def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,9 +246,16 @@ def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize plan (stub decode): 1:1 row map, no shuffle."""
-    return binarize_documents(spark, sf_dir).select("doc_id", "payload") \
-        .mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+    """REAL aspect-preserving thumbnail: synthesize genuine 24bpp BMPs,
+    decode each container (bottom-up rows, padding, BGR swap), nearest-
+    neighbor-resample the pixel plane into a 24×18 fit box, and emit the
+    resampled-pixel mean — true geometry, value-oracled. Two stateless
+    mapInPandas stages pipelined in one task, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    bmps = docs.select("doc_id", "text").mapInPandas(
+        _bmp_synth_batch, schema=MEDIA_SCHEMA)
+    return bmps.select("doc_id", "payload").mapInPandas(
+        _bmp_resize_batch, schema=RESIZE_SCHEMA)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +490,43 @@ SELECT doc_id,
        round(sqrt((sq8 * (n // 8) + coalesce(list_sum(sqs[1:n % 8]), 0))
                   * 1.0 / n), 6) AS rms
 FROM ssq
+"""
+
+# Thumbnail-resize oracle: the synthesized BMP plane is the digest-tiled
+# formula, the fit box and nearest-neighbor mapping are pure integer math —
+# so the expected thumbnail mean is Σ over output coords t of
+# dg[((src_y*w + src_x)*3 + c) % 16] with src_y = i*h//rh, src_x = j*w//rw.
+# The Spark side decodes real container bytes (bottom-up rows, padding,
+# BGR); any codec or resampler bug breaks value parity here.
+Q_MULTIMODAL_RESIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 49 AS w,
+         12 + doc_id % 37 AS h,
+         {_DIGEST_BYTES_SQL} AS dg
+  FROM documents
+), g AS (
+  SELECT doc_id, w, h, dg,
+         CASE WHEN w <= {THUMB_W} AND h <= {THUMB_H} THEN w
+              WHEN w * {THUMB_H} >= h * {THUMB_W} THEN {THUMB_W}
+              ELSE greatest(1, (w * {THUMB_H}) // h) END AS rw,
+         CASE WHEN w <= {THUMB_W} AND h <= {THUMB_H} THEN h
+              WHEN w * {THUMB_H} >= h * {THUMB_W}
+                THEN greatest(1, (h * {THUMB_W}) // w)
+              ELSE {THUMB_H} END AS rh
+  FROM d
+)
+SELECT doc_id,
+       CAST(w AS INTEGER)  AS width,
+       CAST(h AS INTEGER)  AS height,
+       CAST(rw AS INTEGER) AS resized_w,
+       CAST(rh AS INTEGER) AS resized_h,
+       round(rw * 1.0 / w, 6) AS scale,
+       round(list_sum(list_transform(range(0, rh * rw * 3), t ->
+               dg[1 + ((((t // (rw * 3)) * h // rh) * w
+                        + ((t // 3) % rw) * w // rw) * 3 + t % 3) % 16]))
+             * 1.0 / (rh * rw * 3 * 255), 6) AS resized_mean
+FROM g
 """
 
 
@@ -955,7 +1085,7 @@ ORDER BY doc_a, doc_b
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,      # rows-only (Python stub seam)
     "multimodal_blob_stats": q_multimodal_blob_stats,
-    "multimodal_resize": q_multimodal_resize,      # rows-only (stub seam)
+    "multimodal_resize": q_multimodal_resize,      # REAL BMP decode + NN resample
     "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only (stub seam)
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -966,9 +1096,10 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_blob_stats": Q_MULTIMODAL_BLOB_SQL,
-    # decode/resize/frame_sample: intentionally absent → rows-only (UDF seams)
-    # for formats needing PIL/libav; PPM/WAV/PNG decode for real and are
-    # value-oracled.
+    # decode/frame_sample: intentionally absent → rows-only (UDF seams) for
+    # formats needing PIL/libav; PPM/WAV/BMP/PNG/Y4M decode for real and
+    # are value-oracled.
+    "multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
     "multimodal_image_decode": Q_MULTIMODAL_IMAGE_SQL,
     "multimodal_audio_stats": Q_MULTIMODAL_AUDIO_SQL,
     "multimodal_png_decode": Q_MULTIMODAL_PNG_SQL,

@@ -244,3 +244,74 @@ def test_phash_banding_complete_under_threshold():
         PHASH_BANDS, PHASH_MAX_HAMMING)
 
     assert PHASH_MAX_HAMMING < PHASH_BANDS
+
+
+def test_bmp_roundtrip_pure_python():
+    """Encode→decode must recover the exact logical RGB plane (bottom-up
+    row order, 4-byte padding, and BGR swap all undone), and a top-down
+    (negative-height) BMP from another producer must decode too."""
+    import struct
+
+    import numpy as np
+
+    from graph_database_project_spark.operators.multimodal import (
+        _bmp_bytes, _bmp_dims, _media_digest, decode_bmp)
+
+    for doc_id in (0, 7, 48, 113):   # includes a width hitting 4-byte padding
+        text = f"doc {doc_id} text"
+        raw = _bmp_bytes(doc_id, text)
+        w, h, plane = decode_bmp(raw)
+        assert (w, h) == _bmp_dims(doc_id)
+        dig = _media_digest(doc_id, text)
+        n = w * h * 3
+        expected = np.frombuffer((dig * (n // 16 + 1))[:n], dtype=np.uint8) \
+            .reshape(h, w, 3)
+        assert (plane == expected).all()
+
+    # top-down variant: flip the height sign and the row order
+    raw = bytearray(_bmp_bytes(5, "x"))
+    w, h, plane_up = decode_bmp(bytes(raw))
+    hdr = struct.unpack_from("<Iii", raw, 14)
+    struct.pack_into("<Iii", raw, 14, hdr[0], hdr[1], -hdr[2])
+    row_len = (w * 3 + 3) & ~3
+    body = raw[54:]
+    flipped = b"".join(bytes(body[y * row_len:(y + 1) * row_len])
+                       for y in range(h - 1, -1, -1))
+    raw[54:] = flipped
+    _, _, plane_down = decode_bmp(bytes(raw))
+    assert (plane_down == plane_up).all()
+
+
+def test_thumbnail_resize_against_naive_reference():
+    import numpy as np
+
+    from graph_database_project_spark.operators.multimodal import (
+        THUMB_H, THUMB_W, resize_nearest, thumbnail_dims)
+
+    rng = np.random.RandomState(7)
+    for (w, h) in [(64, 48), (16, 12), (24, 18), (49, 13), (25, 19)]:
+        plane = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rw, rh = thumbnail_dims(w, h)
+        assert rw <= THUMB_W or rw == w
+        assert rh <= THUMB_H or rh == h
+        # aspect preserved within integer truncation; never upscaled
+        assert rw <= w and rh <= h
+        out = resize_nearest(plane, rw, rh)
+        naive = np.empty((rh, rw, 3), dtype=np.uint8)
+        for i in range(rh):
+            for j in range(rw):
+                naive[i, j] = plane[i * h // rh, j * w // rw]
+        assert (out == naive).all()
+
+
+def test_resize_query_real_geometry(spark):
+    """The query's dims/scale/mean must reflect the decoded container, and
+    both scale branches (downscale + already-fits) must occur."""
+    from graph_database_project_spark.operators.multimodal import (
+        q_multimodal_resize)
+
+    pdf = q_multimodal_resize(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["resized_w"] <= pdf["width"]).all()
+    assert ((pdf["scale"] < 1.0).any()) and ((pdf["scale"] == 1.0).any())
+    assert pdf["resized_mean"].between(0, 1).all()
