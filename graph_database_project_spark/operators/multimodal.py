@@ -105,12 +105,14 @@ FROM documents
 """
 
 
-FRAMES_PER_DOC = 4
+FRAME_FP_P = 65_521          # largest 16-bit prime — fingerprint modulus
+FRAME_SAMPLE_STRIDE = 2      # keep every 2nd frame
 
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
-    T.StructField("frame_digest", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_fp", T.LongType()),
 ])
 
 # ---------------------------------------------------------------------------
@@ -231,18 +233,22 @@ def _bmp_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame sampling: real path decodes a video container and samples
-    every Nth frame; the fan-out (k output rows per input row) is the real
-    plumbing being exercised."""
-    if REAL_DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real frame sampling not wired in this container")
+    """REAL frame sampling + fingerprinting: parse the Y4M container, keep
+    every FRAME_SAMPLE_STRIDE-th frame, and fingerprint each kept frame's
+    decoded plane with a positional-weighted hash
+    ``Σ byte_i·(i+1) mod FRAME_FP_P`` — order-sensitive (a byte swap
+    changes it), integer-exact, and closed-form for the oracle."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            raw = bytes(payload)
-            for i in range(FRAMES_PER_DOC):
-                rows.append((doc_id, i, hashlib.md5(raw + bytes([i])).hexdigest()))
-        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_digest"])
+            _w, _h, _fps, planes = y4m_planes(bytes(payload))
+            n_frames = len(planes)
+            for f in range(0, n_frames, FRAME_SAMPLE_STRIDE):
+                plane = planes[f].astype(np.int64)
+                fp = int((plane * (np.arange(plane.size, dtype=np.int64) + 1)).sum()
+                         % FRAME_FP_P)
+                rows.append((int(doc_id), f, n_frames, fp))
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,10 +265,19 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plan (stub decode): 1:k row fan-out inside
-    mapInPandas — the partition-local explode a video pipeline needs."""
-    return binarize_documents(spark, sf_dir).select("doc_id", "payload") \
-        .mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
+    """REAL frame sampling + per-frame fingerprinting over genuine Y4M
+    streams (every 5th document): 1:k partition-local fan-out inside
+    mapInPandas, emitting an order-sensitive integer fingerprint per kept
+    frame — the dedup-key step a video pipeline runs after decimation
+    (multimodal_video_frames is the stats twin). Value-oracled: the
+    fingerprint is closed-form over the synth plane, but the Spark side
+    computes it from DECODED container bytes."""
+    docs = load_table(spark, sf_dir, "documents", widen=True) \
+        .filter(F.col("doc_id") % 5 == 0)
+    media = docs.select("doc_id", "text").mapInPandas(
+        _y4m_synth_batch, schema=MEDIA_SCHEMA)
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batch, schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -769,10 +784,9 @@ def _y4m_bytes(doc_id: int, text: str) -> bytes:
     return b"".join(out)
 
 
-def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[float]]:
-    """Parse a YUV4MPEG2 stream from the container bytes alone. Returns
-    (width, height, fps, n_frames, per-frame plane mean in [0,1] rounded
-    to 6). Only the C444 chroma mode is supported (plane = w*h*3)."""
+def y4m_planes(raw: bytes) -> tuple[int, int, int, list["np.ndarray"]]:
+    """Parse a YUV4MPEG2 stream into (width, height, fps, raw uint8 frame
+    planes). Only the C444 chroma mode is supported (plane = w*h*3)."""
     nl = raw.find(b"\n")
     if nl < 0 or not raw.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
@@ -786,7 +800,7 @@ def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[float]]:
         raise ValueError(f"degenerate Y4M geometry {w}x{h}")
     if params.get(b"C", b"444") != b"444":
         raise ValueError("only C444 supported")
-    plane_len, pos, means = w * h * 3, nl + 1, []
+    plane_len, pos, planes = w * h * 3, nl + 1, []
     while pos < len(raw):
         if raw[pos:pos + 5] != b"FRAME":
             raise ValueError(f"missing FRAME marker at byte {pos}")
@@ -798,9 +812,17 @@ def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[float]]:
             plane = np.frombuffer(raw, dtype=np.uint8, count=plane_len, offset=pos)
         except ValueError as exc:
             raise ValueError(f"truncated frame plane: {exc}") from exc
-        means.append(round(float(plane.sum()) / plane_len / 255, 6))
+        planes.append(plane)
         pos += plane_len
-    return w, h, fps, len(means), means
+    return w, h, fps, planes
+
+
+def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[float]]:
+    """Container bytes → (width, height, fps, n_frames, per-frame plane
+    mean in [0,1] rounded to 6)."""
+    w, h, fps, planes = y4m_planes(raw)
+    means = [round(float(p.sum()) / p.size / 255, 6) for p in planes]
+    return w, h, fps, len(planes), means
 
 
 VIDEO_FRAME_SCHEMA = T.StructType([
@@ -885,6 +907,31 @@ SELECT doc_id,
        round((list_sum(sdg) * (n // 16) + coalesce(list_sum(sdg[1:n % 16]), 0))
              * 1.0 / n / 255, 6) AS frame_mean
 FROM sampled
+"""
+
+# Frame-fingerprint oracle: frame f's byte i is (dg[i%16]+f)%256, so the
+# positional-weighted hash is closed-form. The Spark side computes it from
+# decoded container planes — a sampler/decoder drift breaks parity.
+Q_MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id // 5) % 5 AS w,
+         6 + (doc_id // 5) % 3 AS h,
+         3 + (doc_id // 5) % 4 AS nf,
+         {_DIGEST_BYTES_SQL} AS dg
+  FROM documents WHERE doc_id % 5 = 0
+), frames AS (
+  SELECT doc_id, w, h, nf, dg,
+         unnest(range(0, nf, {FRAME_SAMPLE_STRIDE})) AS f
+  FROM d
+)
+SELECT doc_id,
+       CAST(f AS INTEGER)  AS frame_idx,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(list_sum(list_transform(range(0, w * h * 3), i ->
+              ((dg[1 + i % 16] + f) % 256) * (i + 1))) % {FRAME_FP_P} AS BIGINT)
+         AS frame_fp
+FROM frames
 """
 
 
@@ -1086,7 +1133,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,      # rows-only (Python stub seam)
     "multimodal_blob_stats": q_multimodal_blob_stats,
     "multimodal_resize": q_multimodal_resize,      # REAL BMP decode + NN resample
-    "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only (stub seam)
+    "multimodal_frame_sample": q_multimodal_frame_sample,  # REAL Y4M fingerprinting
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_png_decode": q_multimodal_png_decode,
@@ -1096,10 +1143,11 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_blob_stats": Q_MULTIMODAL_BLOB_SQL,
-    # decode/frame_sample: intentionally absent → rows-only (UDF seams) for
-    # formats needing PIL/libav; PPM/WAV/BMP/PNG/Y4M decode for real and
-    # are value-oracled.
+    # decode: intentionally absent → rows-only (UDF seam) for formats
+    # needing PIL/libav; PPM/WAV/BMP/PNG/Y4M decode for real and are
+    # value-oracled.
     "multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": Q_MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_image_decode": Q_MULTIMODAL_IMAGE_SQL,
     "multimodal_audio_stats": Q_MULTIMODAL_AUDIO_SQL,
     "multimodal_png_decode": Q_MULTIMODAL_PNG_SQL,

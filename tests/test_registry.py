@@ -9,8 +9,7 @@ EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",   # HLL sketches aren't bit-compatible across engines
     "sim_ivf_topk",          # iterative k-means quantizer — recall test instead
     "embedding_pca_power",   # iterative power method — numpy-exact test instead
-    "multimodal_decode",     # Python stub seams (PIL/libav absent)
-    "multimodal_frame_sample",
+    "multimodal_decode",     # Python stub seam (PIL/libav absent)
     "xml_subtree_content",   # multi-KB prose cells — golden-constant oracle
                              # unreviewable; the rest of xml_* is golden-pinned
 }
