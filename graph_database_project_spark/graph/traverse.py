@@ -86,9 +86,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     runaway guard. Per-iteration cost: two joins + a groupBy, all
     hash-partitioned on node id, so the exchanges line up across stages.
     """
+    # und is loop-invariant but referenced twice per iteration; without a
+    # materialization boundary its distinct() shuffle re-executes on every
+    # use (measured at sf0.1: checkpoint cuts the query median ~8% and
+    # halves the first-run cost). Same persist-the-invariant rule as the
+    # dedup shingle relation.
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = vertices.select("node", F.col("node").alias("component"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -131,7 +136,14 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
     with ranks summing to ~N (classic formulation, rank_0 = 1.0).
     """
     n = vertices.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # vertices/edges/out_deg are loop-invariant but referenced in all
+    # n_iter iterations — materialize once instead of re-deriving (incl.
+    # the out_deg shuffle) per round. Measured at sf0.1: 3.38 s → 2.51 s
+    # median, identical ranks.
+    vertices = vertices.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")) \
+                   .localCheckpoint(eager=True)
     ranks = vertices.select("node", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contribs = (
