@@ -5,7 +5,12 @@ container. The engine work all happens in plans/nl2query.py; this module
 is transport only.
 
 Routes:
-  GET  /health  → {"status": "ok", "n_queries": N}
+  GET  /health    → {"status": "ok", "n_queries": N}
+  GET  /graph     → {"nodes": [...], "edges": [...]} of the ingested
+                    bulletin graph (capped; visualize.graph_payload)
+  GET  /visualize → self-contained HTML canvas force-layout of /graph —
+                    the reference's templates/visualise.html (neovis.js)
+                    re-expressed with zero external dependencies
   POST /chat    → body {"messages": [{"role": "user", "content": "..."}]}
                   runs the multi-turn NL lifecycle (answer_chat) and
                   returns {"sql", "rows", "answer"}
@@ -67,6 +72,20 @@ def create_server(spark: SparkSession, sf_dir: str,
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok", "n_queries": len(queries)})
+            elif self.path == "/graph":
+                from .visualize import graph_payload
+                try:
+                    self._send(200, graph_payload(spark))
+                except Exception as exc:  # pragma: no cover - defensive
+                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+            elif self.path == "/visualize":
+                from .visualize import VISUALIZE_HTML
+                body = VISUALIZE_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

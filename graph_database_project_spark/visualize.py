@@ -1,0 +1,154 @@
+"""Graph visualization page — the engine-side twin of the reference's
+``templates/visualise.html`` (neovis.js bound to a Neo4j bolt URL,
+visualise.html:7) and its node/edge browsing story. The reference pulls
+rendering from a CDN and data from live Neo4j; this container has neither,
+so the page is fully self-contained: vanilla-JS canvas force-directed
+layout, data from the engine's own ``GET /graph`` JSON (nodes/edges of the
+ingested bulletin graph, served by api.py).
+
+Transport-layer only — no query logic lives here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+# Caps keep the demo page responsive; the reference renders the same
+# 3-document corpus (~700 nodes) without paging either.
+NODE_CAP = 800
+EDGE_CAP = 2400
+
+
+def graph_payload(spark: SparkSession) -> dict:
+    """Nodes/edges of the ingested reference graph as JSON-ready dicts.
+    Label = first label (the shredder's primary); capped deterministically
+    by id so node/edge sets stay consistent."""
+    from .operators.xmlq import _store
+
+    st = _store(spark)
+    nodes = (
+        st.nodes.select("id", F.element_at("labels", 1).alias("label"), "name")
+        .orderBy("id").limit(NODE_CAP).collect()
+    )
+    ids = {r["id"] for r in nodes}
+    edges = (
+        st.edges.select("src", "dst", "rel_type")
+        .orderBy("src", "dst", "rel_type").limit(EDGE_CAP).collect()
+    )
+    return {
+        "nodes": [{"id": r["id"], "label": r["label"], "name": r["name"]}
+                  for r in nodes],
+        "edges": [{"src": r["src"], "dst": r["dst"], "rel": r["rel_type"]}
+                  for r in edges if r["src"] in ids and r["dst"] in ids],
+    }
+
+
+VISUALIZE_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>Graph view</title>
+<style>
+  body { margin: 0; font-family: sans-serif; background: #111; color: #ddd; }
+  #bar { padding: 6px 10px; background: #1b1b1b; font-size: 13px; }
+  #cv { display: block; }
+  #tip { position: fixed; pointer-events: none; background: #000c;
+         padding: 2px 6px; border-radius: 3px; font-size: 12px;
+         visibility: hidden; }
+</style>
+</head>
+<body>
+<div id="bar">bulletin graph &mdash; drag to pan, wheel to zoom, hover for names</div>
+<canvas id="cv"></canvas>
+<div id="tip"></div>
+<script>
+"use strict";
+const cv = document.getElementById("cv"), ctx = cv.getContext("2d");
+const tip = document.getElementById("tip");
+let W, H; function size() { W = cv.width = innerWidth; H = cv.height = innerHeight - 30; }
+size(); addEventListener("resize", size);
+
+// deterministic label -> hue
+function hue(s) { let h = 0; for (const c of s) h = (h * 31 + c.charCodeAt(0)) % 360; return h; }
+
+let nodes = [], edges = [], byId = new Map();
+let panX = 0, panY = 0, zoom = 1, dragging = false, lx = 0, ly = 0;
+
+fetch("/graph").then(r => r.json()).then(g => {
+  nodes = g.nodes.map((n, i) => ({
+    ...n,
+    x: W / 2 + Math.cos(i * 2.399963) * (8 + 14 * Math.sqrt(i)),
+    y: H / 2 + Math.sin(i * 2.399963) * (8 + 14 * Math.sqrt(i)),
+    vx: 0, vy: 0,
+  }));
+  byId = new Map(nodes.map(n => [n.id, n]));
+  edges = g.edges.filter(e => byId.has(e.src) && byId.has(e.dst));
+  requestAnimationFrame(tick);
+});
+
+function forces() {
+  // spring along edges
+  for (const e of edges) {
+    const a = byId.get(e.src), b = byId.get(e.dst);
+    const dx = b.x - a.x, dy = b.y - a.y;
+    const d = Math.hypot(dx, dy) || 1, f = (d - 60) * 0.004;
+    a.vx += f * dx / d; a.vy += f * dy / d;
+    b.vx -= f * dx / d; b.vy -= f * dy / d;
+  }
+  // grid-bucketed repulsion (O(n) per frame, not O(n^2))
+  const cell = 80, grid = new Map();
+  for (const n of nodes) {
+    const k = (n.x / cell | 0) + ":" + (n.y / cell | 0);
+    (grid.get(k) || grid.set(k, []).get(k)).push(n);
+  }
+  for (const n of nodes) {
+    const cx = n.x / cell | 0, cy = n.y / cell | 0;
+    for (let gx = cx - 1; gx <= cx + 1; gx++)
+      for (let gy = cy - 1; gy <= cy + 1; gy++)
+        for (const m of grid.get(gx + ":" + gy) || []) {
+          if (m === n) continue;
+          const dx = n.x - m.x, dy = n.y - m.y;
+          const d2 = dx * dx + dy * dy + 0.01;
+          if (d2 < 6400) { const f = 120 / d2; n.vx += f * dx; n.vy += f * dy; }
+        }
+    n.vx *= 0.85; n.vy *= 0.85; n.x += n.vx; n.y += n.vy;
+  }
+}
+
+function draw() {
+  ctx.clearRect(0, 0, W, H);
+  ctx.save(); ctx.translate(panX, panY); ctx.scale(zoom, zoom);
+  ctx.strokeStyle = "#444"; ctx.lineWidth = 0.6; ctx.beginPath();
+  for (const e of edges) {
+    const a = byId.get(e.src), b = byId.get(e.dst);
+    ctx.moveTo(a.x, a.y); ctx.lineTo(b.x, b.y);
+  }
+  ctx.stroke();
+  for (const n of nodes) {
+    ctx.fillStyle = `hsl(${hue(n.label)},65%,55%)`;
+    ctx.beginPath(); ctx.arc(n.x, n.y, 4, 0, 7); ctx.fill();
+  }
+  ctx.restore();
+}
+
+let frame = 0;
+function tick() { if (frame++ < 600) forces(); draw(); requestAnimationFrame(tick); }
+
+cv.addEventListener("mousedown", e => { dragging = true; lx = e.x; ly = e.y; });
+addEventListener("mouseup", () => dragging = false);
+cv.addEventListener("mousemove", e => {
+  if (dragging) { panX += e.x - lx; panY += e.y - ly; lx = e.x; ly = e.y; return; }
+  const x = (e.x - panX) / zoom, y = (e.y - 30 - panY) / zoom;
+  const n = nodes.find(n => (n.x - x) ** 2 + (n.y - y) ** 2 < 36);
+  tip.style.visibility = n ? "visible" : "hidden";
+  if (n) { tip.textContent = n.label + ": " + (n.name || n.id);
+           tip.style.left = e.x + 12 + "px"; tip.style.top = e.y + 8 + "px"; }
+});
+cv.addEventListener("wheel", e => {
+  e.preventDefault();
+  zoom *= e.deltaY < 0 ? 1.1 : 0.9;
+});
+</script>
+</body>
+</html>
+"""

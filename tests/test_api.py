@@ -73,3 +73,31 @@ def test_query_endpoint_runs_registry_key(server):
 def test_query_unknown_key_is_404(server):
     code, body = _post(f"{server}/query", {"name": "nope"})
     assert code == 404
+
+
+def test_graph_endpoint_serves_nodes_and_edges(server):
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server}/graph") as r:
+        assert r.status == 200
+        g = json.loads(r.read())
+    assert g["nodes"] and g["edges"]
+    ids = {n["id"] for n in g["nodes"]}
+    labels = {n["label"] for n in g["nodes"]}
+    assert "ServiceBulletin" in labels
+    # every served edge endpoint must resolve to a served node
+    assert all(e["src"] in ids and e["dst"] in ids for e in g["edges"])
+
+
+def test_visualize_endpoint_serves_selfcontained_html(server):
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server}/visualize") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    assert "<canvas" in html and "fetch(\"/graph\")" in html
+    # self-contained: no external script/style fetches (reference pulls
+    # neovis.js from a CDN; this page must work offline)
+    assert "http://" not in html and "https://" not in html
