@@ -56,3 +56,30 @@ def test_stream_session_window_equals_batch(spark):
     assert stream_out
     for k, v in stream_out.items():
         assert batch_out.get(k) == v
+
+
+def test_epoch_unit_detection_all_magnitudes(spark):
+    """The seam must land on the same wall-clock instant whatever unit the
+    reader hands back (s/ms/µs/ns) — the r03 regression was a fixed ÷1000
+    assuming nanos while the Spark 4.1 streaming reader yields micros."""
+    from pyspark.sql import functions as F
+
+    from graph_database_project_spark.io import epoch_long_to_ts_ntz
+
+    base_s = 1_704_067_200          # 2024-01-01 00:00:00 UTC
+    rows = [(base_s, "s"), (base_s * 10**3, "ms"),
+            (base_s * 10**6, "us"), (base_s * 10**9, "ns"),
+            (None, "null")]
+    out = {
+        r["unit"]: r["ts"]
+        for r in spark.createDataFrame(rows, "v long, unit string")
+        .select("unit", epoch_long_to_ts_ntz(F.col("v")).alias("ts")).collect()
+    }
+    assert str(out["s"]) == "2024-01-01 00:00:00"
+    assert out["s"] == out["ms"] == out["us"] == out["ns"]
+    assert out["null"] is None
+    # sub-second precision survives in the µs/ns branches (floored to µs)
+    fine = spark.createDataFrame(
+        [(base_s * 10**9 + 123_456_789,)], "v long"
+    ).select(epoch_long_to_ts_ntz(F.col("v")).alias("ts")).first()["ts"]
+    assert fine.microsecond == 123_456
