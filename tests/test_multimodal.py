@@ -315,3 +315,46 @@ def test_resize_query_real_geometry(spark):
     assert (pdf["resized_w"] <= pdf["width"]).all()
     assert ((pdf["scale"] < 1.0).any()) and ((pdf["scale"] == 1.0).any())
     assert pdf["resized_mean"].between(0, 1).all()
+
+
+def test_bmp_codec_properties():
+    """Property-based: for arbitrary dims and pixel planes, a conformant
+    24bpp BMP we encode must decode to the identical plane (padding widths
+    w%4 ∈ {0,1,2,3} all hit), and the thumbnail math must stay in-bounds
+    and aspect-ordered."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from graph_database_project_spark.operators.multimodal import (
+        THUMB_H, THUMB_W, decode_bmp, resize_nearest, thumbnail_dims)
+
+    def encode(plane):
+        h, w = plane.shape[:2]
+        row_len = (w * 3 + 3) & ~3
+        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + row_len * h, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_len * h,
+                           0, 0, 0, 0)
+        pad = b"\x00" * (row_len - w * 3)
+        body = b"".join(plane[y, :, ::-1].tobytes() + pad
+                        for y in range(h - 1, -1, -1))
+        return header + info + body
+
+    @given(w=st.integers(1, 70), h=st.integers(1, 55), seed=st.integers(0, 2**31))
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed % 2**31)
+        plane = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dw, dh, decoded = decode_bmp(encode(plane))
+        assert (dw, dh) == (w, h)
+        assert (decoded == plane).all()
+        rw, rh = thumbnail_dims(w, h)
+        assert 1 <= rw <= max(w, THUMB_W) and 1 <= rh <= max(h, THUMB_H)
+        assert rw <= w and rh <= h            # never upscale
+        thumb = resize_nearest(plane, rw, rh)
+        assert thumb.shape == (rh, rw, 3)
+        # every thumb pixel exists somewhere in the source plane row/col
+        assert set(np.unique(thumb)) <= set(np.unique(plane))
+
+    check()
