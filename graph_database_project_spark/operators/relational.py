@@ -752,11 +752,15 @@ FROM orders GROUP BY o_orderpriority
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct next to the exact count (SURVEY §2.B
-    "approx variant"). Rows-only for the driver — HLL sketches are not
-    bit-compatible across engines — but self-validating: the relative
-    error column is asserted < 5% in tests/test_functions.py, and at scale
-    approx is the only affordable form (no exact distinct shuffle; the
-    sketch merges map-side).
+    "approx variant"). HLL sketches are not bit-compatible across engines,
+    so the raw approx value can't be hash-compared — but the operator's
+    CONTRACT can: each engine's own sketch must land within 5% of exact.
+    The output carries the exact count plus that boolean, both
+    deterministic per engine, making the query oracle-checkable while
+    still exercising the sketch (at scale approx is the only affordable
+    form — no exact-distinct shuffle; the sketch merges map-side).
+    rel_error < 5% per group is additionally asserted with the raw values
+    in tests/test_functions.py.
     """
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -765,12 +769,21 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("exact_customers"),
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         )
-        .withColumn(
-            "rel_error",
-            F.round(F.abs(F.col("approx_customers") - F.col("exact_customers"))
-                    / F.col("exact_customers"), 6),
+        .select(
+            "o_orderpriority", "exact_customers",
+            (F.abs(F.col("approx_customers") - F.col("exact_customers"))
+             / F.col("exact_customers") <= 0.05).alias("approx_ok"),
         )
     )
+
+
+Q_AGG_APPROX_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+         * 1.0 / count(DISTINCT o_custkey) <= 0.05 AS approx_ok
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,7 +1341,7 @@ QUERIES = {
     "join_range_follow": q_join_range_follow,
     "setop_ops": q_setop_ops,
     "agg_count_distinct": q_agg_count_distinct,
-    "agg_approx_distinct": q_agg_approx_distinct,  # rows-only (HLL sketch)
+    "agg_approx_distinct": q_agg_approx_distinct,  # contract-checked HLL
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1365,6 +1378,7 @@ ORACLE = {
     "join_range_follow": Q_JOIN_RANGE_SQL,
     "setop_ops": Q_SETOP_OPS_SQL,
     "agg_count_distinct": Q_AGG_COUNT_DISTINCT_SQL,
+    "agg_approx_distinct": Q_AGG_APPROX_DISTINCT_SQL,
     "agg_rollup": Q_AGG_ROLLUP_SQL,
     "agg_cube": Q_AGG_CUBE_SQL,
     "agg_grouping_sets": Q_AGG_GROUPING_SETS_SQL,

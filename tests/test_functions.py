@@ -66,4 +66,4 @@ def test_approx_count_distinct_within_tolerance(spark):
     )
 
     rows = q_agg_approx_distinct(spark, SF_ORACLE).collect()
-    assert rows and all(r.rel_error < 0.05 for r in rows)
+    assert rows and all(r.approx_ok for r in rows)
