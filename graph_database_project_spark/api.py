@@ -16,6 +16,10 @@ Routes:
                   returns {"sql", "rows", "answer"}
   POST /query   → body {"name": "<registry key>"} runs a registered
                   query and returns its first ROW_CAP rows
+  POST /explain → body {"name": "<registry key>"} returns the query's
+                  formatted physical plan WITHOUT executing it — the
+                  plan-transparency surface PLANS.md audits, per query
+                  on demand
 
 Not a production server: single SparkSession, threaded handler, no auth —
 the same scope as the reference's demo app. A real deployment would put
@@ -120,6 +124,15 @@ def create_server(spark: SparkSession, sf_dir: str,
                         return
                     self._send(200, {"name": name,
                                      "rows": _rows(queries[name](spark, sf_dir))})
+                elif self.path == "/explain":
+                    name = data.get("name")
+                    if name not in queries:
+                        self._send(404, {"error": f"unknown query {name!r}"})
+                        return
+                    df = queries[name](spark, sf_dir)
+                    plan = spark._jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "formatted")
+                    self._send(200, {"name": name, "plan": plan})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
             except ValueError as exc:  # untranslatable question, bad identifier

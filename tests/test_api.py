@@ -101,3 +101,16 @@ def test_visualize_endpoint_serves_selfcontained_html(server):
     # self-contained: no external script/style fetches (reference pulls
     # neovis.js from a CDN; this page must work offline)
     assert "http://" not in html and "https://" not in html
+
+
+def test_explain_endpoint_returns_physical_plan(server):
+    code, body = _post(f"{server}/explain", {"name": "q01_pricing_summary"})
+    assert code == 200 and body["name"] == "q01_pricing_summary"
+    assert "Physical Plan" in body["plan"]
+    # the audited plan properties are visible through the API
+    assert "HashAggregate" in body["plan"]
+
+
+def test_explain_unknown_key_is_404(server):
+    code, body = _post(f"{server}/explain", {"name": "nope"})
+    assert code == 404
