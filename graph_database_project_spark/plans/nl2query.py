@@ -74,6 +74,26 @@ _RULES: list[tuple[re.Pattern, Callable[[re.Match, dict], str]]] = [
         re.compile(r"how many distinct (\w+) values in (\w+)", re.I),
         lambda m, cat: _count_distinct(m.group(1), m.group(2), cat),
     ),
+    (
+        re.compile(r"how many (\w+)(?: are there)?\s*$", re.I),
+        lambda m, cat: _count_all(m.group(1), cat),
+    ),
+    (
+        re.compile(r"average (\w+) in (\w+)", re.I),
+        lambda m, cat: _global_agg("avg", m.group(1), m.group(2), cat),
+    ),
+    (
+        re.compile(r"(?:minimum|min) (\w+) in (\w+)", re.I),
+        lambda m, cat: _global_agg("min", m.group(1), m.group(2), cat),
+    ),
+    (
+        re.compile(r"(?:maximum|max) (\w+) in (\w+)", re.I),
+        lambda m, cat: _global_agg("max", m.group(1), m.group(2), cat),
+    ),
+    (
+        re.compile(r"total (\w+) per (\w+) in (\w+)", re.I),
+        lambda m, cat: _sum_per(m.group(1), m.group(2), m.group(3), cat),
+    ),
 ]
 
 
@@ -81,6 +101,34 @@ def _count_distinct(col: str, table: str, catalog: dict) -> str:
     col, table = col.lower(), table.lower()
     _check_identifiers(catalog, table, [col])
     return f"SELECT count(DISTINCT {col}) AS n FROM {table}"
+
+
+def _table_name(word: str, catalog: dict) -> str:
+    """Ground a question word to a known table: as-is, deplural, plural —
+    in that order. Unknown words are rejected, not interpolated."""
+    w = word.lower()
+    known = set(catalog) if catalog else set(TABLE_NAMES)
+    for cand in (w, w.rstrip("s"), w + "s"):
+        if cand in known:
+            return cand
+    raise ValueError(f"unknown table derived from question: {word!r}")
+
+
+def _count_all(table: str, catalog: dict) -> str:
+    return f"SELECT count(*) AS n FROM {_table_name(table, catalog)}"
+
+
+def _global_agg(fn: str, col: str, table: str, catalog: dict) -> str:
+    col, t = col.lower(), _table_name(table, catalog)
+    _check_identifiers(catalog, t, [col])
+    return f"SELECT round({fn}({col}), 6) AS {fn}_{col} FROM {t}"
+
+
+def _sum_per(col: str, dim: str, table: str, catalog: dict) -> str:
+    col, dim, t = col.lower(), dim.lower(), _table_name(table, catalog)
+    _check_identifiers(catalog, t, [col, dim])
+    return (f"SELECT {dim}, round(sum({col}), 2) AS total_{col} "
+            f"FROM {t} GROUP BY {dim}")
 
 _PRIORITY_COLS = {
     "orders": {"priority": "o_orderpriority", "status": "o_orderstatus",

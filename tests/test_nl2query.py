@@ -152,3 +152,35 @@ def test_graph_question_flagship(spark):
 
     with pytest.raises(ValueError):
         answer_graph(spark, store, "how is the weather")
+
+
+def test_new_rules_ground_and_validate(spark):
+    """Count-all / global-agg / sum-per rules: grounded SQL, plural
+    normalization, and unknown-identifier rejection."""
+    import pytest
+
+    from graph_database_project_spark.plans.nl2query import (
+        answer, derive_catalog, rule_based_translate)
+
+    cat = derive_catalog(spark, SF_SMOKE)
+
+    assert rule_based_translate("how many orders are there", cat) \
+        == "SELECT count(*) AS n FROM orders"
+    # plural → singular grounding
+    assert "FROM customer" in rule_based_translate("how many customers?", cat) \
+        .replace("?", "")
+    sql = rule_based_translate("average o_totalprice in orders", cat)
+    assert "avg(o_totalprice)" in sql
+    sql = rule_based_translate("max value in events", cat)
+    assert "max(value)" in sql and "FROM events" in sql
+    sql = rule_based_translate("total o_totalprice per o_orderstatus in orders", cat)
+    assert "GROUP BY o_orderstatus" in sql
+
+    with pytest.raises(ValueError):
+        rule_based_translate("average nonexistent_col in orders", cat)
+    with pytest.raises(ValueError):
+        rule_based_translate("how many flurbs", cat)
+
+    # end-to-end through the engine
+    _sql, df = answer(spark, SF_SMOKE, "how many orders are there?")
+    assert df.first()["n"] > 0
