@@ -25,7 +25,12 @@ def main() -> None:
     jvm = spark._jvm
     qs = all_queries()
     rows = []
-    for name in bench.HEADLINE:
+    # bench headline + the r04-promoted operators whose plans carry scale
+    # arguments (streaming drains can't be explained post-hoc, so the
+    # stream_* shapes are audited in tests/test_streaming.py instead)
+    extra = ["graph_pagerank", "multimodal_resize", "multimodal_frame_sample",
+             "agg_approx_distinct", "xml_khop_flagship", "sim_ivf_topk"]
+    for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
             continue
