@@ -17,9 +17,9 @@ Routes:
   POST /query   → body {"name": "<registry key>"} runs a registered
                   query and returns its first ROW_CAP rows
   POST /explain → body {"name": "<registry key>"} returns the query's
-                  formatted physical plan WITHOUT executing it — the
-                  plan-transparency surface PLANS.md audits, per query
-                  on demand
+                  formatted physical plan without executing the batch
+                  plan (stream_* keys are rejected with 422: their
+                  construction IS execution — an availableNow drain)
 
 Not a production server: single SparkSession, threaded handler, no auth —
 the same scope as the reference's demo app. A real deployment would put
@@ -128,6 +128,15 @@ def create_server(spark: SparkSession, sf_dir: str,
                     name = data.get("name")
                     if name not in queries:
                         self._send(404, {"error": f"unknown query {name!r}"})
+                        return
+                    if name.startswith("stream_"):
+                        # streaming queries drain availableNow during
+                        # construction — "explaining" one would execute it
+                        # and leak a memory-sink table per call; their
+                        # per-microbatch shape is audited in tests instead
+                        self._send(422, {"error":
+                                         "streaming queries execute on build; "
+                                         "no post-hoc plan available"})
                         return
                     df = queries[name](spark, sf_dir)
                     plan = spark._jvm.PythonSQLUtils.explainString(

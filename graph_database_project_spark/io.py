@@ -37,13 +37,34 @@ def epoch_long_to_ts_ntz(col: F.Column) -> F.Column:
     Truncation to µs matches DuckDB's flooring of nanos, so oracle
     wall-clock values agree bit-for-bit.
     """
+    # ns→µs MUST divide in decimal, not double: long/int is DOUBLE division
+    # in Spark, and doubles can't represent ns-scale epochs exactly (ulp at
+    # 1.7e18 is 256 ns), so floor(col / 1000) lands on the wrong µs for
+    # values near a boundary. Decimal division is exact at any magnitude.
+    ns_to_us = F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
     us = (
-        F.when(col >= F.lit(10 ** 17), F.floor(col / F.lit(1000)))
+        F.when(col >= F.lit(10 ** 17), ns_to_us)
         .when(col >= F.lit(10 ** 14), col)
         .when(col >= F.lit(10 ** 11), col * F.lit(1000))
         .otherwise(col * F.lit(1000000))
     ).cast("long")
     return F.timestamp_micros(us).cast("timestamp_ntz")
+
+
+def session_memo(spark: SparkSession, attr: str, key, build):
+    """Build-once cache scoped to a SparkSession (stored as a session
+    attribute, so it dies with the session and never crosses drivers).
+    Used for expensive derivations reused across queries: the XML store,
+    the dedup shingle relation, the IVF index, streaming drain counts.
+    The check-then-set race under concurrent callers (e.g. the threaded
+    HTTP server) is benign — both builds are equivalent, last wins."""
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,

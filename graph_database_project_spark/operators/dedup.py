@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import load_table, session_memo
 
 SHINGLE_N = 3            # words per shingle
 JACCARD_THRESHOLD = 0.2
@@ -57,17 +57,12 @@ def _shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     caused. This is also the documented 100 TB shape (SCALE.md §6): shingle
     once, reuse everywhere — a storage decision, not a plan change.
     """
-    cache = getattr(spark, "_sg_shingle_cache", None)
-    if cache is None:
-        cache = {}
-        spark._sg_shingle_cache = cache
-    df = cache.get(sf_dir)
-    if df is None:
+    def build():
         docs = load_table(spark, sf_dir, "documents", widen=True)
-        df = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
-                 .persist()
-        cache[sf_dir] = df
-    return df
+        return docs.select("doc_id", _shingles(F.col("text")).alias("shingles")) \
+                   .persist()
+
+    return session_memo(spark, "_sg_shingle_cache", sf_dir, build)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,7 +106,10 @@ FROM documents
 
 
 FRAME_FP_P = 65_521          # largest 16-bit prime — fingerprint modulus
-FRAME_SAMPLE_STRIDE = 2      # keep every 2nd frame
+VIDEO_FRAME_STRIDE = 2       # Y4M decimation stride, shared by BOTH Y4M
+                             # consumers (frame fingerprints + frame stats)
+                             # so they can never silently diverge
+FRAME_SAMPLE_STRIDE = VIDEO_FRAME_STRIDE
 
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -757,7 +760,6 @@ FROM sums
 # bytes (the PIL/libav-format paths stay stubbed seams).
 
 VIDEO_FPS = 25
-VIDEO_FRAME_STRIDE = 2  # sample every 2nd frame — the training-set decimation
 
 
 def _y4m_dims(doc_id: int) -> tuple[int, int, int]:

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..io import load_table
+from ..io import load_table, session_memo
 
 EMBED_DIM = 64
 TOP_K = 10
@@ -299,12 +299,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     queries never re-run k-means. The memo is that architecture's
     session-local twin; it also makes the query's wall-clock measure
     SERVING, not index construction."""
-    cache = getattr(spark, "_sg_ivf_cache", None)
-    if cache is None:
-        cache = {}
-        spark._sg_ivf_cache = cache
-    idx = cache.get(sf_dir)
-    if idx is None:
+    def build():
         emb = load_table(spark, sf_dir, "embeddings", widen=True)
         e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         cents = ivf_centroids(e)
@@ -316,9 +311,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         cells = assign.withColumn("rn", F.row_number().over(by_vec)) \
             .filter(F.col("rn") == 1).select("vec_id", "v", "cell") \
             .localCheckpoint(eager=True)
-        idx = (cents, cells, e)
-        cache[sf_dir] = idx
-    return idx
+        return cents, cells, e
+
+    return session_memo(spark, "_sg_ivf_cache", sf_dir, build)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

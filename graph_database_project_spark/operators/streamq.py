@@ -13,7 +13,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..io import epoch_long_to_ts_ntz, load_table
+from ..io import epoch_long_to_ts_ntz, load_table, session_memo
 
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -50,20 +50,16 @@ def _batch_events_count(spark: SparkSession, sf_dir: str) -> int:
     """Row count of the same file the stream reads — the drain-sanity
     denominator. Cached per (session, dir): the count never changes for a
     given testdata dir, and streaming queries run in bench loops."""
-    cache = getattr(spark, "_sg_events_count", None)
-    if cache is None:
-        cache = {}
-        spark._sg_events_count = cache
-    if sf_dir not in cache:
-        cache[sf_dir] = load_table(spark, sf_dir, "events").count()
-    return cache[sf_dir]
+    return session_memo(spark, "_sg_events_count", sf_dir,
+                        lambda: load_table(spark, sf_dir, "events").count())
 
 
 def _run_available_now(result: DataFrame, spark: SparkSession,
-                       *, output_mode: str = "complete",
-                       expected_input_rows: int | None = None) -> DataFrame:
-    """Drain an availableNow streaming query into a memory sink and return
-    the materialized table.
+                       *, expected_input_rows: int | None = None) -> DataFrame:
+    """Drain an availableNow streaming query into a complete-mode memory
+    sink and return the materialized table. (The update-mode consumers —
+    stateful totals, stream-stream join — manage their own sinks: their
+    snapshot semantics differ per mode.)
 
     When ``expected_input_rows`` is given, assert the drained source row
     count matches it — a silent unit/row drop at the source (the r03
@@ -73,7 +69,7 @@ def _run_available_now(result: DataFrame, spark: SparkSession,
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

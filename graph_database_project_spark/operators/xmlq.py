@@ -25,17 +25,14 @@ def _store(spark: SparkSession) -> GraphStore:
     returns a new store). ``localCheckpoint`` materializes the shredded
     tables once and truncates the mapInPandas lineage so downstream
     traversals replan from a flat scan."""
-    cache = getattr(spark, "_sg_xml_store_cache", None)
-    if cache is None:
-        cache = {}
-        spark._sg_xml_store_cache = cache
-    st = cache.get(REFERENCE_XML_GLOB)
-    if st is None:
+    from ..io import session_memo
+
+    def build():
         nodes, edges = ingest_xml(spark, REFERENCE_XML_GLOB)
-        st = GraphStore(nodes.localCheckpoint(eager=True),
-                        edges.localCheckpoint(eager=True))
-        cache[REFERENCE_XML_GLOB] = st
-    return st
+        return GraphStore(nodes.localCheckpoint(eager=True),
+                          edges.localCheckpoint(eager=True))
+
+    return session_memo(spark, "_sg_xml_store_cache", REFERENCE_XML_GLOB, build)
 
 
 def q_xml_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

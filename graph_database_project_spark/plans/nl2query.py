@@ -118,15 +118,36 @@ def _count_all(table: str, catalog: dict) -> str:
     return f"SELECT count(*) AS n FROM {_table_name(table, catalog)}"
 
 
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long",
+                     "float", "double", "decimal")
+
+
+def _check_numeric(catalog: dict, table: str, cols: list[str]) -> None:
+    """Reject numeric aggregation over non-numeric columns at translation
+    time (ValueError → the caller's 422 path), instead of letting the
+    generated SQL blow up at analysis (→ opaque 500). Skipped when the
+    catalog carries no type info (offline list-shaped catalogs)."""
+    info = catalog.get(table) if catalog else None
+    if not isinstance(info, dict):
+        return
+    for c in cols:
+        t = info.get(c, "")
+        if not t.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"column {c!r} of {table!r} is {t or 'unknown'}, not numeric")
+
+
 def _global_agg(fn: str, col: str, table: str, catalog: dict) -> str:
     col, t = col.lower(), _table_name(table, catalog)
     _check_identifiers(catalog, t, [col])
+    _check_numeric(catalog, t, [col])
     return f"SELECT round({fn}({col}), 6) AS {fn}_{col} FROM {t}"
 
 
 def _sum_per(col: str, dim: str, table: str, catalog: dict) -> str:
     col, dim, t = col.lower(), dim.lower(), _table_name(table, catalog)
     _check_identifiers(catalog, t, [col, dim])
+    _check_numeric(catalog, t, [col])
     return (f"SELECT {dim}, round(sum({col}), 2) AS total_{col} "
             f"FROM {t} GROUP BY {dim}")
 
@@ -219,8 +240,12 @@ def derive_catalog(spark: SparkSession, sf_dir: str) -> dict:
     """information_schema-style catalog from the actual tables (replaces the
     reference's hand-maintained prompt block)."""
     register_views(spark, sf_dir)
+    # col → simpleString type; membership checks (`c in catalog[t]`) see
+    # the keys, so list-shaped catalogs in offline tests stay compatible
     return {
-        t: [f.name for f in spark.table(t).schema.fields] for t in TABLE_NAMES
+        t: {f.name: f.dataType.simpleString()
+            for f in spark.table(t).schema.fields}
+        for t in TABLE_NAMES
     }
 
 

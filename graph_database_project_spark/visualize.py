@@ -13,16 +13,19 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-# Caps keep the demo page responsive; the reference renders the same
-# 3-document corpus (~700 nodes) without paging either.
+# Caps keep the demo page responsive while covering the full reference
+# corpus (687 nodes / 2632 edges) with headroom — the reference renders it
+# without paging either.
 NODE_CAP = 800
-EDGE_CAP = 2400
+EDGE_CAP = 4000
 
 
 def graph_payload(spark: SparkSession) -> dict:
     """Nodes/edges of the ingested reference graph as JSON-ready dicts.
     Label = first label (the shredder's primary); capped deterministically
-    by id so node/edge sets stay consistent."""
+    by id so node/edge sets stay consistent. Edges are restricted to the
+    served node set BEFORE the cap, so capping can never leave a served
+    node spuriously disconnected."""
     from .operators.xmlq import _store
 
     st = _store(spark)
@@ -33,13 +36,14 @@ def graph_payload(spark: SparkSession) -> dict:
     ids = {r["id"] for r in nodes}
     edges = (
         st.edges.select("src", "dst", "rel_type")
+        .filter(F.col("src").isin(list(ids)) & F.col("dst").isin(list(ids)))
         .orderBy("src", "dst", "rel_type").limit(EDGE_CAP).collect()
     )
     return {
         "nodes": [{"id": r["id"], "label": r["label"], "name": r["name"]}
                   for r in nodes],
         "edges": [{"src": r["src"], "dst": r["dst"], "rel": r["rel_type"]}
-                  for r in edges if r["src"] in ids and r["dst"] in ids],
+                  for r in edges],
     }
 
 

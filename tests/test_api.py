@@ -88,6 +88,13 @@ def test_graph_endpoint_serves_nodes_and_edges(server):
     assert "ServiceBulletin" in labels
     # every served edge endpoint must resolve to a served node
     assert all(e["src"] in ids and e["dst"] in ids for e in g["edges"])
+    # completeness: the full reference corpus fits under the caps — serve
+    # ALL of it (golden node/edge totals from xml_golden)
+    from graph_database_project_spark.operators.xml_golden import (
+        GOLDEN_XML_LABEL_COUNTS_ROWS, GOLDEN_XML_REL_SIGNATURES_ROWS)
+
+    assert len(g["nodes"]) == sum(n for _, n in GOLDEN_XML_LABEL_COUNTS_ROWS)
+    assert len(g["edges"]) == sum(n for *_, n in GOLDEN_XML_REL_SIGNATURES_ROWS)
 
 
 def test_visualize_endpoint_serves_selfcontained_html(server):
@@ -114,3 +121,8 @@ def test_explain_endpoint_returns_physical_plan(server):
 def test_explain_unknown_key_is_404(server):
     code, body = _post(f"{server}/explain", {"name": "nope"})
     assert code == 404
+
+
+def test_explain_streaming_key_is_422(server):
+    code, body = _post(f"{server}/explain", {"name": "stream_tumbling_hourly"})
+    assert code == 422 and "streaming" in body["error"]

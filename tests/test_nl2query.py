@@ -184,3 +184,21 @@ def test_new_rules_ground_and_validate(spark):
     # end-to-end through the engine
     _sql, df = answer(spark, SF_SMOKE, "how many orders are there?")
     assert df.first()["n"] > 0
+
+
+def test_non_numeric_agg_rejected_at_translation(spark):
+    """min/max/avg/sum over a valid but non-numeric column must raise
+    ValueError at translation (→ 422 path), not AnalysisException at
+    execution (→ 500)."""
+    import pytest
+
+    from graph_database_project_spark.plans.nl2query import (
+        derive_catalog, rule_based_translate)
+
+    cat = derive_catalog(spark, SF_SMOKE)
+    for q in ("max event_type in events", "average o_orderstatus in orders",
+              "total o_orderstatus per o_orderpriority in orders"):
+        with pytest.raises(ValueError):
+            rule_based_translate(q, cat)
+    # numeric columns still translate
+    assert "max(value)" in rule_based_translate("max value in events", cat)

@@ -83,3 +83,10 @@ def test_epoch_unit_detection_all_magnitudes(spark):
         [(base_s * 10**9 + 123_456_789,)], "v long"
     ).select(epoch_long_to_ts_ntz(F.col("v")).alias("ts")).first()["ts"]
     assert fine.microsecond == 123_456
+    # boundary exactness: double division would round ns values in the
+    # last ~128 ns of a µs up across the boundary (ulp(1.7e18) = 256);
+    # the decimal floor-div must truncate like DuckDB's integer ns→µs
+    edge_vals = [base_s * 10**9 + 999_999_999, base_s * 10**9 + 999_999_872]
+    edges_ = spark.createDataFrame([(v,) for v in edge_vals], "v long") \
+        .select(epoch_long_to_ts_ntz(F.col("v")).alias("ts")).collect()
+    assert all(r["ts"].microsecond == 999_999 for r in edges_)
