@@ -143,6 +143,47 @@ MINHASH_A = [2 * i * 1_000_003 + 1_234_577 for i in range(NUM_MINHASHES)]
 MINHASH_B = [7 * i + 12_345 for i in range(NUM_MINHASHES)]
 
 
+def minhash_bands(sh: DataFrame, *, carry: list[str] | None = None) -> DataFrame:
+    """(doc_id, shingles, …) → slim (doc_id[, *carry], band_idx, bk) band
+    relation: md5 base hash per shingle → NUM_MINHASHES affine minhashes →
+    LSH_BANDS band keys, exploded to one row per band.
+
+    Pure column expressions, no window/agg — so it evaluates identically
+    over a BATCH or a STREAMING DataFrame (the streaming near-dup gate in
+    streamq.py reuses it verbatim). ``carry`` lists extra columns to keep
+    alongside (e.g. the shingle array, when the caller can't join back to
+    a streaming side later)."""
+    carry = carry or []
+    hvals = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+    def _mh(i: int):
+        # bind the constants eagerly — a two-arg lambda would make Spark
+        # pass the element index as the second (Column) argument
+        a_, b_, p_ = F.lit(MINHASH_A[i]), F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
+        return F.array_min(F.transform(F.col("hv"), lambda h: (a_ * h + b_) % p_))
+
+    # materialize the minhashes as ONE array column in a dedicated
+    # projection so the 12 transform expressions occur once in the plan
+    # instead of being inlined into every band struct
+    sig = sh.select("doc_id", *carry, hvals.alias("hv")) \
+            .select("doc_id", *carry,
+                    F.array(*[_mh(i) for i in range(NUM_MINHASHES)]).alias("mh"))
+    rows_per_band = NUM_MINHASHES // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.get("mh", b * rows_per_band + r)
+                               for r in range(rows_per_band)]).alias("bk"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", *carry, F.explode(F.array(*band_structs)).alias("band")) \
+              .select("doc_id", *carry, "band.band_idx", "band.bk")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
 
@@ -159,32 +200,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange for both.
     """
     sh = _shingle_rel(spark, sf_dir).filter(F.size("shingles") > 0)
-    hvals = F.transform(
-        F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
-    def _mh(i: int):
-        # bind the constants eagerly — a two-arg lambda would make Spark
-        # pass the element index as the second (Column) argument
-        a_, b_, p_ = F.lit(MINHASH_A[i]), F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
-        return F.array_min(F.transform(F.col("hv"), lambda h: (a_ * h + b_) % p_))
-
-    # materialize the 12 minhashes as ONE array column in a dedicated
-    # projection: band keys below reference mh[i] via element_at, so the
-    # 12 transform expressions occur once in the plan instead of being
-    # inlined into every band struct (3× smaller codegen, same result)
-    sig = sh.select("doc_id", hvals.alias("hv")) \
-            .select("doc_id", F.array(*[_mh(i) for i in range(NUM_MINHASHES)]).alias("mh"))
-    rows_per_band = NUM_MINHASHES // LSH_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat_ws("|", *[F.get("mh", b * rows_per_band + r) for r in range(rows_per_band)]).alias("bk"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    slim = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")) \
-              .select("doc_id", "band.band_idx", "band.bk")
+    slim = minhash_bands(sh)
     a = slim.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
     b_ = slim.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk")
     cand = (

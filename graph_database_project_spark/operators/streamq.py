@@ -349,6 +349,107 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+DOCS_RAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+# Which documents play the "incoming" role in the streaming dedup gate:
+# doc_id % 10 == 7 arrives as a stream, the rest is the static corpus.
+GATE_MOD, GATE_REM = 10, 7
+
+
+def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ADMISSION GATE — the incremental form of
+    minhash-LSH dedup a training-data pipeline actually deploys: new
+    documents arrive as a stream, are shingled/minhashed/banded with the
+    SAME column expressions as the batch operator (dedup.minhash_bands),
+    and stream-static-join against the persisted corpus band relation;
+    band hits verify with exact Jaccard against the corpus shingles.
+    Emits (new_doc_id, dup_of, jaccard) for incoming docs that near-dup an
+    existing corpus doc — the rows an ingest pipeline would quarantine.
+
+    Plan shape: stateless stream projections → stream-static equi-join on
+    (band_idx, bk) → stateful dropDuplicates (pair-level, availableNow
+    drains it in one batch) → stream-static verify join. The corpus side
+    is the session-persisted shingle relation, so at scale this is the
+    'LSH index as a table, stream probes it' architecture. Oracle: the
+    identical pair set computed batch-side in DuckDB.
+    """
+    from .dedup import (JACCARD_THRESHOLD, _shingle_rel, _shingles,
+                        minhash_bands)
+
+    raw = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    inc = raw.filter((F.col("doc_id") % GATE_MOD) == GATE_REM) \
+        .select("doc_id", _shingles(F.col("text")).alias("shingles")) \
+        .filter(F.size("shingles") > 0)
+    # carry the shingle array through the band explode: the verify step
+    # can't join back to another streaming relation (that would be an
+    # unbounded stream-stream join), so the stream side carries its own
+    inc_bands = minhash_bands(inc, carry=["shingles"]).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("shingles").alias("sh_new"), "band_idx", "bk")
+
+    corpus = _shingle_rel(spark, sf_dir) \
+        .filter((F.col("doc_id") % GATE_MOD) != GATE_REM) \
+        .filter(F.size("shingles") > 0)
+    corp_bands = minhash_bands(corpus).select(
+        F.col("doc_id").alias("dup_of"), "band_idx", "bk")
+
+    cand = (
+        inc_bands.join(corp_bands, ["band_idx", "bk"])
+        .select("new_doc_id", "sh_new", "dup_of")
+        .dropDuplicates(["new_doc_id", "dup_of"])
+    )
+    corp_sh = corpus.select(F.col("doc_id").alias("dup_of"),
+                            F.col("shingles").alias("sh_old"))
+    common = F.size(F.array_intersect("sh_new", "sh_old"))
+    union_n = F.size("sh_new") + F.size("sh_old") - common
+    scored = (
+        cand.join(corp_sh, "dup_of")
+        .withColumn("jaccard", F.round(common / union_n, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_doc_id", "dup_of", "jaccard")
+    )
+    name = f"gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _gate_sql() -> str:
+    from .dedup import _MINHASH_CTES, JACCARD_THRESHOLD
+    jac = ("round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 "
+           "/ (len(sa.shingles) + len(sb.shingles) "
+           "- len(list_intersect(sa.shingles, sb.shingles))), 6)")
+    return f"""
+WITH {_MINHASH_CTES}, gate AS (
+  SELECT DISTINCT i.doc_id AS new_doc_id, c.doc_id AS dup_of
+  FROM slim i JOIN slim c
+    ON i.band_idx = c.band_idx AND i.bk = c.bk
+  WHERE i.doc_id % {GATE_MOD} = {GATE_REM} AND c.doc_id % {GATE_MOD} <> {GATE_REM}
+)
+SELECT new_doc_id, dup_of, {jac} AS jaccard
+FROM gate
+JOIN sh sa ON sa.doc_id = new_doc_id
+JOIN sh sb ON sb.doc_id = dup_of
+WHERE {jac} >= {JACCARD_THRESHOLD}
+"""
+
+
+Q_STREAM_DEDUP_GATE_SQL = _gate_sql()
+
+
 QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_sliding_window": q_stream_sliding_window,
@@ -356,6 +457,7 @@ QUERIES = {
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
+    "stream_dedup_gate": q_stream_dedup_gate,
 }
 
 ORACLE = {
@@ -365,4 +467,5 @@ ORACLE = {
     "stream_stateful_totals": Q_STREAM_STATEFUL_SQL,
     "stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
     "stream_dedup": Q_STREAM_DEDUP_SQL,
+    "stream_dedup_gate": Q_STREAM_DEDUP_GATE_SQL,
 }
