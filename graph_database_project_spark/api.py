@@ -129,8 +129,9 @@ def create_server(spark: SparkSession, sf_dir: str,
                     if name not in queries:
                         self._send(404, {"error": f"unknown query {name!r}"})
                         return
-                    if name.startswith("stream_"):
-                        # streaming queries drain availableNow during
+                    from .operators.streamq import DRAIN_ON_BUILD_KEYS
+                    if name in DRAIN_ON_BUILD_KEYS:
+                        # these queries drain availableNow during
                         # construction — "explaining" one would execute it
                         # and leak a memory-sink table per call; their
                         # per-microbatch shape is audited in tests instead

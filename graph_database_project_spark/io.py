@@ -10,6 +10,7 @@ tests/test_plans.py).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -51,20 +52,28 @@ def epoch_long_to_ts_ntz(col: F.Column) -> F.Column:
     return F.timestamp_micros(us).cast("timestamp_ntz")
 
 
+_MEMO_LOCK = threading.RLock()
+
+
 def session_memo(spark: SparkSession, attr: str, key, build):
     """Build-once cache scoped to a SparkSession (stored as a session
     attribute, so it dies with the session and never crosses drivers).
     Used for expensive derivations reused across queries: the XML store,
     the dedup shingle relation, the IVF index, streaming drain counts.
-    The check-then-set race under concurrent callers (e.g. the threaded
-    HTTP server) is benign — both builds are equivalent, last wins."""
-    cache = getattr(spark, attr, None)
-    if cache is None:
-        cache = {}
-        setattr(spark, attr, cache)
-    if key not in cache:
-        cache[key] = build()
-    return cache[key]
+
+    Serialized under one lock: a lost check-then-set race wouldn't just
+    waste work — a losing build of a persisted/checkpointed DataFrame
+    would leak its storage blocks for the session's lifetime (nothing
+    would hold a reference to unpersist). Builds are once per
+    (session, key), so the contention cost is nil."""
+    with _MEMO_LOCK:
+        cache = getattr(spark, attr, None)
+        if cache is None:
+            cache = {}
+            setattr(spark, attr, cache)
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,

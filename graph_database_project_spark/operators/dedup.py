@@ -65,6 +65,22 @@ def _shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, "_sg_shingle_cache", sf_dir, build)
 
 
+def exact_jaccard(sh_a, sh_b):
+    """Rounded exact-Jaccard column over two shingle-array columns — the
+    ONE definition of the verify metric; the batch minhash operator and
+    the streaming admission gate both use it, so threshold semantics and
+    rounding can never diverge between them."""
+    common = F.size(F.array_intersect(sh_a, sh_b))
+    return F.round(common / (F.size(sh_a) + F.size(sh_b) - common), 6)
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    """DuckDB twin of exact_jaccard over two aliases of the ``sh`` CTE."""
+    inter = f"len(list_intersect({a}.shingles, {b}.shingles))"
+    return (f"round({inter} * 1.0 / "
+            f"(len({a}.shingles) + len({b}.shingles) - {inter}), 6)")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text —
     the hash-groupBy form of the reference's processedNodes Set
@@ -217,11 +233,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # faster and stable (numbers in _shingle_rel's docstring).
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union_n = F.size("sh_a") + F.size("sh_b") - common
     return (
         cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(common / union_n, 6))
+        .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -263,17 +277,11 @@ _MINHASH_CTES = f"""sh AS (
 )"""
 
 _MINHASH_PAIRS_SELECT = f"""
-SELECT doc_a, doc_b,
-       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-             / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+SELECT doc_a, doc_b, {jaccard_sql('sa', 'sb')} AS jaccard
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
-WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-            / (len(sa.shingles) + len(sb.shingles)
-               - len(list_intersect(sa.shingles, sb.shingles))), 6)
-      >= {JACCARD_THRESHOLD}
+WHERE {jaccard_sql('sa', 'sb')} >= {JACCARD_THRESHOLD}
 """
 
 Q_DEDUP_MINHASH_SQL = f"WITH {_MINHASH_CTES}\n{_MINHASH_PAIRS_SELECT}"

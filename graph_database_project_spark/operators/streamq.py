@@ -349,6 +349,16 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+# Queries whose CONSTRUCTION executes an availableNow drain (building the
+# DataFrame runs the stream); a post-hoc .explain of their return value
+# would show only the memory-sink scan. stream_session_window is absent on
+# purpose — it is the batch twin (pure load_table plan, explainable).
+DRAIN_ON_BUILD_KEYS = frozenset({
+    "stream_tumbling_hourly", "stream_sliding_window",
+    "stream_stateful_totals", "stream_stream_join", "stream_dedup",
+    "stream_dedup_gate",
+})
+
 DOCS_RAW_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("text", T.StringType()),
@@ -380,7 +390,7 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pair set computed batch-side in DuckDB.
     """
     from .dedup import (JACCARD_THRESHOLD, _shingle_rel, _shingles,
-                        minhash_bands)
+                        exact_jaccard, minhash_bands)
 
     raw = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
@@ -410,11 +420,9 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp_sh = corpus.select(F.col("doc_id").alias("dup_of"),
                             F.col("shingles").alias("sh_old"))
-    common = F.size(F.array_intersect("sh_new", "sh_old"))
-    union_n = F.size("sh_new") + F.size("sh_old") - common
     scored = (
         cand.join(corp_sh, "dup_of")
-        .withColumn("jaccard", F.round(common / union_n, 6))
+        .withColumn("jaccard", exact_jaccard(F.col("sh_new"), F.col("sh_old")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("new_doc_id", "dup_of", "jaccard")
     )
@@ -428,10 +436,8 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_sql() -> str:
-    from .dedup import _MINHASH_CTES, JACCARD_THRESHOLD
-    jac = ("round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 "
-           "/ (len(sa.shingles) + len(sb.shingles) "
-           "- len(list_intersect(sa.shingles, sb.shingles))), 6)")
+    from .dedup import _MINHASH_CTES, JACCARD_THRESHOLD, jaccard_sql
+    jac = jaccard_sql("sa", "sb")
     return f"""
 WITH {_MINHASH_CTES}, gate AS (
   SELECT DISTINCT i.doc_id AS new_doc_id, c.doc_id AS dup_of

@@ -78,20 +78,23 @@ _RULES: list[tuple[re.Pattern, Callable[[re.Match, dict], str]]] = [
         re.compile(r"how many (\w+)(?: are there)?\s*$", re.I),
         lambda m, cat: _count_all(m.group(1), cat),
     ),
+    # \b guards: 'min' must not fire inside 'admin'; \s*$ anchors: a
+    # trailing qualifier ("… per user") must fall through to ValueError
+    # (→ 422 / LLM escalation), never be silently dropped.
     (
-        re.compile(r"average (\w+) in (\w+)", re.I),
+        re.compile(r"\baverage (\w+) in (\w+)\s*$", re.I),
         lambda m, cat: _global_agg("avg", m.group(1), m.group(2), cat),
     ),
     (
-        re.compile(r"(?:minimum|min) (\w+) in (\w+)", re.I),
+        re.compile(r"\b(?:minimum|min) (\w+) in (\w+)\s*$", re.I),
         lambda m, cat: _global_agg("min", m.group(1), m.group(2), cat),
     ),
     (
-        re.compile(r"(?:maximum|max) (\w+) in (\w+)", re.I),
+        re.compile(r"\b(?:maximum|max) (\w+) in (\w+)\s*$", re.I),
         lambda m, cat: _global_agg("max", m.group(1), m.group(2), cat),
     ),
     (
-        re.compile(r"total (\w+) per (\w+) in (\w+)", re.I),
+        re.compile(r"\btotal (\w+) per (\w+) in (\w+)\s*$", re.I),
         lambda m, cat: _sum_per(m.group(1), m.group(2), m.group(3), cat),
     ),
 ]
@@ -118,8 +121,10 @@ def _count_all(table: str, catalog: dict) -> str:
     return f"SELECT count(*) AS n FROM {_table_name(table, catalog)}"
 
 
-_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long",
-                     "float", "double", "decimal")
+# Exact type names, not prefixes — a prefix test on "int" would accept
+# "interval day" and defeat the guard.
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "long",
+                  "float", "double"}
 
 
 def _check_numeric(catalog: dict, table: str, cols: list[str]) -> None:
@@ -132,7 +137,7 @@ def _check_numeric(catalog: dict, table: str, cols: list[str]) -> None:
         return
     for c in cols:
         t = info.get(c, "")
-        if not t.startswith(_NUMERIC_PREFIXES):
+        if t not in _NUMERIC_TYPES and not t.startswith("decimal("):
             raise ValueError(
                 f"column {c!r} of {table!r} is {t or 'unknown'}, not numeric")
 

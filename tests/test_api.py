@@ -126,3 +126,10 @@ def test_explain_unknown_key_is_404(server):
 def test_explain_streaming_key_is_422(server):
     code, body = _post(f"{server}/explain", {"name": "stream_tumbling_hourly"})
     assert code == 422 and "streaming" in body["error"]
+
+
+def test_explain_batch_twin_of_streaming_family_is_allowed(server):
+    """stream_session_window is the batch twin (no drain on build) — its
+    plan must be explainable; only drain-on-build keys get 422."""
+    code, body = _post(f"{server}/explain", {"name": "stream_session_window"})
+    assert code == 200 and "Physical Plan" in body["plan"]

@@ -202,3 +202,19 @@ def test_non_numeric_agg_rejected_at_translation(spark):
             rule_based_translate(q, cat)
     # numeric columns still translate
     assert "max(value)" in rule_based_translate("max value in events", cat)
+
+
+def test_agg_rules_word_bounded_and_anchored(spark):
+    """'min' inside 'admin' must not fire the min rule, and a trailing
+    qualifier the grammar can't express must ValueError rather than be
+    silently dropped (both reproduced bugs from the r04 review)."""
+    import pytest
+
+    from graph_database_project_spark.plans.nl2query import (
+        derive_catalog, rule_based_translate)
+
+    cat = derive_catalog(spark, SF_SMOKE)
+    with pytest.raises(ValueError):
+        rule_based_translate("count admin value in events", cat)
+    with pytest.raises(ValueError):
+        rule_based_translate("average value in events per user", cat)
