@@ -166,10 +166,13 @@ def decode_bmp(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     """Parse a 24bpp uncompressed BMP into (w, h, top-down RGB plane).
     Handles both bottom-up (positive biHeight) and top-down (negative)
     layouts and row padding — any conformant 24bpp BMP, not just ours."""
-    magic, _fsize, _r1, _r2, offset = _struct.unpack_from("<2sIHHI", raw, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    hsize, w, h_signed, planes, bpp, comp = _struct.unpack_from("<IiiHHI", raw, 14)
+    try:
+        magic, _fsize, _r1, _r2, offset = _struct.unpack_from("<2sIHHI", raw, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hsize, w, h_signed, planes, bpp, comp = _struct.unpack_from("<IiiHHI", raw, 14)
+    except _struct.error as exc:  # truncated header — same contract as the
+        raise ValueError(f"truncated BMP header: {exc}") from exc  # other codecs
     if bpp != 24 or comp != 0:
         raise ValueError("only uncompressed 24bpp BMP supported")
     h = abs(h_signed)

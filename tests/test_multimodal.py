@@ -358,3 +358,19 @@ def test_bmp_codec_properties():
         assert set(np.unique(thumb)) <= set(np.unique(plane))
 
     check()
+
+
+def test_codecs_raise_valueerror_on_garbage():
+    """Uniform decode contract: malformed/truncated containers raise
+    ValueError (never a leaked struct.error / IndexError) so mapInPandas
+    error handling can catch one exception type across all codecs."""
+    import pytest
+
+    from graph_database_project_spark.operators.multimodal import (
+        decode_bmp, decode_png, decode_ppm, y4m_planes)
+
+    for fn, bad in [(decode_bmp, b""), (decode_bmp, b"xx"), (decode_bmp, b"BM"),
+                    (y4m_planes, b"YUV4MPEG2 W4"), (y4m_planes, b"nope"),
+                    (decode_ppm, b"P6"), (decode_png, b"\x89PNG")]:
+        with pytest.raises(ValueError):
+            fn(bad)
