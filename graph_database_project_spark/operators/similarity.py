@@ -255,38 +255,64 @@ def _sq_dist(x, y):
                        F.lit(0.0), lambda acc, t: acc + t)
 
 
+def _cells_array(cents: DataFrame) -> DataFrame:
+    """Collapse the (cell, cv) relation to ONE broadcastable row holding a
+    cell-sorted ``array<struct<cell,cv>>`` — K·dim doubles, bounded by the
+    quantizer CONFIG (IVF_K × EMBED_DIM), never by corpus size."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("_cents"))
+
+
+def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Zero-shuffle E-step: broadcast the packed centroid array and take the
+    per-row argmin via ``array_min`` over (d, cell) structs — struct
+    ordering is lexicographic, so this is min-distance with min-cell
+    tie-break, identical semantics to a row_number() window but with NO
+    shuffle of the corpus (the former formulation re-partitioned every
+    vector by vec_id per Lloyd round)."""
+    best = F.array_min(F.transform(
+        "_cents",
+        lambda c: F.struct(_sq_dist(F.col("v"), c["cv"]).alias("d"),
+                           c["cell"].alias("cell"))))
+    return (
+        e.crossJoin(F.broadcast(_cells_array(cents)))
+        .withColumn("cell", best["cell"])
+        .drop("_cents")
+    )
+
+
 def ivf_centroids(e: DataFrame) -> DataFrame:
     """Deterministic k-means coarse quantizer: init = the first IVF_K
-    vectors by vec_id, then IVF_ITERS Lloyd rounds as DataFrame jobs
-    (assign via broadcast cross-join argmin; recompute means by
-    element-wise array aggregation). The Pregel-style loop discipline from
-    graph/traverse.py applies: localCheckpoint per round, no driver data.
+    vectors by vec_id, then IVF_ITERS Lloyd rounds as DataFrame jobs.
+    The Pregel-style loop discipline from graph/traverse.py applies:
+    localCheckpoint per round, no driver data.
+
+    Scale shape: the E-step is a broadcast map (no shuffle — see
+    _assign_cells); the M-step runs on the exploded (cell, pos, val)
+    relation so the per-dimension means get map-side partial aggregation
+    and NO aggregation buffer ever holds member vectors — the buffer per
+    (cell, pos) group is one running (sum, count). Reassembly collects
+    exactly EMBED_DIM (pos, mean) structs per cell — bounded by config,
+    not by cell population (the former collect_list of whole member
+    vectors was an unbounded-group buffer: terabytes per reducer at
+    100 TB). Same pattern as curation.q_embedding_outlier.
+
+    Centroids are rounded to 9 dp per round: cross-engine float summation
+    order differs in the last ulp, so pinning the round's OUTPUT makes the
+    next E-step's inputs bit-identical in Spark and the DuckDB oracle
+    (recall is unaffected by 1e-9 perturbations).
     """
     cents = e.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
     for _ in range(IVF_ITERS):
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("d", _sq_dist(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(
-                W.partitionBy("vec_id").orderBy("d", "cell")))
-            .filter(F.col("rn") == 1)
-            .select("cell", "v")
-        )
+        ex = _assign_cells(e, cents).select(
+            "cell", F.posexplode("v").alias("pos", "val"))
         cents = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.aggregate(
-                    F.collect_list("v"),
-                    F.array_repeat(F.lit(0.0), EMBED_DIM),
-                    lambda acc, vec: F.zip_with(acc, vec, lambda a, b: a + b),
-                ).alias("_sum"),
-            )
-            .select(
-                "cell",
-                F.transform("_sum", lambda s: s / F.col("_n")).alias("cv"),
-            )
+            ex.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell",
+                    F.transform("pm", lambda p: F.round(p["m"], 9)).alias("cv"))
         ).localCheckpoint(eager=True)
     return cents
 
@@ -303,13 +329,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         emb = load_table(spark, sf_dir, "embeddings", widen=True)
         e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         cents = ivf_centroids(e)
-        assign = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("d", _sq_dist(F.col("v"), F.col("cv")))
-        )
-        by_vec = W.partitionBy("vec_id").orderBy("d", "cell")
-        cells = assign.withColumn("rn", F.row_number().over(by_vec)) \
-            .filter(F.col("rn") == 1).select("vec_id", "v", "cell") \
+        cells = _assign_cells(e, cents).select("vec_id", "v", "cell") \
             .localCheckpoint(eager=True)
         return cents, cells, e
 
@@ -323,8 +343,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index build is factored into the session-cached ``_ivf_index``
     (build/serve split); this function is the serving path.
 
-    Rows-only for the driver (iterative k-means has no SQL oracle); recall
-    vs the exact brute force is asserted in tests/test_similarity_ivf.py.
+    Fully value-checked: the fixed-round deterministic Lloyd quantizer is
+    reproduced in the oracle as an unrolled CTE chain (the same trick as
+    the graph_pagerank oracle) — init, IVF_ITERS E/M rounds on 9dp-rounded
+    centroids, nprobe probe, in-cell brute force, identical tie-breaks.
+    Recall vs exact brute force is additionally asserted in
+    tests/test_similarity_ivf.py.
     """
     cents, cells, e = _ivf_index(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
@@ -345,6 +369,69 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+def _ivf_sql() -> str:
+    """DuckDB oracle reproducing the whole IVF pipeline bit-for-bit:
+    unrolled deterministic Lloyd (init = first IVF_K vec_ids, IVF_ITERS
+    E/M rounds, centroids rounded to 9 dp each round — the same pin the
+    Spark side applies, see ivf_centroids), final assignment, nprobe cell
+    probe, in-cell brute-force cosine. Multiply-referenced CTEs are
+    MATERIALIZED (the unrolled-iteration discipline from the PageRank
+    oracle — default inlining doubles the tree per round)."""
+    d1 = EMBED_DIM + 1
+
+    def e_step(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {d1}),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cell) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {d1})) AS pos
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}
+)"""]
+    for it in range(1, IVF_ITERS + 1):
+        parts.append(", " + e_step(f"a{it}", f"c{it - 1}"))
+        parts.append(f""", c{it} AS MATERIALIZED (
+  SELECT cell, list(round(m, 9) ORDER BY pos) AS cv FROM (
+    SELECT a.cell, d.pos, avg(a.v[d.pos]) AS m
+    FROM a{it} a CROSS JOIN dims d
+    GROUP BY a.cell, d.pos
+  ) GROUP BY cell
+)""")
+    parts.append(", " + e_step("afin", f"c{IVF_ITERS}"))
+    parts.append(f""", q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           list_sum(list_transform(range(1, {d1}),
+             i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+    FROM c{IVF_ITERS} c CROSS JOIN q
+  ) ORDER BY d, cell LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, a.cell,
+       round(
+         list_sum(list_transform(range(1, {d1}), i -> a.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine
+FROM afin a JOIN probe p USING (cell) CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}""")
+    return "".join(parts)
+
+
+Q_SIM_IVF_SQL = _ivf_sql()
 
 
 def q_udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,7 +642,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
-    "sim_ivf_topk": q_sim_ivf_topk,    # rows-only (iterative k-means)
+    "sim_ivf_topk": q_sim_ivf_topk,
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_pca_power": q_embedding_pca_power,  # rows-only (iterative)
@@ -565,6 +652,7 @@ ORACLE = {
     "sim_topk_bruteforce": Q_SIM_TOPK_SQL,
     "sim_knn_per_vector": Q_SIM_KNN_SQL,
     "sim_lsh_buckets": Q_SIM_LSH_SQL,
+    "sim_ivf_topk": Q_SIM_IVF_SQL,
     "udf_embedding_norm": Q_UDF_NORM_SQL,
     "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,
 }
