@@ -574,8 +574,11 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     results checkpoint eagerly so the lineage stays O(1) (the iterative
     invariant every loop in this repo follows). Output: 64 loadings +
     the eigenvalue (top singular value² / (n-1)) and explained-variance
-    share. Rows-only driver check; exactness is pinned against numpy's
-    identical iteration in tests/test_pca.py. (Round count is a config:
+    share. Fully value-checked: the oracle unrolls the identical fixed
+    iteration as materialized DuckDB CTEs (see _pca_sql), with per-round
+    9dp pinning making the two engines' states bit-identical; exactness is
+    additionally pinned against numpy in tests/test_pca.py. (Round count
+    is a config:
     the synthetic corpus is near-isotropic, λ2/λ1≈0.93, so full
     eigenvector convergence needs ~40 rounds of the same plan; 8 rounds
     keep the registry run cheap while the numpy parity proves the
@@ -611,9 +614,15 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        # v is rounded to 9 dp per round — the same cross-engine float pin
+        # ivf_centroids applies: different engines sum in different orders
+        # (last-ulp drift), and pinning each round's OUTPUT keeps the next
+        # round's inputs bit-identical in Spark and the unrolled DuckDB
+        # oracle. Effect on the iterate is ≤5e-10 per round, far inside
+        # the numpy-parity tolerance (tests/test_pca.py, atol=2e-6).
         v = (
             w.crossJoin(F.broadcast(norm))
-            .select("pos", (F.col("w") / F.col("nrm")).alias("v"))
+            .select("pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v"))
             .localCheckpoint(eager=True)
         )
         last_norm = norm
@@ -638,6 +647,61 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_sql() -> str:
+    """DuckDB oracle unrolling the identical deterministic power iteration
+    (same centering, same 1/sqrt(d) start, PCA_ITERS rounds, per-round 9dp
+    pin, same sign canon) as materialized CTEs — the graph_pagerank /
+    sim_ivf_topk oracle pattern applied to linear algebra."""
+    d1 = EMBED_DIM + 1
+    parts = [f"""WITH dims AS (
+  SELECT unnest(range(1, {d1})) AS i
+), raw AS MATERIALIZED (
+  SELECT vec_id, d.i - 1 AS pos, CAST(embedding AS DOUBLE[])[d.i] AS x
+  FROM embeddings CROSS JOIN dims d
+), mu AS (
+  SELECT pos, avg(x) AS mu FROM raw GROUP BY pos
+), xc AS MATERIALIZED (
+  SELECT r.vec_id, r.pos, r.x - m.mu AS xc FROM raw r JOIN mu m USING (pos)
+), nn AS (
+  SELECT count(*) AS n FROM embeddings
+), tv AS (
+  SELECT sum(xc * xc) / ((SELECT n FROM nn) - 1) AS tv FROM xc
+), v0 AS (
+  SELECT DISTINCT pos, 1.0 / sqrt({EMBED_DIM}) AS v FROM raw
+)"""]
+    for r in range(1, PCA_ITERS + 1):
+        parts.append(f""", s{r} AS MATERIALIZED (
+  SELECT c.vec_id, sum(c.xc * v.v) AS s
+  FROM xc c JOIN v{r - 1} v USING (pos) GROUP BY c.vec_id
+), w{r} AS MATERIALIZED (
+  SELECT c.pos, sum(c.xc * s.s) AS w
+  FROM xc c JOIN s{r} s USING (vec_id) GROUP BY c.pos
+), v{r} AS MATERIALIZED (
+  SELECT pos, round(w / (SELECT sqrt(sum(w * w)) FROM w{r}), 9) AS v
+  FROM w{r}
+)""")
+    parts.append(f""", nrm AS (
+  SELECT sqrt(sum(w * w)) AS nrm FROM w{PCA_ITERS}
+), pick AS (
+  SELECT CASE WHEN v > 0 THEN 1.0 WHEN v < 0 THEN -1.0 ELSE 0.0 END AS sgn
+  FROM v{PCA_ITERS} ORDER BY abs(v) DESC, pos LIMIT 1
+), eig AS (
+  SELECT nrm / ((SELECT n FROM nn) - 1) AS eigenvalue,
+         nrm / ((SELECT n FROM nn) - 1) / (SELECT tv FROM tv) AS explained
+  FROM nrm
+)
+SELECT CAST(v.pos AS INTEGER) AS pos,
+       round(v.v * p.sgn, 6) AS loading,
+       round(e.eigenvalue, 6) AS eigenvalue,
+       round(e.explained, 6) AS explained_var_ratio
+FROM v{PCA_ITERS} v CROSS JOIN pick p CROSS JOIN eig e
+ORDER BY pos""")
+    return "".join(parts)
+
+
+Q_PCA_SQL = _pca_sql()
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
@@ -645,7 +709,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
-    "embedding_pca_power": q_embedding_pca_power,  # rows-only (iterative)
+    "embedding_pca_power": q_embedding_pca_power,
 }
 
 ORACLE = {
@@ -655,4 +719,5 @@ ORACLE = {
     "sim_ivf_topk": Q_SIM_IVF_SQL,
     "udf_embedding_norm": Q_UDF_NORM_SQL,
     "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,
+    "embedding_pca_power": Q_PCA_SQL,
 }

@@ -8,8 +8,8 @@ in shred/traverse/store hash-mismatches at the driver), the same goldens
 tests/test_graph_xml.py asserts, now enforced end-to-end. Regenerate after
 an INTENDED semantic change with scripts/gen_xml_golden.py.
 
-``xml_subtree_content`` stays rows-only: its cells are multi-KB prose with
-embedded quotes/newlines — a constant-table oracle would be unreviewable.
+``xml_subtree_content`` participates via md5(prose) + length cells (see
+q_xml_subtree_content) so its constant table stays reviewable.
 """
 
 from __future__ import annotations
@@ -201,6 +201,28 @@ GOLDEN_XML_SHARED_LINENUMBERS_ROWS = [
     ('7430', 2),
 ]
 
+GOLDEN_XML_SUBTREE_CONTENT_COLS = [('docnbr', 'VARCHAR'), ('section', 'VARCHAR'), ('content_md5', 'VARCHAR'), ('content_len', 'BIGINT'), ('n_fragments', 'BIGINT')]
+GOLDEN_XML_SUBTREE_CONTENT_ROWS = [
+    ('737-00-1028', 'accomplishment_instructions', 'bb3ceafc25968409c476d444ed6af323', 633, 4),
+    ('737-00-1028', 'appendix_a', 'ccc45a1f1029edc15ede4cb1de98a657', 2205, 5),
+    ('737-00-1028', 'header', 'ef30bd435e63789c9255c86603d83cf6', 142, 4),
+    ('737-00-1028', 'material_information', '5c2ff08eee86020f2c1264a247bc942d', 9, 2),
+    ('737-00-1028', 'planning_information', 'a6c0077bb6041cd82d444dcab779e1b6', 3512, 18),
+    ('737-00-1028', 'summary', '3698bceaa2f3826e7efe93de596d26bb', 512, 2),
+    ('737-00-1029', 'accomplishment_instructions', 'b9759c92c39f5b0a85b625fee3e2b031', 250, 6),
+    ('737-00-1029', 'appendix_a', '10e87e5b7fb50a3424cea7eff7ff990b', 327, 3),
+    ('737-00-1029', 'header', 'f934908114b67825d89ac6aa20743760', 87, 4),
+    ('737-00-1029', 'material_information', '17920bb975ec750e7c8642e2901a38ff', 45, 2),
+    ('737-00-1029', 'planning_information', 'f6db2d0d8d43dc0a7c3286031c751ecd', 1681, 15),
+    ('737-00-1029', 'summary', '20b9a5602e372373666c06821d1e18bb', 371, 2),
+    ('737-00-1030', 'accomplishment_instructions', '4b7f045b15bbf1b989e3b9b478e6b7ca', 206, 4),
+    ('737-00-1030', 'appendix_a', '0c7a5cd8215dc283725acb10f30acc94', 321, 3),
+    ('737-00-1030', 'header', '372d986bc82fed27c976e0b0cb7501fd', 85, 4),
+    ('737-00-1030', 'material_information', '18f4e3e8f0c1decc3a0f52f58554d799', 31, 2),
+    ('737-00-1030', 'planning_information', '57d893754a25faeacc09c3b1692a48d6', 1704, 14),
+    ('737-00-1030', 'summary', '738f65887c86b99a2c0e2753a99826ea', 400, 2),
+]
+
 GOLDEN_XML_TITLE_HIERARCHY_COLS = [('docnbr', 'VARCHAR'), ('title_label', 'VARCHAR'), ('parent_label', 'VARCHAR')]
 GOLDEN_XML_TITLE_HIERARCHY_ROWS = [
     ('737-00-1028', '1. operational readiness flight recommendations', 'Operational readiness flight'),
@@ -240,6 +262,7 @@ ORACLE = {
     "xml_rel_signatures": _values_sql(GOLDEN_XML_REL_SIGNATURES_COLS, GOLDEN_XML_REL_SIGNATURES_ROWS),
     "xml_khop_flagship": _values_sql(GOLDEN_XML_KHOP_FLAGSHIP_COLS, GOLDEN_XML_KHOP_FLAGSHIP_ROWS),
     "xml_shared_linenumbers": _values_sql(GOLDEN_XML_SHARED_LINENUMBERS_COLS, GOLDEN_XML_SHARED_LINENUMBERS_ROWS),
+    "xml_subtree_content": _values_sql(GOLDEN_XML_SUBTREE_CONTENT_COLS, GOLDEN_XML_SUBTREE_CONTENT_ROWS),
     "xml_title_hierarchy": _values_sql(GOLDEN_XML_TITLE_HIERARCHY_COLS, GOLDEN_XML_TITLE_HIERARCHY_ROWS),
     "xml_connected_components": _values_sql(GOLDEN_XML_CONNECTED_COMPONENTS_COLS, GOLDEN_XML_CONNECTED_COMPONENTS_ROWS),
 }

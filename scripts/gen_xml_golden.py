@@ -5,7 +5,8 @@ from pyspark.sql import types as T
 spark = get_spark("golden-gen2")
 qs = all_queries()
 names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
-         "xml_shared_linenumbers", "xml_title_hierarchy", "xml_connected_components"]
+         "xml_shared_linenumbers", "xml_subtree_content", "xml_title_hierarchy",
+         "xml_connected_components"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')
@@ -17,8 +18,8 @@ out.append('in shred/traverse/store hash-mismatches at the driver), the same gol
 out.append('tests/test_graph_xml.py asserts, now enforced end-to-end. Regenerate after')
 out.append('an INTENDED semantic change with scripts/gen_xml_golden.py.')
 out.append('')
-out.append('``xml_subtree_content`` stays rows-only: its cells are multi-KB prose with')
-out.append('embedded quotes/newlines — a constant-table oracle would be unreviewable.')
+out.append('``xml_subtree_content`` participates via md5(prose) + length cells (see')
+out.append('q_xml_subtree_content) so its constant table stays reviewable.')
 out.append('"""')
 out.append('')
 out.append('from __future__ import annotations')

@@ -218,8 +218,8 @@ def test_write_atomic_read_modify_write(spark, store, tmp_path):
 def test_subtree_content_aggregation(spark):
     """2.A#21 gatherContent parity: per-section descendant text in document
     order; bulletin 1's summary subtree must start with its background."""
-    from graph_database_project_spark.operators.xmlq import q_xml_subtree_content
-    rows = {(r.docnbr, r.section): r for r in q_xml_subtree_content(spark, "").collect()}
+    from graph_database_project_spark.operators.xmlq import xml_subtree_gathered
+    rows = {(r.docnbr, r.section): r for r in xml_subtree_gathered(spark).collect()}
     summary = rows[("737-00-1028", "summary")]
     assert summary.gathered_content.startswith("In March 2019")
     assert summary.n_fragments == 2

@@ -6,10 +6,7 @@ from __future__ import annotations
 from graph_database_project_spark.registry import all_oracles, all_queries
 
 EXPECTED_ROWS_ONLY = {
-    "embedding_pca_power",   # iterative power method — numpy-exact test instead
     "multimodal_decode",     # Python stub seam (PIL/libav absent)
-    "xml_subtree_content",   # multi-KB prose cells — golden-constant oracle
-                             # unreviewable; the rest of xml_* is golden-pinned
 }
 
 
