@@ -33,6 +33,17 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 
 # First-50 prefix: every operator family + every §2.B flagship, most load-
 # bearing first. Everything not listed keeps module order after these.
+#
+# Rotation policy (r05): the driver value-checks only this prefix, so keys
+# it has confirmed green twice (r03+r04) yield their slot to same-family
+# second representatives the driver has never checked — the evicted keys
+# remain covered by the local parity gate (tests/test_parity.py, same
+# compare code). r05 swaps: join_anti, window_lag_delta, text_token_count,
+# dedup_ngram_jaccard, dedup_embedding_cosine, sim_lsh_buckets,
+# mutation_property_set OUT; window_range_frame, text_tfidf_top_terms,
+# stream_session_window, mutation_scd2_build, graph_shortest_paths,
+# embedding_pca_power, xml_subtree_content IN (the last two are this
+# round's oracle promotions).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -40,15 +51,12 @@ _DRIVER_WINDOW = [
     "filter_project",
     "join_left_agg",
     "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
-    "join_anti",
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
     "join_salted_skew",
     "join_asof_last_view",
     "join_range_follow",
     "sessionize",
-    "window_lag_delta",
-    # window_range_frame (2nd lag/lead-frames rep) sits past the window so
-    # the profiling family gets a driver slot:
+    "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
     "dq_audit",
     "agg_quantiles",
     "agg_stats_moments",
@@ -66,29 +74,29 @@ _DRIVER_WINDOW = [
     "graph_khop_seeded",
     "graph_connected_components",
     "graph_pagerank",
+    "graph_shortest_paths",  # r05 rotation: BFS-distance rep, first check
     # XML ingest + flagship (§2.B 2, 23, 24)
     "xml_label_counts",
     "xml_khop_flagship",
+    "xml_subtree_content",  # r05: newly oracle-promoted (md5'd prose)
     # mutation (§2.B 20-22)
     "mutation_merge_upsert",
     "mutation_delete_cascade",
-    "mutation_property_set",
+    "mutation_scd2_build",  # r05 rotation: SCD2 rep in, property_set out
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",  # pairs → components → canonical survivor
-    "dedup_embedding_cosine",
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "sim_topk_bruteforce",
     "sim_knn_per_vector",
-    "sim_lsh_buckets",
     "sim_ivf_topk",
     "udf_embedding_norm",
+    "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
     # text analysis (§2.B 32 + LLM-pipeline rows)
     "text_stats",
     "text_lang_id",
-    "text_token_count",
+    "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
     "text_decontaminate",  # benchmark n-gram decontamination
     # time-series hypertable ops (tfidf demoted past the window for this:
     # text keeps 4 reps, timeseries gets its family representative)
@@ -96,6 +104,7 @@ _DRIVER_WINDOW = [
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
     "stream_tumbling_hourly",
+    "stream_session_window",  # r05 rotation: stateful session rep, first check
     "pipeline_training_data",
     "nl2query_followup",  # multi-turn chat; single-turn demo sits just past the window
 ]
