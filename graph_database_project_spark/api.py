@@ -7,19 +7,31 @@ is transport only.
 Routes:
   GET  /health    → {"status": "ok", "n_queries": N}
   GET  /graph     → {"nodes": [...], "edges": [...]} of the ingested
-                    bulletin graph (capped; visualize.graph_payload)
+                    bulletin graph (capped; visualize.graph_payload).
+                    Optional ?seed=<name>&depth=<k> restricts to that
+                    node's k-hop downward neighborhood — the reference's
+                    per-query view (templates/visualise.html:13-17)
   GET  /visualize → self-contained HTML canvas force-layout of /graph —
                     the reference's templates/visualise.html (neovis.js)
-                    re-expressed with zero external dependencies
+                    re-expressed with zero external dependencies;
+                    forwards ?seed=&depth= to /graph
   POST /chat    → body {"messages": [{"role": "user", "content": "..."}]}
                   runs the multi-turn NL lifecycle (answer_chat) and
-                  returns {"sql", "rows", "answer"}
+                  returns {"sql", "rows", "answer"}; graph-shaped
+                  questions ("what is connected to X") that no relational
+                  rule grounds fall through to the graph lifecycle
+                  (answer_graph → k-hop expansion over the bulletin graph)
   POST /query   → body {"name": "<registry key>"} runs a registered
                   query and returns its first ROW_CAP rows
   POST /explain → body {"name": "<registry key>"} returns the query's
-                  formatted physical plan without executing the batch
-                  plan (stream_* keys are rejected with 422: their
-                  construction IS execution — an availableNow drain)
+                  formatted physical plan. stream_* keys are rejected
+                  with 422 (their construction IS execution — an
+                  availableNow drain). Iterative/memoized batch keys
+                  (k-means index build, XML ingest, checkpointed loops)
+                  DO run real Spark jobs during plan construction, and a
+                  checkpointed loop's returned plan is the post-
+                  checkpoint scan — such responses carry an explicit
+                  "note" saying so
 
 Not a production server: single SparkSession, threaded handler, no auth —
 the same scope as the reference's demo app. A real deployment would put
@@ -34,6 +46,24 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 ROW_CAP = 100
+
+# Batch keys whose query CONSTRUCTION executes Spark jobs (session-memoized
+# builds and eager-checkpointed iterative loops), so /explain on them is not
+# side-effect-free and — for checkpointed loops — the plan it returns is the
+# post-checkpoint scan, not the loop body. Matched by exact key or prefix.
+EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "embedding_pca_power",
+                       "dedup_minhash_lsh", "nl2query_followup"}
+EAGER_ON_BUILD_PREFIXES = ("xml_", "graph_")
+
+EAGER_ON_BUILD_NOTE = (
+    "plan construction for this query executes Spark jobs (memoized index/"
+    "ingest build or eager-checkpointed iterative loop); for checkpointed "
+    "loops the plan shown is the post-checkpoint scan, not the loop body"
+)
+
+
+def _eager_on_build(name: str) -> bool:
+    return name in EAGER_ON_BUILD_KEYS or name.startswith(EAGER_ON_BUILD_PREFIXES)
 
 
 def _jsonable(v):
@@ -56,7 +86,7 @@ def create_server(spark: SparkSession, sf_dir: str,
                   host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the server; caller runs serve_forever() /
     handle_request(). port=0 binds an ephemeral port (server.server_port)."""
-    from .plans.nl2query import answer_chat, explain_result
+    from .plans.nl2query import answer_chat, explain_result, resolve_question
     from .registry import all_queries
 
     queries = all_queries()
@@ -74,15 +104,27 @@ def create_server(spark: SparkSession, sf_dir: str,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
+            from urllib.parse import parse_qs, urlsplit
+
+            parts = urlsplit(self.path)
+            if parts.path == "/health":
                 self._send(200, {"status": "ok", "n_queries": len(queries)})
-            elif self.path == "/graph":
+            elif parts.path == "/graph":
                 from .visualize import graph_payload
+                qargs = parse_qs(parts.query)
+                seed = (qargs.get("seed") or [None])[0]
                 try:
-                    self._send(200, graph_payload(spark))
+                    depth = int((qargs.get("depth") or ["3"])[0])
+                    if not 1 <= depth <= 6:
+                        raise ValueError
+                except ValueError:
+                    self._send(400, {"error": "depth must be an int in [1, 6]"})
+                    return
+                try:
+                    self._send(200, graph_payload(spark, seed=seed, depth=depth))
                 except Exception as exc:  # pragma: no cover - defensive
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
-            elif self.path == "/visualize":
+            elif parts.path == "/visualize":
                 from .visualize import VISUALIZE_HTML
                 body = VISUALIZE_HTML.encode()
                 self.send_response(200)
@@ -110,7 +152,17 @@ def create_server(spark: SparkSession, sf_dir: str,
                     if not history:
                         self._send(400, {"error": "No messages provided"})
                         return
-                    sql, df = answer_chat(spark, sf_dir, history)
+                    try:
+                        sql, df = answer_chat(spark, sf_dir, history)
+                    except ValueError:
+                        # no relational rule grounds the question — try the
+                        # graph lifecycle (the reference's flagship chat is
+                        # exactly this shape: "what is connected to X")
+                        from .operators.xmlq import _store
+                        from .plans.nl2query import answer_graph
+                        sql, df = ("-- graph k-hop expansion (no SQL form)",
+                                   answer_graph(spark, _store(spark),
+                                                resolve_question(history)))
                     collected = df.limit(ROW_CAP).collect()
                     self._send(200, {
                         "sql": sql,
@@ -142,7 +194,10 @@ def create_server(spark: SparkSession, sf_dir: str,
                     df = queries[name](spark, sf_dir)
                     plan = spark._jvm.PythonSQLUtils.explainString(
                         df._jdf.queryExecution(), "formatted")
-                    self._send(200, {"name": name, "plan": plan})
+                    payload = {"name": name, "plan": plan}
+                    if _eager_on_build(name):
+                        payload["note"] = EAGER_ON_BUILD_NOTE
+                    self._send(200, payload)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
             except ValueError as exc:  # untranslatable question, bad identifier

@@ -54,6 +54,11 @@ def epoch_long_to_ts_ntz(col: F.Column) -> F.Column:
 
 _MEMO_LOCK = threading.RLock()
 
+# (sf_dir, table, target_parallelism) → scan partition count; see the
+# widen probe in load_table. Testdata dirs are immutable for a process
+# lifetime, so the cache can't go stale.
+_WIDEN_PROBE_CACHE: dict[tuple[str, str, int], int] = {}
+
 
 def session_memo(spark: SparkSession, attr: str, key, build):
     """Build-once cache scoped to a SparkSession (stored as a session
@@ -112,7 +117,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             df = df.withColumn("ts", epoch_long_to_ts_ntz(F.col("ts")))
     if widen:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # The probe (df.rdd.getNumPartitions) forces a DataFrame→RDD
+        # conversion per call — harmless locally, pointless churn on a real
+        # cluster. The answer is a pure function of (path, parallelism,
+        # file layout), so probe once per process and reuse.
+        key = (sf_dir, name, target)
+        n_parts = _WIDEN_PROBE_CACHE.get(key)
+        if n_parts is None:
+            n_parts = df.rdd.getNumPartitions()
+            _WIDEN_PROBE_CACHE[key] = n_parts
+        if n_parts < target:
             df = df.repartition(target)
     return df
 

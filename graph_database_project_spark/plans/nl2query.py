@@ -107,11 +107,20 @@ def _count_distinct(col: str, table: str, catalog: dict) -> str:
 
 
 def _table_name(word: str, catalog: dict) -> str:
-    """Ground a question word to a known table: as-is, deplural, plural —
-    in that order. Unknown words are rejected, not interpolated."""
+    """Ground a question word to a known table: as-is, deplural (-s, then
+    -es), plural — in that order. Unknown words are rejected, not
+    interpolated. Depluralization strips ONE suffix, not every trailing
+    's' (rstrip('s') would turn 'address' into 'addre' and make s-final
+    table names ungroundable)."""
     w = word.lower()
     known = set(catalog) if catalog else set(TABLE_NAMES)
-    for cand in (w, w.rstrip("s"), w + "s"):
+    candidates = [w]
+    if w.endswith("s"):
+        candidates.append(w[:-1])
+    if w.endswith("es"):
+        candidates.append(w[:-2])
+    candidates.append(w + "s")
+    for cand in candidates:
         if cand in known:
             return cand
     raise ValueError(f"unknown table derived from question: {word!r}")

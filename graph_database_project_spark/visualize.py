@@ -20,17 +20,32 @@ NODE_CAP = 800
 EDGE_CAP = 4000
 
 
-def graph_payload(spark: SparkSession) -> dict:
+def graph_payload(spark: SparkSession, seed: str | None = None,
+                  depth: int = 3) -> dict:
     """Nodes/edges of the ingested reference graph as JSON-ready dicts.
-    Label = first label (the shredder's primary); capped deterministically
-    by id so node/edge sets stay consistent. Edges are restricted to the
-    served node set BEFORE the cap, so capping can never leave a served
-    node spuriously disconnected."""
+    Label = first label (the shredder's primary), defaulted server-side for
+    label-less nodes (a null label would reach the page's hue() and blank
+    the draw loop). Capped deterministically by id so node/edge sets stay
+    consistent. Edges are restricted to the served node set BEFORE the cap,
+    so capping can never leave a served node spuriously disconnected.
+
+    With ``seed`` set, the node set is restricted to the seed's k-hop
+    downward neighborhood (GraphStore.khop_from — the reference's per-query
+    view, templates/visualise.html:13-17, which renders the chat query's
+    result subgraph rather than the whole graph)."""
     from .operators.xmlq import _store
 
     st = _store(spark)
+    base = st.nodes
+    if seed is not None:
+        reached = st.khop_from(F.col("name") == seed, depth=depth) \
+            .select(F.col("node").alias("id")).distinct()
+        base = base.join(reached, "id", "left_semi")
     nodes = (
-        st.nodes.select("id", F.element_at("labels", 1).alias("label"), "name")
+        base.select(
+            "id",
+            F.coalesce(F.element_at("labels", 1), F.lit("node")).alias("label"),
+            "name")
         .orderBy("id").limit(NODE_CAP).collect()
     )
     ids = {r["id"] for r in nodes}
@@ -72,13 +87,15 @@ const tip = document.getElementById("tip");
 let W, H; function size() { W = cv.width = innerWidth; H = cv.height = innerHeight - 30; }
 size(); addEventListener("resize", size);
 
-// deterministic label -> hue
-function hue(s) { let h = 0; for (const c of s) h = (h * 31 + c.charCodeAt(0)) % 360; return h; }
+// deterministic label -> hue (null/missing label tolerated: server defaults
+// it, but a stale payload must not blank the whole draw loop)
+function hue(s) { let h = 0; for (const c of s || "") h = (h * 31 + c.charCodeAt(0)) % 360; return h; }
 
 let nodes = [], edges = [], byId = new Map();
 let panX = 0, panY = 0, zoom = 1, dragging = false, lx = 0, ly = 0;
 
-fetch("/graph").then(r => r.json()).then(g => {
+// forward ?seed=&depth= so /visualize?seed=X renders that neighborhood
+fetch("/graph" + location.search).then(r => r.json()).then(g => {
   nodes = g.nodes.map((n, i) => ({
     ...n,
     x: W / 2 + Math.cos(i * 2.399963) * (8 + 14 * Math.sqrt(i)),

@@ -61,7 +61,9 @@ def test_chat_empty_messages_is_400(server):
 def test_chat_untranslatable_is_422(server):
     code, body = _post(f"{server}/chat", {"messages": [
         {"role": "user", "content": "please do something unspecified"}]})
-    assert code == 422 and "no rule" in body["error"]
+    # relational rules fail first, then the graph fallback — the surfaced
+    # error is whichever lifecycle rejected last
+    assert code == 422 and "rule matches question" in body["error"]
 
 
 def test_query_endpoint_runs_registry_key(server):
@@ -97,6 +99,46 @@ def test_graph_endpoint_serves_nodes_and_edges(server):
     assert len(g["edges"]) == sum(n for *_, n in GOLDEN_XML_REL_SIGNATURES_ROWS)
 
 
+def test_graph_endpoint_seeded_neighborhood(server):
+    """?seed=&depth= restricts the payload to the seed's k-hop downward
+    neighborhood — the reference's per-query view."""
+    with urllib.request.urlopen(
+            f"{server}/graph?seed=737-00-1028&depth=1") as r:
+        g1 = json.loads(r.read())
+    with urllib.request.urlopen(f"{server}/graph") as r:
+        g_all = json.loads(r.read())
+    assert 0 < len(g1["nodes"]) < len(g_all["nodes"])
+    names = {n["name"] for n in g1["nodes"]}
+    assert "737-00-1028" in names
+    ids = {n["id"] for n in g1["nodes"]}
+    assert all(e["src"] in ids and e["dst"] in ids for e in g1["edges"])
+    # depth grows monotonically
+    with urllib.request.urlopen(
+            f"{server}/graph?seed=737-00-1028&depth=3") as r:
+        g3 = json.loads(r.read())
+    assert len(g3["nodes"]) > len(g1["nodes"])
+
+
+def test_graph_endpoint_bad_depth_is_400(server):
+    try:
+        urllib.request.urlopen(f"{server}/graph?seed=x&depth=zap")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_chat_graph_question_falls_through_to_khop(server):
+    """The reference's flagship chat shape — no relational rule grounds it,
+    so it must route to the graph lifecycle, not 422."""
+    code, body = _post(f"{server}/chat", {"messages": [
+        {"role": "user",
+         "content": "what is connected to bulletin '737-00-1028'?"}]})
+    assert code == 200, body
+    assert body["rows"] and body["rows"][0]["seed_name"] == "737-00-1028"
+    assert body["rows"][0]["n_connected"] > 0
+    assert "graph k-hop" in body["sql"]
+
+
 def test_visualize_endpoint_serves_selfcontained_html(server):
     import urllib.request
 
@@ -104,7 +146,7 @@ def test_visualize_endpoint_serves_selfcontained_html(server):
         assert r.status == 200
         assert r.headers["Content-Type"].startswith("text/html")
         html = r.read().decode()
-    assert "<canvas" in html and "fetch(\"/graph\")" in html
+    assert "<canvas" in html and "fetch(\"/graph\" + location.search)" in html
     # self-contained: no external script/style fetches (reference pulls
     # neovis.js from a CDN; this page must work offline)
     assert "http://" not in html and "https://" not in html
@@ -121,6 +163,17 @@ def test_explain_endpoint_returns_physical_plan(server):
 def test_explain_unknown_key_is_404(server):
     code, body = _post(f"{server}/explain", {"name": "nope"})
     assert code == 404
+
+
+def test_explain_eager_on_build_key_carries_note(server):
+    """Iterative/memoized keys execute jobs during plan construction; the
+    response must say so (ADVICE r04: '/explain claims no execution')."""
+    code, body = _post(f"{server}/explain", {"name": "graph_connected_components"})
+    assert code == 200 and "Physical Plan" in body["plan"]
+    assert "post-checkpoint" in body.get("note", "")
+    # a plain relational key stays note-free
+    code, body = _post(f"{server}/explain", {"name": "q01_pricing_summary"})
+    assert code == 200 and "note" not in body
 
 
 def test_explain_streaming_key_is_422(server):

@@ -21,6 +21,24 @@ def test_translate_unknown_raises():
         rule_based_translate("what is the meaning of life", {})
 
 
+def test_table_grounding_deplurals_one_suffix_only():
+    """Deplural must strip ONE -s/-es suffix, not every trailing 's'
+    (rstrip('s') turned 'addresses' into 'addre' and made s-final table
+    names ungroundable — ADVICE r04)."""
+    from graph_database_project_spark.plans.nl2query import _table_name
+
+    cat = {"address": {"id": "bigint"}, "status": {"id": "bigint"},
+           "orders": {"o_orderkey": "bigint"}}
+    assert _table_name("address", cat) == "address"     # as-is, s-final
+    assert _table_name("addresses", cat) == "address"   # -es stripped once
+    assert _table_name("status", cat) == "status"
+    assert _table_name("order", cat) == "orders"        # pluralize
+    assert _table_name("orders", cat) == "orders"
+    assert _table_name("orderss", cat) == "orders"  # one -s strip suffices
+    with pytest.raises(ValueError):
+        _table_name("ordersss", cat)  # but stripping never recurses
+
+
 def test_catalog_is_derived_not_hardcoded(spark):
     cat = derive_catalog(spark, SF_SMOKE)
     assert set(cat) == {"region", "nation", "customer", "supplier", "part",
