@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -26,6 +27,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..io import load_table
 
 REAL_DECODE_AVAILABLE = False  # no PIL/libav in this environment
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) with HALF_UP (away-from-zero) tie-breaking — the rule
+    DuckDB's round() and Spark's F.round apply. Python's built-in round is
+    banker's (half-to-even), so an exact 6th-decimal tie in a pandas-side
+    codec feature would diverge from the oracle. Ties are essentially
+    unreachable for these denominators (ADVICE r04 analysis), but the
+    engines should agree by construction, not by luck."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -69,7 +81,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "width": (digests.map(lambda d: d[0]) .astype("int32") % 640) + 1,
             "height": (digests.map(lambda d: d[1]).astype("int32") % 480) + 1,
             "mode": digests.map(lambda d: "RGB" if d[2] % 2 == 0 else "L"),
-            "feat_mean": digests.map(lambda d: round(sum(d) / len(d) / 255.0, 6)),
+            "feat_mean": digests.map(lambda d: _round6(sum(d) / len(d) / 255.0)),
         })
 
 
@@ -233,8 +245,8 @@ def _bmp_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             w, h, plane = decode_bmp(bytes(payload))
             rw, rh = thumbnail_dims(w, h)
             thumb = resize_nearest(plane, rw, rh)
-            mean = round(int(thumb.sum(dtype=np.int64)) / (rh * rw * 3 * 255), 6)
-            rows.append((int(doc_id), w, h, rw, rh, round(rw / w, 6), mean))
+            mean = _round6(int(thumb.sum(dtype=np.int64)) / (rh * rw * 3 * 255))
+            rows.append((int(doc_id), w, h, rw, rh, _round6(rw / w), mean))
         yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 
@@ -351,7 +363,7 @@ def decode_ppm(raw: bytes) -> tuple[int, int, int, float]:
         raise ValueError("not a binary PPM (P6) payload")
     w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     pix = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=m.end())
-    return w, h, maxval, round(float(pix.sum()) / (w * h * 3) / maxval, 6)
+    return w, h, maxval, _round6(float(pix.sum()) / (w * h * 3) / maxval)
 
 
 def decode_wav(raw: bytes) -> tuple[int, int, int, float, float]:
@@ -364,7 +376,7 @@ def decode_wav(raw: bytes) -> tuple[int, int, int, float, float]:
             raise ValueError("only 16-bit PCM supported")
         data = np.frombuffer(f.readframes(nfr), dtype="<i2").astype("float64")
     rms = float(np.sqrt((data * data).sum() / len(data)))
-    return nch, rate, nfr, round(nfr / rate, 6), round(rms, 6)
+    return nch, rate, nfr, _round6(nfr / rate), _round6(rms)
 
 
 IMAGE_DECODE_SCHEMA = T.StructType([
@@ -682,7 +694,7 @@ def decode_png(raw: bytes) -> tuple[int, int, int, float]:
                 cur[x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"unknown scanline filter {f}")
-    mean = round(float(rec.sum()) / (w * h * 3) / 255, 6)
+    mean = _round6(float(rec.sum()) / (w * h * 3) / 255)
     return w, h, 8, mean
 
 
@@ -826,7 +838,7 @@ def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[float]]:
     """Container bytes → (width, height, fps, n_frames, per-frame plane
     mean in [0,1] rounded to 6)."""
     w, h, fps, planes = y4m_planes(raw)
-    means = [round(float(p.sum()) / p.size / 255, 6) for p in planes]
+    means = [_round6(float(p.sum()) / p.size / 255) for p in planes]
     return w, h, fps, len(planes), means
 
 
