@@ -106,11 +106,38 @@ FAIL_PENALTY = 600.0
 NUM_RUNS = 3
 
 
+def machine_sentinel() -> dict:
+    """Fixed CPU + memory-bandwidth microbenchmarks timed alongside the
+    suite, so round-over-round drift in the query numbers can be ATTRIBUTED:
+    this sandbox's wall-clocks swing 2-3x on tens-of-minutes timescales
+    (measured r05: the same suite totaled 24.6s and then, 40 minutes later,
+    individual queries ran at r04 speeds), and without a sentinel a slow
+    round is indistinguishable from a plan regression. Single-threaded pure
+    Python (interpreter/CPU) + a numpy matmul (SIMD/memory); both are
+    Spark-free so they measure the MACHINE, not the engine. Reference
+    values pinned in BASELINE.md; compare ratios, not absolutes."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    cpu_s = time.perf_counter() - t0
+    a = np.arange(1_000_000, dtype=np.float64).reshape(1000, 1000)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = (a @ a) % 1e9
+    blas_s = time.perf_counter() - t0
+    return {"python_loop_sec": round(cpu_s, 3),
+            "numpy_matmul_sec": round(blas_s, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from graph_database_project_spark.session import get_spark
     from graph_database_project_spark.registry import all_queries
 
+    sentinel_before = machine_sentinel()
     spark = get_spark("bench")
     queries = all_queries()
 
@@ -138,8 +165,15 @@ def main() -> None:
     # Interleaved repetitions: one full pass over the suite per round, so a
     # query's NUM_RUNS samples are minutes apart and a transient machine-
     # load spike can't poison all of them (see module docstring).
-    for _round in range(NUM_RUNS):
-        for name in suite:
+    # SPARK_GRAFT_BENCH_MODE=backtoback restores the v2 A,A,A,B,B,B order
+    # (protocol-comparison runs only).
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "interleaved")
+    if mode == "backtoback":
+        schedule = [(name,) * NUM_RUNS for name in suite]
+        schedule = [n for grp in schedule for n in grp]
+    else:
+        schedule = [n for _ in range(NUM_RUNS) for n in suite]
+    for name in schedule:
             if name in failed:
                 continue
             fn = CUSTOM.get(name) or queries.get(name)
@@ -186,7 +220,8 @@ def main() -> None:
         "sf": sf_val,
         # transparency vs the single-run r01 numbers: the stat used and the
         # untrimmed first-run (JIT-inclusive) timings alongside the medians
-        "stat": f"median_of_{NUM_RUNS}_interleaved",
+        "stat": (f"median_of_{NUM_RUNS}_interleaved" if mode != "backtoback"
+                 else f"median_of_{NUM_RUNS}"),
         "queries_first_run": cold,
         # round-over-round comparability: the runtime that produced these
         # numbers (the r02→r03 22% shift on identical code was a PySpark
@@ -197,6 +232,11 @@ def main() -> None:
         "warmup": "q01_limit1_count + pandas_udf_32row_noop (JVM codegen + Arrow worker pool)",
         "sink": "noop_full_width",
         "baseline": "BASELINE.md v2 gate + v2.1 extended rows (interleaved protocol, r05)",
+        # machine-state sentinel: Spark-free microbench timed before and
+        # after the suite — lets a reader separate host-load drift from
+        # plan regressions (reference values in BASELINE.md)
+        "sentinel_before": sentinel_before,
+        "sentinel_after": machine_sentinel(),
     }
     if failed:
         out["failed"] = failed

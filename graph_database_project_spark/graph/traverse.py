@@ -128,6 +128,61 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
+def label_propagation(vertices: DataFrame, edges: DataFrame,
+                      n_iter: int = 10) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA).
+
+    vertices: (node: long); edges: (src, dst) treated as undirected.
+    Returns (node, community).
+
+    Semantics are pinned DETERMINISTIC so a SQL oracle can unroll them:
+    every round, each node with ≥1 neighbor adopts the most frequent label
+    among its neighbors' previous-round labels, ties broken by smallest
+    label (classic async LPA breaks ties randomly — useless for
+    differential testing); isolated nodes keep their label. Fixed round
+    count, with a fixpoint early-exit (once no label changes, every later
+    round is a no-op, so exiting cannot diverge from the unrolled oracle).
+
+    Scale: per round one keyed vote aggregation (map-side combined: a scan
+    partition emits ≤ its distinct (node, label) pairs) and one
+    row_number window partitioned BY NODE — partitions are per-node vote
+    lists (≤ degree distinct labels), so window state never exceeds a
+    node's degree. Same loop discipline as connected_components: und
+    materialized once, ``localCheckpoint(eager=True)`` per round.
+    """
+    from pyspark.sql.window import Window as W
+
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = vertices.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        votes = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        win = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(winner, "node", "left")
+            .select("node",
+                    F.coalesce("new_label", "label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85) -> DataFrame:
     """PageRank with dangling-mass redistribution, fixed iteration count.

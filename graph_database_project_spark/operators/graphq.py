@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..graph.traverse import connected_components, k_hop, pagerank
+from ..graph.traverse import (connected_components, k_hop, label_propagation,
+                              pagerank)
 from ..io import load_table
 
 # Disjoint surrogate-id ranges per node label.
@@ -219,6 +220,82 @@ r{i} AS MATERIALIZED (
 
 
 Q_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
+LPA_ROUNDS = 10  # converged on the synthetic graph (round 10 == round 12)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation over a
+    planted-community customer graph: dense 10-node chains (custkeys
+    sharing ``c_custkey // 10``) plus sparse bridges every 70th customer to
+    the next cluster. Connected components would dissolve the planted
+    structure along the bridges into big merged blobs; LPA's majority vote
+    keeps the dense clusters separate — which is the point of the operator
+    and what the test asserts.
+
+    Tie-breaks are pinned (most votes, then smallest label), so the fixed
+    10 rounds unroll into a chained-CTE DuckDB oracle exactly like
+    PageRank's — the driver value-checks every node's community id.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    chain = (a.filter(F.col("u") % 10 != 9)
+             .join(b, b.v == a.u + 1)
+             .select(F.col("u").cast("long").alias("src"),
+                     F.col("v").cast("long").alias("dst")))
+    bridge = (a.filter(F.col("u") % 70 == 0)
+              .join(b, b.v == a.u + 10)
+              .select(F.col("u").cast("long").alias("src"),
+                      F.col("v").cast("long").alias("dst")))
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    return label_propagation(vertices, chain.union(bridge),
+                             n_iter=LPA_ROUNDS)
+
+
+def _lpa_oracle_sql(n_iter: int = LPA_ROUNDS) -> str:
+    """DuckDB twin of ``q_label_propagation``: the fixed round count
+    unrolled as chained CTEs mirroring graph/traverse.py:label_propagation
+    term by term — vote count, (cnt DESC, label ASC) row_number winner,
+    left-join keep-own-label for isolated nodes."""
+    parts = ["""
+WITH e0 AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+  WHERE a.c_custkey % 10 != 9
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 10
+  WHERE a.c_custkey % 70 = 0
+), und AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), l0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         CAST(c_custkey AS BIGINT) AS label
+  FROM customer
+)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+c{i} AS (
+  SELECT und.v AS node, l.label, count(*) AS cnt
+  FROM und JOIN l{p} l ON l.node = und.u GROUP BY 1, 2
+), w{i} AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY cnt DESC, label ASC) AS rn
+  FROM c{i}
+), l{i} AS MATERIALIZED (
+  SELECT l.node, COALESCE(w.label, l.label) AS label
+  FROM l{p} l
+  LEFT JOIN (SELECT node, label FROM w{i} WHERE rn = 1) w USING (node)
+)""")
+    parts.append(f"\nSELECT node, label AS community FROM l{n_iter}")
+    return "".join(parts)
+
+
+Q_LPA_SQL = _lpa_oracle_sql()
 
 
 def q_khop_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +641,7 @@ QUERIES = {
     "graph_khop_undirected": q_khop_undirected,
     "graph_connected_components": q_connected_components,
     "graph_pagerank": q_pagerank,
+    "graph_label_propagation": q_label_propagation,
     "graph_triangle_count": q_triangle_count,
     "graph_shortest_paths": q_shortest_paths,
     "graph_link_prediction": q_link_prediction,
@@ -577,6 +655,7 @@ ORACLE = {
     "graph_khop_undirected": Q_KHOP_UNDIRECTED_SQL,
     "graph_connected_components": Q_CC_SQL,
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
+    "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

@@ -285,14 +285,141 @@ FROM k GROUP BY zbucket ORDER BY zbucket
 """
 
 
+# -- count-min sketch heavy hitters -----------------------------------------
+#
+# The sketch is pure relational algebra (explode d hash rows → one keyed
+# count aggregation), NOT a binary blob: the "sketch" is a (depth, bucket,
+# c) TABLE of d×w rows regardless of corpus size, mergeable across slices /
+# days / streams by summing c on (depth, bucket). Because the hash is plain
+# modular arithmetic (no engine-specific hash function), DuckDB replicates
+# the ENTIRE sketch bit-for-bit and the oracle value-checks the estimates
+# themselves — a stronger check than an accuracy contract.
+CMS_D = 4            # hash rows (depth)
+# Width DELIBERATELY undersized for the test corpora (64 buckets vs
+# 150-1500 distinct users) so hash collisions actually fire and the
+# differential check exercises live overcounts — at sf0.01 the top-20
+# report mixes zero- and positive-overcount rows. A deployment sizes
+# w = ceil(e / eps) for target overestimate eps·N (w=2048 → eps≈0.13%).
+CMS_W = 64
+CMS_P = 2147483647   # Mersenne prime 2^31-1 for the universal-hash modulus
+CMS_A = (1299721, 15485863, 32452843, 49979687)   # per-row hash multipliers
+CMS_B = (104729, 224737, 350377, 479909)          # per-row hash offsets
+CMS_TOPK = 20
+
+
+def _cms_rows():
+    """The d (depth, a, b) hash-parameter rows as an array-of-structs
+    literal — exploded against keys to form (key, depth, bucket) tuples.
+    ANSI-safe: a·key + b stays far below 2^63 for 32-bit keys."""
+    return F.array(*[
+        F.struct(F.lit(i).alias("d"),
+                 F.lit(CMS_A[i]).alias("a"),
+                 F.lit(CMS_B[i]).alias("b"))
+        for i in range(CMS_D)
+    ])
+
+
+def _cms_bucket(key, a, b):
+    return ((a * key + b) % CMS_P) % CMS_W
+
+
+def cms_sketch(keys: DataFrame) -> DataFrame:
+    """Build the count-min sketch TABLE (d, bucket, c) from a (k: long)
+    relation. Mergeable: sketches of disjoint slices combine by summing c
+    on (d, bucket) — tests/test_sketch.py proves slice-merge equals
+    whole-corpus build exactly."""
+    cells = keys.select("k", F.explode(_cms_rows()).alias("r")).select(
+        F.col("r.d").alias("d"),
+        _cms_bucket(F.col("k"), F.col("r.a"), F.col("r.b")).alias("bucket"),
+    )
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, probe_keys: DataFrame) -> DataFrame:
+    """Point-query the sketch for (k, ...) probe rows: min cell count over
+    the d hash rows. Probe side broadcasts (top-k keys × d rows)."""
+    extra = [c for c in probe_keys.columns if c != "k"]
+    probe = probe_keys.select("k", *extra, F.explode(_cms_rows()).alias("r")).select(
+        "k", *extra,
+        F.col("r.d").alias("d"),
+        _cms_bucket(F.col("k"), F.col("r.a"), F.col("r.b")).alias("bucket"),
+    )
+    return (sketch.join(F.broadcast(probe), ["d", "bucket"])
+            .groupBy("k", *extra)
+            .agg(F.min("c").alias("est_n")))
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over ``events.user_id`` via a count-min sketch,
+    differentially checked against exact counts.
+
+    Build: explode each key into its d (depth, bucket) cells and count per
+    cell — ONE partial-aggregated shuffle whose reduce side is at most d×w
+    = 8192 rows at any corpus size (map-side combine collapses each scan
+    partition to ≤ d×w cells before the wire). Probe: the exact top-k keys
+    (the verification side) re-hash through the same d rows and take the
+    min cell count — est_n ≥ exact_n always (counters only overcount), and
+    E[overcount] ≤ N/w per cell, concentrated by the min over d rows.
+
+    Scale: the sketch is THE way to track per-key frequencies when the key
+    space (users, URLs, shingles) is too large to groupBy exactly — the
+    sketch table is constant-size, mergeable by summing (depth, bucket)
+    cells across ingest batches (same contract as rollup_partials), and
+    the probe is a broadcast join against 8192 rows. The exact-count side
+    here exists only as the differential oracle's ground truth.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("long").alias("k")))
+    sketch = cms_sketch(ev)
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), F.asc("k")).limit(CMS_TOPK)
+    est = cms_estimate(sketch, topk)
+    return est.select(
+        F.col("k").alias("user_id"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+Q_HEAVY_HITTERS_SQL = f"""
+WITH params AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D))})
+         AS t(d, a, b)
+), keys AS (
+  SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+), sketch AS (
+  SELECT d, ((a * k + b) % {CMS_P}) % {CMS_W} AS bucket, count(*) AS c
+  FROM keys CROSS JOIN params GROUP BY 1, 2
+), exact AS (
+  SELECT k, count(*) AS exact_n FROM keys GROUP BY 1
+), topk AS (
+  SELECT k, exact_n FROM exact ORDER BY exact_n DESC, k LIMIT {CMS_TOPK}
+), probe AS (
+  SELECT t.k, t.exact_n, p.d,
+         ((p.a * t.k + p.b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM topk t CROSS JOIN params p
+)
+SELECT pr.k AS user_id,
+       CAST(pr.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.c) AS BIGINT)   AS est_n,
+       CAST(min(s.c) - pr.exact_n AS BIGINT) AS overcount
+FROM probe pr JOIN sketch s USING (d, bucket)
+GROUP BY pr.k, pr.exact_n
+"""
+
+
 QUERIES = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
     "zorder_layout": q_zorder_layout,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 ORACLE = {
     "profile_columns": Q_PROFILE_SQL,
     "dq_audit": Q_DQ_AUDIT_SQL,
     "zorder_layout": Q_ZORDER_SQL,
+    "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
 }

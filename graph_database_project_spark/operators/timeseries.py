@@ -334,13 +334,119 @@ FROM scored
 """
 
 
+# -- incremental continuous-aggregate maintenance ---------------------------
+#
+# The materialized-rollup contract: a stored hourly aggregate is kept as
+# MERGEABLE PARTIALS (count, sum, sum-of-squares, min, max) rather than as
+# finished values, so refreshing it after an ingest batch is
+# ``merge_partials(stored, rollup_partials(delta))`` — one aggregation over
+# the delta plus one keyed merge whose input size is bounded by the bucket
+# count, never a rescan of the history. avg and stddev are DERIVED from the
+# merged moments at read time (they are algebraic: not directly mergeable as
+# finished values, exactly mergeable as (n, s, s2)). This is TimescaleDB's
+# continuous-aggregate / Spark's partial-aggregation contract surfaced as an
+# explicit API.
+
+_PARTIAL_COLS = ("n", "s", "s2", "mn", "mx")
+
+
+def rollup_partials(ev: DataFrame) -> DataFrame:
+    """Hourly per-type mergeable partials over an event slice. One
+    partial-aggregated shuffle; output rows ≈ hours × types."""
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+
+def merge_partials(*parts: DataFrame) -> DataFrame:
+    """Merge partial-aggregate slices keyed on (event_type, h). Counts and
+    moments add; min/max combine; the merge shuffles only bucket-count-sized
+    relations regardless of corpus size."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("event_type", "h").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finish_partials(merged: DataFrame) -> DataFrame:
+    """Finished read-time view of a partials table: derive avg/stddev from
+    the moments. stddev_samp from (n, s, s2) is sqrt((s2 - s²/n)/(n-1)),
+    clamped at 0 against floating-point negativity, NULL for n=1 (matching
+    SQL stddev_samp)."""
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return merged.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("n").alias("n_events"),
+        F.round("s", 6).alias("sum_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+        F.when(F.col("n") > 1,
+               F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+               ).alias("stddev_value"),
+    )
+
+
+def q_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh, proven against full
+    recompute: the corpus is split at a watermark (midnight of the last
+    day — the stored rollup covers everything before it, the newest ingest
+    batch everything after), each side is reduced to mergeable partials
+    independently, and the merge is finished into the exact hourly rollup
+    a from-scratch aggregation would produce. The oracle IS the full
+    recompute, so the driver's hash check verifies merge-equivalence.
+
+    Scale: the delta aggregation scans only the new batch; the merge
+    shuffles two bucket-count-sized relations (rows ≈ hours × types, tiny
+    at any corpus scale). History is never rescanned — that is the entire
+    point of storing partials instead of finished averages.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    watermark = ev.agg(
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("_wm"))
+    tagged = ev.crossJoin(F.broadcast(watermark))
+    stored = rollup_partials(tagged.filter(F.col("ts") < F.col("_wm")))
+    delta = rollup_partials(tagged.filter(F.col("ts") >= F.col("_wm")))
+    return finish_partials(merge_partials(stored, delta))
+
+
+Q_TS_ROLLUP_INCREMENTAL_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(count(*) AS BIGINT)      AS n_events,
+       round(sum(value), 6)          AS sum_value,
+       round(avg(value), 6)          AS avg_value,
+       round(min(value), 6)          AS min_value,
+       round(max(value), 6)          AS max_value,
+       round(stddev_samp(value), 4)  AS stddev_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
     "ts_gapfill_locf": q_ts_gapfill_locf,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_ewma": q_ts_ewma,
+    "ts_rollup_incremental": q_ts_rollup_incremental,
 }
 ORACLE = {
+    "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
     "ts_rollup_multires": Q_TS_ROLLUP_SQL,
     "ts_gapfill_locf": Q_TS_GAPFILL_SQL,
     "ts_anomaly_zscore": Q_TS_ANOMALY_SQL,

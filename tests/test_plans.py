@@ -447,3 +447,32 @@ def test_scd2_build_one_keyed_shuffle_no_joins(spark):
     assert n_hash_shuffles(p) == 1, p
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "BroadcastHashJoin") == 0
     assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_ts_rollup_incremental_merge_stays_bounded(spark):
+    # partial build per slice + merge: ≤3 keyed shuffles total (two
+    # slice partial-aggregations and at most one for the keyed merge —
+    # Catalyst elides it when the slices' partitioning lines up), NO
+    # Expand (this is not the grouping-sets cascade), and the only
+    # nested-loop joins are the broadcast 1-row watermark scalars
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_rollup_incremental(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) <= 3, p
+    assert n_ops(p, "Expand") == 0
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") <= 2, p
+
+
+def test_heavy_hitters_cms_probe_broadcast_topk_no_global_sort(spark):
+    # sketch build + exact side + probe-merge: 3 keyed shuffles; the
+    # top-k never global-sorts (TakeOrderedAndProject) and the probe
+    # joins the sketch as a BROADCAST hash join (top-k × d rows), never
+    # a sort-merge join
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_heavy_hitters_cms(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 3, p
+    assert n_ops(p, "TakeOrderedAndProject") == 1, p
+    assert n_ops(p, "BroadcastHashJoin") == 1, p
+    assert n_ops(p, "SortMergeJoin") == 0, p

@@ -1,0 +1,70 @@
+"""Count-min sketch invariants on real data: the sketch is a constant-size
+TABLE whose cells merge by addition (the property that makes it the
+per-key-frequency structure for key spaces too large to groupBy exactly),
+and estimates never undercount."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_project_spark.io import load_table
+from graph_database_project_spark.operators.profiling import (
+    CMS_D, CMS_W, cms_estimate, cms_sketch, q_heavy_hitters_cms)
+
+from .conftest import SF_ORACLE
+
+
+def _keys(spark):
+    return (load_table(spark, SF_ORACLE, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select(F.col("user_id").cast("long").alias("k"),
+                    F.col("event_id")))
+
+
+def test_sketch_size_bounded_by_d_times_w(spark):
+    sk = cms_sketch(_keys(spark).select("k"))
+    assert sk.count() <= CMS_D * CMS_W
+    # total mass per depth row == number of keyed rows (each row lands in
+    # exactly one bucket per depth)
+    n = _keys(spark).count()
+    per_depth = {r.d: r.total for r in
+                 sk.groupBy("d").agg(F.sum("c").alias("total")).collect()}
+    assert set(per_depth) == set(range(CMS_D))
+    assert all(v == n for v in per_depth.values())
+
+
+def test_sketch_merges_by_cell_addition(spark):
+    """Sketch(slice A) + Sketch(slice B) must equal Sketch(A ∪ B) cell for
+    cell — the ingest-batch merge contract (same shape as
+    timeseries.merge_partials). The split is on event_id parity, so both
+    slices carry every hot user."""
+    keys = _keys(spark)
+    whole = cms_sketch(keys.select("k"))
+    lo = cms_sketch(keys.filter(F.col("event_id") % 2 == 0).select("k"))
+    hi = cms_sketch(keys.filter(F.col("event_id") % 2 == 1).select("k"))
+    merged = (lo.unionByName(hi)
+              .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    diff = (merged.alias("m")
+            .join(whole.alias("w"), ["d", "bucket"], "full")
+            .filter(F.coalesce(F.col("m.c"), F.lit(0))
+                    != F.coalesce(F.col("w.c"), F.lit(0))))
+    assert diff.isEmpty()
+
+
+def test_estimates_never_undercount(spark):
+    """est ≥ exact for EVERY key (not just the top-20 the query reports):
+    counters only ever overcount."""
+    keys = _keys(spark).select("k")
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(cms_sketch(keys), exact)
+    assert est.filter(F.col("est_n") < F.col("exact_n")).isEmpty()
+
+
+def test_query_overcounts_live_at_oracle_sf(spark):
+    """The width is deliberately undersized so collisions FIRE at test
+    scale — if every overcount were zero the differential check would
+    never exercise the sketch's defining behavior (the dead-variation
+    trap from the multimodal Y4M review)."""
+    out = q_heavy_hitters_cms(spark, SF_ORACLE).collect()
+    assert any(r.overcount > 0 for r in out)
+    assert all(r.est_n >= r.exact_n for r in out)

@@ -73,3 +73,62 @@ def test_pagerank_star_center_highest(spark):
     ranks = {r.node: r.rank for r in pagerank(verts, edges, n_iter=20).collect()}
     assert ranks[0] > ranks[1]
     assert abs(sum(ranks.values()) - 5.0) < 1e-6  # mass conserved
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: CC merges them into one
+    component; LPA's majority vote must keep them as two communities
+    (each clique's internal votes outnumber the single bridge vote)."""
+    from graph_database_project_spark.graph.traverse import label_propagation
+
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]
+    edges = _edges(spark, clique([0, 1, 2, 3]) + clique([10, 11, 12, 13])
+                   + [(3, 10)])
+    verts = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13]],
+                                  "node long")
+    comm = {r.node: r.community
+            for r in label_propagation(verts, edges, n_iter=10).collect()}
+    # one label per clique, and the two cliques differ
+    assert len({comm[i] for i in [0, 1, 2, 3]}) == 1
+    assert len({comm[i] for i in [10, 11, 12, 13]}) == 1
+    assert comm[0] != comm[10]
+    cc = {r.node: r.component
+          for r in connected_components(verts, edges).collect()}
+    assert len(set(cc.values())) == 1  # the bridge merges the component
+
+
+def test_label_propagation_refines_components(spark):
+    """Structural invariant on the registered planted-community graph at
+    sf0.001: labels propagate only along edges, so every LPA community
+    lies inside ONE connected component (LPA refines CC), and the planted
+    bridges force strictly more communities than components."""
+    from graph_database_project_spark.operators.graphq import (
+        q_label_propagation)
+    from graph_database_project_spark.graph.traverse import (
+        connected_components, label_propagation)
+    from graph_database_project_spark.io import load_table
+    from .conftest import SF_SMOKE
+
+    lpa = q_label_propagation(spark, SF_SMOKE)
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    chain = (a.filter(F.col("u") % 10 != 9).join(b, b.v == a.u + 1)
+             .select(F.col("u").cast("long").alias("src"),
+                     F.col("v").cast("long").alias("dst")))
+    bridge = (a.filter(F.col("u") % 70 == 0).join(b, b.v == a.u + 10)
+              .select(F.col("u").cast("long").alias("src"),
+                      F.col("v").cast("long").alias("dst")))
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    cc = connected_components(verts, chain.union(bridge))
+
+    joined = lpa.join(cc, "node")
+    # refinement: a community never spans two components
+    spans = (joined.groupBy("community")
+             .agg(F.countDistinct("component").alias("nc"))
+             .filter(F.col("nc") > 1))
+    assert spans.isEmpty()
+    n_comm = joined.select("community").distinct().count()
+    n_comp = joined.select("component").distinct().count()
+    assert n_comm > n_comp, (n_comm, n_comp)
