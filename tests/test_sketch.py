@@ -68,3 +68,50 @@ def test_query_overcounts_live_at_oracle_sf(spark):
     out = q_heavy_hitters_cms(spark, SF_ORACLE).collect()
     assert any(r.overcount > 0 for r in out)
     assert all(r.est_n >= r.exact_n for r in out)
+
+
+def _hll_keys(spark):
+    return (load_table(spark, SF_ORACLE, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select((F.col("user_id").cast("long") % 2147483648).alias("k"),
+                    F.col("event_id")))
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL register tables merge by per-bucket max — and because HLL is
+    insertion-idempotent, this holds even for OVERLAPPING slices (unlike
+    the CMS, whose counters require disjoint slices). Both split kinds
+    are asserted."""
+    from graph_database_project_spark.operators.profiling import (
+        HLL_M, hll_registers)
+
+    keys = _hll_keys(spark)
+    whole = hll_registers(keys.select("k"))
+    assert whole.count() == HLL_M
+
+    def merged(a, b):
+        return (hll_registers(a.select("k"))
+                .unionByName(hll_registers(b.select("k")))
+                .groupBy("bucket").agg(F.max("reg").alias("reg")))
+
+    disjoint = merged(keys.filter(F.col("event_id") % 2 == 0),
+                      keys.filter(F.col("event_id") % 2 == 1))
+    overlapping = merged(keys.filter(F.col("event_id") % 3 != 0),
+                         keys.filter(F.col("event_id") % 3 != 1))
+    for m in (disjoint, overlapping):
+        diff = (m.alias("m").join(whole.alias("w"), "bucket")
+                .filter(F.col("m.reg") != F.col("w.reg")))
+        assert diff.isEmpty()
+
+
+def test_hll_estimate_within_theory_band(spark):
+    """The raw estimator must land within ~3σ of exact at sf0.01 (σ ≈
+    1.04/√m ≈ 13 %) — the regression guard that caught the two broken
+    hash designs (plain LCG: +100 %; no-offset mix: a saturated register
+    from the user_id=0 fixed point)."""
+    from graph_database_project_spark.operators.profiling import (
+        q_cardinality_hll)
+
+    row = q_cardinality_hll(spark, SF_ORACLE).collect()[0]
+    assert abs(row.rel_error) < 0.40, row
+    assert row.max_register < 20, row  # no saturated fixed-point register
