@@ -1,0 +1,58 @@
+"""Streaming sketch maintenance (streaming/sketch.py): after the drain the
+stored CMS/HLL must equal their one-shot batch builds, replay must be a
+no-op through the ledger, and the two sketches must sit where the algebra
+puts them — HLL replay-idempotent even WITHOUT the ledger, CMS not."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graph_database_project_spark.io import load_table
+from graph_database_project_spark.operators.profiling import (
+    cms_sketch, hll_registers)
+from graph_database_project_spark.streaming.sketch import (
+    _merge_hll, cms_keys, hll_keys, merge_sketches, read_sketches,
+    stream_sketch_events)
+
+
+def _cms_rows(df):
+    return sorted((r.d, r.bucket, r.c) for r in df.collect())
+
+
+def _hll_rows(df):
+    return sorted((r.bucket, r.reg) for r in df.collect())
+
+
+def test_stream_sketches_match_batch_replay_semantics(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    events_dir = str(tmp_path / "events")
+    ev.repartition(4).write.parquet(events_dir)
+    store = str(tmp_path / "sketches")
+
+    stream_sketch_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    committed = os.listdir(os.path.join(store, "_committed"))
+    assert len(committed) >= 2, "expected multiple microbatches"
+
+    all_events = spark.read.parquet(events_dir)
+    cms, hll = read_sketches(spark, store)
+    assert _cms_rows(cms) == _cms_rows(cms_sketch(cms_keys(all_events)))
+    assert _hll_rows(hll) == _hll_rows(hll_registers(hll_keys(all_events)))
+
+    # ledger: replaying a committed batch id is refused outright
+    replay_id = int(sorted(committed)[0])
+    assert merge_sketches(spark, store, all_events, replay_id) is False
+    cms2, hll2 = read_sketches(spark, store)
+    assert _cms_rows(cms2) == _cms_rows(cms) and _hll_rows(hll2) == _hll_rows(hll)
+
+    # algebra: bypass the ledger and re-fold a slice straight into the HLL
+    # store — max-merge is idempotent, the registers must not move (this
+    # is exactly the property the CMS's additive counters LACK, and why
+    # the ledger exists at all)
+    before = _hll_rows(read_sketches(spark, store)[1])
+    _merge_hll(spark, os.path.join(store, "hll"),
+               hll_registers(hll_keys(all_events)))
+    assert _hll_rows(read_sketches(spark, store)[1]) == before
