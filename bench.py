@@ -89,6 +89,7 @@ EXTENDED = [
     "multimodal_video_frames",  # Y4M frame sampling
     "text_span_dedup",          # inverted-index span dedup
     "ts_rollup_multires",       # hypertable multi-resolution rollup
+    "graph_label_propagation",  # r05: 10-round iterative vote loop
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -371,18 +371,9 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    """DuckDB oracle reproducing the whole IVF pipeline bit-for-bit:
-    unrolled deterministic Lloyd (init = first IVF_K vec_ids, IVF_ITERS
-    E/M rounds, centroids rounded to 9 dp each round — the same pin the
-    Spark side applies, see ivf_centroids), final assignment, nprobe cell
-    probe, in-cell brute-force cosine. Multiply-referenced CTEs are
-    MATERIALIZED (the unrolled-iteration discipline from the PageRank
-    oracle — default inlining doubles the tree per round)."""
+def _ivf_e_step_sql(name: str, cents: str) -> str:
     d1 = EMBED_DIM + 1
-
-    def e_step(name: str, cents: str) -> str:
-        return f"""{name} AS MATERIALIZED (
+    return f"""{name} AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -392,6 +383,17 @@ def _ivf_sql() -> str:
   ) WHERE rn = 1
 )"""
 
+
+def _ivf_chain_parts() -> list[str]:
+    """Shared oracle WITH-chain through candidate selection: e, unrolled
+    deterministic Lloyd (init = first IVF_K vec_ids, IVF_ITERS E/M rounds
+    on 9dp-rounded centroids — the same pin the Spark side applies, see
+    ivf_centroids), final assignment ``afin``, query vector ``q``, nprobe
+    ``probe``. Used by BOTH the IVF oracle and the IVF-PQ oracle, which
+    append different scoring tails. Multiply-referenced CTEs are
+    MATERIALIZED (the unrolled-iteration discipline from the PageRank
+    oracle — default inlining doubles the tree per round)."""
+    d1 = EMBED_DIM + 1
     parts = [f"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), dims AS (
@@ -400,7 +402,7 @@ def _ivf_sql() -> str:
   SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}
 )"""]
     for it in range(1, IVF_ITERS + 1):
-        parts.append(", " + e_step(f"a{it}", f"c{it - 1}"))
+        parts.append(", " + _ivf_e_step_sql(f"a{it}", f"c{it - 1}"))
         parts.append(f""", c{it} AS MATERIALIZED (
   SELECT cell, list(round(m, 9) ORDER BY pos) AS cv FROM (
     SELECT a.cell, d.pos, avg(a.v[d.pos]) AS m
@@ -408,7 +410,7 @@ def _ivf_sql() -> str:
     GROUP BY a.cell, d.pos
   ) GROUP BY cell
 )""")
-    parts.append(", " + e_step("afin", f"c{IVF_ITERS}"))
+    parts.append(", " + _ivf_e_step_sql("afin", f"c{IVF_ITERS}"))
     parts.append(f""", q AS (
   SELECT v AS qv FROM e WHERE vec_id = 0
 ), probe AS (
@@ -418,7 +420,17 @@ def _ivf_sql() -> str:
              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
     FROM c{IVF_ITERS} c CROSS JOIN q
   ) ORDER BY d, cell LIMIT {IVF_NPROBE}
-)
+)""")
+    return parts
+
+
+def _ivf_sql() -> str:
+    """DuckDB oracle reproducing the whole IVF pipeline bit-for-bit:
+    the shared chain (``_ivf_chain_parts``) plus in-cell brute-force
+    cosine scoring."""
+    d1 = EMBED_DIM + 1
+    parts = list(_ivf_chain_parts())
+    parts.append(f"""
 SELECT a.vec_id, a.cell,
        round(
          list_sum(list_transform(range(1, {d1}), i -> a.v[i] * q.qv[i]))

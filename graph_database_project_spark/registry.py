@@ -43,7 +43,11 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # mutation_property_set OUT; window_range_frame, text_tfidf_top_terms,
 # stream_session_window, mutation_scd2_build, graph_shortest_paths,
 # embedding_pca_power, xml_subtree_content IN (the last two are this
-# round's oracle promotions).
+# round's oracle promotions). Second r05 batch — the round's NEW operators
+# take slots from twice-confirmed non-flagship reps (every §2.B flagship
+# stays put): join_asof_last_view → heavy_hitters_cms, agg_stats_moments →
+# cardinality_hll, sim_knn_per_vector → graph_label_propagation,
+# text_lang_id → ts_rollup_incremental.
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -53,13 +57,13 @@ _DRIVER_WINDOW = [
     "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
     "join_salted_skew",
-    "join_asof_last_view",
+    "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
     "join_range_follow",
     "sessionize",
     "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
     "dq_audit",
     "agg_quantiles",
-    "agg_stats_moments",
+    "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
     "json_funcs",
     "catalog_stats",
     # remaining relational rows (§2.B 13-18, 26-29)
@@ -75,6 +79,7 @@ _DRIVER_WINDOW = [
     "graph_connected_components",
     "graph_pagerank",
     "graph_shortest_paths",  # r05 rotation: BFS-distance rep, first check
+    "graph_label_propagation",  # r05 new op: unrolled-CTE LPA oracle
     # XML ingest + flagship (§2.B 2, 23, 24)
     "xml_label_counts",
     "xml_khop_flagship",
@@ -89,18 +94,16 @@ _DRIVER_WINDOW = [
     "dedup_cluster_canonical",  # pairs → components → canonical survivor
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "sim_topk_bruteforce",
-    "sim_knn_per_vector",
     "sim_ivf_topk",
     "udf_embedding_norm",
     "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
     # text analysis (§2.B 32 + LLM-pipeline rows)
     "text_stats",
-    "text_lang_id",
     "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
     "text_decontaminate",  # benchmark n-gram decontamination
-    # time-series hypertable ops (tfidf demoted past the window for this:
-    # text keeps 4 reps, timeseries gets its family representative)
+    # time-series hypertable ops
     "ts_rollup_multires",
+    "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
     "stream_tumbling_hourly",

@@ -29,7 +29,10 @@ def main() -> None:
     # arguments (streaming drains can't be explained post-hoc, so the
     # stream_* shapes are audited in tests/test_streaming.py instead)
     extra = ["graph_pagerank", "multimodal_resize", "multimodal_frame_sample",
-             "agg_approx_distinct", "xml_khop_flagship", "sim_ivf_topk"]
+             "agg_approx_distinct", "xml_khop_flagship", "sim_ivf_topk",
+             # r05 additions: mergeable-state operators
+             "ts_rollup_incremental", "heavy_hitters_cms", "cardinality_hll",
+             "graph_label_propagation"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
