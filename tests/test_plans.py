@@ -492,3 +492,19 @@ def test_cardinality_hll_constant_size_reduce_no_smj(spark):
     assert n_ops(p, "BroadcastNestedLoopJoin") == 1, p
     assert n_hash_shuffles(p) <= 3, p
     assert n_ops(p, "Expand") == 0, p
+
+
+def test_ivfpq_serving_no_corpus_shuffle(spark):
+    # ADC serving: probe + LUT are broadcast scalars, candidates come via
+    # a broadcast hash join on the probed cells, the ADC fold is in-row,
+    # and top-k is TakeOrderedAndProject — the codes corpus must never
+    # hash-shuffle (index build is session-cached and excluded here by
+    # warming the memo first)
+    from graph_database_project_spark.operators import similarity
+
+    similarity.q_sim_ivfpq_topk(spark, SF_ORACLE).limit(1).count()  # warm memo
+    p = plan(similarity.q_sim_ivfpq_topk(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
+    # two TakeOrdered: the nprobe cell probe (16 rows) and the final top-k
+    assert n_ops(p, "TakeOrderedAndProject") == 2, p
+    assert n_ops(p, "SortMergeJoin") == 0, p

@@ -24,3 +24,38 @@ def test_ivf_deterministic(spark):
     a = [(r.vec_id, r.cosine) for r in q_sim_ivf_topk(spark, SF_ORACLE).collect()]
     b = [(r.vec_id, r.cosine) for r in q_sim_ivf_topk(spark, SF_ORACLE).collect()]
     assert a == b
+
+
+def test_ivfpq_recall_and_rank_signal(spark):
+    """ADC scoring over PQ codes must agree with the exact L2 ranking well
+    above chance. Two gates: recall@10 vs the exact-within-probed-cells
+    top-k (isolates PQ distortion from IVF pruning — measured 0.7 at
+    S=16/K=64; the S=8/K=16 config this guards against scored 0.2), and
+    every ADC-selected candidate must sit in the best half of the true
+    distance distribution (the ranking-signal floor that holds even when
+    exact top-k membership churns on distance-concentrated synthetic
+    data)."""
+    from pyspark.sql import functions as F
+
+    from graph_database_project_spark.operators.similarity import (
+        IVF_NPROBE, _ivf_index, _sq_dist, q_sim_ivfpq_topk)
+
+    cents, cells, e = _ivf_index(spark, SF_ORACLE)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (cents.crossJoin(F.broadcast(qv))
+             .withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+             .orderBy("d", "cell").limit(IVF_NPROBE).select("cell"))
+    cand_exact = (cells.join(F.broadcast(probe), "cell")
+                  .filter(F.col("vec_id") != 0)
+                  .crossJoin(F.broadcast(qv))
+                  .withColumn("d", _sq_dist(F.col("v"), F.col("qv"))))
+    exact_ids = [r.vec_id for r in
+                 cand_exact.orderBy("d", "vec_id").limit(TOP_K).collect()]
+    pq_ids = [r.vec_id for r in q_sim_ivfpq_topk(spark, SF_ORACLE).collect()]
+    assert len(pq_ids) == TOP_K
+    recall = len(set(exact_ids) & set(pq_ids)) / TOP_K
+    assert recall >= 0.4, (recall, exact_ids, pq_ids)
+
+    true_d = {r.vec_id: r.d for r in cand_exact.collect()}
+    median = sorted(true_d.values())[len(true_d) // 2]
+    assert all(true_d[v] <= median for v in pq_ids), (pq_ids, median)
