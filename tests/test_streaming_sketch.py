@@ -56,3 +56,31 @@ def test_stream_sketches_match_batch_replay_semantics(spark, tmp_path):
     _merge_hll(spark, os.path.join(store, "hll"),
                hll_registers(hll_keys(all_events)))
     assert _hll_rows(read_sketches(spark, store)[1]) == before
+
+
+def test_stream_sketches_resume_across_restarts(spark, tmp_path):
+    """Checkpoint continuation: drain, land NEW files, drain again with
+    the SAME checkpoint — the second run must process only the new files
+    (batch ids continue, no re-fold of already-committed data) and the
+    stores must equal the batch build over everything seen so far."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    first = ev.filter(F.col("event_id") % 3 != 0)
+    late = ev.filter(F.col("event_id") % 3 == 0)
+
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sketches")
+    first.repartition(2).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    n_first = len(os.listdir(os.path.join(store, "_committed")))
+
+    late.repartition(2).write.mode("append").parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    n_second = len(os.listdir(os.path.join(store, "_committed")))
+    assert n_second > n_first  # new batch ids continued from the checkpoint
+
+    all_events = spark.read.parquet(events_dir)
+    cms, hll = read_sketches(spark, store)
+    assert _cms_rows(cms) == _cms_rows(cms_sketch(cms_keys(all_events)))
+    assert _hll_rows(hll) == _hll_rows(hll_registers(hll_keys(all_events)))
