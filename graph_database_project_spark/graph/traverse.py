@@ -101,10 +101,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the PRE-iteration label through as _old so the fixpoint
+        # probe below is a filter over the checkpointed output — the
+        # previous formulation re-joined new labels to old labels on node
+        # (a full node-keyed shuffle job per iteration just to ask "did
+        # anything change"; measured at sf0.1: ~2.8 s → ~2.1 s median)
         propagated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias("component"),
             )
         )
@@ -115,15 +121,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("p_component", "component")).alias("component"),
+                "_old",
             )
+            .withColumn("_chg", F.col("component") != F.col("_old"))
+            .drop("_old")
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new_labels.drop("_chg")
+        if new_labels.filter(F.col("_chg")).isEmpty():
             break
     return labels
 
