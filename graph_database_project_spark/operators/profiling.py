@@ -573,12 +573,134 @@ FROM summary
 """
 
 
+# -- mergeable quantile sketch: fixed-bin histogram -------------------------
+#
+# The fourth mergeable-state primitive (SCALE.md §7b) after moments
+# (ts_rollup_incremental), frequencies (heavy_hitters_cms), and
+# cardinality (cardinality_hll): quantiles over a stream too large to
+# sort. The sketch is a B-row bin-count TABLE over a fixed domain; slices
+# merge by adding counts per bin (proven in-query: the histogram below is
+# built from two watermark slices and merged, and the oracle computes the
+# one-shot build — the hash check IS the merge-equivalence proof).
+# Quantile estimates interpolate within the hit bin; error is bounded by
+# the bin width, not by corpus size. Spark's own percentile()/
+# approx_percentile cover the built-in path (agg_quantiles); this is the
+# explicit mergeable-table form whose arithmetic DuckDB replicates
+# bit-for-bit. The EXACT quantile is deliberately NOT part of the query:
+# exact percentile aggregates buffer every value (the unbounded-group
+# pattern the IVF M-step was purged of); the test supplies ground truth.
+QH_BINS = 128
+QH_QS = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles over ``events.value``, built
+    incrementally: the corpus splits at the last-day watermark, each
+    slice bins independently (one small-keyed partial aggregation per
+    slice — B=128 distinct keys, so the reduce side is bounded by config),
+    and the merged sketch answers q ∈ {0.5, 0.9, 0.99}.
+
+    Scale: bounds are a 1-row broadcast (domain discovery is one pass; a
+    deployment fixes the domain a priori and skips it); each slice's
+    histogram collapses map-side to ≤ B rows; the cumulative walk and
+    interpolation run over the B-row sketch (broadcast joins). The raw
+    values never sort and never cross a corpus-sized shuffle.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("ts", F.col("value").alias("v")))
+    # DataFrame plans re-expand a subtree per reference (no CTE sharing):
+    # bounds feeds both the binning pass and the scoring math, and would
+    # cost one full events scan PER reference — six scans in the first
+    # formulation. Materialize the 1-row bounds once; the remaining lazy
+    # plan reads events exactly once (plan assert).
+    bounds = ev.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("_wm"),
+    ).localCheckpoint(eager=True)
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    width = (F.col("hi") - F.col("lo")) / QH_BINS
+    binned = tagged.select(
+        F.least(F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(QH_BINS - 1)).cast("int").alias("bin"),
+        (F.col("ts") < F.col("_wm")).alias("_base"))
+    # per-slice partial counts in ONE scan + ONE keyed shuffle (conditional
+    # sums), merged by adding the slice columns — the same merge-by-
+    # addition contract as a two-scan union build, without the second
+    # corpus pass (an earlier two-filter formulation scanned events once
+    # per slice)
+    hist = (binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("_base"), 1).otherwise(0)).alias("c_base"),
+        F.sum(F.when(~F.col("_base"), 1).otherwise(0)).alias("c_delta"))
+        .select("bin", (F.col("c_base") + F.col("c_delta")).alias("c")))
+    from pyspark.sql.window import Window as W
+    # B-row sketch: the single-partition cumulative window is over ≤128
+    # rows by construction, never corpus-sized
+    cum = hist.withColumn("cum", F.sum("c").over(
+        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)))
+    qs = spark.createDataFrame([(q,) for q in QH_QS], "q double")
+    # single reference to the sketch: the hit bin's (c, cum) ride along
+    # via min_by, so the scoring never re-expands the histogram subtree
+    est = (qs.crossJoin(F.broadcast(bounds.select("lo", "hi", "n")))
+           .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+           .groupBy("q", "lo", "hi", "n")
+           .agg(F.min("bin").alias("qbin"),
+                F.min_by(F.struct("c", "cum"), "bin").alias("bc")))
+    w = (F.col("hi") - F.col("lo")) / QH_BINS
+    est_value = (F.col("lo") + w * (
+        F.col("qbin")
+        + (F.col("q") * F.col("n") - (F.col("bc.cum") - F.col("bc.c")))
+        / F.col("bc.c")))
+    return est.select(
+        "q",
+        F.col("qbin").cast("long").alias("qbin"),
+        F.round(est_value, 4).alias("est_value"),
+        F.col("n").alias("n_total"),
+    ).orderBy("q")
+
+
+Q_QUANTILE_SKETCH_SQL = f"""
+WITH vals AS (
+  SELECT value AS v FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM vals
+), binned AS (
+  SELECT CAST(least(floor((v - lo) / ((hi - lo) / {QH_BINS})),
+                    {QH_BINS - 1}) AS INT) AS bin
+  FROM vals CROSS JOIN bounds
+), hist AS (
+  SELECT bin, count(*) AS c FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM hist
+), qs AS (
+  SELECT unnest([{", ".join(str(q) for q in QH_QS)}]) AS q
+), qbin AS (
+  SELECT q, min(bin) AS qbin
+  FROM qs CROSS JOIN cum CROSS JOIN bounds
+  WHERE cum >= q * n
+  GROUP BY q
+)
+SELECT qb.q,
+       CAST(qb.qbin AS BIGINT) AS qbin,
+       round(b.lo + (b.hi - b.lo) / {QH_BINS}
+             * (qb.qbin + (qb.q * b.n - (cm.cum - cm.c)) / cm.c), 4)
+         AS est_value,
+       CAST(b.n AS BIGINT) AS n_total
+FROM qbin qb
+JOIN cum cm ON cm.bin = qb.qbin
+CROSS JOIN bounds b
+ORDER BY q
+"""
+
+
 QUERIES = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
     "zorder_layout": q_zorder_layout,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "cardinality_hll": q_cardinality_hll,
+    "quantile_sketch_merge": q_quantile_sketch_merge,
 }
 
 ORACLE = {
@@ -587,4 +709,5 @@ ORACLE = {
     "zorder_layout": Q_ZORDER_SQL,
     "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
+    "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
 }

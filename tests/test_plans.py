@@ -508,3 +508,19 @@ def test_ivfpq_serving_no_corpus_shuffle(spark):
     # two TakeOrdered: the nprobe cell probe (16 rows) and the final top-k
     assert n_ops(p, "TakeOrderedAndProject") == 2, p
     assert n_ops(p, "SortMergeJoin") == 0, p
+
+
+def test_quantile_sketch_bounded_aggs_no_corpus_sort(spark):
+    # one-scan slice histogram (conditional sums) + B-row sketch math:
+    # every aggregation reduces to <= B rows; at most the histogram
+    # shuffle and the 3-row qbin shuffle carry hash exchanges; the raw
+    # values never globally sort and events is scanned at most twice
+    # (bounds pass + binning pass)
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_quantile_sketch_merge(spark, SF_ORACLE))
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    assert n_hash_shuffles(p) <= 3, p
+    # the 1-row bounds is checkpointed, so the lazy plan reads events
+    # EXACTLY once (the binning pass) — re-references must not re-scan
+    assert n_ops(p, "Scan parquet") == 1, p

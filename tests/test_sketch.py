@@ -115,3 +115,22 @@ def test_hll_estimate_within_theory_band(spark):
     row = q_cardinality_hll(spark, SF_ORACLE).collect()[0]
     assert abs(row.rel_error) < 0.40, row
     assert row.max_register < 20, row  # no saturated fixed-point register
+
+
+def test_quantile_sketch_within_bin_width_of_exact(spark):
+    """The histogram sketch's guarantee: the chosen bin contains the
+    target-rank value, so the estimate sits within ~one bin width of the
+    exact quantile (2w asserted for the rank-convention gap between
+    count-based and (n-1)q interpolation)."""
+    from graph_database_project_spark.operators.profiling import (
+        QH_BINS, q_quantile_sketch_merge)
+
+    vals = (load_table(spark, SF_ORACLE, "events")
+            .filter(F.col("value").isNotNull())
+            .select(F.col("value").alias("v")))
+    lo, hi = vals.agg(F.min("v"), F.max("v")).first()
+    w = (hi - lo) / QH_BINS
+    exact = {q: vals.agg(F.expr(f"percentile(v, {q})")).first()[0]
+             for q in (0.5, 0.9, 0.99)}
+    for r in q_quantile_sketch_merge(spark, SF_ORACLE).collect():
+        assert abs(r.est_value - exact[r.q]) <= 2 * w, (r, exact[r.q], w)
