@@ -192,6 +192,41 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     return labels.select("node", F.col("label").alias("community"))
 
 
+def k_core(vertices: DataFrame, edges: DataFrame, k: int = 3,
+           n_iter: int = 10) -> DataFrame:
+    """k-core decomposition by synchronous peeling: every round each node
+    counts its ALIVE neighbors and survives iff that degree ≥ k; peeled
+    nodes take their incident edges with them, which can cascade (a chain
+    hanging off a dense core peels one node per round). Runs exactly
+    ``n_iter`` rounds — fixed count so a chained-CTE SQL oracle unrolls it
+    (the PageRank/LPA trick); past the fixpoint every round is a no-op,
+    and no per-round convergence probe (the LPA lesson: at tiny per-round
+    data the probe's extra job dominates the loop).
+
+    vertices: (node: long); edges: (src, dst) treated as undirected.
+    Returns (node, core_degree) for nodes in the k-core, with their
+    degree WITHIN the core.
+
+    Scale: per round one alive-filtered degree count — two joins against
+    the (shrinking) alive set plus a map-side-combined aggregation, all
+    keyed on node id; the edge relation is materialized once.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    alive = vertices.select("node").localCheckpoint(eager=True)
+    surv = alive.select("node", F.lit(0).alias("core_degree"))
+    for _ in range(n_iter):
+        deg = (
+            und.join(alive, und.src == alive.node)
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        surv = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        alive = surv.select("node")
+    return surv
+
+
 def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85) -> DataFrame:
     """PageRank with dangling-mass redistribution, fixed iteration count.

@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..graph.traverse import (connected_components, k_hop, label_propagation,
-                              pagerank)
+from ..graph.traverse import (connected_components, k_core, k_hop,
+                              label_propagation, pagerank)
 from ..io import load_table
 
 # Disjoint surrogate-id ranges per node label.
@@ -296,6 +296,98 @@ c{i} AS (
 
 
 Q_LPA_SQL = _lpa_oracle_sql()
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 10  # converged by round 8 on the synthetic graph at both SFs
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str):
+    """Planted core-plus-appendage graph over customers: each block of 20
+    custkeys carries a 12-node ring with +2 chords (every ring node degree
+    ≥ 4 → survives the 3-core) plus +3 chords on the first 6 (varying the
+    in-core degrees 4–6), and an 8-node chain tail hung off the ring —
+    tails peel one node per round (the cascade the operator exists to
+    compute), rings stay. All five edge families are equi-joins against
+    customer so targets exist at every sf."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    blk = F.expr("u div 20") * 20   # integer division — no float rounding
+    i = F.col("u") % 20
+
+    def fam(target, cond):
+        return (a.filter(cond).join(b, b.v == target)
+                .select(F.col("u").cast("long").alias("src"),
+                        F.col("v").cast("long").alias("dst")))
+
+    ring = fam(blk + (i + 1) % 12, i < 12)
+    chord2 = fam(blk + (i + 2) % 12, i < 12)
+    chord3 = fam(blk + (i + 3) % 12, i < 6)
+    tail = fam(F.col("u") + 1, (i >= 12) & (i <= 18))
+    attach = fam(blk, i == 12)
+    return ring.union(chord2).union(chord3).union(tail).union(attach)
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition over the planted ring/tail customer graph:
+    iterative peeling keeps exactly the ring nodes (tails cascade off one
+    node per round) and reports each survivor's degree within the core.
+    Fixed 10 rounds unroll into the chained-CTE DuckDB oracle — every
+    (node, core_degree) row is value-checked."""
+    verts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node"))
+    return k_core(verts, _kcore_edges(spark, sf_dir),
+                  k=KCORE_K, n_iter=KCORE_ROUNDS)
+
+
+_KCORE_EDGES_SQL = """
+  SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b
+    ON b.c_custkey = (a.c_custkey // 20) * 20 + ((a.c_custkey % 20) + 1) % 12
+  WHERE a.c_custkey % 20 < 12
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = (a.c_custkey // 20) * 20 + ((a.c_custkey % 20) + 2) % 12
+  WHERE a.c_custkey % 20 < 12
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = (a.c_custkey // 20) * 20 + ((a.c_custkey % 20) + 3) % 12
+  WHERE a.c_custkey % 20 < 6
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 1
+  WHERE a.c_custkey % 20 BETWEEN 12 AND 18
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = (a.c_custkey // 20) * 20
+  WHERE a.c_custkey % 20 = 12
+"""
+
+
+def _kcore_oracle_sql(n_iter: int = KCORE_ROUNDS, k: int = KCORE_K) -> str:
+    """DuckDB twin of ``q_graph_kcore``: the fixed peel rounds unrolled as
+    chained CTEs mirroring graph/traverse.py:k_core term by term."""
+    parts = [f"""
+WITH e0 AS ({_KCORE_EDGES_SQL}), und AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), a0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS node FROM customer
+)"""]
+    for r in range(1, n_iter + 1):
+        p = r - 1
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT s.node, count(*) AS deg
+  FROM a{p} s JOIN und e ON e.u = s.node JOIN a{p} t ON t.node = e.v
+  GROUP BY 1
+), a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})""")
+    parts.append(f"""
+SELECT d.node, CAST(d.deg AS BIGINT) AS core_degree
+FROM d{n_iter} d JOIN a{n_iter} a USING (node)""")
+    return "".join(parts)
+
+
+Q_KCORE_SQL = _kcore_oracle_sql()
 
 
 def q_khop_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +734,7 @@ QUERIES = {
     "graph_connected_components": q_connected_components,
     "graph_pagerank": q_pagerank,
     "graph_label_propagation": q_label_propagation,
+    "graph_kcore": q_graph_kcore,
     "graph_triangle_count": q_triangle_count,
     "graph_shortest_paths": q_shortest_paths,
     "graph_link_prediction": q_link_prediction,
@@ -656,6 +749,7 @@ ORACLE = {
     "graph_connected_components": Q_CC_SQL,
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
+    "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

@@ -47,7 +47,11 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # take slots from twice-confirmed non-flagship reps (every §2.B flagship
 # stays put): join_asof_last_view → heavy_hitters_cms, agg_stats_moments →
 # cardinality_hll, sim_knn_per_vector → graph_label_propagation,
-# text_lang_id → ts_rollup_incremental.
+# text_lang_id → ts_rollup_incremental; third batch: agg_quantiles →
+# quantile_sketch_merge (the quantile story moves to the mergeable-sketch
+# form; approx_percentile stays covered by agg_approx_distinct's
+# contract-oracle pattern and the local gate) and join_salted_skew →
+# sim_ivfpq_topk (skew handling stays plan-asserted locally).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -56,13 +60,12 @@ _DRIVER_WINDOW = [
     "join_left_agg",
     "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
-    "join_salted_skew",
     "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
     "join_range_follow",
     "sessionize",
     "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
     "dq_audit",
-    "agg_quantiles",
+    "quantile_sketch_merge",  # r05 new op: mergeable histogram quantiles
     "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
     "json_funcs",
     "catalog_stats",
@@ -95,6 +98,7 @@ _DRIVER_WINDOW = [
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_ivfpq_topk",  # r05 new op: PQ codes + ADC, fully value-checked
     "udf_embedding_norm",
     "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
     # text analysis (§2.B 32 + LLM-pipeline rows)

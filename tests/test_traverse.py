@@ -132,3 +132,19 @@ def test_label_propagation_refines_components(spark):
     n_comm = joined.select("community").distinct().count()
     n_comp = joined.select("component").distinct().count()
     assert n_comm > n_comp, (n_comm, n_comp)
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    """4-clique with a 3-node chain tail: the 3-core is exactly the
+    clique (tail peels one node per round, including the cascade through
+    the attachment node), and every survivor reports its in-core
+    degree."""
+    from graph_database_project_spark.graph.traverse import k_core
+
+    clique = [(a, b) for a in [0, 1, 2, 3] for b in [0, 1, 2, 3] if a < b]
+    edges = _edges(spark, clique + [(3, 10), (10, 11), (11, 12)])
+    verts = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12]], "node long")
+    got = {r.node: r.core_degree
+           for r in k_core(verts, edges, k=3, n_iter=10).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
