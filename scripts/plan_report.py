@@ -30,9 +30,10 @@ def main() -> None:
     # stream_* shapes are audited in tests/test_streaming.py instead)
     extra = ["graph_pagerank", "multimodal_resize", "multimodal_frame_sample",
              "agg_approx_distinct", "xml_khop_flagship", "sim_ivf_topk",
-             # r05 additions: mergeable-state operators
+             # r05 additions: mergeable-state + ANN + graph operators
              "ts_rollup_incremental", "heavy_hitters_cms", "cardinality_hll",
-             "graph_label_propagation"]
+             "graph_label_propagation", "quantile_sketch_merge",
+             "sim_ivfpq_topk", "graph_kcore"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
