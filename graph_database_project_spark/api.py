@@ -51,8 +51,10 @@ ROW_CAP = 100
 # builds and eager-checkpointed iterative loops), so /explain on them is not
 # side-effect-free and — for checkpointed loops — the plan it returns is the
 # post-checkpoint scan, not the loop body. Matched by exact key or prefix.
-EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "embedding_pca_power",
-                       "dedup_minhash_lsh", "nl2query_followup"}
+EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
+                       "embedding_pca_power", "dedup_minhash_lsh",
+                       "quantile_sketch_merge",  # checkpointed 1-row bounds
+                       "nl2query_followup"}
 EAGER_ON_BUILD_PREFIXES = ("xml_", "graph_")
 
 EAGER_ON_BUILD_NOTE = (
@@ -113,6 +115,11 @@ def create_server(spark: SparkSession, sf_dir: str,
                 from .visualize import graph_payload
                 qargs = parse_qs(parts.query)
                 seed = (qargs.get("seed") or [None])[0]
+                color = (qargs.get("color") or ["label"])[0]
+                if color not in ("label", "community"):
+                    self._send(
+                        400, {"error": "color must be 'label' or 'community'"})
+                    return
                 try:
                     depth = int((qargs.get("depth") or ["3"])[0])
                     if not 1 <= depth <= 6:
@@ -121,7 +128,8 @@ def create_server(spark: SparkSession, sf_dir: str,
                     self._send(400, {"error": "depth must be an int in [1, 6]"})
                     return
                 try:
-                    self._send(200, graph_payload(spark, seed=seed, depth=depth))
+                    self._send(200, graph_payload(spark, seed=seed, depth=depth,
+                                                  color=color))
                 except Exception as exc:  # pragma: no cover - defensive
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
             elif parts.path == "/visualize":

@@ -21,7 +21,7 @@ EDGE_CAP = 4000
 
 
 def graph_payload(spark: SparkSession, seed: str | None = None,
-                  depth: int = 3) -> dict:
+                  depth: int = 3, color: str = "label") -> dict:
     """Nodes/edges of the ingested reference graph as JSON-ready dicts.
     Label = first label (the shredder's primary), defaulted server-side for
     label-less nodes (a null label would reach the page's hue() and blank
@@ -32,7 +32,21 @@ def graph_payload(spark: SparkSession, seed: str | None = None,
     With ``seed`` set, the node set is restricted to the seed's k-hop
     downward neighborhood (GraphStore.khop_from — the reference's per-query
     view, templates/visualise.html:13-17, which renders the chat query's
-    result subgraph rather than the whole graph)."""
+    result subgraph rather than the whole graph).
+
+    ``color='community'`` attaches a structural community id so the page
+    colors document STRUCTURE instead of XML tag labels. Community = the
+    depth-1 section subtree a node belongs to (min section id when a
+    shared entity node sits under several), computed by k_hop over the
+    downward (HAS_*) containment edges from each bulletin's direct
+    children. Label propagation was measured and rejected for THIS graph:
+    a document hierarchy is tree/bipartite-shaped, and synchronous LPA
+    oscillates on bipartite structure — after its fixed rounds every
+    single edge ended cross-community (687 nodes, 69 labels, 2632/2632
+    edges crossing), i.e. colors anti-correlated with structure. LPA
+    remains the right tool on graphs with odd cycles (its registered
+    query runs on one); subtree membership is the right community notion
+    for a containment hierarchy."""
     from .operators.xmlq import _store
 
     st = _store(spark)
@@ -41,22 +55,46 @@ def graph_payload(spark: SparkSession, seed: str | None = None,
         reached = st.khop_from(F.col("name") == seed, depth=depth) \
             .select(F.col("node").alias("id")).distinct()
         base = base.join(reached, "id", "left_semi")
-    nodes = (
-        base.select(
-            "id",
-            F.coalesce(F.element_at("labels", 1), F.lit("node")).alias("label"),
-            "name")
-        .orderBy("id").limit(NODE_CAP).collect()
-    )
+    sel = base.select(
+        "id",
+        F.coalesce(F.element_at("labels", 1), F.lit("node")).alias("label"),
+        "name")
+    if color == "community":
+        from .graph.traverse import k_hop
+
+        # downward containment = includes/effects plus the HAS_<tag>
+        # family; their inverses (included_in / IS_PART_OF / affected_by)
+        # would climb back to the root and merge every section
+        down = (st.edges.filter(
+            F.col("rel_type").startswith("HAS_")
+            | F.col("rel_type").isin("includes", "effects"))
+            .select("src", "dst"))
+        roots = (st.nodes
+                 .filter(F.array_contains("labels", "ServiceBulletin"))
+                 .select(F.col("id").alias("src")))
+        seeds = (down.join(roots, "src")
+                 .select(F.col("dst").alias("seed"),
+                         F.col("dst").alias("node")).distinct())
+        comm = (k_hop(seeds, down, depth=12)
+                .groupBy("node").agg(F.min("seed").alias("community"))
+                .withColumnRenamed("node", "id"))
+        sel = (sel.join(comm, "id", "left")
+               .withColumn("community",
+                           F.coalesce("community", F.col("id"))))
+    nodes = sel.orderBy("id").limit(NODE_CAP).collect()
     ids = {r["id"] for r in nodes}
     edges = (
         st.edges.select("src", "dst", "rel_type")
         .filter(F.col("src").isin(list(ids)) & F.col("dst").isin(list(ids)))
         .orderBy("src", "dst", "rel_type").limit(EDGE_CAP).collect()
     )
+    def node_json(r):
+        d = {"id": r["id"], "label": r["label"], "name": r["name"]}
+        if color == "community":
+            d["community"] = r["community"]
+        return d
     return {
-        "nodes": [{"id": r["id"], "label": r["label"], "name": r["name"]}
-                  for r in nodes],
+        "nodes": [node_json(r) for r in nodes],
         "edges": [{"src": r["src"], "dst": r["dst"], "rel": r["rel_type"]}
                   for r in edges],
     }
@@ -146,7 +184,9 @@ function draw() {
   }
   ctx.stroke();
   for (const n of nodes) {
-    ctx.fillStyle = `hsl(${hue(n.label)},65%,55%)`;
+    // ?color=community payloads carry a community id — color by structure
+    const key = n.community != null ? "c" + n.community : n.label;
+    ctx.fillStyle = `hsl(${hue(key)},65%,55%)`;
     ctx.beginPath(); ctx.arc(n.x, n.y, 4, 0, 7); ctx.fill();
   }
   ctx.restore();
@@ -162,7 +202,8 @@ cv.addEventListener("mousemove", e => {
   const x = (e.x - panX) / zoom, y = (e.y - 30 - panY) / zoom;
   const n = nodes.find(n => (n.x - x) ** 2 + (n.y - y) ** 2 < 36);
   tip.style.visibility = n ? "visible" : "hidden";
-  if (n) { tip.textContent = n.label + ": " + (n.name || n.id);
+  if (n) { tip.textContent = n.label + ": " + (n.name || n.id)
+             + (n.community != null ? " [community " + n.community + "]" : "");
            tip.style.left = e.x + 12 + "px"; tip.style.top = e.y + 8 + "px"; }
 });
 cv.addEventListener("wheel", e => {

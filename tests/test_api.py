@@ -186,3 +186,33 @@ def test_explain_batch_twin_of_streaming_family_is_allowed(server):
     plan must be explainable; only drain-on-build keys get 422."""
     code, body = _post(f"{server}/explain", {"name": "stream_session_window"})
     assert code == 200 and "Physical Plan" in body["plan"]
+
+
+def test_graph_endpoint_community_coloring(server):
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server}/graph?color=community") as r:
+        assert r.status == 200
+        g = json.loads(r.read())
+    comms = [n["community"] for n in g["nodes"]]
+    # every node gets a community id and communities are plural (one per
+    # depth-1 section across the 3 bulletins)
+    assert all(c is not None for c in comms)
+    assert len(set(comms)) > 3
+    # the community notion must CORRELATE with structure: most edges stay
+    # inside one community (the LPA coloring this replaced had 100 % of
+    # edges crossing — anti-correlated colors)
+    byid = {n["id"]: n["community"] for n in g["nodes"]}
+    cross = sum(1 for e in g["edges"] if byid[e["src"]] != byid[e["dst"]])
+    assert cross < 0.5 * len(g["edges"]), (cross, len(g["edges"]))
+    with urllib.request.urlopen(f"{server}/graph") as r:
+        g2 = json.loads(r.read())
+    assert all("community" not in n for n in g2["nodes"])
+
+    import urllib.error
+    try:
+        urllib.request.urlopen(f"{server}/graph?color=zap")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
