@@ -524,3 +524,60 @@ def test_quantile_sketch_bounded_aggs_no_corpus_sort(spark):
     # the 1-row bounds is checkpointed, so the lazy plan reads events
     # EXACTLY once (the binning pass) — re-references must not re-scan
     assert n_ops(p, "Scan parquet") == 1, p
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew handling, executed and observed — the automatic
+    counterpart of join_salted_skew's manual salting (SCALE.md §3): with
+    thresholds scaled to local data, a join keyed so ~2/3 of lineitem
+    lands on ONE key must come out of AQE with the skewed partition
+    split (skew=true in the final sort-merge join).
+
+    Two preconditions this test documents by construction (each cost a
+    debugging round when absent):
+    * the skewed side must come from MULTIPLE map tasks — AQE splits a
+      reduce partition by MAP RANGES, so a single-row-group parquet scan
+      (one mapper) is UNSPLITTABLE and the rule silently skips; widen=
+      True supplies the mappers (at 100 TB the analogue is under-split
+      input files disabling skew mitigation);
+    * both join inputs must be Sort(Shuffle)-shaped — a distinct/agg
+      between the shuffle and the join breaks the rule's pattern, so the
+      dim side is built aggregate-free (orders keys are already unique).
+    The final plan must be read from THIS DataFrame's queryExecution
+    after collect(); a sink write runs its own execution and the plan
+    here would still say isFinalPlan=false."""
+    keep = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        li = load_table(spark, SF_ORACLE, "lineitem", widen=True).select(
+            F.when(F.col("l_orderkey") % 3 != 0, F.lit(0))
+             .otherwise(F.col("l_orderkey")).alias("k"),
+            F.md5(F.concat_ws(":", "l_orderkey", "l_partkey", "l_suppkey"))
+             .alias("payload"))
+        dim = (load_table(spark, SF_ORACLE, "orders")
+               .filter(F.col("o_orderkey") % 3 == 0)
+               .select(F.col("o_orderkey").cast("long").alias("k"))
+               .union(spark.range(1).select(F.lit(0).cast("long").alias("k"))))
+        joined = li.join(dim, "k")
+        assert joined.collect()  # executed — final adaptive plan available
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "skew=true" in executed, executed[:4000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
