@@ -236,6 +236,118 @@ WHERE rank <= {TFIDF_TOP_N}
 """
 
 
+# --- BM25 keyword search -----------------------------------------------------
+# Fixed query terms (the serving-path shape: terms arrive with the request
+# and are a broadcast-sized constant; the corpus is the big side). Okapi
+# parameters are the textbook defaults.
+BM25_TERMS = ["vector", "join", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 15
+
+
+def _term_tf(words, term: str):
+    # one-arg lambda ONLY: a second parameter (even a defaulted `t=t`
+    # closure hack) makes PySpark pass the element INDEX as that argument
+    return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search: score every document against a fixed
+    query-term set and return the top-``BM25_TOP_N`` hits (reference
+    2.A#7/#12 answers content questions over stored documents; this is the
+    ranked-retrieval form an LLM-data pipeline uses for corpus search and
+    RAG-candidate generation).
+
+    Scale shape: per-doc term frequencies come from higher-order array
+    functions over the tokenized text — no explode, no per-term shuffle, the
+    scan stays in whole-stage codegen. The only aggregation is the 1-row
+    corpus-stats relation (N, avgdl, per-term df — a fixed-width partial
+    agg), broadcast back onto the scan; ranking is a TakeOrderedAndProject.
+    At 100 TB: one pass over documents + a driver-sized broadcast — the same
+    plan, with the df sidecar optionally precomputed as a tiny stats table.
+
+    idf uses the non-negative Okapi variant ln(1 + (N - df + .5)/(df + .5)).
+    Ties (score, doc_id) are total-ordered; score rounded AFTER ranking so
+    the order matches the full-precision oracle rank.
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    words = _words(F.col("text"))
+    per = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_term_tf(words, t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_TERMS],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
+    contrib = [
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+              / (F.col(f"df_{t}") + F.lit(0.5)))
+        * (F.col(f"tf_{t}") * (k1 + F.lit(1.0)))
+        / (F.col(f"tf_{t}") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+        for t in BM25_TERMS
+    ]
+    score = sum(contrib[1:], contrib[0])
+    # full-precision score drives the ordering; rounding happens in the
+    # final select (lateral-alias trap: never round-then-reuse in one list)
+    ranked = (
+        scored.withColumn("bm25_raw", score)
+        .filter(F.col("bm25_raw") > 0)
+        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+        .limit(BM25_TOP_N)
+    )
+    return ranked.select(
+        "doc_id", "dl",
+        *[f"tf_{t}" for t in BM25_TERMS],
+        F.round("bm25_raw", 6).alias("bm25"),
+    )
+
+
+def _bm25_sql() -> str:
+    k1 = f"CAST({float(BM25_K1)!r} AS DOUBLE)"
+    b = f"CAST({float(BM25_B)!r} AS DOUBLE)"
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS)
+    contrib = " + ".join(
+        f"ln(1 + (n_docs - df_{t} + CAST(0.5 AS DOUBLE)) / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{t} * ({k1} + 1.0))"
+        f" / (tf_{t} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for t in BM25_TERMS)
+    tf_list = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+), per AS (
+  SELECT doc_id, len(words) AS dl,
+         {tf_cols}
+  FROM w
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per
+), scored AS (
+  SELECT per.*, {contrib} AS bm25_raw
+  FROM per CROSS JOIN stats
+)
+SELECT doc_id, dl, {tf_list}, round(bm25_raw, 6) AS bm25
+FROM scored
+WHERE bm25_raw > 0
+ORDER BY bm25_raw DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
 def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~5% systematic sample of lineitem via an md5 hash-mod
     gate on the row key — the engine-portable form of TABLESAMPLE (builtin
@@ -743,6 +855,7 @@ QUERIES = {
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
+    "text_bm25_search": q_bm25_search,
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
     "sample_systematic": q_sample_systematic,
@@ -759,6 +872,7 @@ ORACLE = {
     "text_token_count": Q_TOKEN_COUNT_SQL,
     "text_fingerprint": Q_FINGERPRINT_SQL,
     "text_tfidf_top_terms": Q_TFIDF_SQL,
+    "text_bm25_search": _bm25_sql(),
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_decontaminate": _decontaminate_sql(),
     "sample_systematic": Q_SAMPLE_SQL,
