@@ -694,6 +694,164 @@ ORDER BY q
 """
 
 
+# --- Bloom-filter runtime join pruning --------------------------------------
+# The runtime-filter / semi-join-reduction pattern: build a fixed-size bloom
+# filter from the FILTERED dim-key set, broadcast it, and gate fact rows
+# before they ever reach the join shuffle. At 100 TB this is the difference
+# between shuffling the whole fact table and shuffling the ~segment-sized
+# slice of it — Spark's own runtime filters (spark.sql.optimizer.
+# runtimeFilter.bloomFilter.enabled) do exactly this inside Catalyst; the
+# operator exposes the mechanics (and proves zero false negatives) with
+# engine-portable arithmetic so DuckDB rebuilds the identical filter.
+BLOOM_M = 1024          # filter bits (16 BIGINT words) — fixed size, mergeable
+BLOOM_WORDS = -(-BLOOM_M // 63)  # 63 payload bits per word: bit 63 is
+# never set, because DuckDB raises on the signed-overflow shift 1<<63
+BLOOM_K = 3             # hash functions
+# universal-hash rows ((a*k + b) % P) % M, same family as the CMS above;
+# multipliers < 2^31 keep a*key below 2^63 for any 32-bit key (ANSI-safe)
+BLOOM_A = (1610612741, 805306457, 402653189)
+BLOOM_B = (15485867, 32452867, 49979693)
+# dim predicate: BUILDING-segment customers with high balance (~2% of the
+# dim) — selective enough that bloom pruning visibly shrinks the fact side
+BLOOM_SEG = "BUILDING"
+BLOOM_BAL = 7500.0
+
+
+def _bloom_rows():
+    return F.array(*[
+        F.struct(F.lit(BLOOM_A[i]).alias("a"), F.lit(BLOOM_B[i]).alias("b"))
+        for i in range(BLOOM_K)
+    ])
+
+
+def _bloom_pos(key, a, b):
+    return ((a * key + b) % CMS_P) % BLOOM_M
+
+
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated semi-join reduction of ``orders`` against a filtered
+    ``customer`` slice, reported as a 1-row pruning audit.
+
+    Build: filtered dim keys × K hash rows → bit positions → bit_or into
+    BLOOM_WORDS 64-bit words (a constant-size, mergeable partial agg — the
+    same map-side-combine shape as the CMS/HLL register builds), assembled
+    into ONE array row and broadcast. Probe: each fact row tests its K
+    positions against the broadcast words — scan-local, no shuffle, no
+    explode. The true-match flag comes from a broadcast left join against
+    the dim keys, so one pass over the fact side yields both flags and the
+    audit aggregates them.
+
+    Output proves the filter contract: ``n_missed`` (true matches that
+    failed the bloom gate) is structurally 0 — a bloom filter has no false
+    negatives — and ``fp_rate_obs`` lands near the (1-e^{-kn/m})^k
+    textbook rate. At 100 TB the gate precedes the join shuffle, so
+    ``prune_ratio`` of the fact bytes never leave the mappers.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders", widen=True)
+    # referenced 3× (filter build, n_keys, true-match join) — materialize
+    # the tiny filtered slice once or each reference re-scans customer
+    dimkeys = (cust.filter((F.col("c_mktsegment") == BLOOM_SEG)
+                           & (F.col("c_acctbal") > BLOOM_BAL))
+               .select(F.col("c_custkey").alias("k")).distinct()
+               .localCheckpoint(eager=True))
+    pos = (dimkeys.select(F.explode(_bloom_rows()).alias("r"), "k")
+           .select(_bloom_pos(F.col("k"), F.col("r.a"), F.col("r.b")).alias("pos"))
+           .distinct())
+    words = (pos.groupBy(F.expr("pos div 63").alias("word_idx"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))")
+                  .alias("word")))
+    spine = spark.range(BLOOM_WORDS).select(F.col("id").alias("word_idx"))
+    dense = (spine.join(F.broadcast(words), "word_idx", "left")
+             .select("word_idx", F.coalesce("word", F.lit(0).cast("long")).alias("word")))
+    filt = dense.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("word_idx", "word"))),
+                    lambda s: s["word"]).alias("bloom"),
+        F.sum(F.bit_count("word")).alias("bits_set"),
+    )
+    n_keys = dimkeys.agg(F.count(F.lit(1)).alias("n_keys"))
+
+    # membership test: ((bloom[pos div 64 + 1] >> (pos % 64)) & 1) = 1 for
+    # every hash row — expressed once per row via expr so the shift amount
+    # can be a column
+    probe = orders.crossJoin(F.broadcast(filt))
+    passed = F.lit(True)
+    for i in range(BLOOM_K):
+        p = _bloom_pos(F.col("o_custkey"), F.lit(BLOOM_A[i]), F.lit(BLOOM_B[i]))
+        probe = probe.withColumn(f"_p{i}", p)
+        passed = passed & (
+            F.expr(f"(element_at(bloom, CAST(_p{i} div 63 AS INT) + 1) "
+                   f">> CAST(_p{i} % 63 AS INT)) & 1") == 1)
+    flagged = (probe.withColumn("pass_bloom", passed)
+               .join(F.broadcast(dimkeys),
+                     F.col("o_custkey") == F.col("k"), "left")
+               .withColumn("is_true", F.col("k").isNotNull()))
+    audit = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("pass_bloom").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("pass_bloom") & ~F.col("is_true")).cast("long")).alias("n_false_pos"),
+        F.sum((F.col("is_true") & ~F.col("pass_bloom")).cast("long")).alias("n_missed"),
+        F.max("bits_set").alias("bits_set"),
+    )
+    return (audit.crossJoin(F.broadcast(n_keys)).select(
+        F.lit(BLOOM_M).alias("m_bits"),
+        F.lit(BLOOM_K).alias("k_hashes"),
+        "n_keys", "bits_set", "n_probe", "n_pass", "n_true",
+        "n_false_pos", "n_missed",
+        F.round(F.col("n_false_pos") / F.greatest(F.col("n_probe") - F.col("n_true"),
+                                                  F.lit(1)), 6).alias("fp_rate_obs"),
+        F.round(F.lit(1.0) - F.col("n_pass") / F.col("n_probe"), 6).alias("prune_ratio"),
+    ))
+
+
+def _bloom_sql() -> str:
+    params = ", ".join(f"({BLOOM_A[i]}, {BLOOM_B[i]})" for i in range(BLOOM_K))
+    return f"""
+WITH dimkeys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_mktsegment = '{BLOOM_SEG}' AND c_acctbal > {BLOOM_BAL}
+), params AS (
+  SELECT * FROM (VALUES {params}) t(a, b)
+), pos AS (
+  SELECT DISTINCT ((a * k + b) % {CMS_P}) % {BLOOM_M} AS pos
+  FROM dimkeys CROSS JOIN params
+), words AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+  FROM pos GROUP BY 1
+), probe_pos AS (
+  SELECT o.o_orderkey AS rid, o.o_custkey,
+         ((p.a * o.o_custkey + p.b) % {CMS_P}) % {BLOOM_M} AS pos
+  FROM orders o CROSS JOIN params p
+), checks AS (
+  SELECT pp.rid, pp.o_custkey,
+         bool_and((coalesce(w.word, 0) >> CAST(pp.pos % 63 AS INT)) & 1 = 1)
+           AS pass_bloom
+  FROM probe_pos pp
+  LEFT JOIN words w ON w.word_idx = pp.pos // 63
+  GROUP BY pp.rid, pp.o_custkey
+), flagged AS (
+  SELECT o_custkey, pass_bloom,
+         o_custkey IN (SELECT k FROM dimkeys) AS is_true
+  FROM checks
+)
+SELECT {BLOOM_M} AS m_bits,
+       {BLOOM_K} AS k_hashes,
+       (SELECT count(*) FROM dimkeys) AS n_keys,
+       (SELECT sum(bit_count(word)) FROM words) AS bits_set,
+       count(*) AS n_probe,
+       CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN is_true AND NOT pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       round(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) * 1.0
+             / greatest(count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 6) AS fp_rate_obs,
+       round(1.0 - sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS prune_ratio
+FROM flagged
+"""
+
+
 QUERIES = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
@@ -701,6 +859,7 @@ QUERIES = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "cardinality_hll": q_cardinality_hll,
     "quantile_sketch_merge": q_quantile_sketch_merge,
+    "join_bloom_prune": q_join_bloom_prune,
 }
 
 ORACLE = {
@@ -710,4 +869,5 @@ ORACLE = {
     "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
+    "join_bloom_prune": _bloom_sql(),
 }

@@ -134,3 +134,22 @@ def test_quantile_sketch_within_bin_width_of_exact(spark):
              for q in (0.5, 0.9, 0.99)}
     for r in q_quantile_sketch_merge(spark, SF_ORACLE).collect():
         assert abs(r.est_value - exact[r.q]) <= 2 * w, (r, exact[r.q], w)
+
+
+# --- bloom-filter runtime join pruning ---------------------------------------
+
+def test_bloom_prune_contract(spark):
+    """Structural contract of the bloom gate: no false negatives EVER
+    (n_missed = 0 — every true join match passes the filter), the observed
+    false-positive rate stays inside ~3x the textbook (bits_set/m)^k bound
+    (loose: one sf0.01 draw), and the gate actually prunes (a filter that
+    passes everything is a no-op, not a runtime filter)."""
+    from graph_database_project_spark.operators.profiling import (
+        BLOOM_K, BLOOM_M, q_join_bloom_prune)
+
+    row = q_join_bloom_prune(spark, SF_ORACLE).collect()[0]
+    assert row["n_missed"] == 0
+    assert row["n_pass"] >= row["n_true"]
+    fp_bound = (row["bits_set"] / BLOOM_M) ** BLOOM_K
+    assert row["fp_rate_obs"] <= 3 * fp_bound
+    assert row["prune_ratio"] > 0.5
