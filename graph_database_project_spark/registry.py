@@ -51,7 +51,11 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # quantile_sketch_merge (the quantile story moves to the mergeable-sketch
 # form; approx_percentile stays covered by agg_approx_distinct's
 # contract-oracle pattern and the local gate) and join_salted_skew →
-# sim_ivfpq_topk (skew handling stays plan-asserted locally).
+# sim_ivfpq_topk (skew handling stays plan-asserted locally). Fourth batch
+# (this round's new ops, never driver-checked): sessionize →
+# text_bm25_search (range/theta row stays on its flagship
+# join_range_follow) and dq_audit → join_bloom_prune (same profiling
+# module keeps three other window reps).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -62,9 +66,9 @@ _DRIVER_WINDOW = [
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
     "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
     "join_range_follow",
-    "sessionize",
+    "text_bm25_search",  # r05 new op: Okapi ranked retrieval (sessionize out)
     "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
-    "dq_audit",
+    "join_bloom_prune",  # r05 new op: runtime-filter audit (dq_audit out)
     "quantile_sketch_merge",  # r05 new op: mergeable histogram quantiles
     "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
     "json_funcs",
