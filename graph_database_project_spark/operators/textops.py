@@ -236,6 +236,88 @@ WHERE rank <= {TFIDF_TOP_N}
 """
 
 
+# --- co-occurrence PMI -------------------------------------------------------
+PMI_TOP_N = 20
+PMI_MIN_PAIR_DOCS = 5   # support floor: pairs below this are noise
+PMI_MAX_DOC_TERMS = 16  # scale cap on distinct terms paired per doc -- SMALLER
+# than this corpus vocabulary (~31), so the slice is exercised, not dead
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence PMI: for term pairs (a < b)
+    appearing together in ≥ ``PMI_MIN_PAIR_DOCS`` documents, report
+    pmi = ln(N · docs(a,b) / (docs(a) · docs(b))) — the association-mining
+    signal behind collocation extraction and embedding-evaluation suites.
+
+    Scale shape: per-doc DISTINCT terms (array_distinct, in-codegen, capped
+    at ``PMI_MAX_DOC_TERMS`` by slicing the sorted term array — the cap is
+    what bounds the O(m²) pair fan-out per document at 100 TB); pairs come
+    from one posexplode×element loop expressed as a self-join of the
+    exploded (doc, term) relation on doc_id with a < b, which Catalyst
+    executes as a single shuffle on doc_id reused by both sides; unigram
+    doc-frequencies are vocabulary-sized → broadcast. Top-N is
+    TakeOrderedAndProject on (pmi desc, a, b).
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    n_docs = docs.count()  # corpus-size scalar, fixed per sf
+    terms = docs.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(_words(F.col("text")))),
+                1, PMI_MAX_DOC_TERMS).alias("terms"),
+    )
+    tok = terms.select("doc_id", F.explode("terms").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    a = tok.select("doc_id", F.col("t").alias("a"))
+    b = tok.select("doc_id", F.col("t").alias("b"))
+    pairs = (a.join(b, "doc_id").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_docs"))
+             .filter(F.col("pair_docs") >= PMI_MIN_PAIR_DOCS))
+    scored = (
+        pairs
+        .join(F.broadcast(dfreq.select(F.col("t").alias("a"),
+                                       F.col("df").alias("df_a"))), "a")
+        .join(F.broadcast(dfreq.select(F.col("t").alias("b"),
+                                       F.col("df").alias("df_b"))), "b")
+        .withColumn("pmi_raw",
+                    F.log(F.lit(float(n_docs)) * F.col("pair_docs")
+                          / (F.col("df_a") * F.col("df_b"))))
+    )
+    return (scored.orderBy(F.desc("pmi_raw"), "a", "b").limit(PMI_TOP_N)
+            .select("a", "b", "pair_docs", "df_a", "df_b",
+                    F.round("pmi_raw", 6).alias("pmi")))
+
+
+Q_COOCCUR_PMI_SQL = f"""
+WITH terms AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''))),
+           1, {PMI_MAX_DOC_TERMS}) AS terms
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(terms) AS t FROM terms
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tok GROUP BY t
+), pairs AS (
+  SELECT x.t AS a, y.t AS b, count(*) AS pair_docs
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t
+  GROUP BY x.t, y.t
+  HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+), scored AS (
+  SELECT p.a, p.b, p.pair_docs, da.df AS df_a, db.df AS df_b,
+         ln((SELECT count(*) FROM documents) * 1.0 * p.pair_docs
+            / (da.df * db.df)) AS pmi_raw
+  FROM pairs p
+  JOIN dfreq da ON da.t = p.a
+  JOIN dfreq db ON db.t = p.b
+)
+SELECT a, b, pair_docs, df_a, df_b, round(pmi_raw, 6) AS pmi
+FROM scored
+ORDER BY pmi_raw DESC, a, b
+LIMIT {PMI_TOP_N}
+"""
+
+
 # --- BM25 keyword search -----------------------------------------------------
 # Fixed query terms (the serving-path shape: terms arrive with the request
 # and are a broadcast-sized constant; the corpus is the big side). Okapi
@@ -856,6 +938,7 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
     "text_bm25_search": q_bm25_search,
+    "text_cooccur_pmi": q_cooccur_pmi,
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
     "sample_systematic": q_sample_systematic,
@@ -873,6 +956,7 @@ ORACLE = {
     "text_fingerprint": Q_FINGERPRINT_SQL,
     "text_tfidf_top_terms": Q_TFIDF_SQL,
     "text_bm25_search": _bm25_sql(),
+    "text_cooccur_pmi": Q_COOCCUR_PMI_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_decontaminate": _decontaminate_sql(),
     "sample_systematic": Q_SAMPLE_SQL,
