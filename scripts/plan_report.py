@@ -33,7 +33,9 @@ def main() -> None:
              # r05 additions: mergeable-state + ANN + graph operators
              "ts_rollup_incremental", "heavy_hitters_cms", "cardinality_hll",
              "graph_label_propagation", "quantile_sketch_merge",
-             "sim_ivfpq_topk", "graph_kcore"]
+             "sim_ivfpq_topk", "graph_kcore",
+             # r05 second batch: retrieval + runtime-filter + association
+             "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

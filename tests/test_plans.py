@@ -581,3 +581,48 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_zero_shuffle_single_pass_topk(spark):
+    # per-doc tf via higher-order fns (no Generate), corpus stats attach as
+    # a 1-row broadcast nested-loop, ranking is TakeOrderedAndProject —
+    # ZERO keyed shuffles end to end: the serving-path shape where one scan
+    # pass + a driver-sized broadcast answers the query at any corpus size
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_bm25_search(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
+    assert n_ops(p, "Generate") == 0, p
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 1, p
+    assert n_ops(p, "TakeOrderedAndProject") == 1, p
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    assert n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_cooccur_pmi_bounded_shuffles_no_cartesian(spark):
+    # the pair fan-out is an equi-join on doc_id (never a cartesian), df
+    # weights attach as broadcasts, and the top-N never global-sorts; the
+    # per-doc term cap bounds every shuffle's row count at any corpus size
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_cooccur_pmi(spark, SF_ORACLE))
+    assert n_ops(p, "CartesianProduct") == 0, p
+    assert n_hash_shuffles(p) <= 4, p
+    assert n_ops(p, "TakeOrderedAndProject") == 1, p
+    assert n_ops(p, "Sort") == 0, p
+
+
+def test_bloom_prune_constant_size_build_scan_local_probe(spark):
+    # the filter build collapses to BLOOM_WORDS rows through ONE keyed
+    # shuffle (bit_or partial-aggregates map-side); the probe pass is
+    # scan-local: the assembled words attach as a 1-row broadcast (BNLJ),
+    # the true-match flag joins broadcast — no SortMergeJoin anywhere, so
+    # the fact side never shuffles before being pruned
+    from graph_database_project_spark.operators import profiling
+
+    p = plan(profiling.q_join_bloom_prune(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) <= 2, p
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    assert n_ops(p, "BroadcastHashJoin") == 2, p
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 2, p
+    assert n_ops(p, "CartesianProduct") == 0, p
