@@ -97,7 +97,46 @@ _RULES: list[tuple[re.Pattern, Callable[[re.Match, dict], str]]] = [
         re.compile(r"\btotal (\w+) per (\w+) in (\w+)\s*$", re.I),
         lambda m, cat: _sum_per(m.group(1), m.group(2), m.group(3), cat),
     ),
+    (
+        re.compile(r"\bsearch documents for '([^']+)'\s*$", re.I),
+        lambda m, cat: _bm25_search_sql(m.group(1)),
+    ),
 ]
+
+
+def _bm25_search_sql(phrase: str, top_n: int = 10) -> str:
+    """Compile a search phrase to the Okapi BM25 ranking as ONE Spark SQL
+    statement over the ``documents`` view — the same scoring the
+    ``text_bm25_search`` operator computes with the DataFrame API
+    (tests/test_nl2query.py proves the two forms rank identically).
+    Terms are validated to word characters (identifier-grade hygiene:
+    a term participates in lambda expressions, not just literals)."""
+    from ..operators.textops import BM25_B, BM25_K1
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms or any(not re.fullmatch(r"\w+", t) for t in terms):
+        raise ValueError(f"unsupported search phrase: {phrase!r}")
+    k1 = f"CAST({float(BM25_K1)!r} AS DOUBLE)"
+    b = f"CAST({float(BM25_B)!r} AS DOUBLE)"
+    tf_cols = ", ".join(
+        f"size(filter(words, x -> x = {_quote_literal(t)})) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    contrib = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + CAST(0.5 AS DOUBLE)) / (df_{i} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{i} * ({k1} + 1.0))"
+        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms)))
+    return (
+        "WITH w AS (SELECT doc_id, filter(split(lower(text), ' '), x -> x != '') AS words FROM documents), "
+        f"per AS (SELECT doc_id, size(words) AS dl, {tf_cols} FROM w), "
+        f"stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM per), "
+        f"scored AS (SELECT per.doc_id, {contrib} AS bm25_raw FROM per CROSS JOIN stats) "
+        "SELECT doc_id, round(bm25_raw, 6) AS bm25 FROM scored WHERE bm25_raw > 0 "
+        f"ORDER BY bm25_raw DESC, doc_id LIMIT {top_n}"
+    )
 
 
 def _count_distinct(col: str, table: str, catalog: dict) -> str:

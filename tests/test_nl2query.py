@@ -236,3 +236,27 @@ def test_agg_rules_word_bounded_and_anchored(spark):
         rule_based_translate("count admin value in events", cat)
     with pytest.raises(ValueError):
         rule_based_translate("average value in events per user", cat)
+
+
+def test_search_rule_matches_bm25_operator(spark):
+    """'search documents for ...' compiles to one Spark SQL statement whose
+    ranking must agree EXACTLY with the DataFrame-API text_bm25_search
+    operator on the same fixed terms — two independent expressions of the
+    Okapi arithmetic. Injection-shaped phrases are rejected at translation."""
+    import pytest
+
+    from graph_database_project_spark.operators.textops import (
+        BM25_TERMS, BM25_TOP_N, q_bm25_search)
+    from graph_database_project_spark.plans.nl2query import answer
+
+    phrase = " ".join(BM25_TERMS)
+    sql, df = answer(spark, SF_SMOKE, f"search documents for '{phrase}'")
+    got = [(r["doc_id"], r["bm25"]) for r in df.collect()]
+    want = [(r["doc_id"], r["bm25"])
+            for r in q_bm25_search(spark, SF_SMOKE).collect()[:10]]
+    assert got == want
+    assert len(got) == 10 and got[0][1] >= got[-1][1]
+
+    from graph_database_project_spark.plans.nl2query import rule_based_translate
+    with pytest.raises(ValueError):
+        rule_based_translate("search documents for 'x; DROP TABLE y'", {})
