@@ -90,6 +90,7 @@ EXTENDED = [
     "text_span_dedup",          # inverted-index span dedup
     "ts_rollup_multires",       # hypertable multi-resolution rollup
     "graph_label_propagation",  # r05: 10-round iterative vote loop
+    "text_cooccur_pmi",         # r05: pair fan-out self-join + df broadcast
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -103,3 +103,52 @@ def test_hll_model_matches_duckdb_registers(con, keys):
     for b, r in rows:
         got[b] = r
     assert got == _py_hll_registers(keys)
+
+
+# --- bloom filter bit-packing ------------------------------------------------
+
+def _py_bloom_words(keys):
+    from graph_database_project_spark.operators.profiling import (
+        BLOOM_A, BLOOM_B, BLOOM_K, BLOOM_M, BLOOM_WORDS)
+
+    words = [0] * BLOOM_WORDS
+    for k in keys:
+        for i in range(BLOOM_K):
+            pos = ((BLOOM_A[i] * k + BLOOM_B[i]) % CMS_P) % BLOOM_M
+            words[pos // 63] |= 1 << (pos % 63)
+    return words
+
+
+def _py_bloom_member(words, k):
+    from graph_database_project_spark.operators.profiling import (
+        BLOOM_A, BLOOM_B, BLOOM_K, BLOOM_M)
+
+    for i in range(BLOOM_K):
+        pos = ((BLOOM_A[i] * k + BLOOM_B[i]) % CMS_P) % BLOOM_M
+        if not (words[pos // 63] >> (pos % 63)) & 1:
+            return False
+    return True
+
+
+@given(KEYS)
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives_and_signed_safe(keys):
+    """Every inserted key MUST pass membership (the bloom contract the
+    Spark/DuckDB audit asserts on real data), and the 63-payload-bit word
+    layout keeps every word inside signed-64 range — the invariant that
+    lets DuckDB build the identical words without its 1<<63 overflow
+    error."""
+    words = _py_bloom_words(keys)
+    assert all(_py_bloom_member(words, k) for k in keys)
+    assert all(0 <= w < 2**63 for w in words)
+
+
+@given(KEYS, KEYS)
+@settings(max_examples=50, deadline=None)
+def test_bloom_words_merge_by_bitwise_or(keys_a, keys_b):
+    """Slice-built filters merge by per-word OR into exactly the
+    whole-set filter — the property that lets 100 TB ingest build the
+    filter as a map-side partial aggregate."""
+    merged = [a | b for a, b in zip(_py_bloom_words(keys_a),
+                                    _py_bloom_words(keys_b))]
+    assert merged == _py_bloom_words(keys_a + keys_b)
