@@ -727,6 +727,85 @@ def q_sql_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_KHOP_SQL)
 
 
+WSSSP_ROUNDS = 4      # fixed Bellman-Ford relaxation rounds (no probe —
+#                       fixed-round loop discipline, see label_propagation)
+WSSSP_TOP_N = 15
+
+
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (Bellman-Ford, fixed
+    ``WSSSP_ROUNDS`` relaxation rounds) over the cyclic part↔supplier
+    bipartite graph, edge weight = cheapest shipment price for the pair —
+    the weighted complement of ``graph_shortest_paths``' unweighted BFS.
+
+    Every arithmetic step is engine-portable: weights are parquet doubles
+    both engines read bit-identically, each path cost is the same
+    left-fold of additions in both unrollings, and per-round mins compare
+    identical doubles — so the oracle value-checks full-precision
+    distances (displayed rounded; positives round half-up identically).
+
+    Scale: the relaxation is one equi-join frontier⋈edges plus a min
+    aggregation per round — the CC/LPA loop shape (und materialized once,
+    ``localCheckpoint(eager=True)`` per round, no fixpoint probe). The
+    dist relation only ever holds REACHED nodes; unreached = absent, not
+    +inf rows. Output is TakeOrdered top-``WSSSP_TOP_N`` closest.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (li.groupBy(F.col("l_partkey").cast("long").alias("src"),
+                      (F.col("l_suppkey") + _SUPP_BASE).cast("long").alias("dst"))
+           .agg(F.min("l_extendedprice").alias("w")))
+    # part ids and shifted supplier ids are disjoint spaces → the reversed
+    # union cannot collide with a forward pair
+    und = fwd.union(fwd.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "w")) \
+        .localCheckpoint(eager=True)
+    dist = spark.range(1).select(F.lit(1).cast("long").alias("node"),
+                                 F.lit(0.0).alias("dist"))
+    for _ in range(WSSSP_ROUNDS):
+        relax = (dist.join(und, dist.node == und.src)
+                 .select(F.col("dst").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.union(relax).groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return (dist.orderBy("dist", "node").limit(WSSSP_TOP_N)
+            .select("node", F.round("dist", 2).alias("dist")))
+
+
+def _wsssp_oracle_sql(n_rounds: int = WSSSP_ROUNDS) -> str:
+    # dPrev is referenced twice per round (carry + relax) — AS MATERIALIZED
+    # or DuckDB's default inlining doubles the expression tree per round
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT CAST(l_partkey AS BIGINT) AS src,
+         CAST(l_suppkey + {_SUPP_BASE} AS BIGINT) AS dst,
+         min(l_extendedprice) AS w
+  FROM lineitem GROUP BY 1, 2
+), und AS MATERIALIZED (
+  SELECT src, dst, w FROM e0
+  UNION ALL
+  SELECT dst, src, w FROM e0
+), d0 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist
+)"""]
+    for i in range(n_rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT u.dst AS node, d.dist + u.w AS dist
+    FROM d{i} d JOIN und u ON u.src = d.node
+  ) GROUP BY node
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT node, round(dist, 2) AS dist
+FROM d{n_rounds}
+ORDER BY d{n_rounds}.dist, node
+LIMIT {WSSSP_TOP_N}
+""")
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -737,6 +816,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_triangle_count": q_triangle_count,
     "graph_shortest_paths": q_shortest_paths,
+    "graph_weighted_sssp": q_weighted_sssp,
     "graph_link_prediction": q_link_prediction,
     "graph_degree_histogram": q_degree_histogram,
     "sql_recursive_khop": q_sql_recursive_khop,
@@ -752,6 +832,7 @@ ORACLE = {
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
+    "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,
     "graph_degree_histogram": Q_DEGREE_HISTOGRAM_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines

@@ -35,7 +35,8 @@ def main() -> None:
              "graph_label_propagation", "quantile_sketch_merge",
              "sim_ivfpq_topk", "graph_kcore",
              # r05 second batch: retrieval + runtime-filter + association
-             "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi"]
+             "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi",
+             "graph_weighted_sssp"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
