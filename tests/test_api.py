@@ -216,3 +216,19 @@ def test_graph_endpoint_community_coloring(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_chat_search_question_ranks_documents(server):
+    """The r05 'search documents for ...' rule is reachable through the
+    same HTTP chat lifecycle as every other grammar rule — the reference's
+    content-question flow (ask about stored documents, get ranked
+    answers) served by BM25 instead of an LLM."""
+    code, body = _post(f"{server}/chat", {"messages": [
+        {"role": "user", "content": "search documents for 'vector join stream'"},
+    ]})
+    assert code == 200
+    assert "bm25" in body["sql"].lower()
+    rows = body["rows"]
+    assert rows and {"doc_id", "bm25"} <= set(rows[0])
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
