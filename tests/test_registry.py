@@ -58,6 +58,8 @@ def test_queries_sf_agnostic(spark):
     qs = all_queries()
     for name in ["q01_pricing_summary", "q22_idle_customers", "mutation_merge_upsert",
                  "graph_khop_hierarchy", "dedup_minhash_lsh", "sim_lsh_buckets",
+                 "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi",
+                 "graph_weighted_sssp",
                  "text_stats", "multimodal_blob_stats", "stream_tumbling_hourly",
                  "nl2query_demo", "pipeline_training_data", "join_asof_last_view"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
