@@ -265,7 +265,13 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.array_sort(F.array_distinct(_words(F.col("text")))),
                 1, PMI_MAX_DOC_TERMS).alias("terms"),
     )
-    tok = terms.select("doc_id", F.explode("terms").alias("t"))
+    # tok is referenced 3× (df counts + both self-join sides) and each
+    # reference re-expands the tokenize→sort→slice subtree into its own
+    # corpus scan (4 scans measured) — materialize once, the same
+    # "tokenize once, reuse across the family" move as dedup._shingle_rel;
+    # at cluster scale this relation is the persisted tokenized table
+    tok = (terms.select("doc_id", F.explode("terms").alias("t"))
+           .localCheckpoint(eager=True))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     a = tok.select("doc_id", F.col("t").alias("a"))
     b = tok.select("doc_id", F.col("t").alias("b"))
