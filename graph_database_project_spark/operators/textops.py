@@ -361,11 +361,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
     words = _words(F.col("text"))
+    # per feeds BOTH the stats aggregate and the scoring pass; without
+    # materialization each reference re-tokenizes the raw text (2 corpus
+    # scans measured). The checkpointed relation is NARROW (5 numeric
+    # columns, no text) — at cluster scale it is the per-doc tf sidecar
+    # you'd persist, read twice cheaply instead of tokenizing twice.
     per = docs.select(
         "doc_id",
         F.size(words).alias("dl"),
         *[_term_tf(words, t).alias(f"tf_{t}") for t in BM25_TERMS],
-    )
+    ).localCheckpoint(eager=True)
     stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
