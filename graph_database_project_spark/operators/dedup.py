@@ -382,8 +382,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import banded_buckets
 
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    bb = banded_buckets(e)
+    # same materialization as q_sim_knn_per_vector: normed vectors and the
+    # narrow bucket relation each computed ONCE (4 embeddings scans per
+    # plan otherwise, r05 audit), norms in the checkpoint instead of per
+    # join side
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(_cosine_dot(F.col("v"), F.col("v")))) \
+        .localCheckpoint(eager=True)
+    bb = banded_buckets(e).localCheckpoint(eager=True)
     cand = (
         bb.select(F.col("vec_id").alias("vec_a"), "band_idx", "bk")
         .join(bb.select(F.col("vec_id").alias("vec_b"), "band_idx", "bk"),
@@ -393,9 +400,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("na"))
+                 F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                 F.sqrt(_cosine_dot(F.col("v"), F.col("v"))).alias("nb"))
+                 F.col("nrm").alias("nb"))
     cos = _cosine_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(a, "vec_a").join(b, "vec_b")

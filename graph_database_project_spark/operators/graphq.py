@@ -456,7 +456,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     def link(delta: int):
         return a.join(b, (b.v == a.u + delta) & (F.col("un") == F.col("vn"))) \
                 .select("u", "v", F.col("un").alias("nationkey"))
-    edges = link(1).union(link(2))
+    # edges feeds all three wedge-closing references; each re-expands the
+    # two customer⋈customer derivation joins, compounding to 12 customer
+    # scans in one plan (r05 scan-multiplicity audit). Materialize once —
+    # at 100 TB the canonical edge list is a persisted table, never
+    # re-derived per reference.
+    edges = link(1).union(link(2)).localCheckpoint(eager=True)
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "nationkey")
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
@@ -569,9 +574,12 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality and broadcast. Top-k under a total-order sort.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # the distinct edge relation feeds degrees (referenced twice as
+    # d1/d2), the cap join, and both pair-join sides — 6 lineitem scans
+    # in one plan without materialization (r05 scan-multiplicity audit)
     edges = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     part_deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
     supp_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
     capped = edges.join(

@@ -1050,7 +1050,12 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-sized)."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     imgs = docs.select("doc_id").mapInPandas(_phash_synth_batch, schema=PHASH_SCHEMA)
-    hashes = imgs.mapInPandas(_phash_decode_batch, schema=PHASH_HASH_SCHEMA)
+    # four consumers (both band sides, both verify sides) would each
+    # re-run the synth+decode Python stages — 4x the codec work per plan
+    # (r05 scan-multiplicity audit); the narrow corpus-sized hash table is
+    # exactly what you'd persist at scale, so materialize it once
+    hashes = imgs.mapInPandas(_phash_decode_batch, schema=PHASH_HASH_SCHEMA) \
+        .localCheckpoint(eager=True)
     bands = hashes.select(
         "doc_id",
         F.posexplode(F.array(*[f"b{i}" for i in range(PHASH_BANDS)]))

@@ -45,7 +45,13 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
         .withColumn("c_custkey", F.col("c_custkey") + F.lit(10_000_000))
     )
-    batch = updates.unionByName(inserts)
+    # the batch feeds the anti-join key side AND the union — without
+    # materialization each reference re-derives updates+inserts (5
+    # customer scans in one plan, r05 audit). A real MERGE source is an
+    # incoming batch that exists independently of the target; checkpoint
+    # makes the demo's derived batch behave like one (3 scans: target +
+    # the two batch derivations).
+    batch = updates.unionByName(inserts).localCheckpoint(eager=True)
     merged = (
         cust.join(batch.select("c_custkey"), "c_custkey", "left_anti")
         .unionByName(batch)

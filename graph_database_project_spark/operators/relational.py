@@ -710,9 +710,20 @@ def q_setop_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders scan; each setop is a hash shuffle on custkey — at scale they
     run as three independent stages over the same exchange.
     """
-    u = q_setop_union(spark, sf_dir).select(F.lit("union").alias("op"), "custkey")
-    i = q_setop_intersect(spark, sf_dir).select(F.lit("intersect").alias("op"), "custkey")
-    e = q_setop_except(spark, sf_dir).select(F.lit("except").alias("op"), "custkey")
+    # Build each epoch side ONCE: composing the three standalone queries
+    # re-derived both filtered sides per setop — six orders scans in one
+    # plan, none reused at execution (r05 scan-multiplicity audit). The
+    # materialized sides are distinct custkey sets (bounded by the
+    # customer dimension), read three times cheaply.
+    orders = _t(spark, sf_dir, "orders")
+    def side(year: int):
+        return (orders.filter(F.year("o_orderdate") == year)
+                .select(F.col("o_custkey").alias("custkey")).distinct()
+                .localCheckpoint(eager=True))
+    a, b = side(1997), side(1998)
+    u = a.union(b).distinct().select(F.lit("union").alias("op"), "custkey")
+    i = a.intersect(b).select(F.lit("intersect").alias("op"), "custkey")
+    e = a.subtract(b).select(F.lit("except").alias("op"), "custkey")
     return u.unionByName(i).unionByName(e)
 
 
