@@ -626,3 +626,34 @@ def test_bloom_prune_constant_size_build_scan_local_probe(spark):
     assert n_ops(p, "BroadcastHashJoin") == 2, p
     assert n_ops(p, "BroadcastNestedLoopJoin") == 2, p
     assert n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
+    """r05 scan-multiplicity audit, pinned: plans whose derived relation
+    feeds several consumers must materialize it once — Catalyst re-expands
+    a subtree PER REFERENCE (no CTE sharing) and executes every copy
+    (zero ReusedExchange measured), so each extra reference is a full
+    table re-scan (or a full Python codec re-run) at 100 TB. Bounds are
+    the post-fix scan counts; intentionally multi-scan queries (CDC
+    snapshot diff, merge-equivalence oracles, TPC-H correlated shapes)
+    are not listed."""
+    import re as _re
+
+    from graph_database_project_spark.registry import all_queries
+
+    BOUNDS = {
+        "graph_triangle_count": 0,       # edge list checkpointed
+        "graph_link_prediction": 0,      # distinct edges checkpointed
+        "setop_ops": 0,                  # both epoch sides checkpointed
+        "mutation_merge_upsert": 1,      # target scan; batch checkpointed
+        "sim_knn_per_vector": 0,         # normed vectors + buckets checkpointed
+        "dedup_embedding_cosine": 0,     # same
+        "multimodal_phash_neardup": 0,   # hash table checkpointed
+        "text_cooccur_pmi": 0,           # token relation checkpointed
+        "text_bm25_search": 0,           # per-doc tf relation checkpointed
+    }
+    qs = all_queries()
+    for name, bound in BOUNDS.items():
+        p = plan(qs[name](spark, SF_ORACLE))
+        n = len(_re.findall(r"\(\d+\) Scan parquet", p))
+        assert n <= bound, f"{name}: {n} parquet scans (bound {bound})\n{p}"
