@@ -195,8 +195,10 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pretraining filters (CCNet-style) threshold on.
 
     Scale: one shuffle for the vocab count (map-side combined), then the
-    vocab joins back in as a broadcast (a natural-language unigram vocab is
-    ~millions of rows regardless of corpus size — it fits every executor).
+    vocab joins back in hint-free — stats/AQE broadcast it locally; a
+    natural-language vocab capped to top-V stays broadcastable at 100 TB,
+    an uncapped one (typos, numbers) does not, so the strategy must come
+    from statistics, not a forced hint.
     At 100 TB you'd cap to the top-V words and give OOV a floor
     probability; the corpus total crosses as a broadcast 1-row join, not a
     driver collect.
@@ -208,7 +210,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     return (
-        tok.join(F.broadcast(freq), "word")
+        tok.join(freq, "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -568,10 +568,12 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: candidate pairs from ONE self-equi-join on partkey
     (never supplier×supplier), pair rollup, then full per-supplier degrees
-    broadcast back onto the ~|S|² pair table. Scale: the part-degree cap
+    joined back onto the ~|S|² pair table. Scale: the part-degree cap
     bounds the per-key fan-out of the pair join, so the shuffle is
     O(edges·cap) worst case, not O(hottest-part²); degree tables are
-    node-cardinality and broadcast. Top-k under a total-order sort.
+    node-cardinality — SF-growing, so no forced broadcast hint: the
+    stats/AQE decide (broadcast locally, keyed shuffle at 100 TB).
+    Top-k under a total-order sort.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # the distinct edge relation feeds degrees (referenced twice as
@@ -583,7 +585,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
     supp_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
     capped = edges.join(
-        F.broadcast(part_deg.filter(F.col("pd") <= LINKPRED_MAX_PART_DEG)), "p")
+        part_deg.filter(F.col("pd") <= LINKPRED_MAX_PART_DEG), "p")
     a = capped.select("p", F.col("s").alias("s1"))
     b = capped.select("p", F.col("s").alias("s2"))
     pairs = (
@@ -595,8 +597,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = supp_deg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
     d2 = supp_deg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
     scored = (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
         .withColumn(
             "jaccard",
             F.round(

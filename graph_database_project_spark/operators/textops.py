@@ -190,7 +190,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency → ln(N/df) weighting → top-3 terms by score.
 
     Scale: the explode fans each doc into its tokens once; TF and DF are
-    partial-aggregating groupBys; DF is vocabulary-sized → broadcast back.
+    partial-aggregating groupBys; DF is vocabulary-sized — unbounded at
+    corpus scale, so its join carries no forced broadcast hint (AQE
+    broadcasts it locally; a 100 TB vocabulary shuffles keyed).
     ln and rounding computed identically on both engines; rank ties broken
     on the term string so the top-3 is total-ordered.
     """
@@ -204,7 +206,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -255,7 +257,8 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one posexplode×element loop expressed as a self-join of the
     exploded (doc, term) relation on doc_id with a < b, which Catalyst
     executes as a single shuffle on doc_id reused by both sides; unigram
-    doc-frequencies are vocabulary-sized → broadcast. Top-N is
+    doc-frequencies are vocabulary-sized (hint-free: stats decide the
+    join strategy — vocabularies grow with the corpus). Top-N is
     TakeOrderedAndProject on (pmi desc, a, b).
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
@@ -280,10 +283,10 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("pair_docs") >= PMI_MIN_PAIR_DOCS))
     scored = (
         pairs
-        .join(F.broadcast(dfreq.select(F.col("t").alias("a"),
-                                       F.col("df").alias("df_a"))), "a")
-        .join(F.broadcast(dfreq.select(F.col("t").alias("b"),
-                                       F.col("df").alias("df_b"))), "b")
+        .join(dfreq.select(F.col("t").alias("a"),
+                            F.col("df").alias("df_a")), "a")
+        .join(dfreq.select(F.col("t").alias("b"),
+                            F.col("df").alias("df_b")), "b")
         .withColumn("pmi_raw",
                     F.log(F.lit(float(n_docs)) * F.col("pair_docs")
                           / (F.col("df_a") * F.col("df_b"))))

@@ -98,8 +98,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), sup.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
         .filter(
@@ -157,12 +157,12 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.n_nationkey)
         .join(F.broadcast(reg), cn.n_regionkey == reg.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(sn), sup.s_nationkey == sn.s_nk)
     )
     return (
@@ -213,9 +213,9 @@ def q09_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_profit"))
@@ -355,7 +355,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -400,7 +400,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -436,14 +436,14 @@ def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem")
-    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    li_brand = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice")
     per_part_avg = (
         li_brand.groupBy(F.col("l_partkey").alias("_pk"))
         .agg(F.avg("l_quantity").alias("_avg_qty"))
     )
     return (
-        li_brand.join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("_pk"))
+        li_brand.join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
@@ -479,8 +479,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == F.col("_ok"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == F.col("_ok"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey",
             _fmt_ts("o_orderdate").alias("o_orderdate"),
@@ -526,7 +526,7 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30)
     b3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(b1 | b2 | b3)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -599,7 +599,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_name")
     li = _t(spark, sf_dir, "lineitem")
     unit_cost = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost"))
     )
@@ -608,11 +608,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     return (
         unit_cost.join(
-            F.broadcast(min_cost),
+            min_cost,
             (unit_cost.l_partkey == F.col("_pk")) & (unit_cost.supply_cost == F.col("_min_cost")),
         )
-        .join(F.broadcast(sup), unit_cost.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(part), unit_cost.l_partkey == part.p_partkey)
+        .join(sup, unit_cost.l_suppkey == sup.s_suppkey)
+        .join(part, unit_cost.l_partkey == part.p_partkey)
         .select(
             F.col("p_name"), F.col("l_partkey").alias("p_partkey"),
             "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "supply_cost",
@@ -655,8 +655,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
     bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_sup, li.l_suppkey == bad_sup.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -688,7 +688,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     qualified = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("promo_qty"))
         .filter(F.col("promo_qty") > 50)
@@ -742,7 +742,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(sup), sole.sk == sup.s_suppkey)
+        sole.join(sup, sole.sk == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
