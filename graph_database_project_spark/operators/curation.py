@@ -284,6 +284,90 @@ ORDER BY e.vec_id
 """
 
 
+def _vdot(x, y):
+    # left-fold sum in the same order as DuckDB's list_sum → bit-identical
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, t: acc + t)
+
+
+# --- semantic decontamination ------------------------------------------------
+# Every 50th vector plays the held-out benchmark; anything in the corpus
+# whose cosine to ANY benchmark vector clears the threshold is flagged as
+# semantic eval-set leakage (the embedding-space complement of the n-gram
+# text_decontaminate gate — paraphrases leak past n-grams).
+SEMDECON_BENCH_MOD = 50
+SEMDECON_THRESHOLD = 0.30
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-vector benchmark-leakage audit: max cosine to the
+    benchmark set and a contaminated flag, counted per label group.
+
+    Scale shape: the benchmark is request-sized by definition (an eval
+    set, not a corpus), so it broadcasts whole — one corpus scan, a
+    broadcast nested-loop against the tiny bench side, a per-vector max,
+    zero corpus shuffles besides the final label rollup. No LSH needed:
+    unlike near-dup (corpus × corpus), decontamination is corpus × bench,
+    which stays linear. Norms computed once per side before the pair step.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    e = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+    bench = (e.filter(F.col("vec_id") % SEMDECON_BENCH_MOD == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv"), F.col("nrm").alias("bn")))
+    corpus = e.filter(F.col("vec_id") % SEMDECON_BENCH_MOD != 0)
+    cos = _vdot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bn"))
+    per_vec = (
+        corpus.join(F.broadcast(bench))  # corpus × tiny bench
+        .withColumn("cos", cos)
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos").alias("max_cos_raw"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("max_cos_raw") >= SEMDECON_THRESHOLD).cast("long"))
+             .alias("n_contaminated"),
+            F.round(F.max("max_cos_raw"), 6).alias("worst_cos"),
+            F.round(F.avg("max_cos_raw"), 6).alias("mean_max_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+Q_SEMANTIC_DECON_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+), bench AS (
+  SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM e
+  WHERE vec_id % {SEMDECON_BENCH_MOD} = 0
+), per_vec AS (
+  SELECT c.vec_id, c.label,
+         max(list_sum(list_transform(range(1, len(c.v) + 1),
+             i -> c.v[CAST(i AS INT)] * b.bv[CAST(i AS INT)]))
+             / (c.nrm * b.bn)) AS max_cos_raw
+  FROM e c CROSS JOIN bench b
+  WHERE c.vec_id % {SEMDECON_BENCH_MOD} <> 0
+  GROUP BY c.vec_id, c.label
+)
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN max_cos_raw >= CAST({SEMDECON_THRESHOLD!r} AS DOUBLE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(max(max_cos_raw), 6) AS worst_cos,
+       round(avg(max_cos_raw), 6) AS mean_max_cos
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 # train/val/test thresholds over a md5-mod-100 bucket: [0,80) / [80,90) / [90,100)
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90
@@ -350,6 +434,7 @@ QUERIES = {
     "sample_weighted_mix": q_sample_weighted_mix,
     "text_unigram_logprob": q_text_unigram_logprob,
     "embedding_outlier": q_embedding_outlier,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "sample_split": q_sample_split,
 }
 
@@ -359,5 +444,6 @@ ORACLE = {
     "sample_weighted_mix": Q_SAMPLE_WEIGHTED_MIX_SQL,
     "text_unigram_logprob": Q_TEXT_UNIGRAM_LOGPROB_SQL,
     "embedding_outlier": Q_EMBEDDING_OUTLIER_SQL,
+    "semantic_decontaminate": Q_SEMANTIC_DECON_SQL,
     "sample_split": Q_SAMPLE_SPLIT_SQL,
 }
