@@ -152,3 +152,13 @@ def test_bloom_words_merge_by_bitwise_or(keys_a, keys_b):
     merged = [a | b for a, b in zip(_py_bloom_words(keys_a),
                                     _py_bloom_words(keys_b))]
     assert merged == _py_bloom_words(keys_a + keys_b)
+
+
+def test_bloom_empty_set_rejects_everything():
+    """An empty filter (no dim keys survive the predicate) must reject
+    every probe — all-zero words, zero popcount, and OR-merge identity."""
+    words = _py_bloom_words([])
+    assert all(w == 0 for w in words)
+    assert not any(_py_bloom_member(words, k) for k in range(1000))
+    some = _py_bloom_words([7, 42])
+    assert [a | b for a, b in zip(words, some)] == some
