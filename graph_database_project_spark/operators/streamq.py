@@ -9,6 +9,7 @@ tests run the streaming variant with a watermark).
 
 from __future__ import annotations
 
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -54,6 +55,36 @@ def _batch_events_count(spark: SparkSession, sf_dir: str) -> int:
                         lambda: load_table(spark, sf_dir, "events").count())
 
 
+try:
+    from pyspark.sql.streaming import StreamingQueryListener as _SQL_Listener
+
+    class _DrainCounter(_SQL_Listener):
+        """Per-query-id numInputRows accumulator. Keyed by query id so
+        concurrent streams (tests run several per session) don't mix;
+        onQueryProgress fires once per microbatch, unbounded."""
+
+        def __init__(self):
+            self._rows: dict[str, int] = {}
+
+        def onQueryStarted(self, event):  # noqa: N802 (listener API names)
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            self._rows[str(p.id)] = self._rows.get(str(p.id), 0) + int(p.numInputRows)
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+        def rows_for(self, qid: str) -> int:
+            return self._rows.get(qid, 0)
+except ImportError:  # pragma: no cover — very old pyspark
+    _DrainCounter = None  # type: ignore[assignment,misc]
+
+
 def _run_available_now(result: DataFrame, spark: SparkSession,
                        *, expected_input_rows: int | None = None) -> DataFrame:
     """Drain an availableNow streaming query into a complete-mode memory
@@ -67,28 +98,37 @@ def _run_available_now(result: DataFrame, spark: SparkSession,
     wrong-but-plausible aggregate.
     """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    # recentProgress is a BOUNDED buffer (spark.sql.streaming
-    # .numRecentProgressUpdates, default 100): a source that splits into
-    # more microbatches than that (many input files, small
-    # maxFilesPerTrigger) would silently undercount and trip a spurious
-    # drain-mismatch. Raise the bound well past any plausible microbatch
-    # count, and if a drain ever exceeds even that, skip the assert rather
-    # than fail on an undercounted sum.
-    progress_cap = 10_000
+    # Row accounting via a StreamingQueryListener accumulating
+    # numInputRows per progress EVENT — unlike summing q.recentProgress,
+    # which is a BOUNDED buffer (numRecentProgressUpdates, default 100)
+    # and silently undercounts past it, the listener sees every
+    # microbatch no matter how many the source splits into.
+    listener = _DrainCounter() if _DrainCounter is not None else None
+    if listener is not None:
+        try:
+            spark.streams.addListener(listener)
+        except Exception:
+            listener = None  # listener API unavailable — skip the assert
     try:
-        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-                       str(progress_cap))
-    except Exception:
-        progress_cap = 100  # conf locked down — keep the default bound
-    q = (
-        result.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if expected_input_rows is not None and len(q.recentProgress) < progress_cap:
-        drained = sum(p["numInputRows"] for p in q.recentProgress)
+        q = (
+            result.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
+    if expected_input_rows is not None and listener is not None:
+        # listener events arrive on a separate JVM->Python delivery thread
+        # and can lag awaitTermination — poll until the count settles (the
+        # timeout only bites on a genuine mismatch)
+        deadline = time.monotonic() + 15.0
+        drained = listener.rows_for(str(q.id))
+        while drained != expected_input_rows and time.monotonic() < deadline:
+            time.sleep(0.1)
+            drained = listener.rows_for(str(q.id))
         if drained != expected_input_rows:
             raise AssertionError(
                 f"streaming drain mismatch: sources delivered {drained} rows, "
