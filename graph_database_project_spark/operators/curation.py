@@ -204,9 +204,12 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect.
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
+    # tok feeds the scoring join, freq, and (through freq) total — three
+    # corpus scans + three tokenize passes without materialization (r05
+    # scan-multiplicity audit); tokenize once, like PMI/BM25
     tok = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word")
-    )
+    ).localCheckpoint(eager=True)
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     return (
@@ -284,10 +287,10 @@ ORDER BY e.vec_id
 """
 
 
-def _vdot(x, y):
-    # left-fold sum in the same order as DuckDB's list_sum → bit-identical
-    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, t: acc + t)
+# left-fold dot product shared with the similarity/dedup family — ONE
+# definition, because the fold order is parity-load-bearing (bit-identical
+# to DuckDB's list_sum)
+from .similarity import _dot as _vdot
 
 
 # --- semantic decontamination ------------------------------------------------
@@ -314,7 +317,9 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+    ).withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v")))) \
+        .localCheckpoint(eager=True)  # feeds bench AND corpus — one scan,
+    #                                   norms computed once (r05 audit rule)
     bench = (e.filter(F.col("vec_id") % SEMDECON_BENCH_MOD == 0)
              .select(F.col("vec_id").alias("bench_id"),
                      F.col("v").alias("bv"), F.col("nrm").alias("bn")))

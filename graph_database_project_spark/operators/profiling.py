@@ -771,7 +771,7 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_keys = dimkeys.agg(F.count(F.lit(1)).alias("n_keys"))
 
-    # membership test: ((bloom[pos div 64 + 1] >> (pos % 64)) & 1) = 1 for
+    # membership test: ((bloom[pos div 63 + 1] >> (pos % 63)) & 1) = 1 for
     # every hash row — expressed once per row via expr so the shift amount
     # can be a column
     probe = orders.crossJoin(F.broadcast(filt))

@@ -117,23 +117,25 @@ def _run_available_now(result: DataFrame, spark: SparkSession,
             .start()
         )
         q.awaitTermination()
+        if expected_input_rows is not None and listener is not None:
+            # listener events arrive on a separate JVM->Python delivery
+            # thread and can lag awaitTermination — poll until the count
+            # settles, WHILE the listener is still registered (removing it
+            # first would drop the very in-flight events the poll waits
+            # for); the timeout only bites on a genuine mismatch
+            deadline = time.monotonic() + 15.0
+            drained = listener.rows_for(str(q.id))
+            while drained != expected_input_rows and time.monotonic() < deadline:
+                time.sleep(0.1)
+                drained = listener.rows_for(str(q.id))
+            if drained != expected_input_rows:
+                raise AssertionError(
+                    f"streaming drain mismatch: sources delivered {drained} rows, "
+                    f"batch read of the same file has {expected_input_rows}"
+                )
     finally:
         if listener is not None:
             spark.streams.removeListener(listener)
-    if expected_input_rows is not None and listener is not None:
-        # listener events arrive on a separate JVM->Python delivery thread
-        # and can lag awaitTermination — poll until the count settles (the
-        # timeout only bites on a genuine mismatch)
-        deadline = time.monotonic() + 15.0
-        drained = listener.rows_for(str(q.id))
-        while drained != expected_input_rows and time.monotonic() < deadline:
-            time.sleep(0.1)
-            drained = listener.rows_for(str(q.id))
-        if drained != expected_input_rows:
-            raise AssertionError(
-                f"streaming drain mismatch: sources delivered {drained} rows, "
-                f"batch read of the same file has {expected_input_rows}"
-            )
     return spark.table(name)
 
 

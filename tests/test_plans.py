@@ -651,6 +651,8 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "multimodal_phash_neardup": 0,   # hash table checkpointed
         "text_cooccur_pmi": 0,           # token relation checkpointed
         "text_bm25_search": 0,           # per-doc tf relation checkpointed
+        "text_unigram_logprob": 0,       # token relation checkpointed
+        "semantic_decontaminate": 0,     # normed vectors checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
