@@ -55,7 +55,10 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # (this round's new ops, never driver-checked): sessionize →
 # text_bm25_search (range/theta row stays on its flagship
 # join_range_follow) and dq_audit → join_bloom_prune (same profiling
-# module keeps three other window reps).
+# module keeps three other window reps). Fifth batch: pack_sequences →
+# semantic_decontaminate (curation family stays repped by the new key)
+# and ts_rollup_multires → graph_weighted_sssp (timeseries stays repped
+# by ts_rollup_incremental).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -77,7 +80,8 @@ _DRIVER_WINDOW = [
     "agg_count_distinct",
     "agg_grouping_sets",
     "window_topk_per_group",
-    "pack_sequences",  # curation family: context-window sequence packing
+    "semantic_decontaminate",  # r05 new op: embedding eval-leakage audit
+    #                            (curation family; pack_sequences rotates out)
     "sort_topk",
     "setop_ops",
     "scalar_funcs",
@@ -110,7 +114,7 @@ _DRIVER_WINDOW = [
     "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
     "text_decontaminate",  # benchmark n-gram decontamination
     # time-series hypertable ops
-    "ts_rollup_multires",
+    "graph_weighted_sssp",  # r05 new op: Bellman-Ford (multires rotates out)
     "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_image_decode",  # REAL PPM codec, value-oracled
