@@ -54,8 +54,19 @@ ROW_CAP = 100
 EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "embedding_pca_power", "dedup_minhash_lsh",
                        "quantile_sketch_merge",  # checkpointed 1-row bounds
-                       "nl2query_followup"}
+                       "nl2query_followup",
+                       # r05 materialize-once refactors: these checkpoint a
+                       # multi-consumer derived relation at construction
+                       "setop_ops", "mutation_merge_upsert",
+                       "sim_knn_per_vector", "dedup_embedding_cosine",
+                       "multimodal_phash_neardup", "text_cooccur_pmi",
+                       "text_bm25_search", "text_unigram_logprob",
+                       "semantic_decontaminate", "join_bloom_prune",
+                       "ts_rollup_incremental"}
+# every graph_ key runs an eager-checkpointed loop or edge materialization
+# EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)
 EAGER_ON_BUILD_PREFIXES = ("xml_", "graph_")
+EAGER_EXEMPT_KEYS = {"graph_degree_histogram"}
 
 EAGER_ON_BUILD_NOTE = (
     "plan construction for this query executes Spark jobs (memoized index/"
@@ -65,6 +76,8 @@ EAGER_ON_BUILD_NOTE = (
 
 
 def _eager_on_build(name: str) -> bool:
+    if name in EAGER_EXEMPT_KEYS:
+        return False
     return name in EAGER_ON_BUILD_KEYS or name.startswith(EAGER_ON_BUILD_PREFIXES)
 
 

@@ -225,6 +225,26 @@ Q_PAGERANK_SQL = _pagerank_oracle_sql()
 LPA_ROUNDS = 10  # converged on the synthetic graph (round 10 == round 12)
 
 
+def _lpa_graph(spark: SparkSession, sf_dir: str):
+    """The planted-community graph q_label_propagation runs on — ONE
+    builder shared with tests/test_traverse.py, so the structural
+    invariants there always test the graph the registered query actually
+    uses (a copy-pasted edge construction would silently drift)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    chain = (a.filter(F.col("u") % 10 != 9)
+             .join(b, b.v == a.u + 1)
+             .select(F.col("u").cast("long").alias("src"),
+                     F.col("v").cast("long").alias("dst")))
+    bridge = (a.filter(F.col("u") % 70 == 0)
+              .join(b, b.v == a.u + 10)
+              .select(F.col("u").cast("long").alias("src"),
+                      F.col("v").cast("long").alias("dst")))
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    return vertices, chain.union(bridge)
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation over a
     planted-community customer graph: dense 10-node chains (custkeys
@@ -238,20 +258,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 rounds unroll into a chained-CTE DuckDB oracle exactly like
     PageRank's — the driver value-checks every node's community id.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(F.col("c_custkey").alias("u"))
-    b = cust.select(F.col("c_custkey").alias("v"))
-    chain = (a.filter(F.col("u") % 10 != 9)
-             .join(b, b.v == a.u + 1)
-             .select(F.col("u").cast("long").alias("src"),
-                     F.col("v").cast("long").alias("dst")))
-    bridge = (a.filter(F.col("u") % 70 == 0)
-              .join(b, b.v == a.u + 10)
-              .select(F.col("u").cast("long").alias("src"),
-                      F.col("v").cast("long").alias("dst")))
-    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    return label_propagation(vertices, chain.union(bridge),
-                             n_iter=LPA_ROUNDS)
+    vertices, edges = _lpa_graph(spark, sf_dir)
+    return label_propagation(vertices, edges, n_iter=LPA_ROUNDS)
 
 
 def _lpa_oracle_sql(n_iter: int = LPA_ROUNDS) -> str:

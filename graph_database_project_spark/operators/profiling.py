@@ -624,7 +624,12 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = tagged.select(
         F.least(F.floor((F.col("v") - F.col("lo")) / width),
                 F.lit(QH_BINS - 1)).cast("int").alias("bin"),
-        (F.col("ts") < F.col("_wm")).alias("_base"))
+        # null-safe slice tag: a NULL ts must still land in A slice (the
+        # delta, like any not-yet-watermarked row) — a bare `ts < _wm`
+        # yields NULL and the row would vanish from BOTH conditional sums
+        # while still being counted in n, skewing every quantile against
+        # the ts-agnostic oracle
+        F.coalesce(F.col("ts") < F.col("_wm"), F.lit(False)).alias("_base"))
     # per-slice partial counts in ONE scan + ONE keyed shuffle (conditional
     # sums), merged by adding the slice columns — the same merge-by-
     # addition contract as a two-scan union build, without the second

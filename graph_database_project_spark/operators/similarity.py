@@ -458,7 +458,7 @@ Q_SIM_IVF_SQL = _ivf_sql()
 # -- IVF-PQ: product quantization over the IVF candidate lists --------------
 #
 # The 100 TB ANN memory story: candidate vectors never need their floats at
-# scoring time — each vector is compressed to PQ_S small codes (here 8
+# scoring time — each vector is compressed to PQ_S small codes (here 16
 # codes — see the measured config note below), and a
 # query scores candidates through a per-query lookup table (ADC —
 # asymmetric distance computation: LUT[s][code] = ||q_s − codebook[s][code]||²,
@@ -562,13 +562,13 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ADC scoring — the query builds a PQ_S×PQ_K lookup table of
     per-subspace squared distances to every codebook centroid, and each
     candidate's distance is the ordered in-row fold Σ_s LUT[s, codes[s]].
-    Candidates contribute only their 8 codes; no candidate float vector
+    Candidates contribute only their PQ_S=16 codes; no candidate float vector
     is touched at scoring time (the PQ memory story). Fully value-checked
     against the unrolled DuckDB oracle (shared IVF chain + PQ chain).
 
-    Scale: probe and LUT are broadcast scalars (LUT = 128 rows packed to
+    Scale: probe and LUT are broadcast scalars (LUT = PQ_S*PQ_K = 1024 rows packed to
     one row); the candidate join is broadcast on the probed cells; the
-    ADC fold is in-row codegen over a 128-element array. One
+    ADC fold is in-row codegen over a 1024-element array. One
     TakeOrderedAndProject finishes top-k — no corpus shuffle anywhere in
     the serving path (plan assert in tests/test_plans.py).
     """

@@ -347,9 +347,6 @@ FROM scored
 # continuous-aggregate / Spark's partial-aggregation contract surfaced as an
 # explicit API.
 
-_PARTIAL_COLS = ("n", "s", "s2", "mn", "mx")
-
-
 def rollup_partials(ev: DataFrame) -> DataFrame:
     """Hourly per-type mergeable partials over an event slice. One
     partial-aggregated shuffle; output rows ≈ hours × types."""
@@ -358,6 +355,11 @@ def rollup_partials(ev: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
+        # nv = null-aware value count: avg/stddev must divide by it, not
+        # by n — SQL's avg(value)/stddev_samp(value) skip NULL values
+        # while count(*) does not, and the two diverge the moment a
+        # bucket carries a NULL value
+        F.count("value").alias("nv"),
         F.sum("value").alias("s"),
         F.sum(F.col("value") * F.col("value")).alias("s2"),
         F.min("value").alias("mn"),
@@ -374,6 +376,7 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
         out = out.unionByName(p)
     return out.groupBy("event_type", "h").agg(
         F.sum("n").alias("n"),
+        F.sum("nv").alias("nv"),
         F.sum("s").alias("s"),
         F.sum("s2").alias("s2"),
         F.min("mn").alias("mn"),
@@ -386,16 +389,17 @@ def finish_partials(merged: DataFrame) -> DataFrame:
     the moments. stddev_samp from (n, s, s2) is sqrt((s2 - s²/n)/(n-1)),
     clamped at 0 against floating-point negativity, NULL for n=1 (matching
     SQL stddev_samp)."""
-    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("nv")) / (F.col("nv") - 1)
     return merged.select(
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         F.col("n").alias("n_events"),
         F.round("s", 6).alias("sum_value"),
-        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        F.when(F.col("nv") > 0,
+               F.round(F.col("s") / F.col("nv"), 6)).alias("avg_value"),
         F.round("mn", 6).alias("min_value"),
         F.round("mx", 6).alias("max_value"),
-        F.when(F.col("n") > 1,
+        F.when(F.col("nv") > 1,
                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
                ).alias("stddev_value"),
     )
@@ -416,11 +420,19 @@ def q_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of storing partials instead of finished averages.
     """
     ev = load_table(spark, sf_dir, "events")
+    # 1-row watermark feeds both slice filters — materialize once or
+    # each reference re-runs the max-scan (multiply-referenced-subtree
+    # rule); slice predicates are NULL-SAFE: a NULL ts satisfies neither
+    # bare comparison and the row would vanish from both slices while the
+    # recompute oracle keeps it (NULL-hour bucket) — route it to delta
     watermark = ev.agg(
-        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("_wm"))
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("_wm")) \
+        .localCheckpoint(eager=True)
     tagged = ev.crossJoin(F.broadcast(watermark))
-    stored = rollup_partials(tagged.filter(F.col("ts") < F.col("_wm")))
-    delta = rollup_partials(tagged.filter(F.col("ts") >= F.col("_wm")))
+    stored = rollup_partials(
+        tagged.filter(F.coalesce(F.col("ts") < F.col("_wm"), F.lit(False))))
+    delta = rollup_partials(
+        tagged.filter(F.coalesce(F.col("ts") >= F.col("_wm"), F.lit(True))))
     return finish_partials(merge_partials(stored, delta))
 
 

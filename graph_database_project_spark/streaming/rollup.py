@@ -8,12 +8,19 @@ Contract: the rollup on disk always equals ``events_so_far.groupBy(
 event_type, b15).agg(count, sum)`` — the batch-equivalence property
 ``tests/test_streaming_rollup.py`` asserts microbatch by microbatch.
 
-Exactly-once: counts and sums are NOT idempotent under replay (unlike the
-graph MERGE's only-if-absent semantics), so each applied microbatch id is
-recorded in a ``_committed/<id>`` marker ledger and replays are skipped —
-the standard foreachBatch transactional pattern (batch id + destination
-dedup). The checkpoint serializes microbatches, so the single-writer
-overwrite is safe within one stream.
+Exactly-once: counts and sums are NOT idempotent under replay (unlike
+the graph MERGE's only-if-absent semantics), so each microbatch writes
+its partial to its OWN ``data/batch=<id>`` delta dir with overwrite
+semantics — a replayed batch id (crash between the delta write and the
+ledger marker; Spark re-runs the batch from its checkpoint) overwrites
+its own delta instead of double-counting into a mutable store, making
+replay idempotent by LAYOUT. The ``_committed/<id>`` ledger remains as a
+replay short-circuit and audit trail; correctness no longer depends on
+marker ordering (the earlier merge-into-one-store design had a
+crash window there). The read side folds the deltas — the same
+bucket-keyed re-aggregation the old merge ran per batch, now run at
+read time; a compaction job (GraphStore.compact-style fold-and-rewrite)
+bounds the delta count.
 
 Scale: each microbatch collapses to ~distinct-buckets rows map-side before
 touching the store; the merge is a key-union re-aggregation over (existing
@@ -49,23 +56,11 @@ def merge_rollup(spark: SparkSession, rollup_path: str,
     marker = os.path.join(rollup_path, "_committed", str(batch_id))
     if os.path.exists(marker):
         return False
-    partial = rollup_partial(batch_df)
-    data_path = os.path.join(rollup_path, "data")
-    if os.path.exists(data_path):
-        current = spark.read.parquet(data_path)
-        merged = (
-            current.unionByName(partial)
-            .groupBy("event_type", "b15")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
-            )
-        )
-        # materialize before overwriting the files the plan reads from
-        # (same read-modify-write hazard GraphStore.write_atomic documents)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(data_path)
-    else:
-        partial.write.parquet(data_path)
+    # idempotent per-batch delta: overwrite scopes to THIS batch's dir,
+    # so however many times Spark replays the batch, its partial lands
+    # exactly once in the fold
+    rollup_partial(batch_df).write.mode("overwrite").parquet(
+        os.path.join(rollup_path, "data", f"batch={batch_id}"))
     os.makedirs(marker, exist_ok=True)
     return True
 
@@ -95,4 +90,9 @@ def stream_rollup_events(spark: SparkSession, events_dir: str,
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(rollup_path, "data"))
+    """Fold the per-batch partials into the current rollup (batch ids
+    surface as a partition column the fold drops)."""
+    return (spark.read.parquet(os.path.join(rollup_path, "data"))
+            .groupBy("event_type", "b15")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").alias("sum_value")))

@@ -1,10 +1,10 @@
 """Streaming sketch maintenance: a streaming events source keeps the
 count-min sketch (per-key frequency) and the HLL register table (distinct
-count) fresh via ``foreachBatch`` merge — the streaming complement of
+count) fresh via ``foreachBatch`` — the streaming complement of
 ``operators/profiling.heavy_hitters_cms`` / ``cardinality_hll``, and the
 online form of the mergeable-state contract (SCALE.md §7b): each
 microbatch collapses to a constant-size partial (d×w cells / m registers)
-map-side, and the store merge touches only sketch-sized relations no
+map-side, and the store only ever touches sketch-sized relations no
 matter how large the stream grows.
 
 Contract (tests/test_streaming_sketch.py): after the stream drains, the
@@ -12,14 +12,23 @@ stored CMS equals ``cms_sketch(all keys so far)`` cell for cell and the
 stored HLL equals ``hll_registers(all keys so far)`` register for
 register — streaming ≡ batch.
 
-Exactly-once: the two sketches sit on OPPOSITE sides of the replay
-question, which is why both live here. CMS counters ADD under merge, so a
-replayed microbatch double-counts — the ``_committed/<id>`` marker ledger
-(same pattern as streaming/rollup.py) makes application transactional.
-HLL registers MAX under merge, so replay is a no-op by ALGEBRA, not
-bookkeeping — the ledger protects it too (one transaction per batch), but
-the test proves the HLL store survives a ledger bypass unchanged while
-the CMS store is exactly what the ledger exists to protect.
+Exactly-once comes from the STORAGE LAYOUT, not from ordering luck: each
+microbatch writes its constant-size partial to its own ``batch=<id>``
+delta directory with overwrite semantics, so a replayed batch (crash
+after the delta write, before the ledger marker — Spark re-runs the same
+batch id from its checkpoint) overwrites its own delta instead of
+double-counting into a mutable store. The read side folds the deltas
+(CMS: sum per cell; HLL: max per register). An earlier design merged each
+batch INTO one mutable store and relied on a marker written AFTER the
+merge — leaving a crash window where replay double-counted the additive
+CMS; the delta layout closes it by making replay idempotent for BOTH
+sketches (the HLL was always safe by max-algebra; now the CMS is safe by
+construction too). The ``_committed/<id>`` ledger remains as a cheap
+replay short-circuit and an audit trail, but correctness no longer
+depends on it. Delta dirs accumulate one per microbatch; a maintenance
+job compacts them exactly like ``GraphStore.compact`` (read → fold →
+rewrite as one base delta) — the fold is the same expression the read
+side already runs.
 """
 
 from __future__ import annotations
@@ -43,35 +52,33 @@ def hll_keys(batch_df: DataFrame) -> DataFrame:
             .select((F.col("user_id").cast("long") % 2147483648).alias("k")))
 
 
-def _merge_cms(spark: SparkSession, path: str, partial: DataFrame) -> None:
-    if os.path.exists(path):
-        merged = (spark.read.parquet(path).unionByName(partial)
-                  .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-    else:
-        partial.write.parquet(path)
+def _delta_dir(store_path: str, which: str, batch_id: int) -> str:
+    # Hive-style partition naming: spark.read.parquet(<store>/<which>)
+    # discovers every delta and exposes batch as a column the fold drops
+    return os.path.join(store_path, which, f"batch={batch_id}")
 
 
-def _merge_hll(spark: SparkSession, path: str, partial: DataFrame) -> None:
-    if os.path.exists(path):
-        merged = (spark.read.parquet(path).unionByName(partial)
-                  .groupBy("bucket").agg(F.max("reg").alias("reg")))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-    else:
-        partial.write.parquet(path)
+def _write_deltas(spark: SparkSession, store_path: str,
+                  batch_df: DataFrame, batch_id: int) -> None:
+    """Write one microbatch's constant-size partials to the batch's own
+    delta dirs. mode=overwrite scopes to THIS delta dir, so a replayed
+    batch id replaces its previous (possibly partial) write — idempotent
+    regardless of how many times Spark re-runs the batch."""
+    cms_sketch(cms_keys(batch_df)).write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "cms", batch_id))
+    hll_registers(hll_keys(batch_df)).write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "hll", batch_id))
 
 
 def merge_sketches(spark: SparkSession, store_path: str,
                    batch_df: DataFrame, batch_id: int) -> bool:
-    """Fold one microbatch into both sketch stores. Returns False when the
-    batch id is already committed (replay → no-op)."""
+    """Fold one microbatch into the sketch store. Returns False when the
+    batch id is already committed (ledger short-circuit — replay would be
+    harmless anyway thanks to the delta layout, just wasted work)."""
     marker = os.path.join(store_path, "_committed", str(batch_id))
     if os.path.exists(marker):
         return False
-    _merge_cms(spark, os.path.join(store_path, "cms"),
-               cms_sketch(cms_keys(batch_df)))
-    _merge_hll(spark, os.path.join(store_path, "hll"),
-               hll_registers(hll_keys(batch_df)))
+    _write_deltas(spark, store_path, batch_df, batch_id)
     os.makedirs(marker, exist_ok=True)
     return True
 
@@ -96,5 +103,11 @@ def stream_sketch_events(spark: SparkSession, events_dir: str,
 
 
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
-    return (spark.read.parquet(os.path.join(store_path, "cms")),
-            spark.read.parquet(os.path.join(store_path, "hll")))
+    """Fold the per-batch deltas into the current sketches: CMS cells add,
+    HLL registers max — the same constant-size merge the batch operators
+    define, run over (n_batches × sketch-size) rows."""
+    cms = (spark.read.parquet(os.path.join(store_path, "cms"))
+           .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    hll = (spark.read.parquet(os.path.join(store_path, "hll"))
+           .groupBy("bucket").agg(F.max("reg").alias("reg")))
+    return cms, hll

@@ -232,3 +232,14 @@ def test_chat_search_question_ranks_documents(server):
     assert rows and {"doc_id", "bm25"} <= set(rows[0])
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_explain_eager_note_accuracy(server):
+    """The eager-on-build note must track reality in both directions: the
+    lazy graph_degree_histogram (pure aggregation, exempt) stays
+    note-free, while a materialize-once r05 key (setop_ops checkpoints
+    its epoch sides at construction) carries it."""
+    code, body = _post(f"{server}/explain", {"name": "graph_degree_histogram"})
+    assert code == 200 and "note" not in body
+    code, body = _post(f"{server}/explain", {"name": "setop_ops"})
+    assert code == 200 and "note" in body

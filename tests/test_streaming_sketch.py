@@ -1,7 +1,10 @@
 """Streaming sketch maintenance (streaming/sketch.py): after the drain the
 stored CMS/HLL must equal their one-shot batch builds, replay must be a
-no-op through the ledger, and the two sketches must sit where the algebra
-puts them — HLL replay-idempotent even WITHOUT the ledger, CMS not."""
+no-op through the ledger, AND a ledger-bypassing replay must also be a
+no-op — the per-batch delta layout makes the additive CMS idempotent by
+construction (a replayed batch overwrites its own delta), closing the
+crash-between-merge-and-marker window the old mutable-store design had
+(HLL was always safe by max-algebra)."""
 
 from __future__ import annotations
 
@@ -13,7 +16,7 @@ from graph_database_project_spark.io import load_table
 from graph_database_project_spark.operators.profiling import (
     cms_sketch, hll_registers)
 from graph_database_project_spark.streaming.sketch import (
-    _merge_hll, cms_keys, hll_keys, merge_sketches, read_sketches,
+    _write_deltas, cms_keys, hll_keys, merge_sketches, read_sketches,
     stream_sketch_events)
 
 
@@ -48,14 +51,20 @@ def test_stream_sketches_match_batch_replay_semantics(spark, tmp_path):
     cms2, hll2 = read_sketches(spark, store)
     assert _cms_rows(cms2) == _cms_rows(cms) and _hll_rows(hll2) == _hll_rows(hll)
 
-    # algebra: bypass the ledger and re-fold a slice straight into the HLL
-    # store — max-merge is idempotent, the registers must not move (this
-    # is exactly the property the CMS's additive counters LACK, and why
-    # the ledger exists at all)
-    before = _hll_rows(read_sketches(spark, store)[1])
-    _merge_hll(spark, os.path.join(store, "hll"),
-               hll_registers(hll_keys(all_events)))
-    assert _hll_rows(read_sketches(spark, store)[1]) == before
+    # crash-replay simulation — the exact window the delta layout closes:
+    # a NEW batch's deltas land but the process dies BEFORE the marker
+    # (old design: the additive CMS had already absorbed the batch; the
+    # checkpoint replay then absorbed it AGAIN). Replay the same batch id
+    # through merge_sketches and require the end state to equal
+    # processing the batch exactly once — for BOTH sketches.
+    crash_batch = all_events.filter(F.col("event_id") % 7 == 0)
+    crash_id = max(int(b) for b in committed) + 1
+    _write_deltas(spark, store, crash_batch, crash_id)  # crashed attempt
+    assert merge_sketches(spark, store, crash_batch, crash_id) is True
+    seen = all_events.unionByName(crash_batch)
+    cms3, hll3 = read_sketches(spark, store)
+    assert _cms_rows(cms3) == _cms_rows(cms_sketch(cms_keys(seen)))
+    assert _hll_rows(hll3) == _hll_rows(hll_registers(hll_keys(seen)))
 
 
 def test_stream_sketches_resume_across_restarts(spark, tmp_path):

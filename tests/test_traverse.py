@@ -103,25 +103,16 @@ def test_label_propagation_refines_components(spark):
     lies inside ONE connected component (LPA refines CC), and the planted
     bridges force strictly more communities than components."""
     from graph_database_project_spark.operators.graphq import (
-        q_label_propagation)
+        _lpa_graph, q_label_propagation)
     from graph_database_project_spark.graph.traverse import (
-        connected_components, label_propagation)
-    from graph_database_project_spark.io import load_table
+        connected_components)
     from .conftest import SF_SMOKE
 
     lpa = q_label_propagation(spark, SF_SMOKE)
 
-    cust = load_table(spark, SF_SMOKE, "customer")
-    a = cust.select(F.col("c_custkey").alias("u"))
-    b = cust.select(F.col("c_custkey").alias("v"))
-    chain = (a.filter(F.col("u") % 10 != 9).join(b, b.v == a.u + 1)
-             .select(F.col("u").cast("long").alias("src"),
-                     F.col("v").cast("long").alias("dst")))
-    bridge = (a.filter(F.col("u") % 70 == 0).join(b, b.v == a.u + 10)
-              .select(F.col("u").cast("long").alias("src"),
-                      F.col("v").cast("long").alias("dst")))
-    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    cc = connected_components(verts, chain.union(bridge))
+    # SAME builder the registered query uses — no copy-paste drift
+    verts, edges = _lpa_graph(spark, SF_SMOKE)
+    cc = connected_components(verts, edges)
 
     joined = lpa.join(cc, "node")
     # refinement: a community never spans two components
