@@ -320,12 +320,75 @@ WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY v)
 """
 
 
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every lineitem fact joins the SCD2
+    dimension row that was VALID AT the fact's as-of version — the
+    no-future-leakage join a warehouse uses for historically-correct
+    reporting and a training pipeline uses to keep features from leaking
+    future state into past examples. Facts carry a deterministic as-of
+    version (l_linenumber cycled through the 3 dimension versions); the
+    join predicate is business-key equality plus interval containment
+    ``valid_from_v <= av < coalesce(valid_to_v, +inf)``.
+
+    Scale shape: an EQUI join on the business key with the interval test
+    as a residual predicate — one keyed shuffle; the dimension side holds
+    ≤ version-count rows per key (bounded by construction), so the join
+    fan-out per fact row is the interval count, never a range explosion.
+    Exactly one dimension row matches each fact (intervals partition the
+    version axis) — asserted by the rollup's fact count equaling the raw
+    fact count.
+    """
+    scd2 = scd2_build_orders(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_linenumber") % 3 + 1).cast("int").alias("av"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = li.join(
+        scd2,
+        (li.o_orderkey == scd2.o_orderkey)
+        & (F.col("valid_from_v") <= F.col("av"))
+        & (F.col("valid_to_v").isNull() | (F.col("av") < F.col("valid_to_v"))),
+    )
+    return (
+        joined.groupBy("prio", "av")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("prio", "av")
+    )
+
+
+SCD2_PIT_JOIN_SQL = f"""
+WITH scd2 AS (
+  SELECT * FROM ({SCD2_BUILD_SQL})
+), facts AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(l_linenumber % 3 + 1 AS INT) AS av,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+)
+SELECT s.prio, f.av,
+       count(*) AS n_facts,
+       round(sum(f.rev), 2) AS revenue
+FROM facts f
+JOIN scd2 s
+  ON s.o_orderkey = f.o_orderkey
+ AND s.valid_from_v <= f.av
+ AND (s.valid_to_v IS NULL OR f.av < s.valid_to_v)
+GROUP BY s.prio, f.av
+ORDER BY s.prio, f.av
+"""
+
+
 QUERIES = {
     "mutation_merge_upsert": merge_upsert_customers,
     "mutation_delete_cascade": delete_cascade_orders,
     "mutation_property_set": property_set_parts,
     "mutation_table_diff": table_diff_orders,
     "mutation_scd2_build": scd2_build_orders,
+    "mutation_scd2_pit_join": scd2_pit_join,
 }
 
 ORACLE = {
@@ -334,4 +397,5 @@ ORACLE = {
     "mutation_property_set": PROPERTY_SET_SQL,
     "mutation_table_diff": TABLE_DIFF_SQL,
     "mutation_scd2_build": SCD2_BUILD_SQL,
+    "mutation_scd2_pit_join": SCD2_PIT_JOIN_SQL,
 }

@@ -65,3 +65,19 @@ def test_incremental_split_loses_no_null_ts_rows(spark):
     assert merged == oneshot
     # and the NULL-hour bucket is present, not dropped
     assert any(r[1] is None for r in oneshot)
+
+
+def test_scd2_pit_join_preserves_every_fact_exactly_once(spark):
+    """Temporal-correctness contract of the point-in-time join: SCD2
+    validity intervals partition the version axis per key, so every fact
+    matches EXACTLY one dimension row — no drops (a gap) and no
+    duplicates (an overlap). The rollup's fact count must equal the raw
+    fact count."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.mutation import scd2_pit_join
+
+    from .conftest import SF_SMOKE
+
+    rows = scd2_pit_join(spark, SF_SMOKE).collect()
+    total = sum(r["n_facts"] for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "lineitem").count()
