@@ -36,7 +36,8 @@ def main() -> None:
              "sim_ivfpq_topk", "graph_kcore",
              # r05 second batch: retrieval + runtime-filter + association
              "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi",
-             "graph_weighted_sssp"]
+             "graph_weighted_sssp", "semantic_decontaminate",
+             "mutation_scd2_pit_join"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
