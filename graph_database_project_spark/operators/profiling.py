@@ -410,6 +410,104 @@ GROUP BY pr.k, pr.exact_n
 """
 
 
+# -- CMS inner product: pre-execution join-size estimation ------------------
+# The optimizer-facing sketch application (AMS/CMS classic): |A ⋈_k B| =
+# Σ_k cntA(k)·cntB(k), estimated WITHOUT touching the join by the inner
+# product of the two sides' sketches — Σ_bucket cA(d,b)·cB(d,b) per hash
+# row, min over rows. Never undercounts (hash collisions only ADD cross
+# terms), so it is a safe upper bound for join planning: at 100 TB the
+# two d×w sketches are maintained as table statistics and the estimate
+# costs O(d·w), not a pass over either table.
+#
+# Width is sized to the job: the inner-product error bound is
+# (e/w)·||a||₁·||b||₁, so the frequency-sketch width (CMS_W = 64, sized
+# for heavy-hitter point queries) would drown a 6e5-row join under ~4e7
+# of collision cross-terms (measured 30× overestimate). JS_W = 1024
+# keeps the cross-terms the same order as the true size (2.1× measured
+# at the sf0.01 oracle — deliberately NOT so wide that collisions go
+# dead at test scale) while the sketch stays d×1k cells —
+# statistics-sized.
+JS_W = 1024
+
+
+def _js_bucket(key, a, b):
+    return ((a * key + b) % CMS_P) % JS_W
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |lineitem ⋈ returned-lineitems on l_partkey| from CMS
+    sketches of the two key multisets, next to the exact answer computed
+    the honest way (per-key count join) — overestimate ratio and the
+    no-undercount contract are the value-checked output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # four consumers (two sketch builds + two exact count sides) — one
+    # narrow materialized base instead of four lineitem scans (the
+    # per-reference re-derivation rule); at 100 TB the sketches are
+    # precomputed table statistics and this query is pure sketch math
+    base = li.select(F.col("l_partkey").cast("long").alias("k"),
+                     (F.col("l_returnflag") == "R").alias("r")) \
+        .localCheckpoint(eager=True)
+    keys_a = base.select("k")
+    keys_b = base.filter(F.col("r")).select("k")
+    def sketch(keys, out):
+        cells = keys.select("k", F.explode(_cms_rows()).alias("r")).select(
+            F.col("r.d").alias("d"),
+            _js_bucket(F.col("k"), F.col("r.a"), F.col("r.b")).alias("bucket"))
+        return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias(out))
+
+    sk_a = sketch(keys_a, "ca")
+    sk_b = sketch(keys_b, "cb")
+    est = (sk_a.join(sk_b, ["d", "bucket"])  # absent cells contribute 0
+           .groupBy("d").agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+           .agg(F.min("ip").alias("est_join_size")))
+    ca = keys_a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    cb = keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (ca.join(cb, "k")
+             .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size")))
+    return (est.crossJoin(F.broadcast(exact)).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size"))
+        .alias("never_undercounts"),
+        F.round(F.col("est_join_size") / F.col("exact_join_size"), 6)
+        .alias("overestimate_ratio"),
+    ))
+
+
+Q_JOIN_SIZE_SQL = f"""
+WITH params AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D))})
+         AS t(d, a, b)
+), keys_a AS (
+  SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem
+), keys_b AS (
+  SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem WHERE l_returnflag = 'R'
+), sk_a AS (
+  SELECT d, ((a * k + b) % {CMS_P}) % {JS_W} AS bucket, count(*) AS ca
+  FROM keys_a CROSS JOIN params GROUP BY 1, 2
+), sk_b AS (
+  SELECT d, ((a * k + b) % {CMS_P}) % {JS_W} AS bucket, count(*) AS cb
+  FROM keys_b CROSS JOIN params GROUP BY 1, 2
+), est AS (
+  SELECT min(ip) AS est_join_size FROM (
+    SELECT sa.d, sum(sa.ca * sb.cb) AS ip
+    FROM sk_a sa JOIN sk_b sb USING (d, bucket)
+    GROUP BY sa.d)
+), exact AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+    SELECT a.k, count(*) AS na FROM keys_a a GROUP BY a.k) ca
+  JOIN (
+    SELECT b.k, count(*) AS nb FROM keys_b b GROUP BY b.k) cb
+  USING (k)
+)
+SELECT exact_join_size,
+       CAST(est_join_size AS BIGINT) AS est_join_size,
+       est_join_size >= exact_join_size AS never_undercounts,
+       round(est_join_size * 1.0 / exact_join_size, 6) AS overestimate_ratio
+FROM est CROSS JOIN exact
+"""
+
+
 # -- HyperLogLog cardinality, from scratch as relational algebra ------------
 #
 # Like the count-min sketch above, the HLL register table is a CONSTANT-SIZE
@@ -865,6 +963,7 @@ QUERIES = {
     "cardinality_hll": q_cardinality_hll,
     "quantile_sketch_merge": q_quantile_sketch_merge,
     "join_bloom_prune": q_join_bloom_prune,
+    "join_size_estimate": q_join_size_estimate,
 }
 
 ORACLE = {
@@ -875,4 +974,5 @@ ORACLE = {
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
     "join_bloom_prune": _bloom_sql(),
+    "join_size_estimate": Q_JOIN_SIZE_SQL,
 }

@@ -653,6 +653,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "text_bm25_search": 0,           # per-doc tf relation checkpointed
         "text_unigram_logprob": 0,       # token relation checkpointed
         "semantic_decontaminate": 0,     # normed vectors checkpointed
+        "join_size_estimate": 0,         # key base checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
