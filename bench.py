@@ -210,20 +210,14 @@ def main() -> None:
         sf_val = sf
     import pyspark
 
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        # BASELINE v2.1 additive rows — NOT part of "value" (the frozen v2
-        # gate); pinned separately in BASELINE.md
-        "queries_extended": extended,
-        "extended_total": round(sum(extended.values()), 3),
-        "sf": sf_val,
-        # transparency vs the single-run r01 numbers: the stat used and the
+    sentinel_after = machine_sentinel()
+    # The driver records only the LAST ~2000 bytes of stdout and parses the
+    # final line (BENCH_r05 had "parsed": null because the contract line
+    # outgrew that window). So: full diagnostics go to BENCH_DETAIL.json +
+    # an earlier stdout line; the FINAL line is the compact contract —
+    # metric/value/sf/stat/per-query medians/sentinels only.
+    detail = {
         # untrimmed first-run (JIT-inclusive) timings alongside the medians
-        "stat": (f"median_of_{NUM_RUNS}_interleaved" if mode != "backtoback"
-                 else f"median_of_{NUM_RUNS}"),
         "queries_first_run": cold,
         # round-over-round comparability: the runtime that produced these
         # numbers (the r02→r03 22% shift on identical code was a PySpark
@@ -234,15 +228,39 @@ def main() -> None:
         "warmup": "q01_limit1_count + pandas_udf_32row_noop (JVM codegen + Arrow worker pool)",
         "sink": "noop_full_width",
         "baseline": "BASELINE.md v2 gate + v2.1 extended rows (interleaved protocol, r05)",
+    }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # BASELINE v2.1 additive rows — NOT part of "value" (the frozen v2
+        # gate); pinned separately in BASELINE.md
+        "queries_extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf_val,
+        "stat": (f"median_of_{NUM_RUNS}_interleaved" if mode != "backtoback"
+                 else f"median_of_{NUM_RUNS}"),
         # machine-state sentinel: Spark-free microbench timed before and
         # after the suite — lets a reader separate host-load drift from
         # plan regressions (reference values in BASELINE.md)
         "sentinel_before": sentinel_before,
-        "sentinel_after": machine_sentinel(),
+        "sentinel_after": sentinel_after,
     }
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1)
+    except OSError:
+        pass
+    print("bench detail: " + json.dumps(detail))
+    contract = json.dumps(out)
+    if len(contract) > 1900:  # keep inside the driver's 2000-byte tail
+        out["queries_extended"] = {}
+        contract = json.dumps(out)
+    print(contract)
     spark.stop()
     if failed:
         sys.exit(1)

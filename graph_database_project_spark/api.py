@@ -62,6 +62,7 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "multimodal_phash_neardup", "text_cooccur_pmi",
                        "text_bm25_search", "text_unigram_logprob",
                        "semantic_decontaminate", "join_bloom_prune",
+                       "join_size_estimate",  # checkpointed key base
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

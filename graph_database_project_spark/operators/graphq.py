@@ -498,7 +498,12 @@ GROUP BY e1.nationkey ORDER BY e1.nationkey
 
 
 # Supplier nodes offset into their own id range for the bipartite graph.
-_SUPP_BASE = 1_000_000
+# 2^40: TPC-H partkey = 200,000 × sf, so the old 1,000,000 base silently
+# aliased part and supplier nodes from sf≥5 (r05 ADVICE); at 2^40 a
+# collision needs sf ≈ 5.5e6 while shifted supplier ids (10,000 × sf +
+# 2^40) stay far inside int64. Disjointness is asserted, not assumed, in
+# tests/test_graphq.py::test_supp_base_disjoint_from_partkeys.
+_SUPP_BASE = 1 << 40
 
 
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,8 +777,9 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (li.groupBy(F.col("l_partkey").cast("long").alias("src"),
                       (F.col("l_suppkey") + _SUPP_BASE).cast("long").alias("dst"))
            .agg(F.min("l_extendedprice").alias("w")))
-    # part ids and shifted supplier ids are disjoint spaces → the reversed
-    # union cannot collide with a forward pair
+    # part ids and shifted supplier ids are disjoint spaces (_SUPP_BASE =
+    # 2^40 ≫ 200,000 × sf; tested) → the reversed union cannot collide
+    # with a forward pair
     und = fwd.union(fwd.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"), "w")) \
         .localCheckpoint(eager=True)

@@ -846,9 +846,11 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output proves the filter contract: ``n_missed`` (true matches that
     failed the bloom gate) is structurally 0 — a bloom filter has no false
-    negatives — and ``fp_rate_obs`` lands near the (1-e^{-kn/m})^k
+    negatives — and ``fp_rate_ppm`` lands near the (1-e^{-kn/m})^k
     textbook rate. At 100 TB the gate precedes the join shuffle, so
-    ``prune_ratio`` of the fact bytes never leave the mappers.
+    ``prune_ppm`` of the fact bytes never leave the mappers. Both ratios
+    are integer parts-per-million (BIGINT floor division) so the driver's
+    bit-exact canonicalizer sees identical cells on both engines.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders", widen=True)
@@ -902,9 +904,14 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(BLOOM_K).alias("k_hashes"),
         "n_keys", "bits_set", "n_probe", "n_pass", "n_true",
         "n_false_pos", "n_missed",
-        F.round(F.col("n_false_pos") / F.greatest(F.col("n_probe") - F.col("n_true"),
-                                                  F.lit(1)), 6).alias("fp_rate_obs"),
-        F.round(F.lit(1.0) - F.col("n_pass") / F.col("n_probe"), 6).alias("prune_ratio"),
+        # ratios as integer parts-per-million via BIGINT floor division —
+        # r05 driver hash-fail was a last-ulp double divergence between
+        # Spark's and DuckDB's round(); integer arithmetic is bit-exact on
+        # both engines by construction (CLAUDE.md float-parity discipline)
+        F.expr("(n_false_pos * 1000000L) div greatest(n_probe - n_true, 1L)")
+        .alias("fp_rate_ppm"),
+        F.expr("((n_probe - n_pass) * 1000000L) div n_probe")
+        .alias("prune_ppm"),
     ))
 
 
@@ -942,15 +949,16 @@ WITH dimkeys AS (
 SELECT {BLOOM_M} AS m_bits,
        {BLOOM_K} AS k_hashes,
        (SELECT count(*) FROM dimkeys) AS n_keys,
-       (SELECT sum(bit_count(word)) FROM words) AS bits_set,
+       (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM words) AS bits_set,
        count(*) AS n_probe,
        CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
        CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
        CAST(sum(CASE WHEN is_true AND NOT pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
-       round(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) * 1.0
-             / greatest(count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 6) AS fp_rate_obs,
-       round(1.0 - sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS prune_ratio
+       CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // greatest(count(*) - CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT), 1) AS fp_rate_ppm,
+       (count(*) - CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT)) * 1000000
+             // count(*) AS prune_ppm
 FROM flagged
 """
 

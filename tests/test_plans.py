@@ -660,3 +660,11 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         p = plan(qs[name](spark, SF_ORACLE))
         n = len(_re.findall(r"\(\d+\) Scan parquet", p))
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})\n{p}"
+
+    # every BOUNDS key checkpoints a derived relation AT CONSTRUCTION, so
+    # /explain on it executes Spark jobs — api._eager_on_build must flag
+    # each one or the endpoint's documented-side-effect note drifts (the
+    # r05 ADVICE gap: join_size_estimate was bounded here but unflagged)
+    from graph_database_project_spark.api import _eager_on_build
+    unflagged = [k for k in BOUNDS if not _eager_on_build(k)]
+    assert not unflagged, f"BOUNDS keys missing from EAGER_ON_BUILD: {unflagged}"

@@ -151,5 +151,5 @@ def test_bloom_prune_contract(spark):
     assert row["n_missed"] == 0
     assert row["n_pass"] >= row["n_true"]
     fp_bound = (row["bits_set"] / BLOOM_M) ** BLOOM_K
-    assert row["fp_rate_obs"] <= 3 * fp_bound
-    assert row["prune_ratio"] > 0.5
+    assert row["fp_rate_ppm"] / 1e6 <= 3 * fp_bound
+    assert row["prune_ppm"] / 1e6 > 0.5
