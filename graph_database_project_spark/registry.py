@@ -58,13 +58,23 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # module keeps three other window reps). Fifth batch: pack_sequences →
 # semantic_decontaminate (curation family stays repped by the new key)
 # and ts_rollup_multires → graph_weighted_sssp (timeseries stays repped
-# by ts_rollup_incremental).
+# by ts_rollup_incremental). r06 batch (VERDICT #4: 51 keys had never
+# been driver-checked — burn down verification debt): seven 5×-green
+# relational/text shapes yield their slots to seven never-checked keys.
+# filter_project → mutation_scd2_pit_join, join_left_agg →
+# join_size_estimate, sort_topk → graph_kcore, agg_grouping_sets →
+# text_cooccur_pmi, agg_count_distinct → text_span_dedup,
+# window_topk_per_group → multimodal_png_decode (windows stay repped by
+# window_range_frame), text_decontaminate → zorder_layout (n-gram
+# decontamination stays covered by semantic_decontaminate + the local
+# gate). Every evicted key is green r01–r05 and stays in the local
+# parity gate.
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "filter_project",
-    "join_left_agg",
+    "mutation_scd2_pit_join",  # r06: SCD2 point-in-time join, first check
+    "join_size_estimate",  # r06: CMS inner-product join-size audit, first check
     "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
     "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
@@ -76,13 +86,13 @@ _DRIVER_WINDOW = [
     "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
     "json_funcs",
     "catalog_stats",
-    # remaining relational rows (§2.B 13-18, 26-29)
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "window_topk_per_group",
+    # LLM-pipeline text/multimodal/curation reps (r06 debt-burn block)
+    "text_span_dedup",  # r06: inverted-index span dedup, first check
+    "text_cooccur_pmi",  # r06: pair fan-out PMI, first check
+    "multimodal_png_decode",  # r06: real zlib/filter PNG codec, first check
     "semantic_decontaminate",  # r05 new op: embedding eval-leakage audit
     #                            (curation family; pack_sequences rotates out)
-    "sort_topk",
+    "graph_kcore",  # r06: iterative peel loop, first check
     "setop_ops",
     "scalar_funcs",
     # graph traversal / iterative (§2.B 9, 25)
@@ -112,7 +122,7 @@ _DRIVER_WINDOW = [
     # text analysis (§2.B 32 + LLM-pipeline rows)
     "text_stats",
     "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
-    "text_decontaminate",  # benchmark n-gram decontamination
+    "zorder_layout",  # r06: interleaved-bit clustering audit, first check
     # time-series hypertable ops
     "graph_weighted_sssp",  # r05 new op: Bellman-Ford (multires rotates out)
     "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle

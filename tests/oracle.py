@@ -1,6 +1,9 @@
 """Local twin of the driver's DuckDB differential harness: run the Spark
 query and the oracle SQL on the same parquet tables, compare row count,
-column-name set, and order-insensitive values (floats to 1e-6)."""
+column-name set, and order-insensitive values (floats to 1e-6 — except
+driver-window keys, whose floats compare BIT-EXACT because that is what
+the driver's value-hash does; the r05 ``join_bloom_prune`` hash-fail was
+a last-ulp round() divergence this file's 1e-6 rounding could not see)."""
 
 from __future__ import annotations
 
@@ -20,8 +23,11 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(df: pd.DataFrame) -> list[tuple]:
+def _canon(df: pd.DataFrame, bitexact: bool = False) -> list[tuple]:
     df = df[sorted(df.columns)]
+
+    def normf(x):
+        return x if bitexact else round(x, 6)
 
     def norm(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -33,12 +39,12 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
         if pd.isna(v) if not isinstance(v, (set, dict)) else False:
             return None
         if isinstance(v, float):
-            return round(v, 6)
+            return normf(v)
         if isinstance(v, (int,)):
             return int(v)
         if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
             x = v.item()
-            return round(x, 6) if isinstance(x, float) else x
+            return normf(x) if isinstance(x, float) else x
         return str(v)
 
     rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
@@ -73,7 +79,8 @@ def assert_driver_canonicalizable(spark_df, name: str = "",
                     ) from None
 
 
-def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "",
+            bitexact: bool = False) -> None:
     spdf = spark_df.toPandas()
     assert_driver_canonicalizable(spark_df, name, sample_pdf=spdf)
     assert sorted(spdf.columns) == sorted(oracle_pdf.columns), (
@@ -82,6 +89,6 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     assert len(spdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spdf)} oracle={len(oracle_pdf)}"
     )
-    a, b = _canon(spdf), _canon(oracle_pdf)
+    a, b = _canon(spdf, bitexact), _canon(oracle_pdf, bitexact)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
