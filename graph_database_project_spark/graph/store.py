@@ -260,19 +260,43 @@ class GraphStore:
             .select("seed", "seed_name", "node", "node_name", "node_content", "depth")
         )
 
-    def khop_grouped(self, seed_pred: Column, depth: int = 3) -> DataFrame:
+    # Per-seed neighbor-list cap for khop_grouped: a supernode seed at
+    # 100× scale would otherwise put its whole k-hop closure into ONE
+    # aggregation buffer (the same single-buffer failure class as the r04
+    # IVF M-step collect_list). The exact count survives in n_connected;
+    # only the name listing truncates. Far above the reference corpus's
+    # closure sizes, so the golden xml_khop oracle is unaffected.
+    KHOP_GROUPED_CAP = 10_000
+
+    def khop_grouped(self, seed_pred: Column, depth: int = 3,
+                     cap: int | None = None) -> DataFrame:
         """Grouped shape: per-seed sorted list of reached node names
         (collect_list is order-nondeterministic → sort_array for stable
         output, SURVEY.md §7.3e). The list is flattened to a comma-joined
         string: registered query outputs must stay scalar (the driver's
         canonicalizer hashes cell values — array cells are unhashable, the
-        r02/r03 `xml_khop_flagship` ERR)."""
+        r02/r03 `xml_khop_flagship` ERR). ``n_connected`` is the exact
+        reach count; ``connected_names`` lists the first ``cap`` names in
+        sorted order. The cap is applied BEFORE collection (row_number
+        over the group key, then collect only rn ≤ cap — collect_list
+        skips the NULLed tail), so the aggregation buffer itself is
+        bounded; a slice() after collect_list would cap only the output
+        while the buffer still held the full closure. The window sort and
+        the groupBy hash on the same key, so this adds no extra
+        exchange."""
+        from pyspark.sql import Window
+
+        cap = self.KHOP_GROUPED_CAP if cap is None else cap
         det = self.khop_from(seed_pred, depth)
+        w = Window.partitionBy("seed_name").orderBy("node_name", "node")
         return (
             det.filter(F.col("depth") > 0)
+            .withColumn("rn", F.row_number().over(w))
             .groupBy("seed_name")
             .agg(
-                F.sort_array(F.collect_list(F.struct("node_name", "node"))).alias("connected"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("rn") <= cap,
+                           F.struct("node_name", "node")))).alias("connected"),
                 F.count(F.lit(1)).alias("n_connected"),
             )
             .select("seed_name",

@@ -276,3 +276,22 @@ def test_compact_reduces_files_preserves_rows(spark, store, tmp_path):
 def test_compact_rejects_object_store_paths(spark):
     with pytest.raises(ValueError):
         GraphStore.compact(spark, "s3://bucket/graph")
+
+
+def test_khop_grouped_caps_supernode_listing(spark):
+    """A supernode seed must not blow a single aggregation buffer at
+    scale: khop_grouped collects at most `cap` names (NULLed past the
+    row_number cap BEFORE collect_list, so the buffer itself is bounded)
+    while n_connected stays the exact reach count, and the kept names are
+    the sorted prefix (deterministic truncation)."""
+    n = 50
+    nodes = spark.createDataFrame(
+        [(0, "hub", "c0")] + [(i, f"n{i:03d}", f"c{i}") for i in range(1, n + 1)],
+        "id long, name string, content string")
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "src long, dst long")
+    store = GraphStore(nodes, edges)
+    row = store.khop_grouped(F.col("name") == "hub", depth=1, cap=10).first()
+    assert row.n_connected == n
+    names = row.connected_names.split(",")
+    assert names == [f"n{i:03d}" for i in range(1, 11)]
