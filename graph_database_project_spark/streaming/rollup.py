@@ -19,8 +19,8 @@ replay short-circuit and audit trail; correctness no longer depends on
 marker ordering (the earlier merge-into-one-store design had a
 crash window there). The read side folds the deltas — the same
 bucket-keyed re-aggregation the old merge ran per batch, now run at
-read time; a compaction job (GraphStore.compact-style fold-and-rewrite)
-bounds the delta count.
+read time; ``compact_rollup`` bounds the delta count (fold-and-swap,
+see compaction.py).
 
 Scale: each microbatch collapses to ~distinct-buckets rows map-side before
 touching the store; the merge is a key-union re-aggregation over (existing
@@ -89,10 +89,25 @@ def stream_rollup_events(spark: SparkSession, events_dir: str,
     return q
 
 
+def _fold_rollup(deltas: DataFrame) -> DataFrame:
+    """The merge algebra (additive per bucket) — shared by the read-side
+    fold and compaction so the two can never drift."""
+    return (deltas.groupBy("event_type", "b15")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").alias("sum_value")))
+
+
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """Fold the per-batch partials into the current rollup (batch ids
     surface as a partition column the fold drops)."""
-    return (spark.read.parquet(os.path.join(rollup_path, "data"))
-            .groupBy("event_type", "b15")
-            .agg(F.sum("n_events").alias("n_events"),
-                 F.sum("sum_value").alias("sum_value")))
+    return _fold_rollup(spark.read.parquet(os.path.join(rollup_path, "data")))
+
+
+def compact_rollup(spark: SparkSession, rollup_path: str) -> dict:
+    """Fold all accumulated deltas into one ``batch=-1`` base delta (see
+    compaction.py for the swap/replay contract) — bounds the delta count
+    the docstring above promises a maintenance job for. Run only while
+    the stream is stopped (single-writer)."""
+    from .compaction import compact_deltas
+
+    return compact_deltas(spark, os.path.join(rollup_path, "data"), _fold_rollup)

@@ -25,10 +25,9 @@ CMS; the delta layout closes it by making replay idempotent for BOTH
 sketches (the HLL was always safe by max-algebra; now the CMS is safe by
 construction too). The ``_committed/<id>`` ledger remains as a cheap
 replay short-circuit and an audit trail, but correctness no longer
-depends on it. Delta dirs accumulate one per microbatch; a maintenance
-job compacts them exactly like ``GraphStore.compact`` (read → fold →
-rewrite as one base delta) — the fold is the same expression the read
-side already runs.
+depends on it. Delta dirs accumulate one per microbatch;
+``compact_sketches`` folds them into a single base delta (same fold
+expression as the read side, atomic swap — see compaction.py).
 """
 
 from __future__ import annotations
@@ -102,12 +101,33 @@ def stream_sketch_events(spark: SparkSession, events_dir: str,
     return q
 
 
+def _fold_cms(deltas: DataFrame) -> DataFrame:
+    """CMS merge algebra: cells add. Shared by read and compaction."""
+    return deltas.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def _fold_hll(deltas: DataFrame) -> DataFrame:
+    """HLL merge algebra: registers max. Shared by read and compaction."""
+    return deltas.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
     """Fold the per-batch deltas into the current sketches: CMS cells add,
     HLL registers max — the same constant-size merge the batch operators
     define, run over (n_batches × sketch-size) rows."""
-    cms = (spark.read.parquet(os.path.join(store_path, "cms"))
-           .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
-    hll = (spark.read.parquet(os.path.join(store_path, "hll"))
-           .groupBy("bucket").agg(F.max("reg").alias("reg")))
+    cms = _fold_cms(spark.read.parquet(os.path.join(store_path, "cms")))
+    hll = _fold_hll(spark.read.parquet(os.path.join(store_path, "hll")))
     return cms, hll
+
+
+def compact_sketches(spark: SparkSession, store_path: str) -> dict:
+    """Fold each sketch's accumulated deltas into one ``batch=-1`` base
+    delta (see compaction.py for the swap/replay contract) — the
+    maintenance job the module docstring promises. Run only while the
+    stream is stopped (single-writer)."""
+    from .compaction import compact_deltas
+
+    return {
+        "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
+        "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),
+    }

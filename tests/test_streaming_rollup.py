@@ -94,3 +94,44 @@ def test_rollup_crash_replay_is_idempotent(spark, tmp_path):
            .select("event_type", "b15", "n_events",
                    F.round("sum_value", 6).alias("sum_value")).collect()}
     assert got == want
+
+
+def test_compact_rollup_preserves_values_and_bounds_deltas(spark, tmp_path):
+    """compact_rollup folds N delta dirs into one base delta with the
+    read-side value UNCHANGED, leaves the ledger intact (a replayed
+    pre-compaction batch id must still short-circuit, or the fold
+    double-counts), and new batches keep landing beside the base."""
+    from graph_database_project_spark.streaming.rollup import compact_rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "rollup")
+    ev.repartition(4).write.parquet(events_dir)
+    stream_rollup_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    want = _canon(read_rollup(spark, store))
+    committed = sorted(os.listdir(os.path.join(store, "_committed")))
+
+    stats = compact_rollup(spark, store)
+    assert stats["deltas_before"] >= 2
+    data = os.path.join(store, "data")
+    assert sorted(d for d in os.listdir(data) if d.startswith("batch=")) \
+        == ["batch=-1"]
+    assert _canon(read_rollup(spark, store)) == want
+
+    # pre-compaction batch id replay: ledger survived → still a no-op
+    replay_id = int(committed[0])
+    assert merge_rollup(spark, store,
+                        spark.read.parquet(events_dir), replay_id) is False
+    assert _canon(read_rollup(spark, store)) == want
+
+    # new batch after compaction folds on top of the base
+    extra = spark.read.parquet(events_dir).limit(10)
+    assert merge_rollup(spark, store, extra, 10_000) is True
+    n_after = read_rollup(spark, store).agg(F.sum("n_events")).first()[0]
+    assert n_after == spark.read.parquet(events_dir).count() + 10
+
+    # compaction is re-runnable (base-only store folds to itself)
+    stats2 = compact_rollup(spark, store)
+    assert stats2["deltas_after"] == 1
+    assert n_after == read_rollup(spark, store).agg(F.sum("n_events")).first()[0]

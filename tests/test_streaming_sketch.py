@@ -93,3 +93,30 @@ def test_stream_sketches_resume_across_restarts(spark, tmp_path):
     cms, hll = read_sketches(spark, store)
     assert _cms_rows(cms) == _cms_rows(cms_sketch(cms_keys(all_events)))
     assert _hll_rows(hll) == _hll_rows(hll_registers(hll_keys(all_events)))
+
+
+def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
+    """Both sketch stores compact to a single base delta with every CMS
+    cell and HLL register value-identical — the fold is the read side's
+    own merge algebra, so compaction cannot drift from reads."""
+    from graph_database_project_spark.streaming.sketch import compact_sketches
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sketches")
+    ev.repartition(3).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    cms0, hll0 = read_sketches(spark, store)
+    want_cms = sorted(map(tuple, cms0.collect()))
+    want_hll = sorted(map(tuple, hll0.collect()))
+
+    stats = compact_sketches(spark, store)
+    assert stats["cms"]["deltas_before"] >= 2
+    for which in ("cms", "hll"):
+        dirs = [d for d in os.listdir(os.path.join(store, which))
+                if d.startswith("batch=")]
+        assert dirs == ["batch=-1"], (which, dirs)
+    cms1, hll1 = read_sketches(spark, store)
+    assert sorted(map(tuple, cms1.collect())) == want_cms
+    assert sorted(map(tuple, hll1.collect())) == want_hll
