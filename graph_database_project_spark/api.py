@@ -123,7 +123,17 @@ def create_server(spark: SparkSession, sf_dir: str,
             from urllib.parse import parse_qs, urlsplit
 
             parts = urlsplit(self.path)
-            if parts.path == "/health":
+            if parts.path == "/":
+                # the reference's chat surface (templates/index.html) —
+                # self-contained static page posting to /chat
+                from .chat_page import CHAT_HTML
+                body = CHAT_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif parts.path == "/health":
                 self._send(200, {"status": "ok", "n_queries": len(queries)})
             elif parts.path == "/graph":
                 from .visualize import graph_payload

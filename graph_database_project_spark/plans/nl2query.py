@@ -259,7 +259,12 @@ def resolve_question(history: list[str]) -> str:
     question that has one."""
     if not history:
         raise ValueError("empty chat history")
-    cur = history[-1].strip().rstrip("?")
+    # The chat page prefixes a turn with "[image attached: name, N bytes]"
+    # when the user attaches a file (chat_page.py image branch); the NL
+    # question follows the marker — strip it so attachment turns still
+    # ground ("[image attached: wing.png, ...] and for EUROPE?").
+    cur = re.sub(r"^\s*\[image attached:[^\]]*\]\s*", "", history[-1]) \
+        .strip().rstrip("?")
     # A question that already grounds on its own ("and how many orders are
     # there per status?") is not a follow-up, however it starts — the
     # referent capture is capped at 4 tokens for the same reason.

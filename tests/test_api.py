@@ -243,3 +243,33 @@ def test_explain_eager_note_accuracy(server):
     assert code == 200 and "note" not in body
     code, body = _post(f"{server}/explain", {"name": "setop_ops"})
     assert code == 200 and "note" in body
+
+
+def test_root_chat_page_roundtrip(server):
+    """GET / serves the reference's chat surface (templates/index.html:
+    text + image + speech affordances) and the page's wire contract —
+    POST /chat with the accumulated transcript — completes a full chat
+    round-trip, including the image-marker turn the page emits for an
+    attachment."""
+    with urllib.request.urlopen(f"{server}/") as resp:
+        html = resp.read().decode()
+        ctype = resp.headers["Content-Type"]
+    assert resp.status == 200 and "text/html" in ctype
+    # the three input affordances + the endpoint the page posts to
+    for needle in ("id=\"q\"", "type=\"file\"", "SpeechRecognition",
+                   "fetch('/chat'", "id=\"log\""):
+        assert needle in html, needle
+    # drive the page's exact wire shape through /chat
+    code, body = _post(f"{server}/chat", {"messages": [
+        {"role": "user", "content": "total revenue per nation in region 'ASIA'"},
+    ]})
+    assert code == 200 and body["rows"] and body["answer"]
+    # the image branch prefixes a marker; resolve_question strips it, so
+    # the follow-up after an attachment still grounds and answers
+    code, body = _post(f"{server}/chat", {"messages": [
+        {"role": "user", "content": "total revenue per nation in region 'ASIA'"},
+        {"role": "assistant", "content": "(rows)"},
+        {"role": "user",
+         "content": "[image attached: wing.png, 1234 bytes] and for EUROPE?"},
+    ]})
+    assert code == 200 and body["rows"], body
