@@ -27,13 +27,14 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, con, name):
-    from graph_database_project_spark.registry import _DRIVER_WINDOW
-
     spark_df = QUERIES[name](spark, SF_ORACLE)
     oracle_pdf = con.execute(ORACLES[name]).df()
-    # driver-window keys face the driver's bit-exact value hash, so their
-    # floats must match to the last ulp, not just to 1e-6 (r05 bloom fail)
-    compare(spark_df, oracle_pdf, name, bitexact=name in _DRIVER_WINDOW)
+    # bit-exact for EVERY key: the driver's value hash has no float
+    # tolerance, and an r06 sweep showed all 147 oracle keys already
+    # match to the last ulp — so any future divergence is a real defect
+    # the 1e-6 rounding would have hidden until a window rotation
+    # exposed it (the r05 join_bloom_prune hash-fail).
+    compare(spark_df, oracle_pdf, name, bitexact=True)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
