@@ -140,10 +140,17 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     Returns (node, community).
 
     Semantics are pinned DETERMINISTIC so a SQL oracle can unroll them:
-    every round, each node with ≥1 neighbor adopts the most frequent label
-    among its neighbors' previous-round labels, ties broken by smallest
-    label (classic async LPA breaks ties randomly — useless for
-    differential testing); isolated nodes keep their label. Runs EXACTLY
+    every round, each node adopts the most frequent label among its
+    neighbors' previous-round labels PLUS ITS OWN previous label (one
+    self-vote), ties broken by smallest label (classic async LPA breaks
+    ties randomly — useless for differential testing); isolated nodes
+    keep their label via the self-vote. The self-vote is the standard
+    anti-oscillation term for SYNCHRONOUS LPA: without it, bipartite
+    regions (a chain is bipartite) flip labels every round and the
+    "communities" converge to parity classes — independent sets with
+    ZERO intra-community edges (r06 found exactly that: the planted-chain
+    partition scored modularity −0.004 with intra_pairs = 0; with the
+    self-vote the same graph scores ≈0.93 — see q_graph_modularity). Runs EXACTLY
     ``n_iter`` rounds — deliberately no per-round fixpoint probe: unlike
     connected_components (where the probe IS the termination condition),
     a fixed-round loop only profits from the probe when it converges
@@ -173,9 +180,13 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     ).distinct().localCheckpoint(eager=True)
     labels = vertices.select("node", F.col("node").alias("label"))
     for _ in range(n_iter):
-        votes = (
+        neighbor_votes = (
             und.join(labels, und.src == labels.node)
-            .groupBy(F.col("dst").alias("node"), "label")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        votes = (
+            neighbor_votes.union(labels.select("node", "label"))  # self-vote
+            .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         winner = votes.groupBy("node").agg(

@@ -222,39 +222,50 @@ r{i} AS MATERIALIZED (
 Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
-LPA_ROUNDS = 10  # converged on the synthetic graph (round 10 == round 12)
+LPA_ROUNDS = 10  # clique blocks converge by ~round 3; extra rounds are no-ops
 
 
 def _lpa_graph(spark: SparkSession, sf_dir: str):
     """The planted-community graph q_label_propagation runs on — ONE
     builder shared with tests/test_traverse.py, so the structural
     invariants there always test the graph the registered query actually
-    uses (a copy-pasted edge construction would silently drift)."""
+    uses (a copy-pasted edge construction would silently drift).
+
+    Blocks are 10-CLIQUES (all pairs sharing ``c_custkey // 10``), not
+    chains: LPA is a MAJORITY process, and on sparse chains it has no
+    majority signal to defend a block — r06 measured the chain version
+    degenerating to parity classes without the self-vote (modularity
+    −0.004, zero intra-community edges) and flooding to connected
+    components with it (smallest-label ties propagate the component min
+    unopposed). On cliques the 9-vote internal majority resists the
+    1-vote bridge invasion, which is the regime the algorithm is for."""
     cust = load_table(spark, sf_dir, "customer")
     a = cust.select(F.col("c_custkey").alias("u"))
     b = cust.select(F.col("c_custkey").alias("v"))
-    chain = (a.filter(F.col("u") % 10 != 9)
-             .join(b, b.v == a.u + 1)
-             .select(F.col("u").cast("long").alias("src"),
-                     F.col("v").cast("long").alias("dst")))
+    clique = (a.join(b, (b.v > a.u) & (b.v - b.v % 10 == a.u - a.u % 10))
+              .select(F.col("u").cast("long").alias("src"),
+                      F.col("v").cast("long").alias("dst")))
     bridge = (a.filter(F.col("u") % 70 == 0)
               .join(b, b.v == a.u + 10)
               .select(F.col("u").cast("long").alias("src"),
                       F.col("v").cast("long").alias("dst")))
     vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    return vertices, chain.union(bridge)
+    return vertices, clique.union(bridge)
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation over a
-    planted-community customer graph: dense 10-node chains (custkeys
+    planted-community customer graph: 10-cliques (all pairs of custkeys
     sharing ``c_custkey // 10``) plus sparse bridges every 70th customer to
     the next cluster. Connected components would dissolve the planted
-    structure along the bridges into big merged blobs; LPA's majority vote
-    keeps the dense clusters separate — which is the point of the operator
-    and what the test asserts.
+    structure along the bridges into merged blobs; LPA's majority vote
+    (9 internal votes vs 1 bridge vote) keeps the dense clusters
+    separate — which is the point of the operator and what the test
+    asserts. q_graph_modularity scores the resulting partition.
 
-    Tie-breaks are pinned (most votes, then smallest label), so the fixed
+    Tie-breaks are pinned (most votes, then smallest label; one
+    self-vote per node — the synchronous-LPA anti-oscillation term,
+    see traverse.label_propagation), so the fixed
     10 rounds unroll into a chained-CTE DuckDB oracle exactly like
     PageRank's — the driver value-checks every node's community id.
     """
@@ -265,13 +276,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_oracle_sql(n_iter: int = LPA_ROUNDS) -> str:
     """DuckDB twin of ``q_label_propagation``: the fixed round count
     unrolled as chained CTEs mirroring graph/traverse.py:label_propagation
-    term by term — vote count, (cnt DESC, label ASC) row_number winner,
-    left-join keep-own-label for isolated nodes."""
+    term by term — neighbor votes + the self-vote, (cnt DESC, label ASC)
+    row_number winner, left-join keep-own-label as a belt-and-braces for
+    nodes outside the vote relation."""
     parts = ["""
 WITH e0 AS (
   SELECT a.c_custkey AS u, b.c_custkey AS v
-  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
-  WHERE a.c_custkey % 10 != 9
+  FROM customer a JOIN customer b
+    ON b.c_custkey > a.c_custkey
+   AND b.c_custkey - b.c_custkey % 10 = a.c_custkey - a.c_custkey % 10
   UNION ALL
   SELECT a.c_custkey, b.c_custkey
   FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 10
@@ -287,8 +300,12 @@ WITH e0 AS (
         p = i - 1
         parts.append(f""",
 c{i} AS (
-  SELECT und.v AS node, l.label, count(*) AS cnt
-  FROM und JOIN l{p} l ON l.node = und.u GROUP BY 1, 2
+  SELECT node, label, count(*) AS cnt FROM (
+    SELECT und.v AS node, l.label
+    FROM und JOIN l{p} l ON l.node = und.u
+    UNION ALL
+    SELECT node, label FROM l{p}  -- self-vote (anti-oscillation)
+  ) GROUP BY 1, 2
 ), w{i} AS (
   SELECT node, label,
          row_number() OVER (PARTITION BY node
@@ -303,7 +320,114 @@ c{i} AS (
     return "".join(parts)
 
 
+def _lpa_cte_chain(n_iter: int = LPA_ROUNDS) -> str:
+    """The LPA unroll WITHOUT the final SELECT — shared by the LPA oracle
+    and the modularity oracle so the label semantics can never drift."""
+    full = _lpa_oracle_sql(n_iter)
+    return full[:full.rindex("\nSELECT node")]
+
+
 Q_LPA_SQL = _lpa_oracle_sql()
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality metric that
+    closes the community-detection loop (reference surfaces communities
+    via its graph visualization; this scores how community-like they are).
+
+    Exact-arithmetic form: for the undirected graph with directed-pair
+    relation U (both directions, |U| = 2m),
+
+        Q = (|U|·intra_pairs − Σ_c deg_c²) / |U|²
+
+    — every operand is an exact BIGINT aggregate, and the single final
+    IEEE division of two exactly-representable integers is bit-identical
+    on Spark and DuckDB (the same discipline as the bloom ppm outputs; no
+    order-dependent float summation anywhere). Exactness bound: |U|² must
+    stay under 2^53 (m < ~4.7e7 edges) — past that, emit ppm via integer
+    division instead.
+
+    Scale: labels come from the checkpointed LPA loop; the scoring pass
+    is two broadcast-joins of the (node, community) relation onto the
+    checkpointed edge relation plus three 1-row aggregates — one keyed
+    shuffle each, all map-side combined.
+    """
+    vertices, edges = _lpa_graph(spark, sf_dir)
+    labels = label_propagation(vertices, edges, n_iter=LPA_ROUNDS) \
+        .localCheckpoint(eager=True)
+    return modularity_score(labels, edges)
+
+
+def modularity_score(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Score ANY (node, community) labeling against (src, dst) edges
+    (treated undirected, deduped) — see q_graph_modularity for the exact
+    integer-arithmetic derivation. Unit-tested on a closed-form hand
+    graph in tests/test_traverse.py."""
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    lsrc = labels.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    ldst = labels.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    pair_stats = (und.join(lsrc, "src").join(ldst, "dst")
+                  .agg(F.count(F.lit(1)).alias("u_pairs"),
+                       F.sum((F.col("c_src") == F.col("c_dst")).cast("long"))
+                       .alias("intra_pairs")))
+    deg_stats = (und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                 .join(lsrc, "src")
+                 .groupBy("c_src").agg(F.sum("deg").alias("d_c"))
+                 .agg(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq")))
+    lab_stats = labels.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("community").alias("n_communities"),
+    )
+    largest = (labels.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
+               .agg(F.max("sz").alias("largest_community")))
+    return (pair_stats.crossJoin(F.broadcast(deg_stats))
+            .crossJoin(F.broadcast(lab_stats))
+            .crossJoin(F.broadcast(largest))
+            .select(
+                "n_nodes", "n_communities", "largest_community",
+                (F.col("u_pairs") / F.lit(2)).cast("long").alias("m_edges"),
+                "intra_pairs", "sum_deg_sq",
+                ((F.col("u_pairs") * F.col("intra_pairs") - F.col("sum_deg_sq"))
+                 .cast("double")
+                 / (F.col("u_pairs") * F.col("u_pairs")).cast("double"))
+                .alias("modularity"),
+            ))
+
+
+Q_MODULARITY_SQL = _lpa_cte_chain() + f""",
+labels AS MATERIALIZED (
+  SELECT node, label AS community FROM l{LPA_ROUNDS}
+), pair_stats AS (
+  SELECT count(*) AS u_pairs,
+         CAST(sum(CASE WHEN ls.community = ld.community THEN 1 ELSE 0 END)
+              AS BIGINT) AS intra_pairs
+  FROM und
+  JOIN labels ls ON ls.node = und.u
+  JOIN labels ld ON ld.node = und.v
+), deg AS (
+  SELECT u, count(*) AS deg FROM und GROUP BY u
+), deg_stats AS (
+  SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_deg_sq FROM (
+    SELECT l.community, CAST(sum(d.deg) AS BIGINT) AS d_c
+    FROM deg d JOIN labels l ON l.node = d.u GROUP BY 1
+  )
+), lab_stats AS (
+  SELECT count(*) AS n_nodes, count(DISTINCT community) AS n_communities
+  FROM labels
+), largest AS (
+  SELECT CAST(max(sz) AS BIGINT) AS largest_community FROM (
+    SELECT community, count(*) AS sz FROM labels GROUP BY 1
+  )
+)
+SELECT n_nodes, n_communities, largest_community,
+       u_pairs // 2 AS m_edges, intra_pairs, sum_deg_sq,
+       CAST(u_pairs * intra_pairs - sum_deg_sq AS DOUBLE)
+         / CAST(u_pairs * u_pairs AS DOUBLE) AS modularity
+FROM pair_stats, deg_stats, lab_stats, largest
+"""
 
 
 KCORE_K = 3
@@ -838,6 +962,7 @@ QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
+    "graph_modularity": q_graph_modularity,
     "graph_triangle_count": q_triangle_count,
     "graph_shortest_paths": q_shortest_paths,
     "graph_weighted_sssp": q_weighted_sssp,
@@ -854,6 +979,7 @@ ORACLE = {
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
+    "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled

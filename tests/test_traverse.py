@@ -155,3 +155,22 @@ def test_supp_base_disjoint_from_partkeys(spark):
     assert mx < _SUPP_BASE, (mx, _SUPP_BASE)
     # and the SF margin itself: the base covers any plausible scale run
     assert _SUPP_BASE >= (1 << 40)
+
+
+def test_modularity_closed_form_two_bridged_triangles(spark):
+    """Newman modularity on the textbook hand graph — two triangles
+    joined by one bridge edge, partitioned into the two triangles:
+    m = 7, intra = 6, degrees (2,2,3 | 3,2,2) → Q = (14·12 − 98)/14²
+    = 70/196 = 5/14 exactly. The operator must reproduce the closed form
+    bit-exactly (its arithmetic is all-integer until one final IEEE
+    division)."""
+    from graph_database_project_spark.operators.graphq import modularity_score
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = _edges(spark, tri)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, community long")
+    row = modularity_score(labels, edges).first()
+    assert row.m_edges == 7 and row.intra_pairs == 12 and row.sum_deg_sq == 98
+    assert row.modularity == 70 / 196
+    assert row.n_communities == 2 and row.largest_community == 3
