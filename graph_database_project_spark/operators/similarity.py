@@ -942,6 +942,102 @@ ORDER BY pos""")
 Q_PCA_SQL = _pca_sql()
 
 
+MRL_DIMS = [8, 16, 32, EMBED_DIM]  # Matryoshka truncation prefixes audited
+MRL_N_QUERIES = 20                 # vec_id < 20 are the probe queries
+
+
+def q_embedding_mrl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL):
+    how often does top-1 nearest-neighbor retrieval under a PREFIX of the
+    embedding (first k dims) agree with retrieval under the full vector?
+    This is the measurement that justifies serving truncated embeddings —
+    the memory/recall trade behind every \"use the first 64 of 768 dims\"
+    deployment decision.
+
+    For each probe query (vec_id < MRL_N_QUERIES) and each k in MRL_DIMS,
+    score every other corpus vector by dot(v[:k], q[:k]) / |v[:k]|
+    (query-side norm is constant per (query, k) and cannot change the
+    argmax), take the top-1 (ties → smallest vec_id), and report per k:
+    probe count, how many probes' top-1 matches the full-dim top-1, and
+    the agreement as integer ppm (floor division — no float ratio).
+
+    Scale: probes × dims is a ~80-row broadcast; the corpus scans ONCE
+    and never shuffles — the only exchange carries |probes|×|dims| winner
+    rows. The prefix dot products are strict left folds over the array in
+    index order on BOTH engines, so scores are bit-identical and the
+    argmax is reproducible.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qs = (e.filter(F.col("vec_id") < MRL_N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in MRL_DIMS])).alias("k"))
+    pairs = (e.crossJoin(F.broadcast(qs))
+             .filter(F.col("vec_id") != F.col("qid"))
+             .crossJoin(F.broadcast(ks)))
+    vk = F.slice("v", 1, F.col("k"))
+    qk = F.slice("qv", 1, F.col("k"))
+    score = _dot(vk, qk) / F.sqrt(_dot(vk, vk))
+    # top1 is consumed twice (full-dim reference + the agreement join) —
+    # materialize the |probes|×|dims| winner relation once or each
+    # reference re-runs the whole corpus-scoring pipeline (the
+    # multiply-referenced-subtree rule; 4 parquet scans → 2)
+    top1 = (pairs.withColumn("score", score)
+            .groupBy("k", "qid")
+            .agg(F.max_by("vec_id",
+                          F.struct(F.col("score"),
+                                   (-F.col("vec_id")).alias("nv"))).alias("best"))
+            .localCheckpoint(eager=True))
+    full = (top1.filter(F.col("k") == EMBED_DIM)
+            .select("qid", F.col("best").alias("best_full")))
+    return (top1.join(F.broadcast(full), "qid")
+            .groupBy(F.col("k").alias("trunc_dim"))
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum((F.col("best") == F.col("best_full")).cast("long"))
+                 .alias("top1_agree"))
+            .select("trunc_dim", "n_queries", "top1_agree",
+                    F.expr("(top1_agree * 1000000L) div n_queries")
+                    .alias("agree_ppm"))
+            .orderBy("trunc_dim"))
+
+
+Q_MRL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qs AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {MRL_N_QUERIES}
+), ks AS (
+  SELECT unnest([{", ".join(str(k) for k in MRL_DIMS)}]) AS k
+), scored AS (
+  SELECT ks.k, qs.qid, e.vec_id,
+         list_sum(list_transform(range(1, ks.k + 1),
+                                 i -> e.v[i] * qs.qv[i]))
+           / sqrt(list_sum(list_transform(range(1, ks.k + 1),
+                                          i -> e.v[i] * e.v[i]))) AS score
+  FROM e CROSS JOIN qs CROSS JOIN ks
+  WHERE e.vec_id <> qs.qid
+), top1 AS (
+  SELECT k, qid, vec_id AS best FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, qid
+                                 ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), fulltop AS (
+  SELECT qid, best AS best_full FROM top1 WHERE k = {EMBED_DIM}
+)
+SELECT t.k AS trunc_dim,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN t.best = f.best_full THEN 1 ELSE 0 END) AS BIGINT)
+         AS top1_agree,
+       CAST(sum(CASE WHEN t.best = f.best_full THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS agree_ppm
+FROM top1 t JOIN fulltop f USING (qid)
+GROUP BY t.k
+ORDER BY t.k
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_per_vector": q_sim_knn_per_vector,
@@ -951,6 +1047,7 @@ QUERIES = {
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_pca_power": q_embedding_pca_power,
+    "embedding_mrl_audit": q_embedding_mrl_audit,
 }
 
 ORACLE = {
@@ -962,4 +1059,5 @@ ORACLE = {
     "udf_embedding_norm": Q_UDF_NORM_SQL,
     "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,
     "embedding_pca_power": Q_PCA_SQL,
+    "embedding_mrl_audit": Q_MRL_SQL,
 }

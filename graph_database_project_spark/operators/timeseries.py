@@ -450,8 +450,141 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+LTTB_BUCKET_MS = 6 * 3600 * 1000  # 6-hour buckets ≈ 120 per 30-day series
+
+
+def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    each event_type's (ts, value) series — the shape-preserving reduction
+    a dashboard runs before plotting millions of points.
+
+    Deterministic PARALLEL variant: true LTTB anchors each bucket's
+    triangle on the PREVIOUSLY SELECTED point (a sequential dependency no
+    parallel engine should serialize); here the anchors are the FIRST
+    point of the previous bucket and the first point of the next bucket —
+    raw data points, not float averages, so every triangle area is a
+    fixed IEEE expression over parquet-identical inputs and the arg-max
+    winner is bit-reproducible on both engines (a bucket-average anchor
+    would inject order-dependent float summation). First/last buckets
+    keep their first/last raw point, matching LTTB's keep-the-endpoints
+    contract. Ties (equal area) break on smallest event_id.
+
+    Scale: one keyed aggregation for bucket firsts (map-side combined),
+    two 1-to-1 equi-joins of the tiny firsts relation back onto the
+    events scan (broadcast at any corpus size: |firsts| ≈ buckets ×
+    types), one row_number window partitioned by (type, bucket) — no
+    global sort, no all-pairs anything; output ≈ bucket count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", "event_id", "ts", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("x"),
+    ).withColumn("b", F.expr(f"x div {LTTB_BUCKET_MS}"))
+    # first/last raw point per (type, bucket): min/max on (x, event_id)
+    firsts = (pts.groupBy("event_type", "b")
+              .agg(F.min(F.struct("x", "event_id", "value")).alias("f"))
+              .select("event_type", "b", F.col("f.x").alias("fx"),
+                      F.col("f.value").alias("fy"))
+              .localCheckpoint(eager=True))
+    prev = firsts.select(F.col("event_type").alias("pt"), (F.col("b") + 1).alias("pb"),
+                         F.col("fx").alias("ax"), F.col("fy").alias("ay"))
+    nxt = firsts.select(F.col("event_type").alias("nt"), (F.col("b") - 1).alias("nb"),
+                        F.col("fx").alias("cx"), F.col("fy").alias("cy"))
+    joined = (pts
+              .join(F.broadcast(prev),
+                    (F.col("event_type") == F.col("pt")) & (F.col("b") == F.col("pb")),
+                    "left")
+              .join(F.broadcast(nxt),
+                    (F.col("event_type") == F.col("nt")) & (F.col("b") == F.col("nb")),
+                    "left"))
+    # middle buckets: max triangle area vs (prev-first, next-first);
+    # first bucket (no prev): keep first point; last (no next): last point
+    area2 = F.abs(
+        (F.col("ax") - F.col("cx")).cast("double") * (F.col("value") - F.col("ay"))
+        - (F.col("ax") - F.col("x")).cast("double") * (F.col("ay") - F.col("cy")))
+    ranked = joined.withColumn(
+        "rk",
+        F.when(F.col("ax").isNull(),   # first bucket (or only) → earliest point
+               F.struct(F.lit(0.0).alias("a"),
+                        (-F.col("x")).cast("double").alias("t"),
+                        (-F.col("event_id")).cast("double").alias("e")))
+        .when(F.col("cx").isNull(),   # last bucket → latest point
+              F.struct(F.lit(0.0).alias("a"),
+                       F.col("x").cast("double").alias("t"),
+                       F.col("event_id").cast("double").alias("e")))
+        .otherwise(F.struct(area2.alias("a"),
+                            F.lit(0.0).alias("t"),
+                            (-F.col("event_id")).cast("double").alias("e"))))
+    w = W.partitionBy("event_type", "b").orderBy(F.col("rk").desc())
+    # n_in_bucket rides the SAME window partitioning as the rank — a
+    # separate groupBy+join would scan the events relation a second time
+    kept = (ranked
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_in_bucket",
+                        F.count(F.lit(1)).over(W.partitionBy("event_type", "b")))
+            .filter(F.col("rn") == 1))
+    return (kept
+            .select("event_type",
+                    F.date_format(
+                        F.timestamp_seconds(
+                            (F.col("b") * (LTTB_BUCKET_MS // 1000))).cast("timestamp_ntz"),
+                        "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "value", "n_in_bucket"))
+
+
+Q_TS_LTTB_SQL = f"""
+WITH pts AS (
+  SELECT event_type, event_id, ts, value,
+         epoch_ms(ts) AS x, epoch_ms(ts) // {LTTB_BUCKET_MS} AS b
+  FROM events
+), firsts AS (
+  SELECT event_type, b,
+         min(struct_pack(x := x, event_id := event_id, value := value)) AS f
+  FROM pts GROUP BY 1, 2
+), anchors AS (
+  SELECT event_type, b, f.x AS fx, f.value AS fy FROM firsts
+), joined AS (
+  SELECT p.*, a.fx AS ax, a.fy AS ay, c.fx AS cx, c.fy AS cy
+  FROM pts p
+  LEFT JOIN anchors a ON a.event_type = p.event_type AND a.b = p.b - 1
+  LEFT JOIN anchors c ON c.event_type = p.event_type AND c.b = p.b + 1
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type, b
+           ORDER BY CASE
+             WHEN ax IS NULL THEN
+               struct_pack(a := 0.0, t := CAST(-x AS DOUBLE),
+                           e := CAST(-event_id AS DOUBLE))
+             WHEN cx IS NULL THEN
+               struct_pack(a := 0.0, t := CAST(x AS DOUBLE),
+                           e := CAST(event_id AS DOUBLE))
+             ELSE
+               struct_pack(
+                 a := abs(CAST(ax - cx AS DOUBLE) * (value - ay)
+                          - CAST(ax - x AS DOUBLE) * (ay - cy)),
+                 t := 0.0, e := CAST(-event_id AS DOUBLE))
+           END DESC) AS rn,
+         count(*) OVER (PARTITION BY event_type, b) AS n_in_bucket
+  FROM joined
+)
+SELECT event_type,
+       strftime(make_timestamp(b * {LTTB_BUCKET_MS} * 1000),
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       value,
+       CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+FROM ranked
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
+    "ts_lttb_downsample": q_ts_lttb_downsample,
     "ts_gapfill_locf": q_ts_gapfill_locf,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_ewma": q_ts_ewma,
@@ -459,6 +592,7 @@ QUERIES = {
 }
 ORACLE = {
     "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
+    "ts_lttb_downsample": Q_TS_LTTB_SQL,
     "ts_rollup_multires": Q_TS_ROLLUP_SQL,
     "ts_gapfill_locf": Q_TS_GAPFILL_SQL,
     "ts_anomaly_zscore": Q_TS_ANOMALY_SQL,

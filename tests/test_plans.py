@@ -654,6 +654,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "text_unigram_logprob": 0,       # token relation checkpointed
         "semantic_decontaminate": 0,     # normed vectors checkpointed
         "join_size_estimate": 0,         # key base checkpointed
+        "embedding_mrl_audit": 2,        # top1 winners checkpointed; corpus + probe scans remain
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
@@ -668,3 +669,15 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
     from graph_database_project_spark.api import _eager_on_build
     unflagged = [k for k in BOUNDS if not _eager_on_build(k)]
     assert not unflagged, f"BOUNDS keys missing from EAGER_ON_BUILD: {unflagged}"
+
+
+def test_lttb_single_scan_broadcast_anchors(spark):
+    # the anchor relation (bucket firsts) is checkpointed and attaches by
+    # broadcast; n_in_bucket rides the rank window's partitioning — the
+    # whole downsample is ONE events scan, no sort-merge join anywhere
+    from graph_database_project_spark.operators import timeseries
+
+    p = plan(timeseries.q_ts_lttb_downsample(spark, SF_ORACLE))
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
