@@ -91,6 +91,9 @@ EXTENDED = [
     "ts_rollup_multires",       # hypertable multi-resolution rollup
     "graph_label_propagation",  # r05: 10-round iterative vote loop
     "text_cooccur_pmi",         # r05: pair fan-out self-join + df broadcast
+    "ts_lttb_downsample",       # r06: triangle-area plot downsampling
+    "embedding_mrl_audit",      # r06: prefix-dim retrieval agreement
+    "graph_modularity",         # r06: LPA loop + exact-integer scoring
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
