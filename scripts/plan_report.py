@@ -37,7 +37,9 @@ def main() -> None:
              # r05 second batch: retrieval + runtime-filter + association
              "text_bm25_search", "join_bloom_prune", "text_cooccur_pmi",
              "graph_weighted_sssp", "semantic_decontaminate",
-             "mutation_scd2_pit_join"]
+             "mutation_scd2_pit_join",
+             # r06 additions: scoring + reduction operators
+             "graph_modularity", "ts_lttb_downsample", "embedding_mrl_audit"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
