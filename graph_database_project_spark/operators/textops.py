@@ -945,9 +945,76 @@ FROM w
 """
 
 
+CHUNK_TOKENS = 32  # window size (whitespace tokens)
+CHUNK_STRIDE = 24  # step between window starts → 8-token overlap
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: split every document into fixed-size
+    overlapping token windows (CHUNK_TOKENS tokens, CHUNK_STRIDE step),
+    emitting per chunk its position, exact token count, first token, and
+    an md5 content fingerprint — the unit a retrieval index embeds and a
+    training pipeline packs. Chunk count per doc is
+    ``(max(n−W, 0) + S − 1) div S + 1`` (every token is covered; the last
+    window may be short; empty docs emit nothing).
+
+    Scale: pure per-row compute — tokenize once, explode the start
+    offsets, slice. ZERO shuffles, no UDFs; the text column never leaves
+    its scan partition and the output is chunk-metadata-sized (the
+    embedding step downstream is where bytes multiply, not here).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _words(F.col("text")).alias("words"),
+    ).withColumn("n", F.size("words")).filter(F.col("n") > 0)
+    n_chunks = F.expr(
+        f"(greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) "
+        f"div {CHUNK_STRIDE} + 1")
+    chunks = (toks.withColumn("chunk_idx",
+                              F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+              .withColumn("start_token", F.col("chunk_idx") * CHUNK_STRIDE)
+              .withColumn("w", F.expr(
+                  f"slice(words, start_token + 1, {CHUNK_TOKENS})")))
+    return chunks.select(
+        "doc_id", "chunk_idx", "start_token",
+        F.size("w").alias("chunk_tokens"),
+        F.element_at("w", 1).alias("first_token"),
+        F.md5(F.concat_ws(" ", "w")).alias("chunk_md5"),
+    )
+
+
+Q_TEXT_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), sized AS (
+  SELECT doc_id, words, len(words) AS n FROM toks WHERE len(words) > 0
+), exploded AS (
+  SELECT doc_id, words,
+         CAST(unnest(range(0, (greatest(n - {CHUNK_TOKENS}, 0)
+                               + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1))
+              AS BIGINT) AS chunk_idx
+  FROM sized
+), sliced AS (
+  SELECT doc_id, chunk_idx,
+         chunk_idx * {CHUNK_STRIDE} AS start_token,
+         list_slice(words, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT),
+                    CAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)) AS w
+  FROM exploded
+)
+SELECT doc_id, chunk_idx, start_token,
+       CAST(len(w) AS INT) AS chunk_tokens,
+       w[1] AS first_token,
+       md5(array_to_string(w, ' ')) AS chunk_md5
+FROM sliced
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
+    "text_chunk_windows": q_text_chunk_windows,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
@@ -964,6 +1031,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_chunk_windows": Q_TEXT_CHUNK_SQL,
     "text_stats": Q_TEXT_STATS_SQL,
     "text_lang_id": Q_LANG_ID_SQL,
     "text_token_count": Q_TOKEN_COUNT_SQL,

@@ -46,3 +46,29 @@ def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
     assert firsts.join(kept, ["event_type", "event_id"]).count() == firsts.count()
     assert lasts.join(kept, ["event_type", "event_id"]).count() == lasts.count()
     ev.unpersist(); down.unpersist()
+
+
+def test_chunk_windows_cover_every_token_with_stride_overlap(spark):
+    """Chunking contract: chunk 0 starts at token 0; consecutive starts
+    step by CHUNK_STRIDE; the last chunk reaches the final token; every
+    chunk except the last is exactly CHUNK_TOKENS long."""
+    from graph_database_project_spark.operators.textops import (
+        CHUNK_STRIDE, CHUNK_TOKENS, q_text_chunk_windows, _words)
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.size(_words(F.col("text"))).alias("n")).filter("n > 0")
+    ch = q_text_chunk_windows(spark, SF_ORACLE)
+    agg = (ch.groupBy("doc_id").agg(
+        F.min("start_token").alias("first_start"),
+        F.max(F.col("start_token") + F.col("chunk_tokens")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("chunk_tokens") != CHUNK_TOKENS).cast("long")).alias("n_short"))
+        .join(docs, "doc_id"))
+    bad = agg.filter(
+        (F.col("first_start") != 0)
+        | (F.col("covered") != F.col("n"))
+        | (F.col("n_short") > 1)
+        | (F.col("n_chunks") !=
+           F.expr(f"(greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) "
+                  f"div {CHUNK_STRIDE} + 1")))
+    assert bad.isEmpty(), bad.limit(5).collect()

@@ -681,3 +681,11 @@ def test_lttb_single_scan_broadcast_anchors(spark):
     assert n_ops(p, "SortMergeJoin") == 0, p
     import re as _re
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+
+
+def test_chunk_windows_zero_shuffle(spark):
+    # chunking is pure per-row explode+slice: no exchange anywhere
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_text_chunk_windows(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
