@@ -671,6 +671,123 @@ FROM summary
 """
 
 
+def q_cardinality_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP distinct-user estimates via keyed HLL register tables —
+    here daily active users, the form a 100 TB profile actually runs
+    (distinct users per day / domain / shard) — and the proof that the
+    mergeable-state shape
+    survives a group key: state is |groups|×m rows, the build is ONE
+    partial-aggregated shuffle keyed (group, bucket), and per-partition
+    map-side max still collapses each scan task to ≤ |groups|×m partial
+    rows before the exchange. Register sums Σ 1/2^reg are sums of
+    dyadic terms (each exactly representable, magnitudes bounded), so
+    the estimator is bit-exact on both engines regardless of summation
+    order — no float-parity caveat at all.
+
+    Same raw estimator as ``cardinality_hll`` (linear-counting correction
+    omitted for cross-engine determinism, documented there); exact
+    per-group counts ride along as the differential ground truth.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  (F.col("user_id").cast("long") % 2147483648).alias("k")))
+    mixed = (ev
+             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
+             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                                * HLL_MUL1) % 4294967296)
+             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                                * HLL_MUL2) % 4294967296)
+             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    hashed = mixed.select(
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    rank_dim = spark.createDataFrame(
+        [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
+        "lowbit long, rank int")
+    ranked = (hashed.select("day", "bucket",
+                            F.expr("rest & -rest").alias("lowbit"))
+              .join(F.broadcast(rank_dim), "lowbit"))
+    regs = ranked.groupBy("day", "bucket").agg(F.max("rank").alias("reg"))
+    # dense |groups|×m spine so zero-registers count correctly per group;
+    # both relations are groups-bounded → broadcast, never a shuffle join
+    types = ev.select("day").distinct()
+    spine = types.crossJoin(
+        spark.range(HLL_M).select(F.col("id").alias("bucket")))
+    dense = (spine.join(F.broadcast(regs), ["day", "bucket"], "left")
+             .select("day", "bucket",
+                     F.coalesce("reg", F.lit(0)).alias("reg")))
+    summary = dense.groupBy("day").agg(
+        F.sum(F.lit(1.0)
+              / F.expr("cast(shiftleft(cast(1 as bigint), reg) as double)")
+              ).alias("_s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("zero_registers"),
+        F.max("reg").alias("max_register"),
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("k").alias("exact_distinct"))
+    return (summary.join(F.broadcast(exact), "day").select(
+        "day", "exact_distinct",
+        F.round(F.lit(HLL_ALPHA_MM) / F.col("_s"), 4).alias("est_raw"),
+        F.col("zero_registers").cast("long").alias("zero_registers"),
+        F.col("max_register").cast("long").alias("max_register"),
+        F.round((F.lit(HLL_ALPHA_MM) / F.col("_s")
+                 - F.col("exact_distinct")) / F.col("exact_distinct"),
+                4).alias("rel_error"),
+    ).orderBy("day"))
+
+
+Q_CARDINALITY_HLL_GROUPED_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  user_id % 2147483648 AS k
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), mixed AS (
+  SELECT day, xor(h2, h2 >> 16) AS h FROM (
+    SELECT day, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
+      SELECT day, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
+        SELECT day, (k + {HLL_OFFSET}) % 4294967296 AS h0 FROM keys)))
+), hashed AS (
+  SELECT day, h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM mixed
+), rank_dim AS (
+  SELECT CAST(lowbit AS BIGINT) AS lowbit, CAST(rank AS INT) AS rank
+  FROM (VALUES {_HLL_RANK_ROWS}) AS t(lowbit, rank)
+), ranked AS (
+  SELECT h.day, h.bucket, d.rank
+  FROM hashed h JOIN rank_dim d ON d.lowbit = (h.rest & -h.rest)
+), spine AS (
+  SELECT t.day, s.bucket
+  FROM (SELECT DISTINCT day FROM keys) t
+  CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) s
+), regs AS (
+  SELECT sp.day, sp.bucket, COALESCE(max(r.rank), 0) AS reg
+  FROM spine sp
+  LEFT JOIN ranked r ON r.day = sp.day AND r.bucket = sp.bucket
+  GROUP BY sp.day, sp.bucket
+), summary AS (
+  SELECT day,
+         sum(1.0 / CAST(1 << reg AS DOUBLE)) AS s,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zero_registers,
+         max(reg) AS max_register
+  FROM regs GROUP BY day
+), exact AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM keys GROUP BY day
+)
+SELECT s.day, e.exact_distinct,
+       round(CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s, 4) AS est_raw,
+       CAST(s.zero_registers AS BIGINT) AS zero_registers,
+       CAST(s.max_register AS BIGINT) AS max_register,
+       round((CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s - e.exact_distinct)
+             / e.exact_distinct, 4) AS rel_error
+FROM summary s JOIN exact e USING (day)
+ORDER BY s.day
+"""
+
+
 # -- mergeable quantile sketch: fixed-bin histogram -------------------------
 #
 # The fourth mergeable-state primitive (SCALE.md §7b) after moments
@@ -969,6 +1086,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "cardinality_hll": q_cardinality_hll,
+    "cardinality_hll_grouped": q_cardinality_hll_grouped,
     "quantile_sketch_merge": q_quantile_sketch_merge,
     "join_bloom_prune": q_join_bloom_prune,
     "join_size_estimate": q_join_size_estimate,
@@ -980,6 +1098,7 @@ ORACLE = {
     "zorder_layout": Q_ZORDER_SQL,
     "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
+    "cardinality_hll_grouped": Q_CARDINALITY_HLL_GROUPED_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
     "join_bloom_prune": _bloom_sql(),
     "join_size_estimate": Q_JOIN_SIZE_SQL,
