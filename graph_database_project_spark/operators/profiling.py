@@ -671,6 +671,43 @@ FROM summary
 """
 
 
+def hll_registers_grouped(keys: DataFrame, group: str = "day") -> DataFrame:
+    """Keyed HLL build: (group, k) relation → dense |groups|×m register
+    table (group, bucket, reg). Same hash/rank pipeline as the global
+    ``hll_registers``; the spine covers the groups PRESENT in ``keys``
+    (missing groups = absent rows), which is exactly what makes per-slice
+    register tables fold across slices by max(reg) — the streaming day-HLL
+    store relies on that (streaming/sketch.py)."""
+    spark = keys.sparkSession
+    mixed = (keys
+             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
+             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                                * HLL_MUL1) % 4294967296)
+             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                                * HLL_MUL2) % 4294967296)
+             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    hashed = mixed.select(
+        group,
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    rank_dim = spark.createDataFrame(
+        [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
+        "lowbit long, rank int")
+    ranked = (hashed.select(group, "bucket",
+                            F.expr("rest & -rest").alias("lowbit"))
+              .join(F.broadcast(rank_dim), "lowbit"))
+    regs = ranked.groupBy(group, "bucket").agg(F.max("rank").alias("reg"))
+    # dense |groups|×m spine so zero-registers count correctly per group;
+    # both relations are groups-bounded → broadcast, never a shuffle join
+    groups = keys.select(group).distinct()
+    spine = groups.crossJoin(
+        spark.range(HLL_M).select(F.col("id").alias("bucket")))
+    return (spine.join(F.broadcast(regs), [group, "bucket"], "left")
+            .select(group, "bucket",
+                    F.coalesce("reg", F.lit(0)).alias("reg")))
+
+
 def q_cardinality_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP distinct-user estimates via keyed HLL register tables —
     here daily active users, the form a 100 TB profile actually runs
@@ -693,33 +730,7 @@ def q_cardinality_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.date_format(F.date_trunc("day", F.col("ts")),
                                 "yyyy-MM-dd").alias("day"),
                   (F.col("user_id").cast("long") % 2147483648).alias("k")))
-    mixed = (ev
-             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
-             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
-                                * HLL_MUL1) % 4294967296)
-             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
-                                * HLL_MUL2) % 4294967296)
-             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
-    hashed = mixed.select(
-        "day",
-        (F.col("h") % HLL_M).alias("bucket"),
-        F.expr(f"h div {HLL_M}").alias("rest"),
-    )
-    rank_dim = spark.createDataFrame(
-        [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
-        "lowbit long, rank int")
-    ranked = (hashed.select("day", "bucket",
-                            F.expr("rest & -rest").alias("lowbit"))
-              .join(F.broadcast(rank_dim), "lowbit"))
-    regs = ranked.groupBy("day", "bucket").agg(F.max("rank").alias("reg"))
-    # dense |groups|×m spine so zero-registers count correctly per group;
-    # both relations are groups-bounded → broadcast, never a shuffle join
-    types = ev.select("day").distinct()
-    spine = types.crossJoin(
-        spark.range(HLL_M).select(F.col("id").alias("bucket")))
-    dense = (spine.join(F.broadcast(regs), ["day", "bucket"], "left")
-             .select("day", "bucket",
-                     F.coalesce("reg", F.lit(0)).alias("reg")))
+    dense = hll_registers_grouped(ev, group="day")
     summary = dense.groupBy("day").agg(
         F.sum(F.lit(1.0)
               / F.expr("cast(shiftleft(cast(1 as bigint), reg) as double)")

@@ -28,6 +28,11 @@ replay short-circuit and an audit trail, but correctness no longer
 depends on it. Delta dirs accumulate one per microbatch;
 ``compact_sketches`` folds them into a single base delta (same fold
 expression as the read side, atomic swap — see compaction.py).
+
+r06 adds the KEYED form: per-day HLL register deltas (``hll_day``,
+|days-in-batch|×m rows per batch) maintaining streaming daily-active-user
+sketches — the grouped complement of ``cardinality_hll_grouped``, folded
+by per-(day, bucket) max like the global table.
 """
 
 from __future__ import annotations
@@ -36,7 +41,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.profiling import cms_sketch, hll_registers
+from ..operators.profiling import (cms_sketch, hll_registers,
+                                   hll_registers_grouped)
 
 
 def cms_keys(batch_df: DataFrame) -> DataFrame:
@@ -49,6 +55,17 @@ def hll_keys(batch_df: DataFrame) -> DataFrame:
     """HLL key prep (k < 2^31 domain) — mirrors q_cardinality_hll."""
     return (batch_df.filter(F.col("user_id").isNotNull())
             .select((F.col("user_id").cast("long") % 2147483648).alias("k")))
+
+
+def hll_day_keys(batch_df: DataFrame) -> DataFrame:
+    """Keyed-HLL prep (day, k) — mirrors q_cardinality_hll_grouped. A
+    batch's day-HLL delta only covers the days the batch touched; the
+    read-side max fold across deltas completes each day's registers."""
+    return (batch_df.filter(F.col("user_id").isNotNull()
+                            & F.col("ts").isNotNull())
+            .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                  "yyyy-MM-dd").alias("day"),
+                    (F.col("user_id").cast("long") % 2147483648).alias("k")))
 
 
 def _delta_dir(store_path: str, which: str, batch_id: int) -> str:
@@ -67,6 +84,9 @@ def _write_deltas(spark: SparkSession, store_path: str,
         .parquet(_delta_dir(store_path, "cms", batch_id))
     hll_registers(hll_keys(batch_df)).write.mode("overwrite") \
         .parquet(_delta_dir(store_path, "hll", batch_id))
+    hll_registers_grouped(hll_day_keys(batch_df), group="day") \
+        .write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "hll_day", batch_id))
 
 
 def merge_sketches(spark: SparkSession, store_path: str,
@@ -111,6 +131,17 @@ def _fold_hll(deltas: DataFrame) -> DataFrame:
     return deltas.groupBy("bucket").agg(F.max("reg").alias("reg"))
 
 
+def _fold_hll_day(deltas: DataFrame) -> DataFrame:
+    """Keyed-HLL merge algebra: per-(day, bucket) max."""
+    return deltas.groupBy("day", "bucket").agg(F.max("reg").alias("reg"))
+
+
+def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the per-batch keyed-HLL deltas into the current per-day
+    register tables — same max algebra, one more key column."""
+    return _fold_hll_day(spark.read.parquet(os.path.join(store_path, "hll_day")))
+
+
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
     """Fold the per-batch deltas into the current sketches: CMS cells add,
     HLL registers max — the same constant-size merge the batch operators
@@ -130,4 +161,6 @@ def compact_sketches(spark: SparkSession, store_path: str) -> dict:
     return {
         "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
         "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),
+        "hll_day": compact_deltas(spark, os.path.join(store_path, "hll_day"),
+                                  _fold_hll_day),
     }

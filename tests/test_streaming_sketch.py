@@ -45,6 +45,20 @@ def test_stream_sketches_match_batch_replay_semantics(spark, tmp_path):
     assert _cms_rows(cms) == _cms_rows(cms_sketch(cms_keys(all_events)))
     assert _hll_rows(hll) == _hll_rows(hll_registers(hll_keys(all_events)))
 
+    # keyed day-HLL: streaming fold ≡ one-shot grouped build — each
+    # batch's delta covers only its days; the max fold completes them
+    from graph_database_project_spark.operators.profiling import (
+        hll_registers_grouped)
+    from graph_database_project_spark.streaming.sketch import (
+        hll_day_keys, read_day_hll)
+
+    got = sorted((r.day, r.bucket, r.reg)
+                 for r in read_day_hll(spark, store).collect())
+    want = sorted((r.day, r.bucket, r.reg)
+                  for r in hll_registers_grouped(
+                      hll_day_keys(all_events)).collect())
+    assert got == want
+
     # ledger: replaying a committed batch id is refused outright
     replay_id = int(sorted(committed)[0])
     assert merge_sketches(spark, store, all_events, replay_id) is False
@@ -94,6 +108,20 @@ def test_stream_sketches_resume_across_restarts(spark, tmp_path):
     assert _cms_rows(cms) == _cms_rows(cms_sketch(cms_keys(all_events)))
     assert _hll_rows(hll) == _hll_rows(hll_registers(hll_keys(all_events)))
 
+    # keyed day-HLL: streaming fold ≡ one-shot grouped build — each
+    # batch's delta covers only its days; the max fold completes them
+    from graph_database_project_spark.operators.profiling import (
+        hll_registers_grouped)
+    from graph_database_project_spark.streaming.sketch import (
+        hll_day_keys, read_day_hll)
+
+    got = sorted((r.day, r.bucket, r.reg)
+                 for r in read_day_hll(spark, store).collect())
+    want = sorted((r.day, r.bucket, r.reg)
+                  for r in hll_registers_grouped(
+                      hll_day_keys(all_events)).collect())
+    assert got == want
+
 
 def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
     """Both sketch stores compact to a single base delta with every CMS
@@ -113,10 +141,12 @@ def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
 
     stats = compact_sketches(spark, store)
     assert stats["cms"]["deltas_before"] >= 2
-    for which in ("cms", "hll"):
+    for which in ("cms", "hll", "hll_day"):
         dirs = [d for d in os.listdir(os.path.join(store, which))
                 if d.startswith("batch=")]
         assert dirs == ["batch=-1"], (which, dirs)
     cms1, hll1 = read_sketches(spark, store)
     assert sorted(map(tuple, cms1.collect())) == want_cms
     assert sorted(map(tuple, hll1.collect())) == want_hll
+    from graph_database_project_spark.streaming.sketch import read_day_hll
+    assert read_day_hll(spark, store).count() > 0
