@@ -64,6 +64,8 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "semantic_decontaminate", "join_bloom_prune",
                        "join_size_estimate",  # checkpointed key base
                        "embedding_mrl_audit",  # checkpointed winner relation
+                       "ts_lttb_downsample",  # checkpointed bucket anchors
+                       "cardinality_hll_grouped",  # checkpointed registers
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

@@ -86,12 +86,21 @@ function add(cls, node) {
 
 function rowsTable(rows) {
   if (!rows || !rows.length) return null;
+  // DOM construction with textContent — result cells carry corpus text
+  // (XML node content, document bodies); innerHTML would execute any
+  // markup embedded in the data
   const cols = Object.keys(rows[0]);
   const t = document.createElement('table');
-  t.innerHTML = '<tr>' + cols.map(c => '<th>' + c + '</th>').join('') + '</tr>' +
-    rows.slice(0, 10).map(r =>
-      '<tr>' + cols.map(c => '<td>' + String(r[c]) + '</td>').join('') + '</tr>'
-    ).join('');
+  const head = t.insertRow();
+  for (const c of cols) {
+    const th = document.createElement('th');
+    th.textContent = c;
+    head.appendChild(th);
+  }
+  for (const r of rows.slice(0, 10)) {
+    const tr = t.insertRow();
+    for (const c of cols) tr.insertCell().textContent = String(r[c]);
+  }
   return t;
 }
 

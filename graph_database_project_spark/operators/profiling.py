@@ -697,11 +697,16 @@ def hll_registers_grouped(keys: DataFrame, group: str = "day") -> DataFrame:
     ranked = (hashed.select(group, "bucket",
                             F.expr("rest & -rest").alias("lowbit"))
               .join(F.broadcast(rank_dim), "lowbit"))
-    regs = ranked.groupBy(group, "bucket").agg(F.max("rank").alias("reg"))
+    # regs is |groups|×(≤m) rows BY CONSTRUCTION — materialize it once:
+    # it feeds both the spine's group list and the left join, and every
+    # key contributes a register row (rank ≥ 1 always), so groups(regs) ==
+    # groups(keys) — deriving the spine from regs saves a second full pass
+    # over the keys relation (code-review finding, r06)
+    regs = (ranked.groupBy(group, "bucket").agg(F.max("rank").alias("reg"))
+            .localCheckpoint(eager=True))
     # dense |groups|×m spine so zero-registers count correctly per group;
     # both relations are groups-bounded → broadcast, never a shuffle join
-    groups = keys.select(group).distinct()
-    spine = groups.crossJoin(
+    spine = regs.select(group).distinct().crossJoin(
         spark.range(HLL_M).select(F.col("id").alias("bucket")))
     return (spine.join(F.broadcast(regs), [group, "bucket"], "left")
             .select(group, "bucket",
@@ -740,14 +745,18 @@ def q_cardinality_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.groupBy("day").agg(
         F.countDistinct("k").alias("exact_distinct"))
+    # integer outputs per the r06 ppm discipline: _s is an exact dyadic
+    # sum, so ALPHA_MM/_s is bit-identical on both engines and floor() of
+    # it is too — whereas round(x, 4) crosses each engine's decimal-
+    # rounding code (the r05 bloom hash-fail class)
+    est = F.lit(HLL_ALPHA_MM) / F.col("_s")
     return (summary.join(F.broadcast(exact), "day").select(
         "day", "exact_distinct",
-        F.round(F.lit(HLL_ALPHA_MM) / F.col("_s"), 4).alias("est_raw"),
+        F.floor(est * 1000).cast("long").alias("est_milli"),
         F.col("zero_registers").cast("long").alias("zero_registers"),
         F.col("max_register").cast("long").alias("max_register"),
-        F.round((F.lit(HLL_ALPHA_MM) / F.col("_s")
-                 - F.col("exact_distinct")) / F.col("exact_distinct"),
-                4).alias("rel_error"),
+        F.floor((est - F.col("exact_distinct")) / F.col("exact_distinct")
+                * 1000000).cast("long").alias("rel_error_ppm"),
     ).orderBy("day"))
 
 
@@ -789,11 +798,12 @@ WITH keys AS (
   FROM keys GROUP BY day
 )
 SELECT s.day, e.exact_distinct,
-       round(CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s, 4) AS est_raw,
+       CAST(floor(CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s * 1000) AS BIGINT)
+         AS est_milli,
        CAST(s.zero_registers AS BIGINT) AS zero_registers,
        CAST(s.max_register AS BIGINT) AS max_register,
-       round((CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s - e.exact_distinct)
-             / e.exact_distinct, 4) AS rel_error
+       CAST(floor((CAST({HLL_ALPHA_MM!r} AS DOUBLE) / s.s - e.exact_distinct)
+                  / e.exact_distinct * 1000000) AS BIGINT) AS rel_error_ppm
 FROM summary s JOIN exact e USING (day)
 ORDER BY s.day
 """

@@ -453,6 +453,20 @@ GROUP BY event_type, date_trunc('hour', ts)
 LTTB_BUCKET_MS = 6 * 3600 * 1000  # 6-hour buckets ≈ 120 per 30-day series
 
 
+def _lttb_area2(ax, ay, cx, cy, x, y):
+    """Twice the triangle area of (A, P, C) via the cross product
+    |(P−A)×(C−A)| = |(ax−cx)(y−ay) − (ax−x)(cy−ay)|. Kept as a named
+    function with a closed-form unit test (tests/test_lttb.py) because the
+    r06 first draft shipped a sign-flipped second factor — (ay−cy) instead
+    of (cy−ay) — which is NOT an area (it has a stray −2·ax·ay term and
+    picks the wrong point whenever the anchors are not level) and which the
+    parity gate was structurally blind to: the oracle mirrored the same
+    wrong formula. Differential testing proves Spark ≡ DuckDB, never that
+    the formula means what the docstring says — closed-form tests do that."""
+    return F.abs((ax - cx).cast("double") * (y - ay)
+                 - (ax - x).cast("double") * (cy - ay))
+
+
 def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
     each event_type's (ts, value) series — the shape-preserving reduction
@@ -499,9 +513,8 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "left"))
     # middle buckets: max triangle area vs (prev-first, next-first);
     # first bucket (no prev): keep first point; last (no next): last point
-    area2 = F.abs(
-        (F.col("ax") - F.col("cx")).cast("double") * (F.col("value") - F.col("ay"))
-        - (F.col("ax") - F.col("x")).cast("double") * (F.col("ay") - F.col("cy")))
+    area2 = _lttb_area2(F.col("ax"), F.col("ay"), F.col("cx"), F.col("cy"),
+                        F.col("x"), F.col("value"))
     ranked = joined.withColumn(
         "rk",
         F.when(F.col("ax").isNull(),   # first bucket (or only) → earliest point
@@ -564,7 +577,7 @@ WITH pts AS (
              ELSE
                struct_pack(
                  a := abs(CAST(ax - cx AS DOUBLE) * (value - ay)
-                          - CAST(ax - x AS DOUBLE) * (ay - cy)),
+                          - CAST(ax - x AS DOUBLE) * (cy - ay)),
                  t := 0.0, e := CAST(-event_id AS DOUBLE))
            END DESC) AS rn,
          count(*) OVER (PARTITION BY event_type, b) AS n_in_bucket

@@ -261,10 +261,13 @@ def resolve_question(history: list[str]) -> str:
         raise ValueError("empty chat history")
     # The chat page prefixes a turn with "[image attached: name, N bytes]"
     # when the user attaches a file (chat_page.py image branch); the NL
-    # question follows the marker — strip it so attachment turns still
-    # ground ("[image attached: wing.png, ...] and for EUROPE?").
-    cur = re.sub(r"^\s*\[image attached:[^\]]*\]\s*", "", history[-1]) \
-        .strip().rstrip("?")
+    # question follows the marker — strip it from EVERY turn (not just the
+    # last: the backward follow-up scan must see prior marker-prefixed
+    # turns as the follow-ups/anchors they are, or a marker turn earlier
+    # in the transcript derails anchoring for all later follow-ups).
+    history = [re.sub(r"^\s*\[image attached:[^\]]*\]\s*", "", h)
+               for h in history]
+    cur = history[-1].strip().rstrip("?")
     # A question that already grounds on its own ("and how many orders are
     # there per status?") is not a follow-up, however it starts — the
     # referent capture is capped at 4 tokens for the same reason.

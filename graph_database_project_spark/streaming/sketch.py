@@ -138,8 +138,53 @@ def _fold_hll_day(deltas: DataFrame) -> DataFrame:
 
 def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the per-batch keyed-HLL deltas into the current per-day
-    register tables — same max algebra, one more key column."""
-    return _fold_hll_day(spark.read.parquet(os.path.join(store_path, "hll_day")))
+    register tables — same max algebra, one more key column.
+
+    A store populated BEFORE the day-HLL family existed has no
+    ``hll_day/`` dir — and worse, once the stream resumes under the new
+    code it gains day deltas for NEW batches only, silently undercounting
+    every day covered solely by pre-upgrade batches. Refuse both states
+    loudly instead of returning a wrong DAU table; ``backfill_day_hll``
+    repairs them in one batch pass."""
+    from .compaction import BASE_BATCH_ID
+
+    d = os.path.join(store_path, "hll_day")
+    committed = os.path.join(store_path, "_committed")
+    if os.path.isdir(d) and os.path.isdir(committed):
+        have = {e[len("batch="):] for e in os.listdir(d)
+                if e.startswith("batch=")}
+        # a base delta (compaction's -1 or backfill's -2) covers every
+        # batch committed before it was written — only per-batch gaps
+        # with NO base present mean lost days
+        has_base = bool({str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)} & have)
+        missing = [] if has_base else \
+            [b for b in os.listdir(committed) if b not in have]
+        if missing:
+            raise RuntimeError(
+                f"sketch store {store_path!r} has committed batches with no "
+                f"day-HLL delta ({sorted(missing)[:5]}…) — it predates the "
+                "keyed day-HLL family; run backfill_day_hll before reading "
+                "or the per-day counts silently omit those batches")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"no day-HLL deltas under {store_path!r} — the store predates "
+            "the keyed day-HLL family; run backfill_day_hll(spark, "
+            "events_df, store_path) to build them from the full corpus")
+    return _fold_hll_day(spark.read.parquet(d))
+
+
+def backfill_day_hll(spark: SparkSession, events_df: DataFrame,
+                     store_path: str) -> None:
+    """One-shot repair for stores that predate the day-HLL family: build
+    the per-day register tables from the FULL corpus the store has
+    ingested and write them as a ``batch=-2`` base delta (distinct from
+    compaction's -1 so a later compaction folds both). Max-algebra makes
+    overlap with any post-upgrade per-batch deltas harmless."""
+    from .compaction import BASE_BATCH_ID
+
+    hll_registers_grouped(hll_day_keys(events_df), group="day") \
+        .write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "hll_day", BASE_BATCH_ID - 1))
 
 
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
@@ -158,9 +203,13 @@ def compact_sketches(spark: SparkSession, store_path: str) -> dict:
     stream is stopped (single-writer)."""
     from .compaction import compact_deltas
 
-    return {
+    out = {
         "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
         "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),
-        "hll_day": compact_deltas(spark, os.path.join(store_path, "hll_day"),
-                                  _fold_hll_day),
     }
+    day_dir = os.path.join(store_path, "hll_day")
+    if os.path.isdir(day_dir):  # absent on pre-upgrade stores (backfill repairs)
+        out["hll_day"] = compact_deltas(spark, day_dir, _fold_hll_day)
+    else:
+        out["hll_day"] = {"skipped": "no hll_day dir (pre-upgrade store)"}
+    return out

@@ -28,7 +28,6 @@ def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
         .filter(F.col("count") > 1).isEmpty()
 
     # the representative comes from its own bucket (event_id membership)
-    ids = ev.select("event_type", "b", "event_id")
     joined = down.join(
         ev.select("event_type", "event_id", F.col("b").alias("src_b")),
         ["event_type", "event_id"])
@@ -46,6 +45,31 @@ def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
     assert firsts.join(kept, ["event_type", "event_id"]).count() == firsts.count()
     assert lasts.join(kept, ["event_type", "event_id"]).count() == lasts.count()
     ev.unpersist(); down.unpersist()
+
+
+def test_lttb_area_formula_closed_form(spark):
+    """The area metric must BE the triangle area — the r06 first draft
+    shipped |(ax-cx)(y-ay) - (ax-x)(ay-cy)| (second factor sign-flipped),
+    which both engines mirrored, so only a closed-form check catches it.
+    Anchors A=(0,0), C=(2,2): P1=(1,10) has true 2-area 18, P2=(1,-10)
+    has 22 — the selector must prefer P2 (the wrong formula prefers P1)."""
+    from graph_database_project_spark.operators.timeseries import _lttb_area2
+
+    row = (spark.createDataFrame(
+        [(0.0, 0.0, 2.0, 2.0, 1.0, 10.0), (0.0, 0.0, 2.0, 2.0, 1.0, -10.0)],
+        "ax double, ay double, cx double, cy double, x double, y double")
+        .select(_lttb_area2(F.col("ax"), F.col("ay"), F.col("cx"),
+                            F.col("cy"), F.col("x"), F.col("y")).alias("a2"))
+        .collect())
+    assert [r.a2 for r in row] == [18.0, 22.0]
+    # translation invariance in y (the flipped formula breaks this)
+    shifted = (spark.createDataFrame(
+        [(0.0, 5.0, 2.0, 7.0, 1.0, 15.0), (0.0, 5.0, 2.0, 7.0, 1.0, -5.0)],
+        "ax double, ay double, cx double, cy double, x double, y double")
+        .select(_lttb_area2(F.col("ax"), F.col("ay"), F.col("cx"),
+                            F.col("cy"), F.col("x"), F.col("y")).alias("a2"))
+        .collect())
+    assert [r.a2 for r in shifted] == [18.0, 22.0]
 
 
 def test_chunk_windows_cover_every_token_with_stride_overlap(spark):

@@ -260,3 +260,18 @@ def test_search_rule_matches_bm25_operator(spark):
     from graph_database_project_spark.plans.nl2query import rule_based_translate
     with pytest.raises(ValueError):
         rule_based_translate("search documents for 'x; DROP TABLE y'", {})
+
+
+def test_followup_anchors_through_earlier_marker_turn():
+    """An image-marker turn EARLIER in the transcript must not derail
+    later follow-ups: the marker is stripped from every turn, so turn 2
+    is recognized as a follow-up (skipped as an anchor) and turn 3
+    anchors on turn 1 (code-review finding, r06)."""
+    from graph_database_project_spark.plans.nl2query import resolve_question
+
+    got = resolve_question([
+        "total revenue per nation in region 'ASIA'",
+        "[image attached: a.png, 10 bytes] and for EUROPE?",
+        "and for AFRICA?",
+    ])
+    assert got == "total revenue per nation in region 'AFRICA'"

@@ -655,6 +655,8 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "semantic_decontaminate": 0,     # normed vectors checkpointed
         "join_size_estimate": 0,         # key base checkpointed
         "embedding_mrl_audit": 2,        # top1 winners checkpointed; corpus + probe scans remain
+        "ts_lttb_downsample": 1,         # bucket anchors checkpointed
+        "cardinality_hll_grouped": 1,    # registers checkpointed; exact-count scan remains
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

@@ -150,3 +150,49 @@ def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
     assert sorted(map(tuple, hll1.collect())) == want_hll
     from graph_database_project_spark.streaming.sketch import read_day_hll
     assert read_day_hll(spark, store).count() > 0
+
+
+def test_pre_upgrade_store_refused_then_backfilled(spark, tmp_path):
+    """A store created before the day-HLL family must not silently
+    undercount: read_day_hll refuses it loudly (both the missing-dir and
+    the partial-coverage shapes), compact_sketches skips the absent dir
+    instead of crashing, and backfill_day_hll repairs the store to the
+    exact one-shot grouped build (code-review finding, r06)."""
+    import shutil
+
+    import pytest
+
+    from graph_database_project_spark.operators.profiling import (
+        hll_registers_grouped)
+    from graph_database_project_spark.streaming.sketch import (
+        backfill_day_hll, compact_sketches, hll_day_keys, read_day_hll)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(2).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store, schema=ev.schema)
+
+    # simulate a pre-upgrade store: drop the day family entirely
+    shutil.rmtree(os.path.join(store, "hll_day"))
+    with pytest.raises(FileNotFoundError, match="backfill_day_hll"):
+        read_day_hll(spark, store)
+    stats = compact_sketches(spark, store)
+    assert "skipped" in stats["hll_day"]
+
+    # partial coverage (resumed stream wrote SOME day deltas): also refused
+    os.makedirs(os.path.join(store, "hll_day"))
+    one = sorted(os.listdir(os.path.join(store, "_committed")))[0]
+    all_events = spark.read.parquet(events_dir)
+    hll_registers_grouped(hll_day_keys(all_events.limit(50))) \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(store, "hll_day", f"batch={one}"))
+    with pytest.raises(RuntimeError, match="predates"):
+        read_day_hll(spark, store)
+
+    # backfill covers everything; the fold then equals the one-shot build
+    backfill_day_hll(spark, all_events, store)
+    got = sorted(map(tuple, read_day_hll(spark, store).collect()))
+    want = sorted(map(tuple, hll_registers_grouped(
+        hll_day_keys(all_events)).collect()))
+    assert got == want
