@@ -1011,10 +1011,68 @@ FROM sliced
 """
 
 
+def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup over the ``text_chunk_windows``
+    output — the pass an LLM pipeline runs AFTER chunking, because
+    near-identical documents share most chunks while differing enough to
+    survive document-level dedup. Canonical owner of a fingerprint =
+    smallest (doc_id, chunk_idx); per document: chunks produced, chunks
+    owned (canonical here), chunks dropped as duplicates of another
+    doc's canonical, and retention in integer ppm.
+
+    Scale: one shuffle keyed on the md5 fingerprint (min_by canonical —
+    map-side combined), one broadcast-back join onto the chunk relation
+    keyed the same way, one per-doc aggregation. The text itself never
+    shuffles: only (md5, doc_id, chunk_idx) triples cross the wire.
+    """
+    ch = q_text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_md5")
+    canon = ch.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("c"))
+    flagged = (ch.join(canon, "chunk_md5")
+               .withColumn("is_canonical",
+                           (F.col("doc_id") == F.col("c.doc_id"))
+                           & (F.col("chunk_idx") == F.col("c.chunk_idx"))))
+    return (flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_owned"))
+        .select("doc_id", "n_chunks", "n_owned",
+                (F.col("n_chunks") - F.col("n_owned")).alias("n_dropped"),
+                F.expr("(n_owned * 1000000L) div n_chunks").alias("keep_ppm"))
+        .orderBy("doc_id"))
+
+
+Q_DEDUP_CHUNK_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_idx, chunk_md5 FROM ({Q_TEXT_CHUNK_SQL})
+), canon AS (
+  SELECT chunk_md5,
+         min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS c
+  FROM chunks GROUP BY chunk_md5
+), flagged AS (
+  SELECT ch.doc_id,
+         (ch.doc_id = cn.c.doc_id AND ch.chunk_idx = cn.c.chunk_idx)
+           AS is_canonical
+  FROM chunks ch JOIN canon cn USING (chunk_md5)
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+       count(*) - CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS keep_ppm
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
     "text_chunk_windows": q_text_chunk_windows,
+    "dedup_chunk_level": q_dedup_chunk_level,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
@@ -1032,6 +1090,7 @@ QUERIES = {
 
 ORACLE = {
     "text_chunk_windows": Q_TEXT_CHUNK_SQL,
+    "dedup_chunk_level": Q_DEDUP_CHUNK_SQL,
     "text_stats": Q_TEXT_STATS_SQL,
     "text_lang_id": Q_LANG_ID_SQL,
     "text_token_count": Q_TOKEN_COUNT_SQL,
