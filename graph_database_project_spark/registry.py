@@ -68,7 +68,12 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # window_range_frame), text_decontaminate → zorder_layout (n-gram
 # decontamination stays covered by semantic_decontaminate + the local
 # gate). Every evicted key is green r01–r05 and stays in the local
-# parity gate.
+# parity gate. Second r06 batch — two of the round's new operators take
+# slots so their first driver check happens the round they ship:
+# graph_pagerank → graph_modularity (the CC/PR §2.B row stays repped by
+# graph_connected_components; pagerank green r04+r05) and
+# dedup_cluster_canonical → text_chunk_windows (dedup family keeps
+# dedup_exact + dedup_minhash_lsh; cluster_canonical green r02–r05).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
@@ -98,7 +103,7 @@ _DRIVER_WINDOW = [
     # graph traversal / iterative (§2.B 9, 25)
     "graph_khop_seeded",
     "graph_connected_components",
-    "graph_pagerank",
+    "graph_modularity",  # r06 new op: exact-integer Newman Q over the LPA partition
     "graph_shortest_paths",  # r05 rotation: BFS-distance rep, first check
     "graph_label_propagation",  # r05 new op: unrolled-CTE LPA oracle
     # XML ingest + flagship (§2.B 2, 23, 24)
@@ -112,7 +117,7 @@ _DRIVER_WINDOW = [
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_cluster_canonical",  # pairs → components → canonical survivor
+    "text_chunk_windows",  # r06 new op: RAG chunking, first check
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "sim_topk_bruteforce",
     "sim_ivf_topk",
