@@ -39,7 +39,8 @@ def main() -> None:
              "graph_weighted_sssp", "semantic_decontaminate",
              "mutation_scd2_pit_join",
              # r06 additions: scoring + reduction operators
-             "graph_modularity", "ts_lttb_downsample", "embedding_mrl_audit"]
+             "graph_modularity", "ts_lttb_downsample", "embedding_mrl_audit",
+             "cardinality_hll_grouped", "text_chunk_windows", "dedup_chunk_level"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
