@@ -481,7 +481,13 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner is bit-reproducible on both engines (a bucket-average anchor
     would inject order-dependent float summation). First/last buckets
     keep their first/last raw point, matching LTTB's keep-the-endpoints
-    contract. Ties (equal area) break on smallest event_id.
+    contract. Tie-breaks are branch-specific and mirrored exactly by the
+    oracle: interior buckets break equal areas on SMALLEST event_id; the
+    last bucket orders by (x, event_id) DESC, so equal-x ties keep the
+    LARGEST event_id. A bucket whose prev/next neighbor is EMPTY (a gap
+    in the series) has a NULL anchor on that side and degrades to the
+    first/last-bucket endpoint rule for that bucket — anchors never
+    reach across gaps to the nearest non-empty bucket.
 
     Scale: one keyed aggregation for bucket firsts (map-side combined),
     two 1-to-1 equi-joins of the tiny firsts relation back onto the

@@ -61,6 +61,13 @@ def compact_deltas(spark: SparkSession, data_dir: str,
     rows = spark.read.parquet(tmp).count()
 
     os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
+    try:
+        os.rename(tmp, data_dir)
+    except Exception:
+        # mirror write_atomic's recovery (store.py): restore the live
+        # deltas so data_dir never stays absent — otherwise every read
+        # breaks until someone hand-renames .compact-old back
+        os.rename(old, data_dir)
+        raise
     shutil.rmtree(old)
     return {"deltas_before": deltas_before, "deltas_after": 1, "rows": rows}

@@ -136,6 +136,32 @@ def _fold_hll_day(deltas: DataFrame) -> DataFrame:
     return deltas.groupBy("day", "bucket").agg(F.max("reg").alias("reg"))
 
 
+def _day_hll_missing_batches(store_path: str) -> list[str]:
+    """Committed batch ids with no day-HLL delta and no base covering
+    them — the partially-covered state a pre-upgrade store lands in after
+    resuming under day-HLL-aware code (day deltas exist only for
+    post-upgrade batches). Shared by ``read_day_hll`` (refuse to read)
+    and ``compact_sketches`` (refuse to compact: folding a partial
+    ``hll_day`` into a ``batch=-1`` base would MANUFACTURE the base the
+    read-side check trusts, laundering the undercount into a silently
+    accepted store)."""
+    from .compaction import BASE_BATCH_ID
+
+    d = os.path.join(store_path, "hll_day")
+    committed = os.path.join(store_path, "_committed")
+    if not (os.path.isdir(d) and os.path.isdir(committed)):
+        return []
+    have = {e[len("batch="):] for e in os.listdir(d)
+            if e.startswith("batch=")}
+    # a base delta (compaction's -1 or backfill's -2) covers every
+    # batch committed before it was written — only per-batch gaps
+    # with NO base present mean lost days
+    has_base = bool({str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)} & have)
+    if has_base:
+        return []
+    return [b for b in os.listdir(committed) if b not in have]
+
+
 def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the per-batch keyed-HLL deltas into the current per-day
     register tables — same max algebra, one more key column.
@@ -146,25 +172,14 @@ def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
     every day covered solely by pre-upgrade batches. Refuse both states
     loudly instead of returning a wrong DAU table; ``backfill_day_hll``
     repairs them in one batch pass."""
-    from .compaction import BASE_BATCH_ID
-
     d = os.path.join(store_path, "hll_day")
-    committed = os.path.join(store_path, "_committed")
-    if os.path.isdir(d) and os.path.isdir(committed):
-        have = {e[len("batch="):] for e in os.listdir(d)
-                if e.startswith("batch=")}
-        # a base delta (compaction's -1 or backfill's -2) covers every
-        # batch committed before it was written — only per-batch gaps
-        # with NO base present mean lost days
-        has_base = bool({str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)} & have)
-        missing = [] if has_base else \
-            [b for b in os.listdir(committed) if b not in have]
-        if missing:
-            raise RuntimeError(
-                f"sketch store {store_path!r} has committed batches with no "
-                f"day-HLL delta ({sorted(missing)[:5]}…) — it predates the "
-                "keyed day-HLL family; run backfill_day_hll before reading "
-                "or the per-day counts silently omit those batches")
+    missing = _day_hll_missing_batches(store_path)
+    if missing:
+        raise RuntimeError(
+            f"sketch store {store_path!r} has committed batches with no "
+            f"day-HLL delta ({sorted(missing)[:5]}…) — it predates the "
+            "keyed day-HLL family; run backfill_day_hll before reading "
+            "or the per-day counts silently omit those batches")
     if not os.path.isdir(d):
         raise FileNotFoundError(
             f"no day-HLL deltas under {store_path!r} — the store predates "
@@ -203,6 +218,20 @@ def compact_sketches(spark: SparkSession, store_path: str) -> dict:
     stream is stopped (single-writer)."""
     from .compaction import compact_deltas
 
+    # refuse up front (before touching cms/hll, so a refusal leaves the
+    # store untouched): a PARTIALLY-covered hll_day (pre-upgrade store
+    # resumed under new code) must not be folded into a batch=-1 base —
+    # the base would satisfy read_day_hll's coverage check and turn a
+    # loud refusal into a silent per-day undercount of every pre-upgrade
+    # batch
+    missing = _day_hll_missing_batches(store_path)
+    if missing:
+        raise RuntimeError(
+            f"refusing to compact sketches in {store_path!r}: committed "
+            f"batches {sorted(missing)[:5]}… have no day-HLL delta and "
+            "no base covers them — compacting would fold a partial "
+            "hll_day into a base that read_day_hll then trusts; run "
+            "backfill_day_hll first")
     out = {
         "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
         "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),

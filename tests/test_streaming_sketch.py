@@ -190,9 +190,67 @@ def test_pre_upgrade_store_refused_then_backfilled(spark, tmp_path):
     with pytest.raises(RuntimeError, match="predates"):
         read_day_hll(spark, store)
 
+    # compaction must refuse the SAME partial-coverage state — folding it
+    # into a batch=-1 base would manufacture the base read_day_hll's
+    # coverage check trusts, converting the loud refusal above into a
+    # silent per-day undercount (advisor finding, r06) — and must refuse
+    # BEFORE touching cms/hll, leaving the whole store as it was
+    cms_dirs_before = sorted(os.listdir(os.path.join(store, "cms")))
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        compact_sketches(spark, store)
+    assert sorted(os.listdir(os.path.join(store, "cms"))) == cms_dirs_before
+    with pytest.raises(RuntimeError, match="predates"):
+        read_day_hll(spark, store)  # still refused — nothing was laundered
+
     # backfill covers everything; the fold then equals the one-shot build
     backfill_day_hll(spark, all_events, store)
     got = sorted(map(tuple, read_day_hll(spark, store).collect()))
     want = sorted(map(tuple, hll_registers_grouped(
         hll_day_keys(all_events)).collect()))
     assert got == want
+
+    # the backfilled base (-2) satisfies coverage, so compaction proceeds
+    # and the post-compaction fold still equals the one-shot build
+    stats = compact_sketches(spark, store)
+    assert stats["hll_day"]["deltas_after"] == 1
+    got2 = sorted(map(tuple, read_day_hll(spark, store).collect()))
+    assert got2 == want
+
+
+def test_compact_deltas_restores_store_when_swap_fails(spark, tmp_path, monkeypatch):
+    """If the second rename of the swap fails, compact_deltas must restore
+    the live deltas (mirror of GraphStore.write_atomic's rollback) — a
+    crash there used to leave data_dir absent and every read broken until
+    manual repair (advisor finding, r06)."""
+    import pytest
+
+    from graph_database_project_spark.streaming import compaction
+    from graph_database_project_spark.streaming.sketch import _fold_cms
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(2).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store, schema=ev.schema)
+
+    cms_dir = os.path.join(store, "cms")
+    dirs_before = sorted(os.listdir(cms_dir))
+    want_cms = _cms_rows(_fold_cms(spark.read.parquet(cms_dir)))
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        # fail ONLY the second swap rename (tmp -> data_dir); the recovery
+        # rename (old -> data_dir) has src .compact-old and must succeed
+        if dst == cms_dir and src.endswith(".compact-tmp"):
+            raise OSError("injected swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(compaction.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected swap failure"):
+        compaction.compact_deltas(spark, cms_dir, _fold_cms)
+    monkeypatch.undo()
+
+    # the live deltas are back in place and reads still work
+    assert sorted(os.listdir(cms_dir)) == dirs_before
+    assert _cms_rows(_fold_cms(spark.read.parquet(cms_dir))) == want_cms
