@@ -954,6 +954,281 @@ LIMIT {WSSSP_TOP_N}
 """)
 
 
+# -- HyperBall neighborhood function + HITS over a synthetic digraph --------
+# Shared deterministic multi-degree digraph: three affine edge families over
+# the customer id space, family j live on the residue classes c_custkey%3 >=
+# thr, so out-degree varies 1..3 and ball growth differs per node — grouped
+# outputs actually VARY (CLAUDE.md synthetic-corpus discipline).
+_SYNTH_FAMS = ((7, 1, 0), (13, 3, 1), (29, 7, 2))  # (mul, add, min src%3)
+
+
+def _synth_digraph(spark: SparkSession, sf_dir: str):
+    """(vertices, edges, n) for the hyperball/HITS digraph. Edges are
+    DISTINCT (families can collide mod n) so HITS' integer sums count each
+    arc once; HyperBall's max-merge wouldn't care, but one edge relation
+    serves both."""
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    key = F.col("c_custkey").cast("long")
+    fams = [
+        cust.filter(F.col("c_custkey") % 3 >= thr)
+            .select(key.alias("src"),
+                    ((F.col("c_custkey") * mul + add) % n).cast("long").alias("dst"))
+        for mul, add, thr in _SYNTH_FAMS
+    ]
+    edges = (fams[0].union(fams[1]).union(fams[2])
+             .filter(F.col("src") != F.col("dst")).distinct())
+    verts = cust.select(key.alias("node"))
+    return verts, edges, n
+
+
+def _synth_edges_sql() -> str:
+    """DuckDB twin of ``_synth_digraph``'s edge relation (expects an ``nn``
+    CTE with the customer count)."""
+    unions = []
+    for mul, add, thr in _SYNTH_FAMS:
+        where = f" WHERE c_custkey % 3 >= {thr}" if thr else ""
+        unions.append(
+            f"SELECT CAST(c_custkey AS BIGINT) AS src, "
+            f"CAST((c_custkey * {mul} + {add}) % (SELECT n FROM nn) AS BIGINT)"
+            f" AS dst FROM customer{where}")
+    return ("SELECT DISTINCT src, dst FROM ("
+            + " UNION ALL ".join(unions) + ") WHERE src != dst")
+
+
+HB_ROUNDS = 3   # fixed ball radius (no fixpoint probe — fixed-round loop
+#                 discipline, see label_propagation)
+HB_TOP_N = 20
+
+
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node HLL counters of the ball
+    B(v, t) = {u : dist(v, u) ≤ t}, grown by merging each node's counter
+    with its successors' counters every round — the neighborhood-function
+    / centrality estimator actually run on 100 TB-scale graphs, where
+    exact per-node ball sizes are a |V|·|ball| blowup no engine survives.
+
+    Spark shape: state is the SPARSE register relation (node, bucket,
+    reg) — ≤ |V|×m rows, every round is ONE equi-join edges⋈state plus a
+    (node, bucket)-keyed max aggregation (map-side combined; HLL merge is
+    max algebra, so replays/duplicate edges are absorbed). Edges and each
+    round's state are ``localCheckpoint(eager=True)``'d per the iterative-
+    loop discipline; no fixpoint probe (fixed radius). The per-round
+    estimate Σ 1/2^reg is computed WITHOUT densifying: the m−nnz absent
+    buckets contribute exactly 1.0 each, so s = (m − count) + Σ_sparse.
+
+    Bit-exactness (same argument as ``cardinality_hll``): the register
+    build is integer arithmetic, the harmonic sum is a sum of dyadic
+    rationals (order-independent), α·m²/s is one IEEE divide and the
+    milli-scaling one multiply — both engines agree to the last bit, so
+    the oracle (same rounds unrolled as chained CTEs) value-checks
+    floor-milli estimates with no float tolerance.
+
+    Reference parity: the reference's Neo4j engine exposes no centrality
+    op (first-graph.py delegates querying to Cypher k-hop); this is part
+    of the beyond-reference large-graph analytics battery
+    (SURVEY.md §2 extension rows).
+    """
+    from .profiling import (HLL_ALPHA_MM, HLL_M, HLL_MUL1, HLL_MUL2,
+                            HLL_OFFSET, HLL_W)
+
+    verts, edges, _ = _synth_digraph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+
+    # singleton register per node: the HLL of {node} under the shared
+    # avalanche mix (profiling.py constants — same hash both engines)
+    mixed = (verts
+             .withColumn("h0", (F.col("node") % 2147483648 + HLL_OFFSET)
+                         % 4294967296)
+             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                                * HLL_MUL1) % 4294967296)
+             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                                * HLL_MUL2) % 4294967296)
+             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    rank_dim = spark.createDataFrame(
+        [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
+        "lowbit long, rank int")
+    state = (mixed
+             .select("node", (F.col("h") % HLL_M).alias("bucket"),
+                     F.expr(f"(h div {HLL_M}) & -(h div {HLL_M})").alias("lowbit"))
+             .join(F.broadcast(rank_dim), "lowbit")
+             .select("node", "bucket", F.col("rank").alias("reg"))
+             .localCheckpoint(eager=True))
+
+    harmonic = ((F.lit(HLL_M) - F.count(F.lit(1)))
+                + F.sum(F.lit(1.0) / F.expr(
+                    "cast(shiftleft(cast(1 as bigint), reg) as double)")))
+    ests = []
+    for t in range(1, HB_ROUNDS + 1):
+        prop = (edges.join(state, state["node"] == edges["dst"])
+                .select(edges["src"].alias("node"), state["bucket"],
+                        state["reg"]))
+        state = (state.unionByName(prop).groupBy("node", "bucket")
+                 .agg(F.max("reg").alias("reg"))
+                 .localCheckpoint(eager=True))
+        # zero_regs rides the final round: balls here are small relative
+        # to m, i.e. the raw estimator's linear-counting regime — the
+        # EXACT integer V = m − nnz is what the standard correction
+        # m·ln(m/V) consumes downstream (ln itself is libm, not
+        # cross-engine-stable, so the correction stays out of the oracle-
+        # checked output; tests/test_traverse.py applies it Python-side
+        # and checks accuracy against exact ball sizes)
+        cols = ["node",
+                F.floor(F.lit(HLL_ALPHA_MM) / F.col("_s") * 1000)
+                .cast("long").alias(f"est{t}_milli")]
+        if t == HB_ROUNDS:
+            cols.append((F.lit(HLL_M) - F.col("_nnz")).cast("long")
+                        .alias("zero_regs"))
+        ests.append(state.groupBy("node")
+                    .agg(harmonic.alias("_s"),
+                         F.count(F.lit(1)).alias("_nnz"))
+                    .select(*cols))
+    out = ests[0]
+    for e in ests[1:]:
+        out = out.join(e, "node")
+    return (out.orderBy(F.col(f"est{HB_ROUNDS}_milli").desc(), "node")
+            .limit(HB_TOP_N))
+
+
+def _hyperball_oracle_sql(n_rounds: int = HB_ROUNDS) -> str:
+    """DuckDB twin of ``q_graph_hyperball``: singleton registers through
+    the identical avalanche mix, ``n_rounds`` max-merge rounds unrolled
+    as chained MATERIALIZED CTEs (each s{i} is referenced twice — carry +
+    propagate — so default inlining would double the tree per round)."""
+    from .profiling import (_HLL_RANK_ROWS, HLL_ALPHA_MM, HLL_M, HLL_MUL1,
+                            HLL_MUL2, HLL_OFFSET)
+
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED ({_synth_edges_sql()}),
+rank_dim AS (
+  SELECT CAST(lowbit AS BIGINT) AS lowbit, CAST(rank AS INT) AS rank
+  FROM (VALUES {_HLL_RANK_ROWS}) AS t(lowbit, rank)
+),
+s0 AS MATERIALIZED (
+  SELECT hb.node, hb.h % {HLL_M} AS bucket, d.rank AS reg
+  FROM (
+    SELECT node, xor(h2, h2 >> 16) AS h FROM (
+      SELECT node, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
+        SELECT node, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
+          SELECT node, (node % 2147483648 + {HLL_OFFSET}) % 4294967296 AS h0
+          FROM (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer))))
+  ) hb
+  JOIN rank_dim d ON d.lowbit = ((hb.h // {HLL_M}) & -(hb.h // {HLL_M}))
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT node, bucket, max(reg) AS reg FROM (
+    SELECT node, bucket, reg FROM s{i - 1}
+    UNION ALL
+    SELECT e.src AS node, s.bucket, s.reg
+    FROM e JOIN s{i - 1} s ON s.node = e.dst
+  ) GROUP BY node, bucket
+),
+est{i} AS MATERIALIZED (
+  SELECT node,
+         ({HLL_M} - count(*)) + sum(1.0 / CAST(1 << reg AS DOUBLE)) AS s,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zero_regs
+  FROM s{i} GROUP BY node
+)""")
+    est_cols = ",\n       ".join(
+        f"CAST(floor(CAST({HLL_ALPHA_MM!r} AS DOUBLE) / e{i}.s * 1000) "
+        f"AS BIGINT) AS est{i}_milli" for i in range(1, n_rounds + 1))
+    est_cols += f",\n       e{n_rounds}.zero_regs AS zero_regs"
+    joins = "".join(f" JOIN est{i} e{i} ON e{i}.node = e1.node"
+                    for i in range(2, n_rounds + 1))
+    return (
+        "".join(parts)
+        + f"""
+SELECT e1.node,
+       {est_cols}
+FROM est1 e1{joins}
+ORDER BY est{n_rounds}_milli DESC, e1.node
+LIMIT {HB_TOP_N}
+""")
+
+
+HITS_ROUNDS = 3  # fixed rounds, UNNORMALIZED: every score stays an exact
+#                  BIGINT (sums of integers), so cross-engine parity has no
+#                  float caveat at all; magnitudes are bounded by deg^(2T)
+HITS_TOP_N = 20
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the synthetic digraph,
+    ``HITS_ROUNDS`` fixed mutual-reinforcement rounds: h(v) = Σ a(u) over
+    out-edges, then a(v) = Σ h(u) over in-edges. Deliberately
+    UNNORMALIZED: with a(0) = 1 every subsequent score is an integer, so
+    the unrolled DuckDB oracle value-checks exact BIGINTs — the
+    normalization a production ranker applies is a monotone per-vector
+    scale that never changes the ranking this query outputs.
+
+    Scale: each half-round is one equi-join edges⋈scores plus a keyed sum
+    (map-side combined) and a broadcast-spine left join for zero-degree
+    nodes; state is |V| rows. Same loop discipline as PageRank
+    (materialized edges, checkpoint per round, fixed rounds, no probe).
+    """
+    verts, edges, _ = _synth_digraph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    verts = verts.localCheckpoint(eager=True)
+    a = verts.select("node", F.lit(1).cast("long").alias("a"))
+    h = None
+    for _ in range(HITS_ROUNDS):
+        hsum = (edges.join(a, a["node"] == edges["dst"])
+                .groupBy(edges["src"]).agg(F.sum("a").alias("hs"))
+                .withColumnRenamed("src", "node"))
+        h = (verts.join(hsum, "node", "left")
+             .select("node",
+                     F.coalesce("hs", F.lit(0)).cast("long").alias("h"))
+             .localCheckpoint(eager=True))
+        asum = (edges.join(h, h["node"] == edges["src"])
+                .groupBy(edges["dst"]).agg(F.sum("h").alias("as_"))
+                .withColumnRenamed("dst", "node"))
+        a = (verts.join(asum, "node", "left")
+             .select("node",
+                     F.coalesce("as_", F.lit(0)).cast("long").alias("a"))
+             .localCheckpoint(eager=True))
+    return (h.join(a, "node")
+            .select("node", F.col("h").alias("hub_score"),
+                    F.col("a").alias("auth_score"))
+            .orderBy(F.col("auth_score").desc(), "node").limit(HITS_TOP_N))
+
+
+def _hits_oracle_sql(n_rounds: int = HITS_ROUNDS) -> str:
+    """DuckDB twin: the fixed rounds unrolled. Every aggregate is CAST
+    back to BIGINT (DuckDB BIGINT sums widen to HUGEINT, which pandas
+    reads as float64 — the canonicalizer trap in CLAUDE.md)."""
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED ({_synth_edges_sql()}),
+verts AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+a0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS a FROM verts)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+h{i} AS MATERIALIZED (
+  SELECT v.node, CAST(COALESCE(s.hs, 0) AS BIGINT) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS node, sum(a.a) AS hs
+    FROM e JOIN a{i - 1} a ON a.node = e.dst GROUP BY e.src
+  ) s ON s.node = v.node
+),
+a{i} AS MATERIALIZED (
+  SELECT v.node, CAST(COALESCE(s.as_, 0) AS BIGINT) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS node, sum(h.h) AS as_
+    FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst
+  ) s ON s.node = v.node
+)""")
+    return ("".join(parts) + f"""
+SELECT h{n_rounds}.node, h{n_rounds}.h AS hub_score,
+       a{n_rounds}.a AS auth_score
+FROM h{n_rounds} JOIN a{n_rounds} ON a{n_rounds}.node = h{n_rounds}.node
+ORDER BY auth_score DESC, h{n_rounds}.node
+LIMIT {HITS_TOP_N}
+""")
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -968,6 +1243,8 @@ QUERIES = {
     "graph_weighted_sssp": q_weighted_sssp,
     "graph_link_prediction": q_link_prediction,
     "graph_degree_histogram": q_degree_histogram,
+    "graph_hyperball": q_graph_hyperball,
+    "graph_hits": q_graph_hits,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
 
@@ -985,5 +1262,7 @@ ORACLE = {
     "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,
     "graph_degree_histogram": Q_DEGREE_HISTOGRAM_SQL,
+    "graph_hyperball": _hyperball_oracle_sql(),  # HLL ball-merge rounds unrolled
+    "graph_hits": _hits_oracle_sql(),  # exact-integer mutual reinforcement
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

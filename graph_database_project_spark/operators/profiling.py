@@ -935,6 +935,111 @@ ORDER BY q
 """
 
 
+QHG_QS = (0.5, 0.9)   # per-group quantiles (fewer than the global op —
+#                       |days|×|qs| output rows)
+
+
+def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY histogram-sketch quantiles over ``events.value`` — the
+    keyed form of ``quantile_sketch_merge``, completing the grouped-
+    mergeable-sketch family alongside ``cardinality_hll_grouped`` (daily
+    p50/p90 of a metric is the profile a 100 TB pipeline actually stores
+    per partition).
+
+    Bin edges are GLOBAL (one 1-row broadcast bounds pass), deliberately
+    shared across groups: identical edges are what make per-day
+    histograms mergeable ACROSS days (week rollup = cell-wise sum of day
+    histograms; proven in tests/test_sketch.py) — per-day edges would
+    trade that for marginally tighter bins and lose the rollup algebra.
+
+    Scale: ONE events scan feeds the (day, bin) counts (map-side combine
+    collapses each task to ≤ |days|×B partial rows before the single
+    keyed shuffle); per-day n comes from the B-row histograms, never a
+    second scan; cumulative walk + interpolation run on |days|×B rows
+    (windows over ≤ B rows per partition key; scoring joins broadcast).
+    Raw values never sort and never cross a corpus-sized shuffle — group
+    key or not.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("value").alias("v")))
+    bounds = ev.agg(F.min("v").alias("lo"), F.max("v").alias("hi")) \
+        .localCheckpoint(eager=True)
+    width = (F.col("hi") - F.col("lo")) / QH_BINS
+    # |days|×B relation, referenced three times (cum walk, per-day n,
+    # scoring join) — checkpoint so the events scan runs exactly once
+    hist = (ev.crossJoin(F.broadcast(bounds))
+            .select("day",
+                    F.least(F.floor((F.col("v") - F.col("lo")) / width),
+                            F.lit(QH_BINS - 1)).cast("int").alias("bin"))
+            .groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True))
+    from pyspark.sql.window import Window as W
+    cum = (hist.withColumn("cum", F.sum("c").over(
+        W.partitionBy("day").orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(F.col("day").alias("cday"), "bin", "c", "cum"))
+    nd = hist.groupBy("day").agg(F.sum("c").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in QHG_QS], "q double")
+    est = (qs.crossJoin(F.broadcast(nd))
+           .join(F.broadcast(cum),
+                 (F.col("cday") == F.col("day"))
+                 & (F.col("cum") >= F.col("q") * F.col("n")))
+           .groupBy("day", "q", "n")
+           .agg(F.min("bin").alias("qbin"),
+                F.min_by(F.struct("c", "cum"), "bin").alias("bc"))
+           .crossJoin(F.broadcast(bounds)))
+    w = (F.col("hi") - F.col("lo")) / QH_BINS
+    est_value = (F.col("lo") + w * (
+        F.col("qbin")
+        + (F.col("q") * F.col("n") - (F.col("bc.cum") - F.col("bc.c")))
+        / F.col("bc.c")))
+    return est.select(
+        "day", "q",
+        F.col("qbin").cast("long").alias("qbin"),
+        F.round(est_value, 4).alias("est_value"),
+        F.col("n").alias("n_day"),
+    ).orderBy("day", "q")
+
+
+Q_QUANTILE_SKETCH_GROUPED_SQL = f"""
+WITH vals AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM vals
+), hist AS MATERIALIZED (
+  SELECT day, CAST(least(floor((v - lo) / ((hi - lo) / {QH_BINS})),
+                         {QH_BINS - 1}) AS INT) AS bin, count(*) AS c
+  FROM vals CROSS JOIN bounds GROUP BY 1, 2
+), cum AS (
+  SELECT day AS cday, bin, c,
+         sum(c) OVER (PARTITION BY day ORDER BY bin) AS cum
+  FROM hist
+), nd AS (
+  SELECT day, sum(c) AS n FROM hist GROUP BY day
+), qs AS (
+  SELECT unnest([{", ".join(str(q) for q in QHG_QS)}]) AS q
+), qbin AS (
+  SELECT day, q, min(bin) AS qbin, any_value(n) AS n
+  FROM qs CROSS JOIN nd JOIN cum ON cday = day AND cum >= q * n
+  GROUP BY day, q
+)
+SELECT qb.day, qb.q,
+       CAST(qb.qbin AS BIGINT) AS qbin,
+       round(b.lo + (b.hi - b.lo) / {QH_BINS}
+             * (qb.qbin + (qb.q * qb.n - (cm.cum - cm.c)) / cm.c), 4)
+         AS est_value,
+       CAST(qb.n AS BIGINT) AS n_day
+FROM qbin qb
+JOIN cum cm ON cm.cday = qb.day AND cm.bin = qb.qbin
+CROSS JOIN bounds b
+ORDER BY day, q
+"""
+
+
 # --- Bloom-filter runtime join pruning --------------------------------------
 # The runtime-filter / semi-join-reduction pattern: build a fixed-size bloom
 # filter from the FILTERED dim-key set, broadcast it, and gate fact rows
@@ -1109,6 +1214,7 @@ QUERIES = {
     "cardinality_hll": q_cardinality_hll,
     "cardinality_hll_grouped": q_cardinality_hll_grouped,
     "quantile_sketch_merge": q_quantile_sketch_merge,
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "join_bloom_prune": q_join_bloom_prune,
     "join_size_estimate": q_join_size_estimate,
 }
@@ -1121,6 +1227,7 @@ ORACLE = {
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
     "cardinality_hll_grouped": Q_CARDINALITY_HLL_GROUPED_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
+    "quantile_sketch_grouped": Q_QUANTILE_SKETCH_GROUPED_SQL,
     "join_bloom_prune": _bloom_sql(),
     "join_size_estimate": Q_JOIN_SIZE_SQL,
 }

@@ -74,23 +74,33 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # graph_connected_components; pagerank green r04+r05) and
 # dedup_cluster_canonical → text_chunk_windows (dedup family keeps
 # dedup_exact + dedup_minhash_lsh; cluster_canonical green r02–r05).
+# r07 batch (17 swaps, every eviction ≥2x driver-green and still in the
+# local bit-exact gate): fourteen never-checked keys rotate in
+# (q19_or_of_ands, q22_idle_customers, join_interval_overlap,
+# profile_columns, sample_stratified, mutation_table_diff, dedup_simhash,
+# embedding_quantize_int8, text_quality_gopher, multimodal_video_frames,
+# nl2query_demo, stream_sliding_window, xml_title_hierarchy,
+# funnel_conversion) plus the round's three new operators
+# (graph_hyperball, graph_hits, quantile_sketch_grouped) so their first
+# driver check happens the round they ship. Every family keeps ≥1 window
+# rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
-    "q03_shipping_priority",
+    "q19_or_of_ands",  # r07: OR-of-ANDs pushdown rep (q03 out, 6x green)
     "mutation_scd2_pit_join",  # r06: SCD2 point-in-time join, first check
     "join_size_estimate",  # r06: CMS inner-product join-size audit, first check
-    "q04_priority_exists",  # semi-join via EXISTS — also the tpch_ext family row
+    "q22_idle_customers",  # r07: NOT-EXISTS + scalar-subquery rep (q04 out, 6x green)
     # events-table operators (all driver-err in r01 — nanosAsLong fix)
     "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
-    "join_range_follow",
+    "join_interval_overlap",  # r07: interval-overlap rep (range_follow out, 5x green)
     "text_bm25_search",  # r05 new op: Okapi ranked retrieval (sessionize out)
     "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
     "join_bloom_prune",  # r05 new op: runtime-filter audit (dq_audit out)
-    "quantile_sketch_merge",  # r05 new op: mergeable histogram quantiles
+    "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles (merge out, 2x green)
     "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
     "json_funcs",
-    "catalog_stats",
+    "profile_columns",  # r07: per-column profiler (catalog_stats out, 5x green)
     # LLM-pipeline text/multimodal/curation reps (r06 debt-burn block)
     "text_span_dedup",  # r06: inverted-index span dedup, first check
     "text_cooccur_pmi",  # r06: pair fan-out PMI, first check
@@ -98,45 +108,45 @@ _DRIVER_WINDOW = [
     "semantic_decontaminate",  # r05 new op: embedding eval-leakage audit
     #                            (curation family; pack_sequences rotates out)
     "graph_kcore",  # r06: iterative peel loop, first check
-    "setop_ops",
-    "scalar_funcs",
+    "sample_stratified",  # r07: per-stratum sampling, first check (setop_ops out, 5x)
+    "graph_hyperball",  # r07 new op: HLL ball-merge centrality (scalar_funcs out, 5x)
     # graph traversal / iterative (§2.B 9, 25)
     "graph_khop_seeded",
     "graph_connected_components",
     "graph_modularity",  # r06 new op: exact-integer Newman Q over the LPA partition
-    "graph_shortest_paths",  # r05 rotation: BFS-distance rep, first check
+    "graph_hits",  # r07 new op: exact-integer hubs/authorities (shortest_paths out, 2x green)
     "graph_label_propagation",  # r05 new op: unrolled-CTE LPA oracle
     # XML ingest + flagship (§2.B 2, 23, 24)
     "xml_label_counts",
     "xml_khop_flagship",
-    "xml_subtree_content",  # r05: newly oracle-promoted (md5'd prose)
+    "xml_title_hierarchy",  # r07: title containment paths (subtree_content out, 2x green)
     # mutation (§2.B 20-22)
     "mutation_merge_upsert",
-    "mutation_delete_cascade",
+    "mutation_table_diff",  # r07: CDC snapshot diff (delete_cascade out, 5x green)
     "mutation_scd2_build",  # r05 rotation: SCD2 rep in, property_set out
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
-    "dedup_exact",
+    "dedup_simhash",  # r07: hamming-band near-dup (dedup_exact out, 5x green)
     "dedup_minhash_lsh",
     "text_chunk_windows",  # r06 new op: RAG chunking, first check
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
-    "sim_topk_bruteforce",
+    "embedding_quantize_int8",  # r07: int8 quant audit (sim_topk out, 5x green)
     "sim_ivf_topk",
     "sim_ivfpq_topk",  # r05 new op: PQ codes + ADC, fully value-checked
     "udf_embedding_norm",
     "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
     # text analysis (§2.B 32 + LLM-pipeline rows)
-    "text_stats",
+    "text_quality_gopher",  # r07: Gopher quality gates (text_stats out, 5x green)
     "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
     "zorder_layout",  # r06: interleaved-bit clustering audit, first check
     # time-series hypertable ops
     "graph_weighted_sssp",  # r05 new op: Bellman-Ford (multires rotates out)
     "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
-    "multimodal_image_decode",  # REAL PPM codec, value-oracled
+    "multimodal_video_frames",  # r07: Y4M frame extraction (image_decode out, 5x green)
     "stream_tumbling_hourly",
-    "stream_session_window",  # r05 rotation: stateful session rep, first check
-    "pipeline_training_data",
-    "nl2query_followup",  # multi-turn chat; single-turn demo sits just past the window
+    "stream_sliding_window",  # r07: overlapping windows (session_window out, 2x green)
+    "funnel_conversion",  # r07: ordered-step funnel (training_data out, 5x green)
+    "nl2query_demo",  # r07: single-turn NL->query (followup out, 5x green)
 ]
 
 

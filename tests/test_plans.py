@@ -657,6 +657,9 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "embedding_mrl_audit": 2,        # top1 winners checkpointed; corpus + probe scans remain
         "ts_lttb_downsample": 1,         # bucket anchors checkpointed
         "cardinality_hll_grouped": 1,    # registers checkpointed; exact-count scan remains
+        "graph_hyperball": 0,            # edges + per-round registers checkpointed
+        "graph_hits": 0,                 # edges/verts + per-round scores checkpointed
+        "quantile_sketch_grouped": 0,    # bounds + (day, bin) hist checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

@@ -153,3 +153,47 @@ def test_bloom_prune_contract(spark):
     fp_bound = (row["bits_set"] / BLOOM_M) ** BLOOM_K
     assert row["fp_rate_ppm"] / 1e6 <= 3 * fp_bound
     assert row["prune_ppm"] / 1e6 > 0.5
+
+
+# --- grouped histogram-sketch quantiles --------------------------------------
+
+def test_quantile_sketch_grouped_accuracy_and_mergeability(spark):
+    """Two semantic contracts the oracle can't see:
+    (a) per-day estimates track the exact per-day percentile within 2
+        bin widths (interpolation can miss by at most a bin either side);
+    (b) global bin edges make day histograms mergeable — the cell-wise
+        sum of per-day (bin, c) counts equals the global histogram the
+        ungrouped sketch builds, which is the whole point of sharing
+        edges across groups (week/corpus rollups by addition)."""
+    from graph_database_project_spark.operators.profiling import (
+        QH_BINS, QHG_QS, q_quantile_sketch_grouped)
+
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("value").alias("v")))
+    lo, hi = ev.agg(F.min("v"), F.max("v")).first()
+    w = (hi - lo) / QH_BINS
+    exact = {(r.day, q): r[f"p{int(q * 100)}"]
+             for r in ev.groupBy("day").agg(
+                 *[F.expr(f"percentile(v, {q})").alias(f"p{int(q * 100)}")
+                   for q in QHG_QS]).collect()
+             for q in QHG_QS}
+    rows = q_quantile_sketch_grouped(spark, SF_ORACLE).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r.est_value - exact[(r.day, r.q)]) <= 2 * w, (
+            r, exact[(r.day, r.q)], w)
+
+    # (b) merge-by-addition: day histograms sum to the global histogram
+    binned = ev.select(
+        F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(w)),
+                F.lit(QH_BINS - 1)).cast("int").alias("bin"),
+        "day")
+    day_hist = binned.groupBy("day", "bin").count()
+    merged = {r.bin: r.c for r in day_hist.groupBy("bin")
+              .agg(F.sum("count").alias("c")).collect()}
+    direct = {r.bin: r.c for r in binned.groupBy("bin")
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert merged == direct
