@@ -94,6 +94,10 @@ EXTENDED = [
     "ts_lttb_downsample",       # r06: triangle-area plot downsampling
     "embedding_mrl_audit",      # r06: prefix-dim retrieval agreement
     "graph_modularity",         # r06: LPA loop + exact-integer scoring
+    "graph_hyperball",          # r07: HLL ball-merge centrality loop
+    "graph_hits",               # r07: integer mutual-reinforcement loop
+    "quantile_sketch_grouped",  # r07: keyed mergeable histogram quantiles
+    "theta_sketch_setops",      # r07: KMV set-operation sketch (2-phase K-min)
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -1040,6 +1040,164 @@ ORDER BY day, q
 """
 
 
+# --- KMV / theta sketch: distinct sketches that support SET OPERATIONS ------
+# HLL registers merge by max (union only); a KMV ("k minimum values" /
+# theta) sketch — the K smallest distinct hash values of a set — supports
+# INTERSECTION and arbitrary set expressions: keep each set's K-min sample,
+# cut both at theta = min(theta_A, theta_B), and the common survivors form a
+# uniform sample of A∩B at rate theta/M. That's the audience-overlap
+# estimate (users in both cohorts, docs in both snapshots) a 100 TB profile
+# cannot compute exactly and an HLL structurally cannot answer.
+# All arithmetic is INTEGER: hashes are the shared avalanche mix, the K-th
+# minimum is an exact order statistic, and the estimators are BIGINT
+# floor-divisions ((K-1)·M·1000 // h_(K)) — no float anywhere, so
+# cross-engine parity is unconditional.
+KMV_K = 256            # sketch size; relative error ~ 1/sqrt(K-1) ≈ 6.3 %
+KMV_M = 4294967296     # hash space (the mix is 32-bit)
+_KMV_SALTS = 64        # phase-1 salt buckets for the distributed K-min
+_KMV_EST_NUM = (KMV_K - 1) * KMV_M * 1000   # (K-1)·M·1000 ≈ 1.1e15 < 2^63
+
+
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketches over two order cohorts — A = urgent/high
+    priority, B = high-value (> 150k) — estimating |A|, |B|, |A∩B| and
+    |A∪B| next to their exact counts.
+
+    Distributed K-min is TWO bounded windows, not one global sort: phase
+    1 ranks within (set, h % {salts}) salt buckets and keeps K per bucket
+    (balanced partitions, any global top-K necessarily survives its
+    bucket's top-K), phase 2 ranks the ≤ sets×salts×K survivors — a
+    relation bounded by CONFIG, not by data — to the final K. Survivors
+    are checkpointed once; every sketch output (thresholds, intersection
+    count, union sketch) derives from that ≤ 32k-row state, so the final
+    plan touches parquet only for the exact-count ground truth (plan
+    bound: 1 scan).
+
+    Estimators (all BIGINT): est(S) = (K−1)·M·1000 // h_(K);
+    est(A∩B) = |{h ∈ sk_A ∩ sk_B : h < θ}|·M·1000 // θ with
+    θ = min(h_(K)^A, h_(K)^B); union via the K smallest of the merged
+    samples. Accuracy band (~1/√(K−1)) asserted in tests/test_sketch.py.
+    """
+    from pyspark.sql.window import Window as W
+
+    ords = load_table(spark, sf_dir, "orders")
+    base = ords.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("in_a"),
+        (F.col("o_totalprice") > 150000.0).alias("in_b"))
+    mixed = (base
+             .withColumn("h0", (F.col("k") % 2147483648 + HLL_OFFSET)
+                         % 4294967296)
+             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                                * HLL_MUL1) % 4294967296)
+             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                                * HLL_MUL2) % 4294967296)
+             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    tagged = (mixed
+              .select("h", F.explode(F.array(
+                  F.when(F.col("in_a"), F.lit("a")),
+                  F.when(F.col("in_b"), F.lit("b")))).alias("s"))
+              .filter(F.col("s").isNotNull())
+              .select("s", "h").distinct())
+    w1 = W.partitionBy("s", F.col("h") % _KMV_SALTS).orderBy("h")
+    surv = (tagged.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= KMV_K).drop("rn")
+            .localCheckpoint(eager=True))
+    w2 = W.partitionBy("s").orderBy("h")
+    sk = (surv.withColumn("rn", F.row_number().over(w2))
+          .filter(F.col("rn") <= KMV_K).drop("rn"))
+    ska, skb = sk.filter(F.col("s") == "a"), sk.filter(F.col("s") == "b")
+    tha = ska.agg(F.max("h").alias("tha"))
+    thb = skb.agg(F.max("h").alias("thb"))
+    theta = (tha.crossJoin(F.broadcast(thb))
+             .select("tha", "thb", F.least("tha", "thb").alias("theta")))
+    common = (ska.select("h").join(skb.select("h"), "h")
+              .crossJoin(F.broadcast(theta.select("theta")))
+              .filter(F.col("h") < F.col("theta"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sku = (ska.select("h").union(skb.select("h")).distinct()
+           .withColumn("rn", F.row_number().over(W.orderBy("h")))
+           .filter(F.col("rn") <= KMV_K))
+    thu = sku.agg(F.max("h").alias("thu"))
+    exact = base.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("exact_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).alias("exact_b"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .alias("exact_inter"),
+        F.sum(F.when(F.col("in_a") | F.col("in_b"), 1).otherwise(0))
+        .alias("exact_union"))
+    return (exact
+            .crossJoin(F.broadcast(theta))
+            .crossJoin(F.broadcast(common))
+            .crossJoin(F.broadcast(thu))
+            .select(
+                F.col("exact_a").cast("long").alias("exact_a"),
+                F.col("exact_b").cast("long").alias("exact_b"),
+                F.col("exact_inter").cast("long").alias("exact_inter"),
+                F.col("exact_union").cast("long").alias("exact_union"),
+                F.expr(f"{_KMV_EST_NUM} div tha").alias("est_a_milli"),
+                F.expr(f"{_KMV_EST_NUM} div thb").alias("est_b_milli"),
+                F.expr(f"cast(n_common * {KMV_M} as bigint) * 1000 div theta")
+                .alias("est_inter_milli"),
+                F.expr(f"{_KMV_EST_NUM} div thu").alias("est_union_milli"),
+                F.col("theta").cast("long").alias("theta_hash")))
+
+
+Q_THETA_SKETCH_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS in_a,
+         o_totalprice > 150000.0 AS in_b
+  FROM orders
+), mixed AS (
+  SELECT in_a, in_b, xor(h2, h2 >> 16) AS h FROM (
+    SELECT in_a, in_b, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
+      SELECT in_a, in_b, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
+        SELECT in_a, in_b, (k % 2147483648 + {HLL_OFFSET}) % 4294967296 AS h0
+        FROM base)))
+), tagged AS (
+  SELECT DISTINCT s, h FROM (
+    SELECT h, unnest([CASE WHEN in_a THEN 'a' END,
+                      CASE WHEN in_b THEN 'b' END]) AS s
+    FROM mixed)
+  WHERE s IS NOT NULL
+), sk AS MATERIALIZED (
+  SELECT s, h FROM (
+    SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+    FROM tagged)
+  WHERE rn <= {KMV_K}
+), tha AS (SELECT max(h) AS tha FROM sk WHERE s = 'a'),
+thb AS (SELECT max(h) AS thb FROM sk WHERE s = 'b'),
+theta AS (SELECT tha, thb, least(tha, thb) AS theta FROM tha, thb),
+common AS (
+  SELECT count(*) AS n_common
+  FROM (SELECT h FROM sk WHERE s = 'a') a
+  JOIN (SELECT h FROM sk WHERE s = 'b') b USING (h)
+  CROSS JOIN theta
+  WHERE h < theta
+), sku AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk))
+  WHERE rn <= {KMV_K}
+), thu AS (SELECT max(h) AS thu FROM sku),
+exact AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+         CAST(sum(CASE WHEN in_a OR in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_union
+  FROM base
+)
+SELECT exact_a, exact_b, exact_inter, exact_union,
+       {_KMV_EST_NUM} // tha AS est_a_milli,
+       {_KMV_EST_NUM} // thb AS est_b_milli,
+       CAST(n_common * {KMV_M} AS BIGINT) * 1000 // theta AS est_inter_milli,
+       {_KMV_EST_NUM} // thu AS est_union_milli,
+       CAST(theta AS BIGINT) AS theta_hash
+FROM exact, theta, common, thu
+"""
+
+
 # --- Bloom-filter runtime join pruning --------------------------------------
 # The runtime-filter / semi-join-reduction pattern: build a fixed-size bloom
 # filter from the FILTERED dim-key set, broadcast it, and gate fact rows
@@ -1215,6 +1373,7 @@ QUERIES = {
     "cardinality_hll_grouped": q_cardinality_hll_grouped,
     "quantile_sketch_merge": q_quantile_sketch_merge,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
+    "theta_sketch_setops": q_theta_sketch_setops,
     "join_bloom_prune": q_join_bloom_prune,
     "join_size_estimate": q_join_size_estimate,
 }
@@ -1228,6 +1387,7 @@ ORACLE = {
     "cardinality_hll_grouped": Q_CARDINALITY_HLL_GROUPED_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
     "quantile_sketch_grouped": Q_QUANTILE_SKETCH_GROUPED_SQL,
+    "theta_sketch_setops": Q_THETA_SKETCH_SQL,
     "join_bloom_prune": _bloom_sql(),
     "join_size_estimate": Q_JOIN_SIZE_SQL,
 }

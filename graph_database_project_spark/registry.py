@@ -81,7 +81,8 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # embedding_quantize_int8, text_quality_gopher, multimodal_video_frames,
 # nl2query_demo, stream_sliding_window, xml_title_hierarchy,
 # funnel_conversion) plus the round's three new operators
-# (graph_hyperball, graph_hits, quantile_sketch_grouped) so their first
+# (graph_hyperball, graph_hits, quantile_sketch_grouped; second batch:
+# theta_sketch_setops for json_funcs, 5x green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -99,7 +100,7 @@ _DRIVER_WINDOW = [
     "join_bloom_prune",  # r05 new op: runtime-filter audit (dq_audit out)
     "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles (merge out, 2x green)
     "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
-    "json_funcs",
+    "theta_sketch_setops",  # r07 new op: KMV set-op sketch (json_funcs out, 5x green)
     "profile_columns",  # r07: per-column profiler (catalog_stats out, 5x green)
     # LLM-pipeline text/multimodal/curation reps (r06 debt-burn block)
     "text_span_dedup",  # r06: inverted-index span dedup, first check

@@ -40,7 +40,9 @@ def main() -> None:
              "mutation_scd2_pit_join",
              # r06 additions: scoring + reduction operators
              "graph_modularity", "ts_lttb_downsample", "embedding_mrl_audit",
-             "cardinality_hll_grouped", "text_chunk_windows", "dedup_chunk_level"]
+             "cardinality_hll_grouped", "text_chunk_windows", "dedup_chunk_level",
+             # r07 additions: centrality + keyed quantile sketch
+             "graph_hyperball", "graph_hits", "quantile_sketch_grouped"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

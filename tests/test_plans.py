@@ -660,6 +660,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "graph_hyperball": 0,            # edges + per-round registers checkpointed
         "graph_hits": 0,                 # edges/verts + per-round scores checkpointed
         "quantile_sketch_grouped": 0,    # bounds + (day, bin) hist checkpointed
+        "theta_sketch_setops": 1,        # K-min survivors checkpointed; exact-count scan remains
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

@@ -197,3 +197,49 @@ def test_quantile_sketch_grouped_accuracy_and_mergeability(spark):
     direct = {r.bin: r.c for r in binned.groupBy("bin")
               .agg(F.count(F.lit(1)).alias("c")).collect()}
     assert merged == direct
+
+
+# --- KMV / theta set-operation sketch ----------------------------------------
+
+def test_theta_sketch_accuracy_and_sample_contract(spark):
+    """Semantic contracts beyond the bit-exact oracle: (a) each estimate
+    lands within ~3σ of its exact count (σ ≈ 1/√(K−1) ≈ 6.3%; the
+    intersection inherits extra variance from the theta cut, wider band);
+    (b) the two-phase distributed K-min equals the direct global K
+    smallest distinct hashes — any global top-K survives per-salt-bucket
+    top-K (the pigeonhole that makes phase 1 lossless)."""
+    from pyspark.sql.window import Window as W
+
+    from graph_database_project_spark.operators.profiling import (
+        HLL_MUL1, HLL_MUL2, HLL_OFFSET, KMV_K, q_theta_sketch_setops)
+
+    row = q_theta_sketch_setops(spark, SF_ORACLE).collect()[0]
+    for est, exact, band in [
+            (row.est_a_milli, row.exact_a, 0.20),
+            (row.est_b_milli, row.exact_b, 0.20),
+            (row.est_union_milli, row.exact_union, 0.20),
+            (row.est_inter_milli, row.exact_inter, 0.30)]:
+        assert abs(est / 1000 - exact) / exact <= band, (est, exact)
+
+    # (b) phase-1+2 == direct K smallest distinct mixed hashes for set A
+    ords = load_table(spark, SF_ORACLE, "orders")
+    hs = (ords.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(F.col("o_orderkey").cast("long").alias("k"))
+          .withColumn("h0", (F.col("k") % 2147483648 + HLL_OFFSET)
+                      % 4294967296)
+          .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
+                             * HLL_MUL1) % 4294967296)
+          .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
+                             * HLL_MUL2) % 4294967296)
+          .select(F.expr("h2 ^ shiftright(h2, 16)").alias("h"))
+          .distinct())
+    direct_kth = (hs.withColumn("rn", F.row_number().over(W.orderBy("h")))
+                  .filter(F.col("rn") == KMV_K).collect()[0].h)
+    # the query's theta_hash is min(kthA, kthB); recompute kthA two-phase
+    salted = (hs.withColumn("rn", F.row_number().over(
+        W.partitionBy(F.col("h") % 64).orderBy("h")))
+        .filter(F.col("rn") <= KMV_K).drop("rn"))
+    two_phase_kth = (salted.withColumn("rn", F.row_number().over(W.orderBy("h")))
+                     .filter(F.col("rn") == KMV_K).collect()[0].h)
+    assert two_phase_kth == direct_kth
+    assert row.theta_hash <= direct_kth  # theta = min of the two sets' kths
