@@ -98,6 +98,7 @@ EXTENDED = [
     "graph_hits",               # r07: integer mutual-reinforcement loop
     "quantile_sketch_grouped",  # r07: keyed mergeable histogram quantiles
     "theta_sketch_setops",      # r07: KMV set-operation sketch (2-phase K-min)
+    "dedup_prefix_filter",      # r07: PPJoin prefix-filtered Jaccard join
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

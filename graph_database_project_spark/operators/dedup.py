@@ -582,9 +582,110 @@ ORDER BY did, cid
 """
 
 
+# --- PPJoin-style prefix-filtered set-similarity join -----------------------
+# Exact-threshold Jaccard join with PREFIX FILTERING (Chaudhuri et al.
+# SSJoin 2006 / Xiao et al. PPJoin 2008): order every doc's shingles by
+# ascending global document frequency (rarest first), and join only on each
+# doc's first p = n − ceil(τ·n) + 1 shingles. Any pair with J ≥ τ must
+# share a prefix shingle (pigeonhole on the ≥ τ/(1+τ)·(n_a+n_b) required
+# overlap), so the filter is LOSSLESS — and the oracle proves it: the
+# DuckDB side runs the NAIVE full inverted-index join, and the bit-exact
+# equality of both result sets is a machine-checked completeness proof on
+# this corpus. τ is the exact rational 4/5 so prefix lengths, length
+# filters, and the final threshold are pure integer arithmetic on both
+# engines.
+PF_TAU_NUM, PF_TAU_DEN = 4, 5   # τ = 0.8
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ≥ τ near-dup pairs via prefix filtering — the exact
+    set-similarity join that REPLACES the naive Σ df² inverted-index join
+    (``dedup_ngram_jaccard``'s documented 100 TB weakness) with a
+    candidate set driven only by RARE shingles.
+
+    Scale shape: df is one keyed count; the prefix cut is a per-doc
+    window (partitions are single documents, never skewed); candidate
+    generation joins prefix-to-prefix on the shingle — hot shingles are
+    structurally excluded because a frequent shingle is at the END of
+    the df-ascending order and falls outside every prefix. The length
+    filter (τ·n_a ≤ n_b ∧ τ·n_b ≤ n_a, cross-multiplied to integers)
+    prunes size-mismatched pairs before the verify join, and verification
+    cost is |candidates|×|shingles-per-doc| equi-join rows, not corpus².
+    """
+    from pyspark.sql.window import Window as W
+
+    sh = _shingle_rel(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (ex.join(dfreq, "s")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "s")))
+              .join(sizes, "doc_id"))
+    # p = n − ceil(τn) + 1; ceil(4n/5) = (4n+4) div 5 — exact integers
+    prefix = (ranked
+              .filter(F.col("pos")
+                      <= F.col("n")
+                      - F.expr(f"({PF_TAU_NUM}*n + {PF_TAU_NUM}) "
+                               f"div {PF_TAU_DEN}") + 1)
+              .select("doc_id", "s", "n"))
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s",
+                      F.col("n").alias("n_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s",
+                      F.col("n").alias("n_b"))
+    cand = (a.join(b, "s")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (PF_TAU_DEN * F.col("n_b")
+                       >= PF_TAU_NUM * F.col("n_a"))
+                    & (PF_TAU_DEN * F.col("n_a")
+                       >= PF_TAU_NUM * F.col("n_b")))
+            .select("doc_a", "doc_b").distinct()
+            .localCheckpoint(eager=True))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    eb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sa"))
+    common = (cand.join(ea, "doc_a").join(eb, ["doc_b", "sa"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(PF_TAU_DEN * F.col("common")
+                    >= PF_TAU_NUM * (F.col("n_a") + F.col("n_b")
+                                     - F.col("common")))
+            .select("doc_a", "doc_b", "common",
+                    F.expr("common * 1000000 div (n_a + n_b - common)")
+                    .alias("jaccard_ppm"))
+            .orderBy("doc_a", "doc_b"))
+
+
+Q_DEDUP_PREFIX_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, CAST(p.common AS BIGINT) AS common,
+       CAST(p.common AS BIGINT) * 1000000
+         // (sa.n + sb.n - p.common) AS jaccard_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE {PF_TAU_DEN} * p.common >= {PF_TAU_NUM} * (sa.n + sb.n - p.common)
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -595,6 +696,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_SQL,
+    "dedup_prefix_filter": Q_DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": Q_DEDUP_EMBED_SQL,

@@ -82,7 +82,8 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # nl2query_demo, stream_sliding_window, xml_title_hierarchy,
 # funnel_conversion) plus the round's three new operators
 # (graph_hyperball, graph_hits, quantile_sketch_grouped; second batch:
-# theta_sketch_setops for json_funcs, 5x green) so their first
+# theta_sketch_setops for json_funcs and dedup_prefix_filter for
+# dedup_minhash_lsh, both 5x green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -127,7 +128,7 @@ _DRIVER_WINDOW = [
     "mutation_scd2_build",  # r05 rotation: SCD2 rep in, property_set out
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
     "dedup_simhash",  # r07: hamming-band near-dup (dedup_exact out, 5x green)
-    "dedup_minhash_lsh",
+    "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter (minhash_lsh out, 5x green)
     "text_chunk_windows",  # r06 new op: RAG chunking, first check
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
     "embedding_quantize_int8",  # r07: int8 quant audit (sim_topk out, 5x green)

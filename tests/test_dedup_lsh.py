@@ -13,7 +13,7 @@ import re
 
 from graph_database_project_spark.operators import dedup, similarity
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 from .test_plans import plan as _plan
 
 
@@ -52,3 +52,45 @@ def test_knn_neighbors_are_true_neighbors(spark):
     assert (knn["rank"] <= 3).all()
     assert knn.groupby("src_id")["rank"].apply(
         lambda r: sorted(r) == list(range(1, len(r) + 1))).all()
+
+
+def test_prefix_filter_prunes_candidates_losslessly(spark):
+    """The point of the PPJoin prefix filter is the CANDIDATE count: the
+    naive inverted-index join examines every shingle-sharing pair
+    (Σ df²-bounded), the prefix join only pairs meeting on a RARE
+    (prefix) shingle under the length filter. Recall is proven by the
+    oracle equality in test_parity (prefix result ≡ naive result); here
+    we pin the pruning ratio so a regression that silently widens the
+    prefix (or drops the length filter) fails loudly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from graph_database_project_spark.operators.dedup import (
+        PF_TAU_DEN, PF_TAU_NUM, _shingle_rel)
+
+    sh = _shingle_rel(spark, SF_ORACLE)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    naive = (ex.alias("a").join(
+        ex.alias("b"),
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count())
+
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (ex.join(dfreq, "s")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "s")))
+              .join(sizes, "doc_id"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n")
+        - F.expr(f"({PF_TAU_NUM}*n + {PF_TAU_NUM}) div {PF_TAU_DEN}") + 1)
+    a = prefix.select(F.col("doc_id").alias("da"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("db"), "s", F.col("n").alias("nb"))
+    pruned = (a.join(b, "s")
+              .filter((F.col("da") < F.col("db"))
+                      & (PF_TAU_DEN * F.col("nb") >= PF_TAU_NUM * F.col("na"))
+                      & (PF_TAU_DEN * F.col("na") >= PF_TAU_NUM * F.col("nb")))
+              .select("da", "db").distinct().count())
+    assert pruned < naive / 3, (pruned, naive)
+    assert pruned >= 25  # at least every true pair survives as a candidate
