@@ -99,6 +99,7 @@ EXTENDED = [
     "quantile_sketch_grouped",  # r07: keyed mergeable histogram quantiles
     "theta_sketch_setops",      # r07: KMV set-operation sketch (2-phase K-min)
     "dedup_prefix_filter",      # r07: PPJoin prefix-filtered Jaccard join
+    "graph_cc_incremental",     # r07: IVM delta-merge over stored CC labels
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -156,6 +156,57 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the IVM (incremental view
+    maintenance) form a 100 TB graph store actually runs: stored per-node
+    labels from the base edge set, then a DELTA batch of new edges merges
+    components WITHOUT recomputing over |V|. The delta pass contracts
+    each new edge to its endpoints' stored labels, runs CC on that
+    COMPONENT-LEVEL graph (|affected components| nodes — orders of
+    magnitude below |V|), and relabels by a single left join; untouched
+    components never re-enter the loop.
+
+    Correctness is a merge-equivalence contract, machine-checked two
+    ways: the oracle is the full-recompute recursive CTE over base∪delta
+    (the driver hash forces incremental ≡ recompute), and
+    tests/test_traverse.py asserts the same equality in-engine plus the
+    contraction-size pin. Min-label canonicality is what makes the
+    contraction sound: the merged component's label is the min over its
+    members' labels, and each stored label is already the min of its own
+    component, so min over component-level labels equals min over nodes.
+
+    Graph: the same nation-chain edges as ``graph_connected_components``,
+    deterministically split — edges at src % 7 == 0 arrive as the delta.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"), "c_nationkey")
+    b = cust.select(F.col("c_custkey").alias("v"),
+                    F.col("c_nationkey").alias("vn"))
+    edges = (a.join(b, (b.v == a.u + 1) & (a.c_nationkey == b.vn))
+             .select(F.col("u").cast("long").alias("src"),
+                     F.col("v").cast("long").alias("dst")))
+    base_e = edges.filter(F.col("src") % 7 != 0)
+    delta_e = edges.filter(F.col("src") % 7 == 0).localCheckpoint(eager=True)
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    # the "stored" state a deployment would read back from parquet
+    labels0 = connected_components(verts, base_e).localCheckpoint(eager=True)
+    la = labels0.select(F.col("node").alias("src"),
+                        F.col("component").alias("ca"))
+    lb = labels0.select(F.col("node").alias("dst"),
+                        F.col("component").alias("cb"))
+    comp_e = (delta_e.join(la, "src").join(lb, "dst")
+              .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+              .filter(F.col("src") != F.col("dst")).distinct())
+    comp_v = (comp_e.select(F.col("src").alias("node"))
+              .union(comp_e.select(F.col("dst").alias("node"))).distinct())
+    remap = (connected_components(comp_v, comp_e)
+             .withColumnRenamed("node", "old")
+             .withColumnRenamed("component", "new"))
+    return (labels0.join(remap, labels0["component"] == remap["old"], "left")
+            .select("node",
+                    F.coalesce("new", "component").alias("component")))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the customer→customer referral
     ring derived from orders: edge custkey → (custkey*7+1) mod n_cust.
@@ -1234,6 +1285,7 @@ QUERIES = {
     "graph_khop_seeded": q_khop_seeded,
     "graph_khop_undirected": q_khop_undirected,
     "graph_connected_components": q_connected_components,
+    "graph_cc_incremental": q_graph_cc_incremental,
     "graph_pagerank": q_pagerank,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
@@ -1253,6 +1305,7 @@ ORACLE = {
     "graph_khop_seeded": Q_KHOP_SEEDED_SQL,
     "graph_khop_undirected": Q_KHOP_UNDIRECTED_SQL,
     "graph_connected_components": Q_CC_SQL,
+    "graph_cc_incremental": Q_CC_SQL,  # IVM vs full-recompute merge-equivalence
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled

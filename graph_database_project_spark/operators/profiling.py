@@ -1101,11 +1101,16 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("s", "h").distinct())
     w1 = W.partitionBy("s", F.col("h") % _KMV_SALTS).orderBy("h")
     surv = (tagged.withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= KMV_K).drop("rn")
-            .localCheckpoint(eager=True))
+            .filter(F.col("rn") <= KMV_K).drop("rn"))
     w2 = W.partitionBy("s").orderBy("h")
+    # checkpoint the FINAL ≤ sets×K sketch, not the phase-1 survivors: the
+    # sketch feeds six consumers (two thresholds, both intersection sides,
+    # the union merge twice) and Catalyst re-expands the window chain per
+    # reference — materializing 512 rows once keeps the whole set-algebra
+    # tail on sketch-sized relations (scan-multiplicity discipline)
     sk = (surv.withColumn("rn", F.row_number().over(w2))
-          .filter(F.col("rn") <= KMV_K).drop("rn"))
+          .filter(F.col("rn") <= KMV_K).drop("rn")
+          .localCheckpoint(eager=True))
     ska, skb = sk.filter(F.col("s") == "a"), sk.filter(F.col("s") == "b")
     tha = ska.agg(F.max("h").alias("tha"))
     thb = skb.agg(F.max("h").alias("thb"))

@@ -83,7 +83,8 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # funnel_conversion) plus the round's three new operators
 # (graph_hyperball, graph_hits, quantile_sketch_grouped; second batch:
 # theta_sketch_setops for json_funcs and dedup_prefix_filter for
-# dedup_minhash_lsh, both 5x green) so their first
+# dedup_minhash_lsh, both 5x green; graph_cc_incremental for
+# graph_label_propagation, 2x green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -117,7 +118,7 @@ _DRIVER_WINDOW = [
     "graph_connected_components",
     "graph_modularity",  # r06 new op: exact-integer Newman Q over the LPA partition
     "graph_hits",  # r07 new op: exact-integer hubs/authorities (shortest_paths out, 2x green)
-    "graph_label_propagation",  # r05 new op: unrolled-CTE LPA oracle
+    "graph_cc_incremental",  # r07 new op: IVM delta-merge CC (LPA out, 2x green)
     # XML ingest + flagship (§2.B 2, 23, 24)
     "xml_label_counts",
     "xml_khop_flagship",

@@ -42,7 +42,8 @@ def main() -> None:
              "graph_modularity", "ts_lttb_downsample", "embedding_mrl_audit",
              "cardinality_hll_grouped", "text_chunk_windows", "dedup_chunk_level",
              # r07 additions: centrality + keyed quantile sketch
-             "graph_hyperball", "graph_hits", "quantile_sketch_grouped"]
+             "graph_hyperball", "graph_hits", "quantile_sketch_grouped",
+             "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -248,3 +248,32 @@ def test_hits_integer_invariants(spark):
     # descending by auth, node-tiebreak ascending
     auths = [(r.auth_score, r.node) for r in rows]
     assert auths == sorted(auths, key=lambda t: (-t[0], t[1]))
+
+
+def test_cc_incremental_equals_full_recompute_and_contracts(spark):
+    """IVM contract in-engine (the oracle checks it against DuckDB too):
+    incremental labels == full recompute over base∪delta, and the delta
+    pass's component-level graph is a CONTRACTION — orders smaller than
+    |V| (the whole point; a regression that feeds raw nodes into the
+    delta loop fails the pin)."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_cc_incremental)
+
+    cust = load_table(spark, SF_ORACLE, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"), "c_nationkey")
+    b = cust.select(F.col("c_custkey").alias("v"),
+                    F.col("c_nationkey").alias("vn"))
+    edges = (a.join(b, (b.v == a.u + 1) & (a.c_nationkey == b.vn))
+             .select(F.col("u").cast("long").alias("src"),
+                     F.col("v").cast("long").alias("dst")))
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    full = {(r.node, r.component) for r in
+            connected_components(verts, edges).collect()}
+    inc = {(r.node, r.component) for r in
+           q_graph_cc_incremental(spark, SF_ORACLE).collect()}
+    assert inc == full
+
+    n_nodes = verts.count()
+    n_delta = edges.filter(F.col("src") % 7 == 0).count()
+    assert 0 < n_delta < n_nodes / 3  # the delta is a real, small batch
