@@ -55,7 +55,8 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "embedding_pca_power", "dedup_minhash_lsh",
                        "quantile_sketch_merge",  # checkpointed 1-row bounds
                        "quantile_sketch_grouped",  # checkpointed bounds + day-hist
-                       "theta_sketch_setops",  # checkpointed K-min survivors
+                       "theta_sketch_setops",  # checkpointed final K-row sketch
+                       "drift_histogram_tv",  # checkpointed bounds + slice hist
                        "nl2query_followup",
                        # r05 materialize-once refactors: these checkpoint a
                        # multi-consumer derived relation at construction

@@ -1040,6 +1040,97 @@ ORDER BY day, q
 """
 
 
+# --- histogram drift audit: total-variation distance between slices ---------
+# The data-drift gate a production pipeline runs before promoting a new
+# ingest slice: bin BOTH slices on the SAME global edges and compare the
+# distributions. Distance is TOTAL VARIATION (half the L1 between the
+# normalized histograms) rather than PSI/KL because TV needs no logarithm —
+# cross-multiplying the per-bin counts (|n_base·N_cur − n_cur·N_base|)
+# keeps every intermediate an exact BIGINT, so both engines agree to the
+# last bit with no float caveat. Overflow bound: products stay < 2^63 while
+# slice counts stay < ~3e9 rows; past that the counts themselves would be
+# per-shard partials and the audit runs on their (still-exact) sums scaled
+# by a common 2^k shift — documented, not needed at bench scale.
+DRIFT_SPLIT_DAYS = 15   # base slice = first 15 days from the corpus min
+
+
+def q_drift_histogram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first-``DRIFT_SPLIT_DAYS`` slice and
+    the rest of ``events.value``: shared-edge histograms, exact-integer
+    total-variation distance in ppm, plus the worst-deviating bin.
+
+    Scale: ONE corpus scan builds both slice histograms (conditional sums
+    keyed by bin — map-side combined to ≤ B partial rows per task); the
+    1-row bounds/watermark aggregate is a broadcast; every downstream
+    relation is B rows. Shared global edges are what make the comparison
+    meaningful AND mergeable (per-shard slice histograms add cell-wise
+    before the audit — same algebra as quantile_sketch_grouped).
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("ts", F.col("value").alias("v")))
+    bounds = ev.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.date_add(F.date_trunc("day", F.min("ts")).cast("date"),
+                   DRIFT_SPLIT_DAYS).alias("_split"),
+    ).localCheckpoint(eager=True)
+    width = (F.col("hi") - F.col("lo")) / QH_BINS
+    hist = (ev.crossJoin(F.broadcast(bounds))
+            .select(F.least(F.floor((F.col("v") - F.col("lo")) / width),
+                            F.lit(QH_BINS - 1)).cast("int").alias("bin"),
+                    (F.col("ts") < F.col("_split").cast("timestamp_ntz"))
+                    .alias("_base"))
+            .groupBy("bin").agg(
+                F.sum(F.when(F.col("_base"), 1).otherwise(0)).alias("nb"),
+                F.sum(F.when(~F.col("_base"), 1).otherwise(0)).alias("nc"))
+            .localCheckpoint(eager=True))
+    tot = hist.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    dev = (hist.crossJoin(F.broadcast(tot))
+           .select("bin", "nb", "nc", "tb", "tc",
+                   F.abs(F.col("nb") * F.col("tc")
+                         - F.col("nc") * F.col("tb")).alias("dev")))
+    agg = (dev.groupBy("tb", "tc")
+           .agg(F.sum("dev").alias("sumdev"),
+                F.max(F.struct(F.col("dev"), (-F.col("bin")).alias("nb")))
+                .alias("worst")))
+    return agg.select(
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_current"),
+        F.expr("sumdev * 1000000 div (2 * tb * tc)").alias("tv_ppm"),
+        (-F.col("worst.nb")).cast("long").alias("worst_bin"),
+        F.expr("worst.dev * 1000000 div (tb * tc)").alias("worst_bin_ppm"),
+    )
+
+
+Q_DRIFT_TV_SQL = f"""
+WITH vals AS (
+  SELECT ts, value AS v FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         date_trunc('day', min(ts)) + INTERVAL {DRIFT_SPLIT_DAYS} DAY AS split
+  FROM vals
+), hist AS (
+  SELECT CAST(least(floor((v - lo) / ((hi - lo) / {QH_BINS})),
+                    {QH_BINS - 1}) AS INT) AS bin,
+         sum(CASE WHEN ts < split THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN ts >= split THEN 1 ELSE 0 END) AS nc
+  FROM vals CROSS JOIN bounds GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc FROM hist
+), dev AS (
+  SELECT bin, abs(CAST(nb AS BIGINT) * tc - CAST(nc AS BIGINT) * tb) AS dev
+  FROM hist CROSS JOIN tot
+)
+SELECT tb AS n_base, tc AS n_current,
+       CAST(sum(dev) AS BIGINT) * 1000000 // (2 * tb * tc) AS tv_ppm,
+       CAST(min_by(bin, struct_pack(d := -dev, b := bin)) AS BIGINT) AS worst_bin,
+       CAST(max(dev) AS BIGINT) * 1000000 // (tb * tc) AS worst_bin_ppm
+FROM dev CROSS JOIN tot
+GROUP BY tb, tc
+"""
+
+
 # --- KMV / theta sketch: distinct sketches that support SET OPERATIONS ------
 # HLL registers merge by max (union only); a KMV ("k minimum values" /
 # theta) sketch — the K smallest distinct hash values of a set — supports
@@ -1379,6 +1470,7 @@ QUERIES = {
     "quantile_sketch_merge": q_quantile_sketch_merge,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "theta_sketch_setops": q_theta_sketch_setops,
+    "drift_histogram_tv": q_drift_histogram_tv,
     "join_bloom_prune": q_join_bloom_prune,
     "join_size_estimate": q_join_size_estimate,
 }
@@ -1393,6 +1485,7 @@ ORACLE = {
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,
     "quantile_sketch_grouped": Q_QUANTILE_SKETCH_GROUPED_SQL,
     "theta_sketch_setops": Q_THETA_SKETCH_SQL,
+    "drift_histogram_tv": Q_DRIFT_TV_SQL,
     "join_bloom_prune": _bloom_sql(),
     "join_size_estimate": Q_JOIN_SIZE_SQL,
 }

@@ -662,6 +662,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "quantile_sketch_grouped": 0,    # bounds + (day, bin) hist checkpointed
         "theta_sketch_setops": 1,        # K-min survivors checkpointed; exact-count scan remains
         "graph_cc_incremental": 0,       # stored labels + delta edges checkpointed
+        "drift_histogram_tv": 0,         # bounds + slice histogram checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
