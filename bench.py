@@ -100,6 +100,7 @@ EXTENDED = [
     "theta_sketch_setops",      # r07: KMV set-operation sketch (2-phase K-min)
     "dedup_prefix_filter",      # r07: PPJoin prefix-filtered Jaccard join
     "graph_cc_incremental",     # r07: IVM delta-merge over stored CC labels
+    "drift_histogram_tv",       # r07: exact-integer TV drift audit
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

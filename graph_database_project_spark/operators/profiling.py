@@ -1118,16 +1118,18 @@ WITH vals AS (
   FROM vals CROSS JOIN bounds GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc FROM hist
-), dev AS (
+), dev AS MATERIALIZED (
   SELECT bin, abs(CAST(nb AS BIGINT) * tc - CAST(nc AS BIGINT) * tb) AS dev
   FROM hist CROSS JOIN tot
-)
+), mx AS (SELECT max(dev) AS mdev FROM dev)
 SELECT tb AS n_base, tc AS n_current,
-       CAST(sum(dev) AS BIGINT) * 1000000 // (2 * tb * tc) AS tv_ppm,
-       CAST(min_by(bin, struct_pack(d := -dev, b := bin)) AS BIGINT) AS worst_bin,
-       CAST(max(dev) AS BIGINT) * 1000000 // (tb * tc) AS worst_bin_ppm
-FROM dev CROSS JOIN tot
-GROUP BY tb, tc
+       (SELECT CAST(sum(dev) AS BIGINT) FROM dev)
+         * 1000000 // (2 * tb * tc) AS tv_ppm,
+       (SELECT CAST(min(bin) AS BIGINT) FROM dev, mx WHERE dev = mdev)
+         AS worst_bin,
+       (SELECT CAST(mdev AS BIGINT) FROM mx)
+         * 1000000 // (tb * tc) AS worst_bin_ppm
+FROM tot
 """
 
 

@@ -84,7 +84,8 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # (graph_hyperball, graph_hits, quantile_sketch_grouped; second batch:
 # theta_sketch_setops for json_funcs and dedup_prefix_filter for
 # dedup_minhash_lsh, both 5x green; graph_cc_incremental for
-# graph_label_propagation, 2x green) so their first
+# graph_label_propagation and drift_histogram_tv for
+# mutation_scd2_build, both 2x green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -126,7 +127,7 @@ _DRIVER_WINDOW = [
     # mutation (§2.B 20-22)
     "mutation_merge_upsert",
     "mutation_table_diff",  # r07: CDC snapshot diff (delete_cascade out, 5x green)
-    "mutation_scd2_build",  # r05 rotation: SCD2 rep in, property_set out
+    "drift_histogram_tv",  # r07 new op: TV drift audit (scd2_build out, 2x green; SCD2 repped by pit_join)
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
     "dedup_simhash",  # r07: hamming-band near-dup (dedup_exact out, 5x green)
     "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter (minhash_lsh out, 5x green)

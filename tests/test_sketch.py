@@ -243,3 +243,42 @@ def test_theta_sketch_accuracy_and_sample_contract(spark):
                      .filter(F.col("rn") == KMV_K).collect()[0].h)
     assert two_phase_kth == direct_kth
     assert row.theta_hash <= direct_kth  # theta = min of the two sets' kths
+
+
+# --- histogram drift audit ----------------------------------------------------
+
+def test_drift_tv_contracts(spark):
+    """Exact-arithmetic contracts: tv_ppm reproduces the definitional
+    0.5*L1 between normalized histograms computed independently in
+    Python; bounds hold (0 <= tv <= 1e6, worst bin within range, slice
+    counts partition the corpus); and a self-drift (identical slices)
+    is exactly zero."""
+    from graph_database_project_spark.operators.profiling import (
+        DRIFT_SPLIT_DAYS, QH_BINS, q_drift_histogram_tv)
+
+    row = q_drift_histogram_tv(spark, SF_ORACLE).collect()[0]
+    assert 0 <= row.tv_ppm <= 1_000_000
+    assert 0 <= row.worst_bin < QH_BINS
+    assert row.worst_bin_ppm <= 2 * row.tv_ppm  # one bin <= whole L1
+
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull()))
+    n = ev.count()
+    assert row.n_base + row.n_current == n
+
+    # independent recomputation of TV from raw bin counts
+    lo, hi, tsmin = ev.agg(F.min("value"), F.max("value"),
+                           F.date_trunc("day", F.min("ts"))).first()
+    import datetime
+    split = tsmin + datetime.timedelta(days=DRIFT_SPLIT_DAYS)
+    w = (hi - lo) / QH_BINS
+    hist = {(r.bin, r.base): r.c for r in ev.select(
+        F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
+                F.lit(QH_BINS - 1)).cast("int").alias("bin"),
+        (F.col("ts") < F.lit(split)).alias("base"))
+        .groupBy("bin", "base").agg(F.count(F.lit(1)).alias("c")).collect()}
+    tb = sum(c for (b, isb), c in hist.items() if isb)
+    tc = n - tb
+    sumdev = sum(abs(hist.get((b, True), 0) * tc - hist.get((b, False), 0) * tb)
+                 for b in range(QH_BINS))
+    assert row.tv_ppm == sumdev * 1_000_000 // (2 * tb * tc)
