@@ -101,6 +101,7 @@ EXTENDED = [
     "dedup_prefix_filter",      # r07: PPJoin prefix-filtered Jaccard join
     "graph_cc_incremental",     # r07: IVM delta-merge over stored CC labels
     "drift_histogram_tv",       # r07: exact-integer TV drift audit
+    "graph_clustering_coeff",   # r07: wedge-join triple tally + lcc rollup
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -619,6 +619,30 @@ FROM dists GROUP BY depth ORDER BY depth
 """
 
 
+def _chain_triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) edge list of the same-nation chain graph
+    (u—u+1, u—u+2) — ONE builder shared by triangle count and the
+    clustering-coefficient query so their graphs can never drift.
+
+    Two pure equi-joins (key = (u+delta, nation)) instead of one OR-join:
+    the OR form degrades to a nation-equi join + filter — a per-nation
+    cross product, quadratic in the hottest nation at scale. The edge
+    list feeds multiple wedge-closing references; each would re-expand
+    the two customer⋈customer derivation joins (12 customer scans in one
+    plan, r05 scan-multiplicity audit) — materialize once; at 100 TB the
+    canonical edge list is a persisted table, never re-derived per
+    reference."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"), F.col("c_nationkey").alias("un"))
+    b = cust.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("vn"))
+
+    def link(delta: int):
+        return a.join(b, (b.v == a.u + delta) & (F.col("un") == F.col("vn"))) \
+                .select("u", "v", F.col("un").alias("nationkey"))
+
+    return link(1).union(link(2)).localCheckpoint(eager=True)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count per nation over a derived undirected graph:
     same-nation customers link at distance 1 and 2 (u—u+1, u—u+2), so every
@@ -630,21 +654,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list by src and degree-order endpoints (u<v already does the
     degree trick's dedup job here).
     """
-    cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(F.col("c_custkey").alias("u"), F.col("c_nationkey").alias("un"))
-    b = cust.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("vn"))
-    # two pure equi-joins (key = (u+delta, nation)) instead of one OR-join:
-    # the OR form degrades to a nation-equi join + filter — a per-nation
-    # cross product, quadratic in the hottest nation at scale
-    def link(delta: int):
-        return a.join(b, (b.v == a.u + delta) & (F.col("un") == F.col("vn"))) \
-                .select("u", "v", F.col("un").alias("nationkey"))
-    # edges feeds all three wedge-closing references; each re-expands the
-    # two customer⋈customer derivation joins, compounding to 12 customer
-    # scans in one plan (r05 scan-multiplicity audit). Materialize once —
-    # at 100 TB the canonical edge list is a persisted table, never
-    # re-derived per reference.
-    edges = link(1).union(link(2)).localCheckpoint(eager=True)
+    edges = _chain_triangle_edges(spark, sf_dir)
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "nationkey")
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
@@ -669,6 +679,106 @@ FROM edges e1
 JOIN edges e2 ON e2.u = e1.v
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 GROUP BY e1.nationkey ORDER BY e1.nationkey
+"""
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT — lcc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)), how close each node's neighborhood is to a
+    clique; the per-node refinement of ``graph_triangle_count``'s global
+    tally and the standard per-vertex feature a graph-ML pipeline
+    materializes.
+
+    Graph: the LPA clique+bridge graph (``_lpa_graph`` — same builder,
+    so the structure tests there cover this operator's substrate) UNIONED
+    with the same-nation chain edges (``_chain_triangle_edges``),
+    deduplicated — a chain edge inside a block coincides with a clique
+    edge. Neither alone varies: the chain graph is so sparse every lcc
+    is 0, and pure full cliques collapse to two classes (interior 1.0,
+    bridge-end 0.8) — dead variation either way (CLAUDE.md
+    synthetic-corpus discipline). Cross-block chain edges dilute
+    individual nodes' neighborhoods by open wedges, spreading the
+    (deg, lcc) distribution across many sf-scaling classes.
+
+    Shape: ordered (x<y<z) triples via two wedge-closing equi-joins over
+    the canonical u<v edge list (cost identical to the global triangle
+    count), each triple exploded to its three members for the per-node
+    tally; degrees are one keyed count over the undirected view. All
+    integers, coefficient as floor-ppm → bit-exact oracle. Output rolls
+    the per-node table up to its (deg, lcc_ppm) DISTRIBUTION —
+    sf-scaling group counts instead of a top-k of ties.
+    """
+    _, edges0 = _lpa_graph(spark, sf_dir)
+    chain = _chain_triangle_edges(spark, sf_dir) \
+        .select(F.col("u").cast("long").alias("u"),
+                F.col("v").cast("long").alias("v"))
+    edges = (edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+             .union(chain).distinct().localCheckpoint(eager=True))
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+           .select(F.explode(F.array("x", "y", "z")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    und = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    per_node = (deg.filter(F.col("deg") >= 2)
+                .join(tri, "node", "left")
+                .select("node", "deg",
+                        F.expr("coalesce(n_tri, 0) * 2000000"
+                               " div (deg * (deg - 1))").alias("lcc_ppm")))
+    return (per_node.groupBy("deg", "lcc_ppm")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("node").alias("min_node"))
+            .select(F.col("deg").cast("long").alias("deg"),
+                    "lcc_ppm",
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("min_node").cast("long").alias("min_node"))
+            .orderBy("deg", "lcc_ppm"))
+
+
+Q_LCC_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT CAST(a.c_custkey AS BIGINT) AS u, CAST(b.c_custkey AS BIGINT) AS v
+    FROM customer a JOIN customer b
+      ON b.c_custkey > a.c_custkey
+     AND b.c_custkey - b.c_custkey % 10 = a.c_custkey - a.c_custkey % 10
+    UNION ALL
+    SELECT CAST(a.c_custkey AS BIGINT), CAST(b.c_custkey AS BIGINT)
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 10
+    WHERE a.c_custkey % 70 = 0
+    UNION ALL
+    SELECT CAST(a.c_custkey AS BIGINT), CAST(b.c_custkey AS BIGINT)
+    FROM customer a JOIN customer b
+      ON (b.c_custkey = a.c_custkey + 1 OR b.c_custkey = a.c_custkey + 2)
+     AND a.c_nationkey = b.c_nationkey
+  )
+), tri AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT unnest([e1.x, e1.y, e2.z]) AS node FROM
+      (SELECT u AS x, v AS y FROM edges) e1
+      JOIN (SELECT u AS y, v AS z FROM edges) e2 USING (y)
+      JOIN (SELECT u AS x, v AS z FROM edges) e3 USING (x, z)
+  ) GROUP BY node
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+), per_node AS (
+  SELECT d.node, d.deg,
+         CAST(COALESCE(t.n_tri, 0) AS BIGINT) * 2000000
+           // (d.deg * (d.deg - 1)) AS lcc_ppm
+  FROM deg d LEFT JOIN tri t ON t.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT CAST(deg AS BIGINT) AS deg, lcc_ppm,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM per_node
+GROUP BY deg, lcc_ppm
+ORDER BY deg, lcc_ppm
 """
 
 
@@ -1291,6 +1401,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_modularity": q_graph_modularity,
     "graph_triangle_count": q_triangle_count,
+    "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_shortest_paths": q_shortest_paths,
     "graph_weighted_sssp": q_weighted_sssp,
     "graph_link_prediction": q_link_prediction,
@@ -1311,6 +1422,7 @@ ORACLE = {
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q
     "graph_triangle_count": Q_TRIANGLE_SQL,
+    "graph_clustering_coeff": Q_LCC_SQL,
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

@@ -85,7 +85,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # theta_sketch_setops for json_funcs and dedup_prefix_filter for
 # dedup_minhash_lsh, both 5x green; graph_cc_incremental for
 # graph_label_propagation and drift_histogram_tv for
-# mutation_scd2_build, both 2x green) so their first
+# mutation_scd2_build, both 2x green; graph_clustering_coeff for
+# stream_tumbling_hourly, 4x green — streaming stays repped by
+# stream_sliding_window) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -147,7 +149,7 @@ _DRIVER_WINDOW = [
     "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_video_frames",  # r07: Y4M frame extraction (image_decode out, 5x green)
-    "stream_tumbling_hourly",
+    "graph_clustering_coeff",  # r07 new op: per-node lcc distribution (tumbling out, 4x green)
     "stream_sliding_window",  # r07: overlapping windows (session_window out, 2x green)
     "funnel_conversion",  # r07: ordered-step funnel (training_data out, 5x green)
     "nl2query_demo",  # r07: single-turn NL->query (followup out, 5x green)

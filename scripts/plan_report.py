@@ -43,7 +43,8 @@ def main() -> None:
              "cardinality_hll_grouped", "text_chunk_windows", "dedup_chunk_level",
              # r07 additions: centrality + keyed quantile sketch
              "graph_hyperball", "graph_hits", "quantile_sketch_grouped",
-             "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental"]
+             "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental",
+             "drift_histogram_tv", "graph_clustering_coeff"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -277,3 +277,24 @@ def test_cc_incremental_equals_full_recompute_and_contracts(spark):
     n_nodes = verts.count()
     n_delta = edges.filter(F.col("src") % 7 == 0).count()
     assert 0 < n_delta < n_nodes / 3  # the delta is a real, small batch
+
+
+def test_clustering_coeff_closed_form_classes(spark):
+    """Closed-form expectations on the planted structure: interior
+    full-clique nodes have lcc exactly 1.0 (deg 9, 36 triangles); pure
+    bridge endpoints have deg 10 with the same 36 triangles → lcc
+    floor-ppm 800000; every reported class satisfies the identity
+    lcc_ppm = 2e6·tri/(deg·(deg−1)) for SOME integer triangle count (the
+    ppm must be realizable, not arbitrary)."""
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_clustering_coeff)
+
+    rows = q_graph_clustering_coeff(spark, SF_ORACLE).collect()
+    classes = {(r.deg, r.lcc_ppm): r.n_nodes for r in rows}
+    assert classes.get((9, 1_000_000), 0) > 1000   # clique interiors dominate
+    assert (10, 800_000) in classes                # bridge endpoints
+    for (deg, ppm), n in classes.items():
+        assert n > 0
+        realizable = {t * 2_000_000 // (deg * (deg - 1))
+                      for t in range(deg * (deg - 1) // 2 + 1)}
+        assert ppm in realizable, (deg, ppm)
