@@ -33,6 +33,13 @@ r06 adds the KEYED form: per-day HLL register deltas (``hll_day``,
 |days-in-batch|×m rows per batch) maintaining streaming daily-active-user
 sketches — the grouped complement of ``cardinality_hll_grouped``, folded
 by per-(day, bucket) max like the global table.
+
+r07 adds the ADDITIVE-fold value histogram (``hist``, ≤ B rows per batch
+on a FIXED config domain — a stream can't run the batch drift audit's
+bounds pass), the store-side feed for drift_histogram_tv-style audits.
+Additivity changes the repair contract: ``backfill_hist`` must REPLACE
+the delta dir (an overlaid base double-counts under sum), where the
+max-algebra day-HLL backfill could safely overlay.
 """
 
 from __future__ import annotations
@@ -41,8 +48,16 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.profiling import (cms_sketch, hll_registers,
+from ..operators.profiling import (QH_BINS, cms_sketch, hll_registers,
                                    hll_registers_grouped)
+
+# Fixed histogram domain for the STREAMING value histogram (the batch
+# drift audit discovers bounds with a corpus pass; a stream cannot — the
+# domain is config, fixed a priori, and out-of-range values clamp into the
+# edge bins). Feeds drift_histogram_tv-style audits over the maintained
+# store without rescanning history.
+STREAM_HIST_LO = 0.0
+STREAM_HIST_HI = 500.0
 
 
 def cms_keys(batch_df: DataFrame) -> DataFrame:
@@ -68,6 +83,19 @@ def hll_day_keys(batch_df: DataFrame) -> DataFrame:
                     (F.col("user_id").cast("long") % 2147483648).alias("k")))
 
 
+def hist_bins(batch_df: DataFrame) -> DataFrame:
+    """(bin, c) value-histogram partial for one batch on the FIXED
+    [STREAM_HIST_LO, STREAM_HIST_HI) domain — ≤ QH_BINS rows, map-side
+    combined. Out-of-range values clamp into the edge bins so the fold
+    never loses rows (count conservation is what the drift audit needs)."""
+    w = (STREAM_HIST_HI - STREAM_HIST_LO) / QH_BINS
+    return (batch_df.filter(F.col("value").isNotNull())
+            .select(F.least(F.greatest(
+                F.floor((F.col("value") - STREAM_HIST_LO) / w), F.lit(0)),
+                F.lit(QH_BINS - 1)).cast("int").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("c")))
+
+
 def _delta_dir(store_path: str, which: str, batch_id: int) -> str:
     # Hive-style partition naming: spark.read.parquet(<store>/<which>)
     # discovers every delta and exposes batch as a column the fold drops
@@ -87,6 +115,8 @@ def _write_deltas(spark: SparkSession, store_path: str,
     hll_registers_grouped(hll_day_keys(batch_df), group="day") \
         .write.mode("overwrite") \
         .parquet(_delta_dir(store_path, "hll_day", batch_id))
+    hist_bins(batch_df).write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "hist", batch_id))
 
 
 def merge_sketches(spark: SparkSession, store_path: str,
@@ -136,18 +166,19 @@ def _fold_hll_day(deltas: DataFrame) -> DataFrame:
     return deltas.groupBy("day", "bucket").agg(F.max("reg").alias("reg"))
 
 
-def _day_hll_missing_batches(store_path: str) -> list[str]:
-    """Committed batch ids with no day-HLL delta and no base covering
+def _missing_batches(store_path: str, which: str) -> list[str]:
+    """Committed batch ids with no ``which`` delta and no base covering
     them — the partially-covered state a pre-upgrade store lands in after
-    resuming under day-HLL-aware code (day deltas exist only for
-    post-upgrade batches). Shared by ``read_day_hll`` (refuse to read)
-    and ``compact_sketches`` (refuse to compact: folding a partial
-    ``hll_day`` into a ``batch=-1`` base would MANUFACTURE the base the
-    read-side check trusts, laundering the undercount into a silently
-    accepted store)."""
+    resuming under newer code (deltas of a LATER-ADDED family exist only
+    for post-upgrade batches). Shared by the family's read path (refuse
+    to read) and ``compact_sketches`` (refuse to compact: folding a
+    partial family into a ``batch=-1`` base would MANUFACTURE the base
+    the read-side check trusts, laundering the undercount into a
+    silently accepted store — the r06 advisor finding, generalized when
+    the additive ``hist`` family joined ``hll_day`` in this class)."""
     from .compaction import BASE_BATCH_ID
 
-    d = os.path.join(store_path, "hll_day")
+    d = os.path.join(store_path, which)
     committed = os.path.join(store_path, "_committed")
     if not (os.path.isdir(d) and os.path.isdir(committed)):
         return []
@@ -155,11 +186,16 @@ def _day_hll_missing_batches(store_path: str) -> list[str]:
             if e.startswith("batch=")}
     # a base delta (compaction's -1 or backfill's -2) covers every
     # batch committed before it was written — only per-batch gaps
-    # with NO base present mean lost days
+    # with NO base present mean lost state
     has_base = bool({str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)} & have)
     if has_base:
         return []
     return [b for b in os.listdir(committed) if b not in have]
+
+
+# delta families added AFTER the original cms/hll pair — each needs the
+# pre-upgrade coverage guard on read and before compaction
+_GUARDED_FAMILIES = ("hll_day", "hist")
 
 
 def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
@@ -173,7 +209,7 @@ def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
     loudly instead of returning a wrong DAU table; ``backfill_day_hll``
     repairs them in one batch pass."""
     d = os.path.join(store_path, "hll_day")
-    missing = _day_hll_missing_batches(store_path)
+    missing = _missing_batches(store_path, "hll_day")
     if missing:
         raise RuntimeError(
             f"sketch store {store_path!r} has committed batches with no "
@@ -202,6 +238,66 @@ def backfill_day_hll(spark: SparkSession, events_df: DataFrame,
         .parquet(_delta_dir(store_path, "hll_day", BASE_BATCH_ID - 1))
 
 
+def _fold_hist(deltas: DataFrame) -> DataFrame:
+    """Histogram merge algebra: bin counts ADD. Shared by read and
+    compaction. Additivity is also why hist backfill must REPLACE the
+    delta dir rather than overlay a base (see ``backfill_hist``) — an
+    overlapping base double-counts under sum, unlike max-algebra HLL."""
+    return deltas.groupBy("bin").agg(F.sum("c").alias("c"))
+
+
+def read_hist(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the per-batch value-histogram deltas into the current (bin, c)
+    table. Refuses partially-covered pre-upgrade stores loudly (same
+    guard as ``read_day_hll`` — under the ADDITIVE fold a silent gap is
+    an undercount the drift audit would act on); ``backfill_hist``
+    repairs them."""
+    d = os.path.join(store_path, "hist")
+    missing = _missing_batches(store_path, "hist")
+    if missing:
+        raise RuntimeError(
+            f"sketch store {store_path!r} has committed batches with no "
+            f"histogram delta ({sorted(missing)[:5]}…) — it predates the "
+            "hist family; run backfill_hist before reading or the bin "
+            "counts silently omit those batches")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"no histogram deltas under {store_path!r} — the store predates "
+            "the hist family; run backfill_hist(spark, events_df, "
+            "store_path) to build them from the full corpus")
+    return _fold_hist(spark.read.parquet(d))
+
+
+def backfill_hist(spark: SparkSession, events_df: DataFrame,
+                  store_path: str) -> None:
+    """One-shot repair for stores that predate the hist family. UNLIKE
+    ``backfill_day_hll`` (max algebra — overlap harmless), histogram
+    counts ADD, so a base overlaid on surviving per-batch deltas would
+    double-count them: the backfill REPLACES the whole ``hist`` dir with
+    a single ``batch=-2`` base built from the full ingested corpus,
+    using the compaction swap (temp-materialize → two renames with
+    rollback) so a crash never leaves a half-state."""
+    import shutil
+
+    from .compaction import BASE_BATCH_ID
+
+    d = os.path.join(store_path, "hist")
+    tmp, old = d + ".backfill-tmp", d + ".backfill-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    hist_bins(events_df).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(tmp, f"batch={BASE_BATCH_ID - 1}"))
+    if os.path.isdir(d):
+        os.rename(d, old)
+    try:
+        os.rename(tmp, d)
+    except Exception:
+        if os.path.isdir(old):
+            os.rename(old, d)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
     """Fold the per-batch deltas into the current sketches: CMS cells add,
     HLL registers max — the same constant-size merge the batch operators
@@ -219,26 +315,28 @@ def compact_sketches(spark: SparkSession, store_path: str) -> dict:
     from .compaction import compact_deltas
 
     # refuse up front (before touching cms/hll, so a refusal leaves the
-    # store untouched): a PARTIALLY-covered hll_day (pre-upgrade store
-    # resumed under new code) must not be folded into a batch=-1 base —
-    # the base would satisfy read_day_hll's coverage check and turn a
-    # loud refusal into a silent per-day undercount of every pre-upgrade
-    # batch
-    missing = _day_hll_missing_batches(store_path)
-    if missing:
-        raise RuntimeError(
-            f"refusing to compact sketches in {store_path!r}: committed "
-            f"batches {sorted(missing)[:5]}… have no day-HLL delta and "
-            "no base covers them — compacting would fold a partial "
-            "hll_day into a base that read_day_hll then trusts; run "
-            "backfill_day_hll first")
+    # store untouched): a PARTIALLY-covered later-added family
+    # (pre-upgrade store resumed under new code) must not be folded into
+    # a batch=-1 base — the base would satisfy the read-side coverage
+    # check and turn its loud refusal into a silent undercount of every
+    # pre-upgrade batch
+    for fam in _GUARDED_FAMILIES:
+        missing = _missing_batches(store_path, fam)
+        if missing:
+            raise RuntimeError(
+                f"refusing to compact sketches in {store_path!r}: committed "
+                f"batches {sorted(missing)[:5]}… have no {fam} delta and "
+                f"no base covers them — compacting would fold a partial "
+                f"{fam} into a base the read side then trusts; run the "
+                f"family's backfill first")
     out = {
         "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
         "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),
     }
-    day_dir = os.path.join(store_path, "hll_day")
-    if os.path.isdir(day_dir):  # absent on pre-upgrade stores (backfill repairs)
-        out["hll_day"] = compact_deltas(spark, day_dir, _fold_hll_day)
-    else:
-        out["hll_day"] = {"skipped": "no hll_day dir (pre-upgrade store)"}
+    for fam, fold in (("hll_day", _fold_hll_day), ("hist", _fold_hist)):
+        fam_dir = os.path.join(store_path, fam)
+        if os.path.isdir(fam_dir):  # absent on pre-upgrade stores (backfill repairs)
+            out[fam] = compact_deltas(spark, fam_dir, fold)
+        else:
+            out[fam] = {"skipped": f"no {fam} dir (pre-upgrade store)"}
     return out

@@ -254,3 +254,59 @@ def test_compact_deltas_restores_store_when_swap_fails(spark, tmp_path, monkeypa
     # the live deltas are back in place and reads still work
     assert sorted(os.listdir(cms_dir)) == dirs_before
     assert _cms_rows(_fold_cms(spark.read.parquet(cms_dir))) == want_cms
+
+
+def test_stream_hist_matches_batch_and_backfill_replaces(spark, tmp_path):
+    """r07 hist family: (a) after the drain the folded histogram equals
+    the one-shot build over everything ingested (streaming ≡ batch under
+    the additive fold); (b) a pre-hist store is refused loudly in both
+    the missing-dir and partial-coverage shapes — and compaction refuses
+    the partial shape too; (c) backfill_hist REPLACES the delta dir, so
+    surviving partial deltas cannot double-count under sum."""
+    import shutil
+
+    import pytest
+
+    from graph_database_project_spark.streaming.sketch import (
+        backfill_hist, compact_sketches, hist_bins, read_hist)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(3).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store, schema=ev.schema)
+
+    all_events = spark.read.parquet(events_dir)
+    want = sorted((r.bin, r.c) for r in hist_bins(all_events).collect())
+
+    # (a) streaming fold ≡ one-shot batch build
+    got = sorted((r.bin, r.c) for r in read_hist(spark, store).collect())
+    assert got == want
+
+    # (b) pre-upgrade shapes refused
+    shutil.rmtree(os.path.join(store, "hist"))
+    with pytest.raises(FileNotFoundError, match="backfill_hist"):
+        read_hist(spark, store)
+    # partial coverage: ONE surviving batch delta, no base
+    one = sorted(os.listdir(os.path.join(store, "_committed")))[0]
+    partial = all_events.limit(100)
+    hist_bins(partial).write.mode("overwrite").parquet(
+        os.path.join(store, "hist", f"batch={one}"))
+    with pytest.raises(RuntimeError, match="predates the hist"):
+        read_hist(spark, store)
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        compact_sketches(spark, store)
+
+    # (c) backfill REPLACES: the partial delta must not double-count
+    backfill_hist(spark, all_events, store)
+    got2 = sorted((r.bin, r.c) for r in read_hist(spark, store).collect())
+    assert got2 == want
+    dirs = [d for d in os.listdir(os.path.join(store, "hist"))
+            if d.startswith("batch=")]
+    assert dirs == ["batch=-2"]  # the partial per-batch delta is gone
+
+    # compaction now proceeds and preserves every bin count
+    stats = compact_sketches(spark, store)
+    assert stats["hist"]["deltas_after"] == 1
+    got3 = sorted((r.bin, r.c) for r in read_hist(spark, store).collect())
+    assert got3 == want
