@@ -57,6 +57,7 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "quantile_sketch_grouped",  # checkpointed bounds + day-hist
                        "theta_sketch_setops",  # checkpointed final K-row sketch
                        "drift_histogram_tv",  # checkpointed bounds + slice hist
+                       "dedup_prefix_filter",  # checkpointed candidate pairs
                        "nl2query_followup",
                        # r05 materialize-once refactors: these checkpoint a
                        # multi-consumer derived relation at construction

@@ -1190,22 +1190,15 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the beyond-reference large-graph analytics battery
     (SURVEY.md §2 extension rows).
     """
-    from .profiling import (HLL_ALPHA_MM, HLL_M, HLL_MUL1, HLL_MUL2,
-                            HLL_OFFSET, HLL_W)
+    from .profiling import HLL_ALPHA_MM, HLL_M, HLL_W, mix32
 
     verts, edges, _ = _synth_digraph(spark, sf_dir)
     edges = edges.localCheckpoint(eager=True)
 
     # singleton register per node: the HLL of {node} under the shared
-    # avalanche mix (profiling.py constants — same hash both engines)
-    mixed = (verts
-             .withColumn("h0", (F.col("node") % 2147483648 + HLL_OFFSET)
-                         % 4294967296)
-             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
-                                * HLL_MUL1) % 4294967296)
-             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
-                                * HLL_MUL2) % 4294967296)
-             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    # avalanche mix (profiling.mix32 — same hash both engines)
+    mixed = mix32(verts.withColumn("_kr", F.col("node") % 2147483648),
+                  key="_kr").drop("_kr")
     rank_dim = spark.createDataFrame(
         [(1 << j, j + 1) for j in range(HLL_W)] + [(0, HLL_W + 1)],
         "lowbit long, rank int")
@@ -1256,9 +1249,11 @@ def _hyperball_oracle_sql(n_rounds: int = HB_ROUNDS) -> str:
     the identical avalanche mix, ``n_rounds`` max-merge rounds unrolled
     as chained MATERIALIZED CTEs (each s{i} is referenced twice — carry +
     propagate — so default inlining would double the tree per round)."""
-    from .profiling import (_HLL_RANK_ROWS, HLL_ALPHA_MM, HLL_M, HLL_MUL1,
-                            HLL_MUL2, HLL_OFFSET)
+    from .profiling import _HLL_RANK_ROWS, HLL_ALPHA_MM, HLL_M, mix32_sql
 
+    node_mix = mix32_sql(
+        "(SELECT CAST(c_custkey AS BIGINT) AS node FROM customer)",
+        "(node % 2147483648)", carry=("node",))
     parts = [f"""
 WITH nn AS (SELECT count(*) AS n FROM customer),
 e AS MATERIALIZED ({_synth_edges_sql()}),
@@ -1268,13 +1263,7 @@ rank_dim AS (
 ),
 s0 AS MATERIALIZED (
   SELECT hb.node, hb.h % {HLL_M} AS bucket, d.rank AS reg
-  FROM (
-    SELECT node, xor(h2, h2 >> 16) AS h FROM (
-      SELECT node, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
-        SELECT node, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
-          SELECT node, (node % 2147483648 + {HLL_OFFSET}) % 4294967296 AS h0
-          FROM (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer))))
-  ) hb
+  FROM ({node_mix}) hb
   JOIN rank_dim d ON d.lowbit = ((hb.h // {HLL_M}) & -(hb.h // {HLL_M}))
 )"""]
     for i in range(1, n_rounds + 1):

@@ -553,6 +553,35 @@ HLL_ALPHA_MM = HLL_ALPHA * HLL_M * HLL_M
 _HLL_A, _HLL_B = CMS_A[0], CMS_B[0]  # reuse a universal-hash row
 
 
+def mix32(df: DataFrame, key: str = "k", out: str = "h") -> DataFrame:
+    """THE shared 32-bit avalanche pipeline (golden-ratio offset + two
+    xorshift-odd-multiply rounds) behind every sketch family — one
+    definition so operators and engines can never desync (the constants'
+    correctness is load-bearing: see the LCG-bias and zero-fixed-point
+    incidents documented at HLL_OFFSET). ``key`` must already be reduced
+    to the < 2^31 domain by the caller; all other columns pass through."""
+    return (df
+            .withColumn("_m0", (F.col(key) + HLL_OFFSET) % 4294967296)
+            .withColumn("_m1", (F.expr("_m0 ^ shiftright(_m0, 16)")
+                                * HLL_MUL1) % 4294967296)
+            .withColumn("_m2", (F.expr("_m1 ^ shiftright(_m1, 15)")
+                                * HLL_MUL2) % 4294967296)
+            .withColumn(out, F.expr("_m2 ^ shiftright(_m2, 16)"))
+            .drop("_m0", "_m1", "_m2"))
+
+
+def mix32_sql(src: str, key: str, carry: tuple = ()) -> str:
+    """DuckDB twin of ``mix32``: ``SELECT <carry...>, h FROM <src>`` with
+    the identical pipeline as nested selects. ``key`` is an expression
+    already reduced to < 2^31; ``src`` a table/CTE name or parenthesized
+    subquery."""
+    c = "".join(f"{col}, " for col in carry)
+    return (f"SELECT {c}xor(m2, m2 >> 16) AS h FROM (\n"
+            f"    SELECT {c}(xor(m1, m1 >> 15) * {HLL_MUL2}) % 4294967296 AS m2 FROM (\n"
+            f"      SELECT {c}(xor(m0, m0 >> 16) * {HLL_MUL1}) % 4294967296 AS m1 FROM (\n"
+            f"        SELECT {c}({key} + {HLL_OFFSET}) % 4294967296 AS m0 FROM {src})))")
+
+
 def hll_registers(keys: DataFrame) -> DataFrame:
     """Build the dense m-row HLL register table (bucket, reg) from a
     (k: long) relation, k < 2^31. Mergeable: register tables of disjoint
@@ -560,13 +589,7 @@ def hll_registers(keys: DataFrame) -> DataFrame:
     max(reg) per bucket; tests/test_sketch.py proves slice-merge equals
     whole-corpus build exactly."""
     spark = keys.sparkSession
-    mixed = (keys
-             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
-             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
-                                * HLL_MUL1) % 4294967296)
-             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
-                                * HLL_MUL2) % 4294967296)
-             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    mixed = mix32(keys)
     hashed = mixed.select(
         (F.col("h") % HLL_M).alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("rest"),
@@ -637,10 +660,7 @@ Q_CARDINALITY_HLL_SQL = f"""
 WITH keys AS (
   SELECT DISTINCT user_id % 2147483648 AS k FROM events WHERE user_id IS NOT NULL
 ), mixed AS (
-  SELECT xor(h2, h2 >> 16) AS h FROM (
-    SELECT (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
-      SELECT (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
-        SELECT (k + {HLL_OFFSET}) % 4294967296 AS h0 FROM keys)))
+  {mix32_sql("keys", "k")}
 ), hashed AS (
   SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM mixed
 ), rank_dim AS (
@@ -679,13 +699,7 @@ def hll_registers_grouped(keys: DataFrame, group: str = "day") -> DataFrame:
     register tables fold across slices by max(reg) — the streaming day-HLL
     store relies on that (streaming/sketch.py)."""
     spark = keys.sparkSession
-    mixed = (keys
-             .withColumn("h0", (F.col("k") + HLL_OFFSET) % 4294967296)
-             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
-                                * HLL_MUL1) % 4294967296)
-             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
-                                * HLL_MUL2) % 4294967296)
-             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    mixed = mix32(keys)
     hashed = mixed.select(
         group,
         (F.col("h") % HLL_M).alias("bucket"),
@@ -766,10 +780,7 @@ WITH keys AS (
                   user_id % 2147483648 AS k
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), mixed AS (
-  SELECT day, xor(h2, h2 >> 16) AS h FROM (
-    SELECT day, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
-      SELECT day, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
-        SELECT day, (k + {HLL_OFFSET}) % 4294967296 AS h0 FROM keys)))
+  {mix32_sql("keys", "k", carry=("day",))}
 ), hashed AS (
   SELECT day, h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM mixed
 ), rank_dim AS (
@@ -915,7 +926,7 @@ WITH vals AS (
 ), cum AS (
   SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM hist
 ), qs AS (
-  SELECT unnest([{", ".join(str(q) for q in QH_QS)}]) AS q
+  SELECT unnest([{", ".join(f"CAST({q!r} AS DOUBLE)" for q in QH_QS)}]) AS q
 ), qbin AS (
   SELECT q, min(bin) AS qbin
   FROM qs CROSS JOIN cum CROSS JOIN bounds
@@ -1021,7 +1032,7 @@ WITH vals AS (
 ), nd AS (
   SELECT day, sum(c) AS n FROM hist GROUP BY day
 ), qs AS (
-  SELECT unnest([{", ".join(str(q) for q in QHG_QS)}]) AS q
+  SELECT unnest([{", ".join(f"CAST({q!r} AS DOUBLE)" for q in QHG_QS)}]) AS q
 ), qbin AS (
   SELECT day, q, min(bin) AS qbin, any_value(n) AS n
   FROM qs CROSS JOIN nd JOIN cum ON cday = day AND cum >= q * n
@@ -1047,11 +1058,26 @@ ORDER BY day, q
 # normalized histograms) rather than PSI/KL because TV needs no logarithm —
 # cross-multiplying the per-bin counts (|n_base·N_cur − n_cur·N_base|)
 # keeps every intermediate an exact BIGINT, so both engines agree to the
-# last bit with no float caveat. Overflow bound: products stay < 2^63 while
-# slice counts stay < ~3e9 rows; past that the counts themselves would be
-# per-shard partials and the audit runs on their (still-exact) sums scaled
-# by a common 2^k shift — documented, not needed at bench scale.
+# last bit with no float caveat. Overflow: per-bin products n·T stay < 2^63
+# while slice counts stay < ~3e9 rows, but the ppm SCALING step (Σdev·1e6,
+# with Σdev ≤ 2·tb·tc) would overflow ~1000× sooner — so the ppm divisions
+# first downshift numerator and denominator by a COMMON power-of-two
+# divisor chosen by a deterministic CASE on the denominator's magnitude
+# (``_ppm_downshift_sql``). The divisor is 1 (exact) at every realistic
+# scale and degrades to a ≤2^-26-relative floor approximation — identically
+# on both engines, since both run the same integer CASE + div — only past
+# tb·tc ≈ 2^41 (code-review finding, r07).
 DRIFT_SPLIT_DAYS = 15   # base slice = first 15 days from the corpus min
+
+
+def _ppm_downshift_sql(den: str) -> str:
+    """Common power-of-two divisor keeping ``(num div d) * 1000000`` under
+    2^62 for any num ≤ den: den div d < 2^42 by construction. Engine-
+    portable (pure integer CASE + floor-div, identical semantics in Spark
+    and DuckDB)."""
+    return (f"(CASE WHEN {den} < {1 << 42} THEN 1 "
+            f"WHEN {den} < {1 << 50} THEN 256 "
+            f"WHEN {den} < {1 << 58} THEN 65536 ELSE 16777216 END)")
 
 
 def q_drift_histogram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,12 +1119,16 @@ def q_drift_histogram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum("dev").alias("sumdev"),
                 F.max(F.struct(F.col("dev"), (-F.col("bin")).alias("nb")))
                 .alias("worst")))
+    pd_tv = _ppm_downshift_sql(d_tv := "(2 * tb * tc)")
+    pd_wb = _ppm_downshift_sql(d_wb := "(tb * tc)")
     return agg.select(
         F.col("tb").cast("long").alias("n_base"),
         F.col("tc").cast("long").alias("n_current"),
-        F.expr("sumdev * 1000000 div (2 * tb * tc)").alias("tv_ppm"),
+        F.expr(f"(sumdev div {pd_tv}) * 1000000 div ({d_tv} div {pd_tv})")
+        .alias("tv_ppm"),
         (-F.col("worst.nb")).cast("long").alias("worst_bin"),
-        F.expr("worst.dev * 1000000 div (tb * tc)").alias("worst_bin_ppm"),
+        F.expr(f"(worst.dev div {pd_wb}) * 1000000 div ({d_wb} div {pd_wb})")
+        .alias("worst_bin_ppm"),
     )
 
 
@@ -1123,12 +1153,12 @@ WITH vals AS (
   FROM hist CROSS JOIN tot
 ), mx AS (SELECT max(dev) AS mdev FROM dev)
 SELECT tb AS n_base, tc AS n_current,
-       (SELECT CAST(sum(dev) AS BIGINT) FROM dev)
-         * 1000000 // (2 * tb * tc) AS tv_ppm,
+       ((SELECT CAST(sum(dev) AS BIGINT) FROM dev) // {_ppm_downshift_sql("(2 * tb * tc)")})
+         * 1000000 // ((2 * tb * tc) // {_ppm_downshift_sql("(2 * tb * tc)")}) AS tv_ppm,
        (SELECT CAST(min(bin) AS BIGINT) FROM dev, mx WHERE dev = mdev)
          AS worst_bin,
-       (SELECT CAST(mdev AS BIGINT) FROM mx)
-         * 1000000 // (tb * tc) AS worst_bin_ppm
+       ((SELECT CAST(mdev AS BIGINT) FROM mx) // {_ppm_downshift_sql("(tb * tc)")})
+         * 1000000 // ((tb * tc) // {_ppm_downshift_sql("(tb * tc)")}) AS worst_bin_ppm
 FROM tot
 """
 
@@ -1178,14 +1208,8 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("k"),
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("in_a"),
         (F.col("o_totalprice") > 150000.0).alias("in_b"))
-    mixed = (base
-             .withColumn("h0", (F.col("k") % 2147483648 + HLL_OFFSET)
-                         % 4294967296)
-             .withColumn("h1", (F.expr("h0 ^ shiftright(h0, 16)")
-                                * HLL_MUL1) % 4294967296)
-             .withColumn("h2", (F.expr("h1 ^ shiftright(h1, 15)")
-                                * HLL_MUL2) % 4294967296)
-             .withColumn("h", F.expr("h2 ^ shiftright(h2, 16)")))
+    mixed = mix32(base.withColumn("_kr", F.col("k") % 2147483648), key="_kr") \
+        .drop("_kr")
     tagged = (mixed
               .select("h", F.explode(F.array(
                   F.when(F.col("in_a"), F.lit("a")),
@@ -1248,11 +1272,7 @@ WITH base AS (
          o_totalprice > 150000.0 AS in_b
   FROM orders
 ), mixed AS (
-  SELECT in_a, in_b, xor(h2, h2 >> 16) AS h FROM (
-    SELECT in_a, in_b, (xor(h1, h1 >> 15) * {HLL_MUL2}) % 4294967296 AS h2 FROM (
-      SELECT in_a, in_b, (xor(h0, h0 >> 16) * {HLL_MUL1}) % 4294967296 AS h1 FROM (
-        SELECT in_a, in_b, (k % 2147483648 + {HLL_OFFSET}) % 4294967296 AS h0
-        FROM base)))
+  {mix32_sql("base", "(k % 2147483648)", carry=("in_a", "in_b"))}
 ), tagged AS (
   SELECT DISTINCT s, h FROM (
     SELECT h, unnest([CASE WHEN in_a THEN 'a' END,
