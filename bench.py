@@ -102,6 +102,7 @@ EXTENDED = [
     "graph_cc_incremental",     # r07: IVM delta-merge over stored CC labels
     "drift_histogram_tv",       # r07: exact-integer TV drift audit
     "graph_clustering_coeff",   # r07: wedge-join triple tally + lcc rollup
+    "heavy_hitters_cms_grouped",  # r07: keyed CMS build + per-day top-k probe
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -410,6 +410,99 @@ GROUP BY pr.k, pr.exact_n
 """
 
 
+CMS_GROUP_TOPK = 3   # per-group report size (|days| × 3 output rows)
+
+
+def cms_sketch_grouped(keys: DataFrame, group: str = "day") -> DataFrame:
+    """Keyed CMS build: (group, k) relation → (group, d, bucket, c) cells
+    — |groups|×d×w rows, map-side combined like the global build, and
+    mergeable across slices by summing c on (group, d, bucket). Completes
+    the grouped-mergeable-sketch family (HLL ✓, histogram quantiles ✓,
+    CMS here)."""
+    cells = keys.select(group, "k", F.explode(_cms_rows()).alias("r")).select(
+        group,
+        F.col("r.d").alias("d"),
+        _cms_bucket(F.col("k"), F.col("r.a"), F.col("r.b")).alias("bucket"),
+    )
+    return cells.groupBy(group, "d", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+
+
+def q_heavy_hitters_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY heavy hitters via keyed count-min sketches — daily top
+    talkers, the grouped form of ``heavy_hitters_cms`` and the shape a
+    100 TB profile stores per partition (per-day sketches merge into
+    weekly/monthly ones by cell addition, so the report can be re-run at
+    any granularity without raw data).
+
+    Scale: one keyed shuffle to |days|×d×w cells (bounded by config ×
+    calendar, not data); the exact side exists only as the differential
+    ground truth and its per-day top-k rides a (day)-partitioned
+    row_number window. est ≥ exact always (counters only overcount).
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("user_id").cast("long").alias("k")))
+    sketch = cms_sketch_grouped(ev, group="day")
+    from pyspark.sql.window import Window as W
+    exact = ev.groupBy("day", "k").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = (exact.withColumn("rn", F.row_number().over(
+        W.partitionBy("day").orderBy(F.desc("exact_n"), F.asc("k"))))
+        .filter(F.col("rn") <= CMS_GROUP_TOPK).drop("rn"))
+    probe = (topk.select("day", "k", "exact_n",
+                         F.explode(_cms_rows()).alias("r"))
+             .select("day", "k", "exact_n",
+                     F.col("r.d").alias("d"),
+                     _cms_bucket(F.col("k"), F.col("r.a"),
+                                 F.col("r.b")).alias("bucket")))
+    est = (sketch.join(F.broadcast(probe), ["day", "d", "bucket"])
+           .groupBy("day", "k", "exact_n")
+           .agg(F.min("c").alias("est_n")))
+    return (est.select(
+        "day",
+        F.col("k").alias("user_id"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"))
+        .orderBy("day", F.desc("exact_n"), "user_id"))
+
+
+Q_HEAVY_HITTERS_GROUPED_SQL = f"""
+WITH params AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D))})
+         AS t(d, a, b)
+), keys AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id AS k
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), sketch AS (
+  SELECT day, d, ((a * k + b) % {CMS_P}) % {CMS_W} AS bucket, count(*) AS c
+  FROM keys CROSS JOIN params GROUP BY 1, 2, 3
+), exact AS (
+  SELECT day, k, count(*) AS exact_n FROM keys GROUP BY 1, 2
+), topk AS (
+  SELECT day, k, exact_n FROM (
+    SELECT day, k, exact_n,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY exact_n DESC, k) AS rn
+    FROM exact)
+  WHERE rn <= {CMS_GROUP_TOPK}
+), probe AS (
+  SELECT t.day, t.k, t.exact_n, p.d,
+         ((p.a * t.k + p.b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM topk t CROSS JOIN params p
+)
+SELECT pr.day, pr.k AS user_id,
+       CAST(pr.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.c) AS BIGINT)   AS est_n,
+       CAST(min(s.c) - pr.exact_n AS BIGINT) AS overcount
+FROM probe pr JOIN sketch s USING (day, d, bucket)
+GROUP BY pr.day, pr.k, pr.exact_n
+ORDER BY pr.day, exact_n DESC, user_id
+"""
+
+
 # -- CMS inner product: pre-execution join-size estimation ------------------
 # The optimizer-facing sketch application (AMS/CMS classic): |A ⋈_k B| =
 # Σ_k cntA(k)·cntB(k), estimated WITHOUT touching the join by the inner
@@ -1487,6 +1580,7 @@ QUERIES = {
     "dq_audit": q_dq_audit,
     "zorder_layout": q_zorder_layout,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "heavy_hitters_cms_grouped": q_heavy_hitters_cms_grouped,
     "cardinality_hll": q_cardinality_hll,
     "cardinality_hll_grouped": q_cardinality_hll_grouped,
     "quantile_sketch_merge": q_quantile_sketch_merge,
@@ -1502,6 +1596,7 @@ ORACLE = {
     "dq_audit": Q_DQ_AUDIT_SQL,
     "zorder_layout": Q_ZORDER_SQL,
     "heavy_hitters_cms": Q_HEAVY_HITTERS_SQL,
+    "heavy_hitters_cms_grouped": Q_HEAVY_HITTERS_GROUPED_SQL,
     "cardinality_hll": Q_CARDINALITY_HLL_SQL,
     "cardinality_hll_grouped": Q_CARDINALITY_HLL_GROUPED_SQL,
     "quantile_sketch_merge": Q_QUANTILE_SKETCH_SQL,

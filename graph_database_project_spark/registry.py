@@ -87,7 +87,8 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # graph_label_propagation and drift_histogram_tv for
 # mutation_scd2_build, both 2x green; graph_clustering_coeff for
 # stream_tumbling_hourly, 4x green — streaming stays repped by
-# stream_sliding_window) so their first
+# stream_sliding_window; heavy_hitters_cms_grouped for
+# cardinality_hll, 2x green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -104,7 +105,7 @@ _DRIVER_WINDOW = [
     "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
     "join_bloom_prune",  # r05 new op: runtime-filter audit (dq_audit out)
     "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles (merge out, 2x green)
-    "cardinality_hll",  # r05 new op: HLL registers, oracle rebuilds them
+    "heavy_hitters_cms_grouped",  # r07 new op: per-day CMS top talkers (cardinality_hll out, 2x green)
     "theta_sketch_setops",  # r07 new op: KMV set-op sketch (json_funcs out, 5x green)
     "profile_columns",  # r07: per-column profiler (catalog_stats out, 5x green)
     # LLM-pipeline text/multimodal/curation reps (r06 debt-burn block)

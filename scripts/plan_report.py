@@ -44,7 +44,8 @@ def main() -> None:
              # r07 additions: centrality + keyed quantile sketch
              "graph_hyperball", "graph_hits", "quantile_sketch_grouped",
              "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental",
-             "drift_histogram_tv", "graph_clustering_coeff"]
+             "drift_histogram_tv", "graph_clustering_coeff",
+             "heavy_hitters_cms_grouped"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -282,3 +282,27 @@ def test_drift_tv_contracts(spark):
     sumdev = sum(abs(hist.get((b, True), 0) * tc - hist.get((b, False), 0) * tb)
                  for b in range(QH_BINS))
     assert row.tv_ppm == sumdev * 1_000_000 // (2 * tb * tc)
+
+
+def test_cms_grouped_slice_merge_equals_whole(spark):
+    """Grouped-CMS merge algebra: building per-slice keyed sketches and
+    summing cells on (day, d, bucket) equals the whole-corpus keyed build
+    — the property that lets per-batch day sketches roll up to any
+    granularity without raw data."""
+    from graph_database_project_spark.operators.profiling import (
+        cms_sketch_grouped)
+
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("user_id").cast("long").alias("k")))
+    whole = {(r.day, r.d, r.bucket): r.c
+             for r in cms_sketch_grouped(ev).collect()}
+    s1 = cms_sketch_grouped(ev.filter(F.col("k") % 2 == 0))
+    s2 = cms_sketch_grouped(ev.filter(F.col("k") % 2 != 0))
+    merged = {}
+    for r in s1.collect() + s2.collect():
+        key = (r.day, r.d, r.bucket)
+        merged[key] = merged.get(key, 0) + r.c
+    assert merged == whole
