@@ -306,3 +306,41 @@ def test_cms_grouped_slice_merge_equals_whole(spark):
         key = (r.day, r.d, r.bucket)
         merged[key] = merged.get(key, 0) + r.c
     assert merged == whole
+
+
+def test_ppm_downshift_exact_and_overflow_safe(spark):
+    """The drift audit's ppm downshift in its ACTIVE regime (the corpus
+    tests only exercise divisor 1): for denominators in all four CASE
+    branches, Spark and DuckDB produce identical ppm values, the result
+    never overflows, and the approximation error vs exact rational ppm is
+    within the documented 2^-26 relative bound."""
+    import duckdb
+
+    from graph_database_project_spark.operators.profiling import (
+        _ppm_downshift_sql)
+
+    cases = [  # (num, den) with num <= den, spanning every CASE branch
+        (123_456, 1_000_000),                      # divisor 1 (exact)
+        ((1 << 45) // 3, 1 << 45),                 # divisor 256
+        ((1 << 53) // 7 * 2, 1 << 53),             # divisor 65536
+        ((1 << 61) // 5 * 3, 1 << 61),             # divisor 2^24
+        (9_100_000_000_000_000_000 // 2,
+         9_100_000_000_000_000_000),               # near-2^63 den
+    ]
+    pd_expr = _ppm_downshift_sql("den")
+    con = duckdb.connect()
+    for num, den in cases:
+        sp = spark.sql(
+            f"SELECT (CAST({num} AS BIGINT) div {pd_expr}) * 1000000 "
+            f"div (CAST({den} AS BIGINT) div {pd_expr}) AS ppm "
+            f"FROM (SELECT CAST({num} AS BIGINT) AS num, "
+            f"CAST({den} AS BIGINT) AS den)").collect()[0].ppm
+        du = con.execute(
+            f"SELECT (CAST({num} AS BIGINT) // {pd_expr}) * 1000000 "
+            f"// (CAST({den} AS BIGINT) // {pd_expr}) AS ppm "
+            f"FROM (SELECT CAST({num} AS BIGINT) AS num, "
+            f"CAST({den} AS BIGINT) AS den)").fetchone()[0]
+        assert sp == du, (num, den, sp, du)
+        exact = num * 1_000_000 // den  # python ints don't overflow
+        assert abs(sp - exact) <= max(1, exact >> 25), (sp, exact)
+    con.close()
