@@ -103,6 +103,8 @@ EXTENDED = [
     "drift_histogram_tv",       # r07: exact-integer TV drift audit
     "graph_clustering_coeff",   # r07: wedge-join triple tally + lcc rollup
     "heavy_hitters_cms_grouped",  # r07: keyed CMS build + per-day top-k probe
+    "graph_temporal_reachability",  # r07: contact-edge build + 3 relax rounds
+    "ts_markov_transitions",    # r07: per-user lag window + matrix rollup
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

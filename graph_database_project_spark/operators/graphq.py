@@ -1379,12 +1379,115 @@ LIMIT {HITS_TOP_N}
 """)
 
 
+TEMPORAL_HOPS = 3     # fixed bounded-hop foremost-arrival rounds
+TEMPORAL_SEED = 1     # seed user id (present at every sf)
+TEMPORAL_TOP_N = 30
+
+
+def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability (foremost arrival) over a temporal
+    contact graph — the algorithmic family static k-hop cannot express:
+    a path is valid only if its edge timestamps are non-decreasing, so
+    information (or contagion) can only flow forward in time. Static BFS
+    over the same edges overcounts reach by ignoring ordering; the
+    difference IS the operator.
+
+    Graph: co-presence edges — two users sharing an (event_type, hour)
+    cell are in contact at that hour. Relaxation: fixed
+    ``TEMPORAL_HOPS`` Bellman-Ford-style rounds of
+    arr(v) = min over edges (u,v,t) with t ≥ arr(u) of t — the standard
+    distributed foremost-arrival recurrence; min-merge makes replayed
+    relaxations idempotent.
+
+    Scale: contact edges build from ONE self-equi-join on the (type,
+    hour) cell (never user×user; a hot cell is the skew axis — the
+    degree-cap lever from link prediction applies); each round is one
+    equi-join + keyed min with map-side combine; state is |reached|
+    rows. Loop discipline: edges checkpointed once, state checkpointed
+    per round, fixed rounds, no probe.
+
+    Determinism: arrival times are exact hour-epoch BIGINTs; output is
+    the top-``TEMPORAL_TOP_N`` earliest-reached users under a total
+    order.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull()))
+    pres = (ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.col("event_type").alias("ty"),
+        F.unix_millis(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+        .alias("t"))
+        .distinct().localCheckpoint(eager=True))
+    a = pres.select(F.col("u").alias("src"), "ty", "t")
+    b = pres.select(F.col("u").alias("dst"), F.col("ty").alias("ty2"),
+                    F.col("t").alias("t2"))
+    edges = (a.join(b, (F.col("ty") == F.col("ty2"))
+                    & (F.col("t") == F.col("t2"))
+                    & (F.col("src") != F.col("dst")))
+             .select("src", "dst", "t").distinct()
+             .localCheckpoint(eager=True))
+    arr = (pres.filter(F.col("u") == TEMPORAL_SEED)
+           .agg(F.min("t").alias("arr"))
+           .select(F.lit(TEMPORAL_SEED).cast("long").alias("node"), "arr")
+           .localCheckpoint(eager=True))
+    for _ in range(TEMPORAL_HOPS):
+        relax = (arr.join(edges, (edges["src"] == arr["node"])
+                          & (edges["t"] >= arr["arr"]))
+                 .select(edges["dst"].alias("node"), edges["t"].alias("arr")))
+        arr = (arr.unionByName(relax).groupBy("node")
+               .agg(F.min("arr").alias("arr"))
+               .localCheckpoint(eager=True))
+    return (arr.select(
+        F.col("node").alias("user_id"),
+        F.date_format(F.timestamp_seconds(F.expr("arr div 1000"))
+                      .cast("timestamp_ntz"),
+                      "yyyy-MM-dd HH:mm").alias("first_reach"))
+        .orderBy("first_reach", "user_id").limit(TEMPORAL_TOP_N))
+
+
+def _temporal_oracle_sql(n_rounds: int = TEMPORAL_HOPS) -> str:
+    """DuckDB twin: the fixed relaxation rounds unrolled (each a{i}
+    referenced twice — carry + relax — so AS MATERIALIZED)."""
+    parts = [f"""
+WITH pres AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type AS ty,
+         epoch_ms(date_trunc('hour', ts)) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.u AS src, b.u AS dst, a.t
+  FROM pres a JOIN pres b ON a.ty = b.ty AND a.t = b.t AND a.u != b.u
+), a0 AS MATERIALIZED (
+  SELECT CAST({TEMPORAL_SEED} AS BIGINT) AS node,
+         (SELECT min(t) FROM pres WHERE u = {TEMPORAL_SEED}) AS arr
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM a{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM a{i - 1} x JOIN e ON e.src = x.node AND e.t >= x.arr
+  ) GROUP BY node
+)""")
+    return ("".join(parts) + f"""
+SELECT node AS user_id,
+       strftime(make_timestamp(arr * 1000), '%Y-%m-%d %H:%M') AS first_reach
+FROM a{n_rounds}
+ORDER BY first_reach, user_id
+LIMIT {TEMPORAL_TOP_N}
+""")
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
     "graph_khop_undirected": q_khop_undirected,
     "graph_connected_components": q_connected_components,
     "graph_cc_incremental": q_graph_cc_incremental,
+    "graph_temporal_reachability": q_graph_temporal_reachability,
     "graph_pagerank": q_pagerank,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
@@ -1406,6 +1509,7 @@ ORACLE = {
     "graph_khop_undirected": Q_KHOP_UNDIRECTED_SQL,
     "graph_connected_components": Q_CC_SQL,
     "graph_cc_incremental": Q_CC_SQL,  # IVM vs full-recompute merge-equivalence
+    "graph_temporal_reachability": _temporal_oracle_sql(),  # foremost-arrival rounds unrolled
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled

@@ -601,8 +601,67 @@ WHERE rn = 1
 """
 
 
+def q_ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence — the next-event model a product-analytics pipeline ships
+    (what follows a 'view'? how sticky is 'purchase'?), and the input to
+    sequence-anomaly scoring.
+
+    Determinism: each user's sequence is totally ordered by (ts,
+    event_id) — unique — so the lag pairing is identical on both
+    engines; probabilities are floor-ppm over exact integer row totals.
+
+    Scale: ONE window pass partitioned by user (the per-user sequence is
+    the unit of state, bounded by a user's own history, never global)
+    feeding a |types|²-row aggregation with map-side combine; the
+    row-normalizing total rides a window over the 25-row matrix. The raw
+    stream crosses exactly one keyed shuffle (user partitioning).
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull()))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+        .filter(F.col("from_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"))
+    tot = W.partitionBy("from_type")
+    return (counts
+            .withColumn("row_total", F.sum("n_trans").over(tot))
+            .select("from_type", "to_type", "n_trans",
+                    F.col("row_total").cast("long").alias("row_total"),
+                    F.expr("n_trans * 1000000 div row_total")
+                    .alias("prob_ppm"))
+            .orderBy("from_type", "to_type"))
+
+
+Q_TS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), counts AS (
+  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       CAST(n_trans AS BIGINT) * 1000000
+         // CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_ppm
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
+    "ts_markov_transitions": q_ts_markov_transitions,
     "ts_lttb_downsample": q_ts_lttb_downsample,
     "ts_gapfill_locf": q_ts_gapfill_locf,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
@@ -611,6 +670,7 @@ QUERIES = {
 }
 ORACLE = {
     "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
+    "ts_markov_transitions": Q_TS_MARKOV_SQL,
     "ts_lttb_downsample": Q_TS_LTTB_SQL,
     "ts_rollup_multires": Q_TS_ROLLUP_SQL,
     "ts_gapfill_locf": Q_TS_GAPFILL_SQL,

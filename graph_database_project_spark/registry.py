@@ -88,7 +88,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # mutation_scd2_build, both 2x green; graph_clustering_coeff for
 # stream_tumbling_hourly, 4x green — streaming stays repped by
 # stream_sliding_window; heavy_hitters_cms_grouped for
-# cardinality_hll, 2x green) so their first
+# cardinality_hll, ts_markov_transitions for ts_rollup_incremental
+# and graph_temporal_reachability for text_tfidf_top_terms, all 2x
+# green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
 _DRIVER_WINDOW = [
@@ -143,11 +145,11 @@ _DRIVER_WINDOW = [
     "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
     # text analysis (§2.B 32 + LLM-pipeline rows)
     "text_quality_gopher",  # r07: Gopher quality gates (text_stats out, 5x green)
-    "text_tfidf_top_terms",  # r05 rotation: TF-IDF rep, first check
+    "graph_temporal_reachability",  # r07 new op: time-respecting BFS (tfidf out, 2x green)
     "zorder_layout",  # r06: interleaved-bit clustering audit, first check
     # time-series hypertable ops
     "graph_weighted_sssp",  # r05 new op: Bellman-Ford (multires rotates out)
-    "ts_rollup_incremental",  # r05 new op: merge-equivalence oracle
+    "ts_markov_transitions",  # r07 new op: next-event transition matrix (rollup_incremental out, 2x green)
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
     "multimodal_video_frames",  # r07: Y4M frame extraction (image_decode out, 5x green)
     "graph_clustering_coeff",  # r07 new op: per-node lcc distribution (tumbling out, 4x green)

@@ -45,7 +45,8 @@ def main() -> None:
              "graph_hyperball", "graph_hits", "quantile_sketch_grouped",
              "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental",
              "drift_histogram_tv", "graph_clustering_coeff",
-             "heavy_hitters_cms_grouped"]
+             "heavy_hitters_cms_grouped", "graph_temporal_reachability",
+             "ts_markov_transitions"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

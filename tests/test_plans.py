@@ -664,6 +664,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "graph_cc_incremental": 0,       # stored labels + delta edges checkpointed
         "drift_histogram_tv": 0,         # bounds + slice histogram checkpointed
         "graph_clustering_coeff": 0,     # unioned canonical edge list checkpointed
+        "graph_temporal_reachability": 0,  # presence + contact edges checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

@@ -344,3 +344,28 @@ def test_ppm_downshift_exact_and_overflow_safe(spark):
         exact = num * 1_000_000 // den  # python ints don't overflow
         assert abs(sp - exact) <= max(1, exact >> 25), (sp, exact)
     con.close()
+
+
+def test_markov_transitions_conservation(spark):
+    """Exact-integer conservation: total transitions equal
+    Σ_users (n_events_u − 1), and each row's probabilities floor-sum to
+    within |types| ppm of exactly 1e6."""
+    from graph_database_project_spark.operators.timeseries import (
+        q_ts_markov_transitions)
+
+    rows = q_ts_markov_transitions(spark, SF_ORACLE).collect()
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull()))
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    want_total = sum(r.n - 1 for r in per_user.collect())
+    assert sum(r.n_trans for r in rows) == want_total
+
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        total = rs[0].row_total
+        assert sum(r.n_trans for r in rs) == total
+        psum = sum(r.prob_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= psum <= 1_000_000, (ft, psum)

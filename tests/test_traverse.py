@@ -298,3 +298,43 @@ def test_clustering_coeff_closed_form_classes(spark):
         realizable = {t * 2_000_000 // (deg * (deg - 1))
                       for t in range(deg * (deg - 1) // 2 + 1)}
         assert ppm in realizable, (deg, ppm)
+
+
+def test_temporal_reachability_respects_time_and_is_subset_of_static(spark):
+    """Semantic contracts the bit-exact oracle can't see: (a) every
+    first_reach is at or after the seed's own first presence (time flows
+    forward); (b) the temporally-reached set is a SUBSET of static 3-hop
+    reach over the same contact edges (ignoring timestamps) — the
+    constraint is the operator."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        TEMPORAL_HOPS, TEMPORAL_SEED, q_graph_temporal_reachability)
+
+    rows = q_graph_temporal_reachability(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 30
+    seed_start = min(r.first_reach for r in rows
+                     if r.user_id == TEMPORAL_SEED)
+    assert all(r.first_reach >= seed_start for r in rows)
+
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    pres = ev.select(F.col("user_id").cast("long").alias("u"),
+                     "event_type",
+                     F.date_trunc("hour", F.col("ts")).alias("h")).distinct()
+    a = pres.select(F.col("u").alias("src"), "event_type", "h")
+    b = pres.select(F.col("u").alias("dst"),
+                    F.col("event_type").alias("t2"), F.col("h").alias("h2"))
+    edges = (a.join(b, (F.col("event_type") == F.col("t2"))
+                    & (F.col("h") == F.col("h2"))
+                    & (F.col("src") != F.col("dst")))
+             .select("src", "dst").distinct().localCheckpoint(eager=True))
+    static = {TEMPORAL_SEED}
+    frontier = static
+    for _ in range(TEMPORAL_HOPS):
+        nxt = {r.dst for r in edges.filter(
+            F.col("src").isin(list(frontier))).select("dst").collect()}
+        frontier = nxt - static
+        static |= nxt
+        if not frontier:
+            break
+    assert {r.user_id for r in rows} <= static
