@@ -1399,16 +1399,26 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
     distributed foremost-arrival recurrence; min-merge makes replayed
     relaxations idempotent.
 
-    Scale: contact edges build from ONE self-equi-join on the (type,
-    hour) cell (never user×user; a hot cell is the skew axis — the
-    degree-cap lever from link prediction applies); each round is one
-    equi-join + keyed min with map-side combine; state is |reached|
-    rows. Loop discipline: edges checkpointed once, state checkpointed
-    per round, fixed rounds, no probe.
+    Scale: the contact EDGE LIST (u×v per cell, Σ g² rows) is never
+    materialized — each round relaxes THROUGH the (type, hour) presence
+    cells instead: frontier⋈presence finds the cells a reached user can
+    transmit in (t ≥ arr(u)), and a second equi-join on the cell fans
+    out to everyone present there. Per-round cost is linear in the
+    frontier's presences plus the fan-out of the touched cells only —
+    at 100 TB the presence relation IS the event log re-keyed, and the
+    quadratic per-cell pair blowup (a flash-crowd cell's g²) simply
+    never exists. Semantics are identical to edge-based relaxation: an
+    edge (u, v, t) with t ≥ arr(u) contributes arrival t to v ⟺ u
+    present in a cell at t ≥ arr(u) and v present in the same cell
+    (self-contribution t ≥ arr(u) is absorbed by the min). Loop
+    discipline: presence checkpointed once, state checkpointed per
+    round, fixed rounds, no probe.
 
     Determinism: arrival times are exact hour-epoch BIGINTs; output is
     the top-``TEMPORAL_TOP_N`` earliest-reached users under a total
-    order.
+    order. The oracle materializes the edge list (DuckDB-side cost,
+    not the operator's plan) — bit-equality across the two formulations
+    is itself a check that the through-cell rewrite is lossless.
     """
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -1419,22 +1429,16 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_millis(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
         .alias("t"))
         .distinct().localCheckpoint(eager=True))
-    a = pres.select(F.col("u").alias("src"), "ty", "t")
-    b = pres.select(F.col("u").alias("dst"), F.col("ty").alias("ty2"),
-                    F.col("t").alias("t2"))
-    edges = (a.join(b, (F.col("ty") == F.col("ty2"))
-                    & (F.col("t") == F.col("t2"))
-                    & (F.col("src") != F.col("dst")))
-             .select("src", "dst", "t").distinct()
-             .localCheckpoint(eager=True))
     arr = (pres.filter(F.col("u") == TEMPORAL_SEED)
            .agg(F.min("t").alias("arr"))
            .select(F.lit(TEMPORAL_SEED).cast("long").alias("node"), "arr")
            .localCheckpoint(eager=True))
     for _ in range(TEMPORAL_HOPS):
-        relax = (arr.join(edges, (edges["src"] == arr["node"])
-                          & (edges["t"] >= arr["arr"]))
-                 .select(edges["dst"].alias("node"), edges["t"].alias("arr")))
+        touched = (arr.join(pres, pres["u"] == arr["node"])
+                   .filter(pres["t"] >= arr["arr"])
+                   .select("ty", "t").distinct())
+        relax = (touched.join(pres, ["ty", "t"])
+                 .select(F.col("u").alias("node"), F.col("t").alias("arr")))
         arr = (arr.unionByName(relax).groupBy("node")
                .agg(F.min("arr").alias("arr"))
                .localCheckpoint(eager=True))
