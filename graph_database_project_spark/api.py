@@ -70,6 +70,7 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "embedding_mrl_audit",  # checkpointed winner relation
                        "ts_lttb_downsample",  # checkpointed bucket anchors
                        "cardinality_hll_grouped",  # checkpointed registers
+                       "text_hybrid_rrf",  # checkpointed per-doc tf sidecar
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

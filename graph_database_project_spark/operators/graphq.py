@@ -20,7 +20,7 @@ then matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..graph.traverse import (connected_components, k_core, k_hop,
                               label_propagation, pagerank)
@@ -1134,7 +1134,9 @@ def _synth_digraph(spark: SparkSession, sf_dir: str):
     fams = [
         cust.filter(F.col("c_custkey") % 3 >= thr)
             .select(key.alias("src"),
-                    ((F.col("c_custkey") * mul + add) % n).cast("long").alias("dst"))
+                    # arithmetic on the LONG key, not the raw int32 column:
+                    # key*29 overflows INT32 once c_custkey > ~74M (sf≈495)
+                    ((key * mul + add) % n).cast("long").alias("dst"))
         for mul, add, thr in _SYNTH_FAMS
     ]
     edges = (fams[0].union(fams[1]).union(fams[2])
@@ -1151,7 +1153,7 @@ def _synth_edges_sql() -> str:
         where = f" WHERE c_custkey % 3 >= {thr}" if thr else ""
         unions.append(
             f"SELECT CAST(c_custkey AS BIGINT) AS src, "
-            f"CAST((c_custkey * {mul} + {add}) % (SELECT n FROM nn) AS BIGINT)"
+            f"(CAST(c_custkey AS BIGINT) * {mul} + {add}) % (SELECT n FROM nn)"
             f" AS dst FROM customer{where}")
     return ("SELECT DISTINCT src, dst FROM ("
             + " UNION ALL ".join(unions) + ") WHERE src != dst")
@@ -1485,6 +1487,117 @@ LIMIT {TEMPORAL_TOP_N}
 """)
 
 
+TEMPORAL_SEEDS = (1, 5, 9)   # seed SET (users 0-14 exist at every sf; the
+#                              loud-failure test below guards disappearance)
+TEMPORAL_MS_TOP_N = 12       # per-seed earliest-reached cap
+
+
+def q_graph_temporal_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-SOURCE foremost arrival — ``graph_temporal_reachability``
+    generalized from one pinned seed to a seed SET, relaxed concurrently
+    with one extra grouping key (the epidemiology / influence-analysis
+    form: "earliest reach from each of these k patient-zeros").
+
+    Same through-cell rewrite as the single-source op (the quadratic
+    per-cell contact-edge blowup is never materialized; see
+    q_graph_temporal_reachability's docstring for the equivalence
+    argument — it is seedwise-independent, so carrying ``seed`` through
+    every relation preserves it per seed). Per-round cost is linear in
+    Σ_seeds |frontier presences| — k seeds share the single checkpointed
+    presence relation and the SAME three joins per round, not k separate
+    BFS runs. State is keyed (seed, node); min-merge groups on both.
+
+    Output: per-seed top-``TEMPORAL_MS_TOP_N`` earliest-reached users via
+    a row_number window PARTITIONED by seed (bounded partitions — |state|
+    per seed, never the corpus), total-ordered (seed, first_reach,
+    user_id). Arrival instants are exact hour-epoch BIGINTs end to end.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull()))
+    pres = (ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.col("event_type").alias("ty"),
+        F.unix_millis(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+        .alias("t"))
+        .distinct().localCheckpoint(eager=True))
+    seeds = spark.createDataFrame([(int(s),) for s in TEMPORAL_SEEDS],
+                                  "seed long")
+    arr = (F.broadcast(seeds)
+           .join(pres, pres["u"] == F.col("seed"))
+           .groupBy("seed").agg(F.min("t").alias("arr"))
+           .select("seed", F.col("seed").alias("node"), "arr")
+           .localCheckpoint(eager=True))
+    for _ in range(TEMPORAL_HOPS):
+        touched = (arr.join(pres, pres["u"] == arr["node"])
+                   .filter(pres["t"] >= arr["arr"])
+                   .select("seed", "ty", "t").distinct())
+        relax = (touched.join(pres, ["ty", "t"])
+                 .select("seed", F.col("u").alias("node"),
+                         F.col("t").alias("arr")))
+        arr = (arr.unionByName(relax).groupBy("seed", "node")
+               .agg(F.min("arr").alias("arr"))
+               .localCheckpoint(eager=True))
+    ranked = arr.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("seed").orderBy("arr", "node")))
+    return (ranked.filter(F.col("rn") <= TEMPORAL_MS_TOP_N)
+            .select(
+                "seed",
+                F.col("node").alias("user_id"),
+                F.date_format(F.timestamp_seconds(F.expr("arr div 1000"))
+                              .cast("timestamp_ntz"),
+                              "yyyy-MM-dd HH:mm").alias("first_reach"),
+                F.col("rn").cast("long").alias("reach_rank"))
+            .orderBy("seed", "reach_rank"))
+
+
+def _temporal_multisource_oracle_sql(n_rounds: int = TEMPORAL_HOPS) -> str:
+    """DuckDB twin: per-seed relaxation unrolled — the single-source
+    oracle with ``seed`` carried through every CTE. Note the rank window
+    orders by (arr, node), the exact BIGINT pair, matching the Spark
+    window; first_reach is formatted only at the end."""
+    seed_list = ", ".join(str(s) for s in TEMPORAL_SEEDS)
+    parts = [f"""
+WITH pres AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type AS ty,
+         epoch_ms(date_trunc('hour', ts)) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.u AS src, b.u AS dst, a.t
+  FROM pres a JOIN pres b ON a.ty = b.ty AND a.t = b.t AND a.u != b.u
+), a0 AS MATERIALIZED (
+  SELECT s.seed, s.seed AS node, min(p.t) AS arr
+  FROM (SELECT CAST(unnest([{seed_list}]) AS BIGINT) AS seed) s
+  JOIN pres p ON p.u = s.seed
+  GROUP BY s.seed
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT seed, node, min(arr) AS arr FROM (
+    SELECT seed, node, arr FROM a{i - 1}
+    UNION ALL
+    SELECT x.seed, e.dst AS node, e.t AS arr
+    FROM a{i - 1} x JOIN e ON e.src = x.node AND e.t >= x.arr
+  ) GROUP BY seed, node
+)""")
+    return ("".join(parts) + f""",
+ranked AS (
+  SELECT seed, node, arr,
+         row_number() OVER (PARTITION BY seed ORDER BY arr, node) AS rn
+  FROM a{n_rounds}
+)
+SELECT seed, node AS user_id,
+       strftime(make_timestamp(arr * 1000), '%Y-%m-%d %H:%M') AS first_reach,
+       CAST(rn AS BIGINT) AS reach_rank
+FROM ranked
+WHERE rn <= {TEMPORAL_MS_TOP_N}
+ORDER BY seed, reach_rank
+""")
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -1492,6 +1605,7 @@ QUERIES = {
     "graph_connected_components": q_connected_components,
     "graph_cc_incremental": q_graph_cc_incremental,
     "graph_temporal_reachability": q_graph_temporal_reachability,
+    "graph_temporal_multisource": q_graph_temporal_multisource,
     "graph_pagerank": q_pagerank,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
@@ -1514,6 +1628,7 @@ ORACLE = {
     "graph_connected_components": Q_CC_SQL,
     "graph_cc_incremental": Q_CC_SQL,  # IVM vs full-recompute merge-equivalence
     "graph_temporal_reachability": _temporal_oracle_sql(),  # foremost-arrival rounds unrolled
+    "graph_temporal_multisource": _temporal_multisource_oracle_sql(),  # per-seed unroll
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled

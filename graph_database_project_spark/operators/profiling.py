@@ -1063,6 +1063,20 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (windows over ≤ B rows per partition key; scoring joins broadcast).
     Raw values never sort and never cross a corpus-sized shuffle — group
     key or not.
+
+    ACCEPTED RISK (r08 advisor note, shared with quantile_sketch_merge):
+    ``est_value`` is round(double, 4) — the output shape the r05
+    bloom-prune incident flagged as a last-ulp divergence class under the
+    bit-exact driver hash. It is kept here because (a) both engines
+    evaluate the IDENTICAL expression tree (lo + w*(qbin + (q*n − cumprev)
+    / c)) over identical doubles in the same order, i.e. the
+    "identical strict fold" safe class, and (b) the alternative — an
+    integer floor-ppm encoding — must still floor a computed DOUBLE
+    (events.value is float data; the interpolation cannot be rationalized),
+    and floor AMPLIFIES a last-ulp difference to ±1 near bin boundaries,
+    which is strictly worse than round's half-ulp window. Driver-green
+    (bit-exact) r07; if it ever hash-fails, move qbin/cum/c/n (all exact
+    BIGINTs) into the output and drop est_value to rows-only.
     """
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())

@@ -74,6 +74,30 @@ LIMIT {TOP_K}
 """
 
 
+def cosine_arm(spark: SparkSession, sf_dir: str, cand: int) -> DataFrame:
+    """Semantic candidate arm for hybrid retrieval (textops.text_hybrid_rrf):
+    top-``cand`` docs by FULL-PRECISION cosine against the vec_id=0 probe,
+    returned as (doc_id, cos_rank) with rank total-ordered
+    (cos desc, vec_id). Same zero-corpus-shuffle plan as
+    q_sim_topk_bruteforce: 1-row broadcast probe, TakeOrdered to ``cand``,
+    then a row_number window over the constant-bounded candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    top = (e.crossJoin(F.broadcast(qv))
+           .filter(F.col("vec_id") != 0)
+           .withColumn("cos_raw", cos)
+           .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+           .limit(cand))
+    return top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(W.orderBy(F.desc("cos_raw"), F.asc("vec_id")))
+        .cast("long").alias("cos_rank"))
+
+
 def q_sim_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 approximate nearest neighbors for every vector, LSH-bucketed.
 

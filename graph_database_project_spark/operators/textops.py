@@ -444,6 +444,165 @@ LIMIT {BM25_TOP_N}
 """
 
 
+# --- hybrid retrieval fusion (BM25 ⊕ embedding cosine, RRF) ------------------
+# The RAG serving-path shape: a lexical arm and a semantic arm each nominate
+# top-RRF_CAND candidates, fused by reciprocal-rank fusion
+# score(d) = Σ_arms 1/(K + rank_arm(d)) (Cormack, Clarke & Buettcher 2009,
+# K = 60 the standard constant). Ranks are exact integers, so the fused
+# score is emitted as ALL-INTEGER ppm via floor division — bit-exact under
+# the driver hash with no float caveat. documents.doc_id and
+# embeddings.vec_id share the 0..N-1 id space (one embedding per document,
+# TESTDATA.md); doc 0 is the pinned query (its text terms are BM25_TERMS'
+# corpus-side twin, its vector is the cosine probe), excluded from both
+# arms as the self-hit.
+RRF_K = 60
+RRF_CAND = 50     # per-arm candidate cap (the broadcast-sized serving bound)
+RRF_TOP_N = 15
+
+
+def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 ⊕ cosine retrieval with reciprocal-rank fusion.
+
+    Scale shape: each arm is the already-proven scale plan — BM25 is one
+    documents pass + a 1-row broadcast stats relation + TakeOrdered to
+    ``RRF_CAND`` (see q_bm25_search); the cosine arm is one embeddings
+    pass against a 1-row broadcast query vector + TakeOrdered. Ranks are
+    then assigned by a row_number window over the ≤``RRF_CAND``-row arm
+    results (constant-bounded — the global window never sees the corpus),
+    and the fusion join is tiny×tiny. At 100 TB both arms stay
+    single-pass + driver-sized reductions; nothing corpus-sized shuffles.
+
+    Determinism: arm ranks are total-ordered (full-precision score desc,
+    id) — the same full-precision-order-then-round discipline both arm
+    flagships are bit-exact-green under; fused output is integer ppm.
+    """
+    from pyspark.sql import Window as W
+
+    from .similarity import cosine_arm  # function-level: keeps module graphs acyclic
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    words = _words(F.col("text"))
+    per = docs.filter(F.col("doc_id") != 0).select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_term_tf(words, t).alias(f"tf_{t}") for t in BM25_TERMS],
+    ).localCheckpoint(eager=True)
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_TERMS],
+    )
+    k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
+    contrib = [
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+              / (F.col(f"df_{t}") + F.lit(0.5)))
+        * (F.col(f"tf_{t}") * (k1 + F.lit(1.0)))
+        / (F.col(f"tf_{t}") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+        for t in BM25_TERMS
+    ]
+    score = sum(contrib[1:], contrib[0])
+    bm_top = (per.crossJoin(F.broadcast(stats))
+              .withColumn("bm25_raw", score)
+              .filter(F.col("bm25_raw") > 0)
+              .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+              .limit(RRF_CAND))
+    bm = bm_top.select(
+        "doc_id",
+        F.row_number().over(
+            W.orderBy(F.desc("bm25_raw"), F.asc("doc_id")))
+        .cast("long").alias("bm25_rank"))
+    cs = cosine_arm(spark, sf_dir, RRF_CAND)
+    # rrf_ppm via withColumn over the RAW nullable ranks BEFORE the
+    # coalesced aliases exist — a coalesce alias named bm25_rank in the
+    # same select would lateral-shadow the input and hand a missing arm
+    # 1000000 div 60 instead of 0 (CLAUDE.md lateral-alias trap), while
+    # DuckDB's NULL-propagating div correctly yields 0.
+    joined = (bm.join(cs, "doc_id", "full_outer")
+              .withColumn(
+                  "rrf_ppm",
+                  (F.coalesce(F.expr(f"1000000 div ({RRF_K} + bm25_rank)"),
+                              F.lit(0))
+                   + F.coalesce(F.expr(f"1000000 div ({RRF_K} + cos_rank)"),
+                                F.lit(0))).cast("long")))
+    fused = joined.select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("long").alias("cos_rank"),
+        "rrf_ppm")
+    return (fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+            .limit(RRF_TOP_N))
+
+
+def _hybrid_rrf_sql() -> str:
+    k1 = f"CAST({float(BM25_K1)!r} AS DOUBLE)"
+    b = f"CAST({float(BM25_B)!r} AS DOUBLE)"
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS)
+    contrib = " + ".join(
+        f"ln(1 + (n_docs - df_{t} + CAST(0.5 AS DOUBLE)) / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{t} * ({k1} + 1.0))"
+        f" / (tf_{t} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for t in BM25_TERMS)
+    from .similarity import EMBED_DIM
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents WHERE doc_id <> 0
+), per AS (
+  SELECT doc_id, len(words) AS dl,
+         {tf_cols}
+  FROM w
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per
+), bmtop AS (
+  SELECT doc_id, {contrib} AS bm25_raw
+  FROM per CROSS JOIN stats
+  WHERE {contrib} > 0
+  ORDER BY bm25_raw DESC, doc_id
+  LIMIT {RRF_CAND}
+), bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS bm25_rank
+  FROM bmtop
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cstop AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                  i -> CAST(e.embedding AS DOUBLE[])[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY cos_raw DESC, doc_id
+  LIMIT {RRF_CAND}
+), cs AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS cos_rank
+  FROM cstop
+), fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         CAST(COALESCE(b.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(c.cos_rank, 0) AS BIGINT) AS cos_rank,
+         CAST(COALESCE(1000000 // ({RRF_K} + b.bm25_rank), 0)
+              + COALESCE(1000000 // ({RRF_K} + c.cos_rank), 0) AS BIGINT)
+           AS rrf_ppm
+  FROM bm b FULL OUTER JOIN cs c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf_ppm
+FROM fused
+ORDER BY rrf_ppm DESC, doc_id
+LIMIT {RRF_TOP_N}
+"""
+
+
 def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~5% systematic sample of lineitem via an md5 hash-mod
     gate on the row key — the engine-portable form of TABLESAMPLE (builtin
@@ -1077,6 +1236,7 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_tfidf_top_terms": q_tfidf_top_terms,
     "text_bm25_search": q_bm25_search,
+    "text_hybrid_rrf": q_text_hybrid_rrf,
     "text_cooccur_pmi": q_cooccur_pmi,
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
@@ -1097,6 +1257,7 @@ ORACLE = {
     "text_fingerprint": Q_FINGERPRINT_SQL,
     "text_tfidf_top_terms": Q_TFIDF_SQL,
     "text_bm25_search": _bm25_sql(),
+    "text_hybrid_rrf": _hybrid_rrf_sql(),
     "text_cooccur_pmi": Q_COOCCUR_PMI_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_decontaminate": _decontaminate_sql(),

@@ -67,3 +67,42 @@ def test_approx_count_distinct_within_tolerance(spark):
 
     rows = q_agg_approx_distinct(spark, SF_ORACLE).collect()
     assert rows and all(r.approx_ok for r in rows)
+
+
+def test_hybrid_rrf_fusion_arithmetic_and_arm_membership(spark):
+    """Oracle-independent contracts of text_hybrid_rrf: the fused score is
+    EXACTLY the integer RRF of the two arm ranks (1e6 // (K + rank), 0 for
+    a missing arm), rank 0 is only ever 'absent from that arm', and a doc
+    ranked by both arms outscores any single-arm doc with comparable
+    ranks — the fusion property that makes hybrid retrieval work."""
+    from .conftest import SF_ORACLE
+    from graph_database_project_spark.operators.textops import (
+        RRF_CAND, RRF_K, q_text_hybrid_rrf)
+
+    rows = q_text_hybrid_rrf(spark, SF_ORACLE).collect()
+    assert rows, "empty fusion output"
+    both = 0
+    for r in rows:
+        exp = 0
+        if r.bm25_rank > 0:
+            assert 1 <= r.bm25_rank <= RRF_CAND
+            exp += 1_000_000 // (RRF_K + r.bm25_rank)
+        if r.cos_rank > 0:
+            assert 1 <= r.cos_rank <= RRF_CAND
+            exp += 1_000_000 // (RRF_K + r.cos_rank)
+        assert r.bm25_rank > 0 or r.cos_rank > 0
+        assert r.rrf_ppm == exp, (r.doc_id, r.bm25_rank, r.cos_rank)
+        assert r.doc_id != 0, "query doc leaked into its own results"
+        both += int(r.bm25_rank > 0 and r.cos_rank > 0)
+    # descending fused order with doc_id tie-break (driver total order)
+    keys = [(-r.rrf_ppm, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # any doc both arms nominated beats every single-arm doc whose one
+    # rank is numerically >= both of its ranks — spot-check the head row
+    if both:
+        head = next(r for r in rows if r.bm25_rank > 0 and r.cos_rank > 0)
+        singles = [r for r in rows if (r.bm25_rank == 0) != (r.cos_rank == 0)]
+        for s in singles:
+            one = max(s.bm25_rank, s.cos_rank)
+            if one >= max(head.bm25_rank, head.cos_rank):
+                assert s.rrf_ppm < head.rrf_ppm

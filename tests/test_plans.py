@@ -665,6 +665,9 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "drift_histogram_tv": 0,         # bounds + slice histogram checkpointed
         "graph_clustering_coeff": 0,     # unioned canonical edge list checkpointed
         "graph_temporal_reachability": 0,  # presence + contact edges checkpointed
+        "graph_temporal_multisource": 0,   # same presence relation, seed-keyed
+        "text_hybrid_rrf": 2,  # tf sidecar checkpointed; 2 embeddings scans
+        #                        (probe + corpus, the sim_topk baseline shape)
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
@@ -699,3 +702,22 @@ def test_chunk_windows_zero_shuffle(spark):
 
     p = plan(textops.q_text_chunk_windows(spark, SF_ORACLE))
     assert n_hash_shuffles(p) == 0, p
+
+
+def test_hybrid_rrf_arms_broadcast_bounded_fusion_tiny(spark):
+    # both candidate arms keep their flagships' serving shape — a 1-row
+    # broadcast (stats / query vector) attached by BNLJ and a TakeOrdered
+    # to the RRF_CAND cap — so ZERO keyed shuffles touch a corpus-sized
+    # relation; the fusion full-outer join and the rank windows see only
+    # the ≤2×RRF_CAND-row candidate sets (the lone SMJ + Sorts below are
+    # over those constant-bounded rows, not data). Final ranking is the
+    # third TakeOrdered.
+    from graph_database_project_spark.operators import textops
+
+    p = plan(textops.q_text_hybrid_rrf(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 2, p
+    assert n_ops(p, "TakeOrderedAndProject") == 3, p
+    assert n_ops(p, "CartesianProduct") == 0, p
+    assert n_ops(p, "SortMergeJoin") <= 1, p  # tiny×tiny fusion join only
+    assert n_ops(p, "Generate") == 0, p

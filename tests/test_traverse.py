@@ -338,3 +338,55 @@ def test_temporal_reachability_respects_time_and_is_subset_of_static(spark):
         if not frontier:
             break
     assert {r.user_id for r in rows} <= static
+
+
+def test_temporal_seeds_present_and_relaxation_live(spark):
+    """r07 ADVICE: TEMPORAL_SEED's every-sf presence was asserted only in a
+    comment — if a future corpus drops the seed user, the query degrades to
+    a single (seed, NULL) row that still matches the oracle (dead
+    variation). Fail loudly instead: every seed (single- and multi-source)
+    must have presence rows at both sf dirs, and the relaxed state must
+    reach beyond the seeds themselves."""
+    from .conftest import SF_SMOKE
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        TEMPORAL_SEED, TEMPORAL_SEEDS, q_graph_temporal_reachability)
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        present = {r.u for r in load_table(spark, sf, "events")
+                   .filter(F.col("user_id").isNotNull()
+                           & F.col("ts").isNotNull()
+                           & F.col("event_type").isNotNull())
+                   .select(F.col("user_id").cast("long").alias("u"))
+                   .distinct().collect()}
+        assert TEMPORAL_SEED in present, sf
+        assert set(TEMPORAL_SEEDS) <= present, sf
+    rows = q_graph_temporal_reachability(spark, SF_ORACLE).collect()
+    assert len(rows) > 1, "no relaxation round fired — dead variation"
+
+
+def test_temporal_multisource_slices_match_single_source(spark):
+    """Seedwise-independence contract of the multi-source generalization:
+    each seed's slice is a self-contained foremost-arrival run — ranks are
+    dense from 1, the seed reaches itself at the slice minimum, and the
+    TEMPORAL_SEED slice must be EXACTLY the single-source operator's
+    output truncated to the per-seed cap (same state, same total order)."""
+    from graph_database_project_spark.operators.graphq import (
+        TEMPORAL_MS_TOP_N, TEMPORAL_SEED, TEMPORAL_SEEDS,
+        q_graph_temporal_multisource, q_graph_temporal_reachability)
+
+    ms = q_graph_temporal_multisource(spark, SF_ORACLE).collect()
+    by_seed: dict[int, list] = {}
+    for r in ms:
+        by_seed.setdefault(r.seed, []).append(r)
+    assert set(by_seed) == set(TEMPORAL_SEEDS)
+    for s, rows in by_seed.items():
+        assert [r.reach_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) > 1, f"seed {s}: relaxation never fired"
+        own = [r for r in rows if r.user_id == s]
+        assert own and own[0].first_reach == min(r.first_reach for r in rows)
+    assert TEMPORAL_SEED in TEMPORAL_SEEDS
+    single = q_graph_temporal_reachability(spark, SF_ORACLE).collect()
+    exp = [(r.user_id, r.first_reach) for r in single[:TEMPORAL_MS_TOP_N]]
+    got = [(r.user_id, r.first_reach) for r in by_seed[TEMPORAL_SEED]]
+    assert got == exp
