@@ -295,3 +295,90 @@ def test_khop_grouped_caps_supernode_listing(spark):
     assert row.n_connected == n
     names = row.connected_names.split(",")
     assert names == [f"n{i:03d}" for i in range(1, 11)]
+
+
+def test_goldens_match_independent_elementtree_recomputation():
+    """Break the golden self-reference (r07 verdict #2): the xml_* oracles
+    are generated FROM the engine (scripts/gen_xml_golden.py collects the
+    queries), so by themselves they freeze behavior rather than verify it.
+    This test recomputes ``xml_label_counts`` and ``xml_rel_signatures``
+    from the raw bulletins with a plain ElementTree walk — no Spark, no
+    shred/store code, no shared helpers — and asserts equality with the
+    pinned goldens. A shred-semantics drift that slipped into a
+    regenerated golden now fails HERE, against an implementation that
+    shares nothing with the engine.
+
+    Semantics intentionally re-derived from the documented contract
+    (shred.py module docstring / FIXTURES.md §A.2), not imported:
+    node identity (label, name, content, path, docnbr, batch) with the
+    root keyed (ServiceBulletin, docnbr) and LineNumber keyed
+    (label, name) only; HAS_<SANITIZED_TAG>/IS_PART_OF parent-child
+    edges; the effectivity types × line-numbers fan-out with
+    effects/affected_by/includes/included_in; edge dedup on
+    (src, dst, rel_type)."""
+    import glob as _glob
+    import re as _re
+    import xml.etree.ElementTree as _ET
+    from collections import Counter
+
+    from graph_database_project_spark.operators.xml_golden import (
+        GOLDEN_XML_LABEL_COUNTS_ROWS, GOLDEN_XML_REL_SIGNATURES_ROWS)
+
+    BATCH = "Batch_2024_08_26"
+    MARKER = " Airplane(s), line number(s) "
+
+    def sanitize(tag: str) -> str:
+        return _re.sub(r"[^a-zA-Z0-9]", "_", tag).upper()
+
+    nodes: dict[tuple, str] = {}   # identity key -> label
+    edges: set[tuple] = set()      # (src_key, dst_key, rel_type)
+
+    for path in sorted(_glob.glob("/root/reference/boeing_service_bulletin_*.xml")):
+        root = _ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number")
+        if docnbr is None:
+            docnbr = root.attrib.get("docnbr", path.rsplit("/", 1)[-1])
+        docnbr = docnbr.strip()
+
+        def key(label, name, content, elpath, dn):
+            return (label, name, content or "", elpath or "", dn or "", BATCH)
+
+        root_key = key("ServiceBulletin", docnbr, None, None, docnbr)
+        nodes[root_key] = "ServiceBulletin"
+
+        def walk(el, elpath, parent_key):
+            for i, child in enumerate(el):
+                cpath = f"{elpath}/{child.tag}[{i}]"
+                ctext = (child.text or "").strip() or None
+                ckey = key(child.tag, child.tag, ctext, cpath, docnbr)
+                nodes[ckey] = child.tag
+                edges.add((parent_key, ckey, "HAS_" + sanitize(child.tag)))
+                edges.add((ckey, parent_key, "IS_PART_OF"))
+                # effectivity fan-out: <airplanes> under an <effectivity>
+                if (child.tag == "airplanes" and ctext is not None
+                        and el.tag == "effectivity"):
+                    parts = ctext.split(MARKER)
+                    types = [t for t in _re.split(r"\s+", parts[0].strip())
+                             if t not in ("", "and")]
+                    lns = ([s.strip() for s in parts[1].split(",")
+                            if s.strip() != ""] if len(parts) > 1 else [])
+                    for ty in types:
+                        ap_key = key("Airplane", ty, None, None, docnbr)
+                        nodes[ap_key] = "Airplane"
+                        edges.add((parent_key, ap_key, "effects"))
+                        edges.add((ap_key, parent_key, "affected_by"))
+                        for ln in lns:
+                            ln_key = key("LineNumber", ln, None, None, None)
+                            nodes[ln_key] = "LineNumber"
+                            edges.add((ap_key, ln_key, "includes"))
+                            edges.add((ln_key, ap_key, "included_in"))
+                walk(child, cpath, ckey)
+
+        walk(root, f"/{root.tag}[0]", root_key)
+
+    label_counts = sorted(Counter(nodes.values()).items())
+    assert label_counts == sorted(GOLDEN_XML_LABEL_COUNTS_ROWS)
+
+    sig = Counter((nodes[s], r, nodes[d]) for s, d, r in edges)
+    signatures = sorted((sl, r, dl, n) for (sl, r, dl), n in sig.items())
+    assert signatures == sorted(GOLDEN_XML_REL_SIGNATURES_ROWS)
