@@ -167,16 +167,27 @@ def _fold_hll_day(deltas: DataFrame) -> DataFrame:
 
 
 def _missing_batches(store_path: str, which: str) -> list[str]:
-    """Committed batch ids with no ``which`` delta and no base covering
-    them — the partially-covered state a pre-upgrade store lands in after
-    resuming under newer code (deltas of a LATER-ADDED family exist only
-    for post-upgrade batches). Shared by the family's read path (refuse
-    to read) and ``compact_sketches`` (refuse to compact: folding a
-    partial family into a ``batch=-1`` base would MANUFACTURE the base
-    the read-side check trusts, laundering the undercount into a
-    silently accepted store — the r06 advisor finding, generalized when
-    the additive ``hist`` family joined ``hll_day`` in this class)."""
-    from .compaction import BASE_BATCH_ID
+    """Committed batch ids with no ``which`` delta and no base RECORDING
+    coverage of them — the partially-covered state a pre-upgrade store
+    lands in after resuming under newer code (deltas of a LATER-ADDED
+    family exist only for post-upgrade batches). Shared by the family's
+    read path (refuse to read) and ``compact_sketches`` (refuse to
+    compact: folding a partial family into a ``batch=-1`` base would
+    MANUFACTURE the base the read-side check trusts, laundering the
+    undercount into a silently accepted store — the r06 advisor finding,
+    generalized when the additive ``hist`` family joined ``hll_day`` in
+    this class).
+
+    Coverage is a RECORDED fact (r08, the advisor's sturdier design):
+    every base written by compaction/backfill carries a ``_covers.json``
+    manifest naming exactly the batch ids it folded, and this check
+    unions those manifests with the per-batch deltas present. Base
+    *presence* no longer implies full coverage — a base whose manifest
+    omits a committed id leaves that id missing, loudly. Only a LEGACY
+    base (written before manifests existed, or transitively folded from
+    one) falls back to the old presence inference, documented compat for
+    already-deployed stores."""
+    from .compaction import BASE_BATCH_ID, read_covers
 
     d = os.path.join(store_path, which)
     committed = os.path.join(store_path, "_committed")
@@ -184,18 +195,27 @@ def _missing_batches(store_path: str, which: str) -> list[str]:
         return []
     have = {e[len("batch="):] for e in os.listdir(d)
             if e.startswith("batch=")}
-    # a base delta (compaction's -1 or backfill's -2) covers every
-    # batch committed before it was written — only per-batch gaps
-    # with NO base present mean lost state
-    has_base = bool({str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)} & have)
-    if has_base:
-        return []
-    return [b for b in os.listdir(committed) if b not in have]
+    covered = {b for b in have if not b.startswith("-")}
+    for base in (str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)):
+        if base in have:
+            m = read_covers(os.path.join(d, f"batch={base}"))
+            if m is None or m["legacy_full"]:
+                return []  # legacy base: pre-manifest inference
+            covered |= {str(b) for b in m["covers"]}
+    return [b for b in os.listdir(committed) if b not in covered]
 
 
 # delta families added AFTER the original cms/hll pair — each needs the
 # pre-upgrade coverage guard on read and before compaction
 _GUARDED_FAMILIES = ("hll_day", "hist")
+
+
+def _committed_ids(store_path: str) -> set[int]:
+    """Batch ids in the ledger — what a full-corpus backfill base covers."""
+    committed = os.path.join(store_path, "_committed")
+    if not os.path.isdir(committed):
+        return set()
+    return {int(b) for b in os.listdir(committed)}
 
 
 def read_day_hll(spark: SparkSession, store_path: str) -> DataFrame:
@@ -230,12 +250,16 @@ def backfill_day_hll(spark: SparkSession, events_df: DataFrame,
     the per-day register tables from the FULL corpus the store has
     ingested and write them as a ``batch=-2`` base delta (distinct from
     compaction's -1 so a later compaction folds both). Max-algebra makes
-    overlap with any post-upgrade per-batch deltas harmless."""
-    from .compaction import BASE_BATCH_ID
+    overlap with any post-upgrade per-batch deltas harmless. The base
+    records every batch id committed at backfill time in its coverage
+    manifest (it is built from the FULL ingested corpus, so that claim
+    is exact by construction)."""
+    from .compaction import BASE_BATCH_ID, write_covers
 
+    base = _delta_dir(store_path, "hll_day", BASE_BATCH_ID - 1)
     hll_registers_grouped(hll_day_keys(events_df), group="day") \
-        .write.mode("overwrite") \
-        .parquet(_delta_dir(store_path, "hll_day", BASE_BATCH_ID - 1))
+        .write.mode("overwrite").parquet(base)
+    write_covers(base, _committed_ids(store_path))
 
 
 def _fold_hist(deltas: DataFrame) -> DataFrame:
@@ -279,14 +303,15 @@ def backfill_hist(spark: SparkSession, events_df: DataFrame,
     rollback) so a crash never leaves a half-state."""
     import shutil
 
-    from .compaction import BASE_BATCH_ID
+    from .compaction import BASE_BATCH_ID, write_covers
 
     d = os.path.join(store_path, "hist")
     tmp, old = d + ".backfill-tmp", d + ".backfill-old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    hist_bins(events_df).coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(tmp, f"batch={BASE_BATCH_ID - 1}"))
+    base_tmp = os.path.join(tmp, f"batch={BASE_BATCH_ID - 1}")
+    hist_bins(events_df).coalesce(1).write.mode("overwrite").parquet(base_tmp)
+    write_covers(base_tmp, _committed_ids(store_path))
     if os.path.isdir(d):
         os.rename(d, old)
     try:

@@ -310,3 +310,80 @@ def test_stream_hist_matches_batch_and_backfill_replaces(spark, tmp_path):
     assert stats["hist"]["deltas_after"] == 1
     got3 = sorted((r.bin, r.c) for r in read_hist(spark, store).collect())
     assert got3 == want
+
+
+def test_base_coverage_is_recorded_not_inferred(spark, tmp_path):
+    """r07 verdict #4 / advisor's sturdier design: a base delta's coverage
+    must come from its RECORDED ``_covers.json`` manifest, not from the
+    mere presence of a base. (a) compaction records exactly the folded
+    ids and reads keep working after per-batch dirs are gone; (b) a base
+    whose manifest omits a committed id — the manufactured-base laundering
+    shape — is refused loudly, where presence inference would accept it;
+    (c) a backfill base records the full committed set; (d) a legacy base
+    without a manifest still gets the documented presence-inference
+    compat."""
+    import json
+    import shutil
+
+    import pytest
+
+    from graph_database_project_spark.streaming.compaction import (
+        COVERS_FILE, read_covers)
+    from graph_database_project_spark.streaming.sketch import (
+        _missing_batches, backfill_hist, compact_sketches, hist_bins,
+        read_hist)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(3).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store, schema=ev.schema)
+    committed = sorted(int(b) for b in
+                       os.listdir(os.path.join(store, "_committed")))
+    assert len(committed) >= 2
+    all_events = spark.read.parquet(events_dir)
+    want = sorted((r.bin, r.c) for r in hist_bins(all_events).collect())
+
+    # (a) compaction records the exact folded set; reads stay green on it
+    compact_sketches(spark, store)
+    m = read_covers(os.path.join(store, "hist", "batch=-1"))
+    assert m is not None and not m["legacy_full"]
+    assert sorted(m["covers"]) == committed
+    assert _missing_batches(store, "hist") == []
+    assert sorted((r.bin, r.c) for r in read_hist(spark, store).collect()) \
+        == want
+
+    # (b) shrink the manifest to omit one committed id — presence
+    # inference would return []; the recorded check must name the gap
+    victim = committed[0]
+    mpath = os.path.join(store, "hist", "batch=-1", COVERS_FILE)
+    with open(mpath, "w") as f:
+        json.dump({"covers": [b for b in committed if b != victim],
+                   "legacy_full": False}, f)
+    assert _missing_batches(store, "hist") == [str(victim)]
+    with pytest.raises(RuntimeError, match="predates the hist"):
+        read_hist(spark, store)
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        compact_sketches(spark, store)
+
+    # (c) backfill repairs and records the full committed set
+    shutil.rmtree(os.path.join(store, "hist"))
+    backfill_hist(spark, all_events, store)
+    m2 = read_covers(os.path.join(store, "hist", "batch=-2"))
+    assert m2 is not None and sorted(m2["covers"]) == committed
+    assert _missing_batches(store, "hist") == []
+    assert sorted((r.bin, r.c) for r in read_hist(spark, store).collect()) \
+        == want
+
+    # re-compaction folds the backfill base and CARRIES its recorded set
+    compact_sketches(spark, store)
+    m3 = read_covers(os.path.join(store, "hist", "batch=-1"))
+    assert m3 is not None and not m3["legacy_full"]
+    assert sorted(m3["covers"]) == committed
+
+    # (d) legacy compat: a manifest-less base falls back to presence
+    # inference (already-deployed stores keep reading)
+    os.remove(os.path.join(store, "hist", "batch=-1", COVERS_FILE))
+    assert _missing_batches(store, "hist") == []
+    assert sorted((r.bin, r.c) for r in read_hist(spark, store).collect()) \
+        == want
