@@ -97,6 +97,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 
+# The stub features are a deterministic function of md5(payload) — which
+# DuckDB can recompute exactly: md5() yields the hex digest, each byte is
+# two hex chars parsed via strpos on the nibble alphabet, and the feature
+# arithmetic is the same IEEE expression tree (sum/16 is a power-of-two
+# division, exact; /255.0 rounds once identically; round(…, 6) is HALF_UP
+# in both engines — see _round6). So the formerly rows-only key gets a
+# full value oracle: the driver now checks the Arrow seam's OUTPUT, not
+# just its shape (r07 verdict #5).
+Q_MULTIMODAL_DECODE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes
+  FROM documents
+), b AS (
+  SELECT doc_id, n_bytes,
+         list_transform(range(0, 16),
+           i -> (strpos('0123456789abcdef', substr(hx, 1 + 2*i, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2 + 2*i, 1)) - 1)
+         ) AS bytes
+  FROM h
+)
+SELECT doc_id, n_bytes,
+       CAST(bytes[1] % 640 + 1 AS INT) AS width,
+       CAST(bytes[2] % 480 + 1 AS INT) AS height,
+       CASE WHEN bytes[3] % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+       round(list_sum(bytes) / 16.0 / 255.0, 6) AS feat_mean
+FROM b
+"""
+
+
 def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary-column stats (no Python): byte length + sha256 —
     the cheap metadata pass a multimodal pipeline runs before decode."""
@@ -1165,9 +1195,10 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_blob_stats": Q_MULTIMODAL_BLOB_SQL,
-    # decode: intentionally absent → rows-only (UDF seam) for formats
-    # needing PIL/libav; PPM/WAV/BMP/PNG/Y4M decode for real and are
-    # value-oracled.
+    # decode: value-oracled since r08 — the stub features are a pure
+    # function of md5(payload), which DuckDB recomputes from the hex
+    # digest (the registry's last rows-only key, retired)
+    "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
     "multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": Q_MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_image_decode": Q_MULTIMODAL_IMAGE_SQL,

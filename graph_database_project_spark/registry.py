@@ -93,69 +93,94 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # green) so their first
 # driver check happens the round they ship. Every family keeps ≥1 window
 # rep (asserted by tests/test_registry.py).
+# r08 batch (verdict #1: burn the 40-key never-driver-checked debt —
+# 23 swaps, every eviction ≥2x driver-green and still in the local
+# bit-exact gate): twenty-one never-checked keys rotate in
+# (ts_lttb_downsample, ts_gapfill_locf, ts_ewma, text_pii_redact,
+# text_unigram_logprob, fuzzy_join_typo_linkage, multimodal_phash_neardup,
+# multimodal_audio_stats, cardinality_hll_grouped, sql_recursive_khop,
+# graph_link_prediction, graph_triangle_count, sample_split,
+# udtf_bigram_explode, xml_rel_signatures, embedding_mrl_audit,
+# embedding_outlier, text_repetition, graph_degree_histogram,
+# stream_dedup, multimodal_decode — the last newly value-oracled this
+# round) plus the round's two new operators (text_hybrid_rrf,
+# graph_temporal_multisource). Evicted (≥2x green each, family still
+# repped): mutation_scd2_pit_join, join_size_estimate, heavy_hitters_cms,
+# text_bm25_search, window_range_frame, join_bloom_prune, text_span_dedup,
+# text_cooccur_pmi, multimodal_png_decode, semantic_decontaminate,
+# graph_kcore, graph_khop_seeded (khop row moves to sql_recursive_khop),
+# graph_connected_components (CC row stays on graph_cc_incremental),
+# graph_modularity, xml_label_counts (xml family keeps flagship +
+# title_hierarchy + rel_signatures), mutation_merge_upsert (6x green;
+# mutation repped by table_diff), text_chunk_windows, sim_ivf_topk,
+# sim_ivfpq_topk, udf_embedding_norm (UDF-seam row moves to
+# udtf_bigram_explode), embedding_pca_power, zorder_layout,
+# graph_weighted_sssp. Debt after this window: 19 of 167.
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
     "q01_pricing_summary",
     "q19_or_of_ands",  # r07: OR-of-ANDs pushdown rep (q03 out, 6x green)
-    "mutation_scd2_pit_join",  # r06: SCD2 point-in-time join, first check
-    "join_size_estimate",  # r06: CMS inner-product join-size audit, first check
     "q22_idle_customers",  # r07: NOT-EXISTS + scalar-subquery rep (q04 out, 6x green)
-    # events-table operators (all driver-err in r01 — nanosAsLong fix)
-    "heavy_hitters_cms",  # r05 new op: CMS sketch, oracle rebuilds it
     "join_interval_overlap",  # r07: interval-overlap rep (range_follow out, 5x green)
-    "text_bm25_search",  # r05 new op: Okapi ranked retrieval (sessionize out)
-    "window_range_frame",  # r05 rotation: RANGE-frame rep in, lag_delta out
-    "join_bloom_prune",  # r05 new op: runtime-filter audit (dq_audit out)
-    "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles (merge out, 2x green)
-    "heavy_hitters_cms_grouped",  # r07 new op: per-day CMS top talkers (cardinality_hll out, 2x green)
-    "theta_sketch_setops",  # r07 new op: KMV set-op sketch (json_funcs out, 5x green)
-    "profile_columns",  # r07: per-column profiler (catalog_stats out, 5x green)
-    # LLM-pipeline text/multimodal/curation reps (r06 debt-burn block)
-    "text_span_dedup",  # r06: inverted-index span dedup, first check
-    "text_cooccur_pmi",  # r06: pair fan-out PMI, first check
-    "multimodal_png_decode",  # r06: real zlib/filter PNG codec, first check
-    "semantic_decontaminate",  # r05 new op: embedding eval-leakage audit
-    #                            (curation family; pack_sequences rotates out)
-    "graph_kcore",  # r06: iterative peel loop, first check
-    "sample_stratified",  # r07: per-stratum sampling, first check (setop_ops out, 5x)
-    "graph_hyperball",  # r07 new op: HLL ball-merge centrality (scalar_funcs out, 5x)
-    # graph traversal / iterative (§2.B 9, 25)
-    "graph_khop_seeded",
-    "graph_connected_components",
-    "graph_modularity",  # r06 new op: exact-integer Newman Q over the LPA partition
-    "graph_hits",  # r07 new op: exact-integer hubs/authorities (shortest_paths out, 2x green)
-    "graph_cc_incremental",  # r07 new op: IVM delta-merge CC (LPA out, 2x green)
-    # XML ingest + flagship (§2.B 2, 23, 24)
-    "xml_label_counts",
-    "xml_khop_flagship",
-    "xml_title_hierarchy",  # r07: title containment paths (subtree_content out, 2x green)
-    # mutation (§2.B 20-22)
-    "mutation_merge_upsert",
-    "mutation_table_diff",  # r07: CDC snapshot diff (delete_cascade out, 5x green)
-    "drift_histogram_tv",  # r07 new op: TV drift audit (scd2_build out, 2x green; SCD2 repped by pit_join)
+    # profiling sketch family (r07 crop stays for its 2nd check)
+    "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles
+    "heavy_hitters_cms_grouped",  # r07 new op: per-day CMS top talkers
+    "theta_sketch_setops",  # r07 new op: KMV set-op sketch
+    "profile_columns",  # r07: per-column profiler
+    "cardinality_hll_grouped",  # r08: per-day HLL DAU registers, first check
+    "drift_histogram_tv",  # r07 new op: TV drift audit
+    # time-series hypertable ops (r08 debt-burn block: never checked)
+    "ts_lttb_downsample",  # r08: LTTB triangle downsample, first check
+    "ts_gapfill_locf",  # r08: grid gap-fill + LOCF, first check
+    "ts_ewma",  # r08: recursive EWMA via hourly collapse, first check
+    "ts_markov_transitions",  # r07 new op: next-event transition matrix
+    # LLM-pipeline text/curation reps (r08 debt-burn block)
+    "text_pii_redact",  # r08: regex PII scrubbing, first check
+    "text_unigram_logprob",  # r08: unigram-LM quality score, first check
+    "text_repetition",  # r08: repetition signals, first check
+    "text_quality_gopher",  # r07: Gopher quality gates
+    "text_hybrid_rrf",  # r08 NEW op: BM25 ⊕ cosine RRF fusion, first check
+    "udtf_bigram_explode",  # r08: UDTF seam (takes udf_embedding_norm's
+    #                         §2.B UDF-surface slot), first check
+    "sample_stratified",  # r07: per-stratum sampling
+    "sample_split",  # r08: train/val/test hash split, first check
+    "embedding_outlier",  # r08: centroid-distance outliers, first check
     # dedup family (§2.B 19, 30 + LLM-pipeline rows)
-    "dedup_simhash",  # r07: hamming-band near-dup (dedup_exact out, 5x green)
-    "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter (minhash_lsh out, 5x green)
-    "text_chunk_windows",  # r06 new op: RAG chunking, first check
+    "dedup_simhash",  # r07: hamming-band near-dup
+    "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter
+    "fuzzy_join_typo_linkage",  # r08: ed≤1 half-block linkage, first check
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
-    "embedding_quantize_int8",  # r07: int8 quant audit (sim_topk out, 5x green)
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",  # r05 new op: PQ codes + ADC, fully value-checked
-    "udf_embedding_norm",
-    "embedding_pca_power",  # r05: newly oracle-promoted (unrolled iteration)
-    # text analysis (§2.B 32 + LLM-pipeline rows)
-    "text_quality_gopher",  # r07: Gopher quality gates (text_stats out, 5x green)
-    "graph_temporal_reachability",  # r07 new op: time-respecting BFS (tfidf out, 2x green)
-    "zorder_layout",  # r06: interleaved-bit clustering audit, first check
-    # time-series hypertable ops
-    "graph_weighted_sssp",  # r05 new op: Bellman-Ford (multires rotates out)
-    "ts_markov_transitions",  # r07 new op: next-event transition matrix (rollup_incremental out, 2x green)
+    "embedding_quantize_int8",  # r07: int8 quant audit
+    "embedding_mrl_audit",  # r08: Matryoshka prefix-dim audit, first check
+    # graph traversal / iterative (§2.B 9, 25; khop row moves to the
+    # recursive-CTE twin, CC row stays on the r07 IVM variant)
+    "sql_recursive_khop",  # r08: WITH RECURSIVE k-hop, first check
+    "graph_triangle_count",  # r08: benched headline, never driver-checked
+    "graph_link_prediction",  # r08: common-neighbor/Jaccard scores, first check
+    "graph_degree_histogram",  # r08: degree distribution, first check
+    "graph_cc_incremental",  # r07 new op: IVM delta-merge CC
+    "graph_hyperball",  # r07 new op: HLL ball-merge centrality
+    "graph_hits",  # r07 new op: exact-integer hubs/authorities
+    "graph_temporal_reachability",  # r07 new op: time-respecting BFS
+    "graph_temporal_multisource",  # r08 NEW op: seed-set foremost arrival
+    "graph_clustering_coeff",  # r07 new op: per-node lcc distribution
+    # XML ingest + flagship (§2.B 2, 23, 24)
+    "xml_khop_flagship",
+    "xml_title_hierarchy",  # r07: title containment paths
+    "xml_rel_signatures",  # r08: (src)-[:rel]->(dst) catalog, first check
+    #                        (label_counts out, 4x green; both now pinned by
+    #                        the independent ElementTree recomputation test)
+    # mutation (§2.B 20-22)
+    "mutation_table_diff",  # r07: CDC snapshot diff
     # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
-    "multimodal_video_frames",  # r07: Y4M frame extraction (image_decode out, 5x green)
-    "graph_clustering_coeff",  # r07 new op: per-node lcc distribution (tumbling out, 4x green)
-    "stream_sliding_window",  # r07: overlapping windows (session_window out, 2x green)
-    "funnel_conversion",  # r07: ordered-step funnel (training_data out, 5x green)
-    "nl2query_demo",  # r07: single-turn NL->query (followup out, 5x green)
+    "multimodal_video_frames",  # r07: Y4M frame extraction
+    "multimodal_phash_neardup",  # r08: pHash banded near-dup, first check
+    "multimodal_audio_stats",  # r08: real RIFF/WAVE codec, first check
+    "multimodal_decode",  # r08: newly value-oracled (md5 stub features), first check
+    "stream_sliding_window",  # r07: overlapping windows
+    "stream_dedup",  # r08: dropDuplicates batch twin, first check
+    "funnel_conversion",  # r07: ordered-step funnel
+    "nl2query_demo",  # r07: single-turn NL->query
 ]
 
 

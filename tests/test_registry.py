@@ -5,9 +5,10 @@ from __future__ import annotations
 
 from graph_database_project_spark.registry import all_oracles, all_queries
 
-EXPECTED_ROWS_ONLY = {
-    "multimodal_decode",     # Python stub seam (PIL/libav absent)
-}
+# Empty since r08: multimodal_decode (the last rows-only key) gained a
+# value oracle — its stub features are a pure function of md5(payload),
+# recomputable in DuckDB from the hex digest.
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_oracles_subset_of_queries():
