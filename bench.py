@@ -121,6 +121,23 @@ FAIL_PENALTY = 600.0
 # BASELINE.md freezes the methodology as the median of 3 warm runs per query.
 NUM_RUNS = 3
 
+# Idle-window sentinel references (BASELINE.md "Machine-state sentinel",
+# pinned r05) and the pin-eligibility threshold (r07 verdict #8): a run is
+# "healthy" only when EVERY before/after sentinel is within this factor of
+# its idle reference. BASELINE.md pins may only be stamped from runs whose
+# own contract line says sentinel_health=healthy — the adjudication that
+# was manual through r07 (3 of 4 r07-era runs landed degraded) is now
+# machine-readable in the recorded BENCH_r{N}.json itself.
+SENTINEL_REF = {"python_loop_sec": 0.27, "numpy_matmul_sec": 0.48}
+SENTINEL_HEALTHY_MAX = 1.3
+
+
+def sentinel_health(*sentinels: dict) -> tuple[str, float]:
+    """Worst before/after ratio vs the idle references → verdict."""
+    worst = max(s[k] / SENTINEL_REF[k] for s in sentinels for k in SENTINEL_REF)
+    verdict = "healthy" if worst <= SENTINEL_HEALTHY_MAX else "degraded"
+    return verdict, round(worst, 2)
+
 
 def machine_sentinel() -> dict:
     """Fixed CPU + memory-bandwidth microbenchmarks timed alongside the
@@ -225,6 +242,7 @@ def main() -> None:
     import pyspark
 
     sentinel_after = machine_sentinel()
+    health, worst_ratio = sentinel_health(sentinel_before, sentinel_after)
     # The driver records only the LAST ~2000 bytes of stdout and parses the
     # final line (BENCH_r05 had "parsed": null because the contract line
     # outgrew that window). So: full diagnostics go to BENCH_DETAIL.json +
@@ -242,6 +260,7 @@ def main() -> None:
         "warmup": "q01_limit1_count + pandas_udf_32row_noop (JVM codegen + Arrow worker pool)",
         "sink": "noop_full_width",
         "baseline": "BASELINE.md v2 gate + v2.1 extended rows (interleaved protocol, r05)",
+        "sentinel_worst_ratio": worst_ratio,
     }
     out = {
         "metric": "headline_queries_total_wall",
@@ -260,6 +279,10 @@ def main() -> None:
         # plan regressions (reference values in BASELINE.md)
         "sentinel_before": sentinel_before,
         "sentinel_after": sentinel_after,
+        # machine-stamped pin-eligibility (worst sentinel ratio vs the idle
+        # references, threshold 1.3x): BASELINE.md pins come only from
+        # "healthy" runs; a "degraded" contract is load-window evidence
+        "sentinel_health": health,
     }
     if failed:
         out["failed"] = failed

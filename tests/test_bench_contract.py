@@ -29,6 +29,7 @@ def _contract_size(n_failed: int = 0) -> int:
         "stat": f"median_of_{bench.NUM_RUNS}_interleaved",
         "sentinel_before": sentinel,
         "sentinel_after": sentinel,
+        "sentinel_health": "degraded",
     }
     if n_failed:
         out["failed"] = sorted(bench.HEADLINE)[:n_failed]
@@ -43,3 +44,15 @@ def test_contract_line_fits_driver_tail_window():
 def test_contract_line_fits_even_with_failures():
     # a broken round lists failed keys — the line must still parse
     assert _contract_size(n_failed=5) < 2000, _contract_size(5)
+
+
+def test_sentinel_health_verdict():
+    ref = bench.SENTINEL_REF
+    idle = dict(ref)
+    assert bench.sentinel_health(idle, idle) == ("healthy", 1.0)
+    # one degraded sentinel in EITHER probe flips the verdict
+    hot = {k: v * 1.5 for k, v in ref.items()}
+    assert bench.sentinel_health(idle, hot)[0] == "degraded"
+    assert bench.sentinel_health(hot, idle)[0] == "degraded"
+    edge = {k: v * bench.SENTINEL_HEALTHY_MAX for k, v in ref.items()}
+    assert bench.sentinel_health(idle, edge)[0] == "healthy"
