@@ -71,6 +71,9 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "ts_lttb_downsample",  # checkpointed bucket anchors
                        "cardinality_hll_grouped",  # checkpointed registers
                        "text_hybrid_rrf",  # checkpointed per-doc tf sidecar
+                       "assoc_basket_rules",  # checkpointed (order, brand) relation
+                       "ts_cusum_changepoint",  # checkpointed day series
+                       "bpe_learn_merges",  # checkpointed vocab + per-round winners
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

@@ -1227,6 +1227,133 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning — tokenizer training over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6          # merge rules learned (one argmax pair per round)
+BPE_MIN_LEN, BPE_MAX_LEN = 2, 20   # word-length gate for the vocab
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wcnt) from documents.text: lowercase alpha runs, length-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z]+'), "
+        f"x -> length(x) >= {BPE_MIN_LEN} AND length(x) <= {BPE_MAX_LEN})"))
+        .alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("wcnt")))
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning: the tokenizer-training loop an
+    LLM data pipeline runs before anything else. ``BPE_ROUNDS`` rounds;
+    each round counts adjacent symbol pairs across the vocabulary
+    (frequency-weighted), picks the argmax pair (tie-break: lexicographic
+    min — deterministic), and merges it everywhere.
+
+    Semantics pinned for the oracle: symbols are ``~``-delimited
+    (``hello`` → ``~h~e~l~l~o~``); a merge applies the pair pattern
+    leftmost-non-overlapping in ONE pass (both engines' ``replace``), so
+    an odd run like ``a b a b`` merges its first occurrence only in the
+    round that learns ``a+b`` — the canonical-BPE repeat-until-fixpoint
+    application is deliberately NOT emulated, because single-pass replace
+    is the semantics both engines share natively (verified char-exact
+    against DuckDB; divergence would surface as a driver hash fail).
+
+    Scale: the CORPUS is touched exactly once — one scan collapses it to
+    the (word, wcnt) vocabulary via map-side combine (the standard
+    tokenizer-training reduction; 100 TB of text is a few million distinct
+    words). Every learning round then runs on the vocab alone: pair
+    explode (≤ word-length fan-out) → map-side-combined count → 1-row
+    argmax broadcast → merge select. Loop state (vocab) and the 1-row
+    winner are checkpointed per round, so plans stay flat and nothing
+    re-derives (CLAUDE.md iterative discipline); no fixpoint probe — the
+    round count is fixed.
+    """
+    return learn_bpe_merges(_bpe_word_counts(spark, sf_dir), BPE_ROUNDS)
+
+
+def learn_bpe_merges(word_counts: DataFrame, rounds: int) -> DataFrame:
+    """Core learning loop over a (word, wcnt) frame — factored out so the
+    hand-corpus merge test can drive it without parquet."""
+    vocab = (word_counts
+             .select("wcnt",
+                     F.concat(F.regexp_replace("word", "(.)", r"~$1"),
+                              F.lit("~")).alias("sym"))
+             .localCheckpoint(eager=True))
+    pair_expr = (
+        "CASE WHEN size(s) >= 4 THEN "
+        "transform(sequence(1, size(s)-3), i -> concat('~', s[i], '~', s[i+1], '~')) "
+        "ELSE CAST(array() AS array<string>) END")
+    bests: list[DataFrame] = []
+    for rnd in range(1, rounds + 1):
+        pairs = (vocab.select("wcnt", F.split("sym", "~").alias("s"))
+                 .select("wcnt", F.explode(F.expr(pair_expr)).alias("pat"))
+                 .groupBy("pat").agg(F.sum("wcnt").alias("cnt")))
+        mxc = pairs.agg(F.max("cnt").alias("mxc"))
+        best = (pairs.crossJoin(F.broadcast(mxc))
+                .filter(F.col("cnt") == F.col("mxc"))
+                .agg(F.min("pat").alias("pat"))
+                .crossJoin(F.broadcast(mxc))
+                .select(F.lit(rnd).alias("round"), "pat",
+                        F.col("mxc").alias("cnt"))
+                .localCheckpoint(eager=True))  # 1 row; feeds merge + output
+        bests.append(best)
+        rep = F.expr("concat('~', replace(trim(BOTH '~' FROM pat), '~', ''), '~')")
+        vocab = (vocab.crossJoin(F.broadcast(best.select("pat")))
+                 .select("wcnt", F.replace("sym", F.col("pat"), rep).alias("sym"))
+                 .localCheckpoint(eager=True))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "round",
+        F.expr("replace(trim(BOTH '~' FROM pat), '~', ' ')").alias("pair"),
+        F.expr("replace(trim(BOTH '~' FROM pat), '~', '')").alias("merged"),
+        F.col("cnt").cast("long").alias("weight"),
+    ).orderBy("round")
+
+
+def _bpe_sql() -> str:
+    """Unrolled BPE_ROUNDS-round oracle: each round a MATERIALIZED CTE
+    chain (pair counts → argmax-with-min-tie-break → merged vocab), the
+    same leftmost-non-overlapping single-pass replace."""
+    parts = [f"""
+WITH w AS MATERIALIZED (
+  SELECT word, count(*) AS wcnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  x -> len(x) >= {BPE_MIN_LEN} AND len(x) <= {BPE_MAX_LEN})) AS word
+    FROM documents) GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT wcnt, regexp_replace(word, '(.)', '~\\1', 'g') || '~' AS sym FROM w
+)"""]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+  SELECT pat, sum(wcnt) AS cnt FROM (
+    SELECT wcnt, unnest(list_transform(
+        range(2, len(string_split(sym, '~')) - 1),
+        i -> '~' || string_split(sym, '~')[i] || '~'
+                 || string_split(sym, '~')[i+1] || '~')) AS pat
+    FROM v{r - 1}) GROUP BY pat
+), b{r} AS MATERIALIZED (
+  SELECT {r} AS round, min(pat) AS pat, (SELECT max(cnt) FROM p{r}) AS cnt
+  FROM p{r} WHERE cnt = (SELECT max(cnt) FROM p{r})
+), v{r} AS MATERIALIZED (
+  SELECT wcnt, replace(sym, b.pat,
+                       '~' || replace(trim(b.pat, '~'), '~', '') || '~') AS sym
+  FROM v{r - 1}, b{r} b
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}"
+                               for r in range(1, BPE_ROUNDS + 1))
+    parts.append(f"""
+SELECT round, replace(trim(pat, '~'), '~', ' ') AS pair,
+       replace(trim(pat, '~'), '~', '') AS merged,
+       CAST(cnt AS BIGINT) AS weight
+FROM ({union}) ORDER BY round""")
+    return "".join(parts)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
@@ -1246,6 +1373,7 @@ QUERIES = {
     "text_quality_gopher": q_quality_gopher,
     "text_span_dedup": q_span_dedup,
     "udtf_bigram_explode": q_udtf_bigram_explode,
+    "bpe_learn_merges": q_bpe_learn_merges,
 }
 
 ORACLE = {
@@ -1258,6 +1386,7 @@ ORACLE = {
     "text_tfidf_top_terms": Q_TFIDF_SQL,
     "text_bm25_search": _bm25_sql(),
     "text_hybrid_rrf": _hybrid_rrf_sql(),
+    "bpe_learn_merges": _bpe_sql(),
     "text_cooccur_pmi": Q_COOCCUR_PMI_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_decontaminate": _decontaminate_sql(),

@@ -659,6 +659,75 @@ ORDER BY from_type, to_type
 """
 
 
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-volume series:
+    cumulative sum of deviations from the global mean, peak |S| marks the
+    most likely level-shift day (Page's test, two-sided, known-mean form).
+
+    Exact-integer algebra: with D days, N total events, x_k the day-k
+    count, the mean-centered partial sum scaled by D is
+    ``S_k = D·cum_k − k·N`` (every term integer — no float mean, no
+    rounding class, bit-exact under the driver hash). The change point is
+    argmax |S_k| with earliest-day tie-break.
+
+    Scale: one partial-aggregated shuffle collapses the corpus to day
+    grain (≤ calendar days rows — bounded at any corpus size); the
+    windows, peak scan, and flag join all run on that bounded series.
+    The raw event stream never enters window state (same discipline as
+    ts_anomaly_zscore). Overflow: |S_k| ≤ D·N, fine past 10^5 days of
+    10^13 events.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                      "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("x_cnt")))
+    return cusum_over_daily(daily)
+
+
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM core over a (day, x_cnt) frame — factored out so the
+    planted-shift test can drive it without parquet."""
+    daily = daily.localCheckpoint(eager=True)  # feeds tot AND series: one scan
+    tot = daily.agg(F.sum("x_cnt").alias("n_total"),
+                    F.count(F.lit(1)).alias("n_days"))
+    w = W.orderBy("day")
+    ser = (daily.crossJoin(F.broadcast(tot))
+           .withColumn("k", F.row_number().over(w))
+           .withColumn("cum", F.sum("x_cnt").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+           .select("day", "x_cnt",
+                   (F.col("n_days") * F.col("cum")
+                    - F.col("k") * F.col("n_total")).alias("cusum"))
+           .localCheckpoint(eager=True))  # referenced by peak scan + output
+    amax = ser.agg(F.max(F.abs(F.col("cusum"))).alias("amax"))
+    cday = (ser.crossJoin(F.broadcast(amax))
+            .filter(F.abs(F.col("cusum")) == F.col("amax"))
+            .agg(F.min("day").alias("cday")))
+    return (ser.crossJoin(F.broadcast(cday))
+            .select("day", "x_cnt", "cusum",
+                    (F.col("day") == F.col("cday")).alias("is_change_point"))
+            .orderBy("day"))
+
+
+Q_TS_CUSUM_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS x_cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (SELECT sum(x_cnt) AS n_total, count(*) AS n_days FROM daily),
+ser AS MATERIALIZED (
+  SELECT day, x_cnt,
+         CAST(n_days * sum(x_cnt) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - row_number() OVER (ORDER BY day) * n_total AS BIGINT) AS cusum
+  FROM daily CROSS JOIN tot
+), mx AS (SELECT max(abs(cusum)) AS amax FROM ser),
+cd AS (SELECT min(day) AS cday FROM ser, mx WHERE abs(cusum) = amax)
+SELECT day, CAST(x_cnt AS BIGINT) AS x_cnt, cusum,
+       (day = cday) AS is_change_point
+FROM ser, cd ORDER BY day
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
     "ts_markov_transitions": q_ts_markov_transitions,
@@ -667,8 +736,10 @@ QUERIES = {
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_ewma": q_ts_ewma,
     "ts_rollup_incremental": q_ts_rollup_incremental,
+    "ts_cusum_changepoint": q_ts_cusum_changepoint,
 }
 ORACLE = {
+    "ts_cusum_changepoint": Q_TS_CUSUM_SQL,
     "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
     "ts_markov_transitions": Q_TS_MARKOV_SQL,
     "ts_lttb_downsample": Q_TS_LTTB_SQL,

@@ -765,6 +765,177 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Association-rule mining over order baskets (market-basket analysis)
+# ---------------------------------------------------------------------------
+
+def q_assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brand co-occurrence in orders:
+    support / directional confidence / lift for every brand pair, exact
+    integer ppm via floor division.
+
+    Baskets are orders; items are the DISTINCT part brands in each order
+    (25 brands → ≤ C(25,2) = 300 pair groups at every sf, so the output is
+    sf-invariant in SHAPE while every count scales with the data).
+
+    Scale: ONE lineitem scan (broadcast part dim) builds the distinct
+    (order, brand) relation, checkpointed because three consumers read it
+    (pair counts, per-brand counts, the 1-row basket total). The pair
+    self-join is an equi-join on the order key with per-order fan-out
+    bounded by C(|brands in order|, 2) ≤ 300; the groupBy collapses to
+    ≤300 rows map-side before the shuffle. Brand counts (≤25 rows) and the
+    total (1 row) broadcast back onto the pairs — no corpus-sized shuffle
+    after the initial distinct.
+
+    Overflow discipline: lift's numerator n_orders·pair_cnt stays < 2^62
+    up to ~2×10^9 orders; the ppm scaling downshifts num and den by a
+    common power-of-two picked by an integer CASE on the numerator
+    (identical floor semantics both engines — profiling.py's
+    ``_ppm_downshift_sql`` rationale), with the denominator floored at 1
+    (reachable only past the downshift scale, identically in both).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    tot = ob.agg(F.count_distinct("o").alias("n_orders"))
+    brand_cnt = ob.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    lhs = ob.select("o", F.col("b").alias("b1"))
+    rhs = ob.select(F.col("o").alias("o2"), F.col("b").alias("b2"))
+    pairs = (lhs.join(rhs, (F.col("o") == F.col("o2")) & (F.col("b1") < F.col("b2")))
+             .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("pair_cnt")))
+    c1 = brand_cnt.select(F.col("b").alias("b1"), F.col("cnt").alias("cnt1"))
+    c2 = brand_cnt.select(F.col("b").alias("b2"), F.col("cnt").alias("cnt2"))
+    num = "(n_orders * pair_cnt)"
+    d = (f"(CASE WHEN {num} < {1 << 42} THEN 1 "
+         f"WHEN {num} < {1 << 50} THEN 256 "
+         f"WHEN {num} < {1 << 58} THEN 65536 ELSE 16777216 END)")
+    return (pairs.join(F.broadcast(c1), "b1").join(F.broadcast(c2), "b2")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "b1", "b2",
+                F.col("pair_cnt").cast("long").alias("pair_cnt"),
+                F.expr("pair_cnt * 1000000L div n_orders").alias("support_ppm"),
+                F.expr("pair_cnt * 1000000L div cnt1").alias("conf12_ppm"),
+                F.expr("pair_cnt * 1000000L div cnt2").alias("conf21_ppm"),
+                F.expr(f"({num} div {d}) * 1000000 div "
+                       f"greatest((cnt1 * cnt2) div {d}, 1L)").alias("lift_ppm"),
+            )
+            .orderBy(F.desc("pair_cnt"), "b1", "b2"))
+
+
+ASSOC_SQL = f"""
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), tot AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+bc AS (SELECT b, count(*) AS cnt FROM ob GROUP BY b),
+pc AS (
+  SELECT a.b AS b1, x.b AS b2, count(*) AS pair_cnt
+  FROM ob a JOIN ob x ON a.o = x.o AND a.b < x.b
+  GROUP BY 1, 2
+)
+SELECT b1, b2, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(pair_cnt * 1000000 // n_orders AS BIGINT) AS support_ppm,
+       CAST(pair_cnt * 1000000 // c1.cnt AS BIGINT) AS conf12_ppm,
+       CAST(pair_cnt * 1000000 // c2.cnt AS BIGINT) AS conf21_ppm,
+       CAST(((n_orders * pair_cnt) // (CASE WHEN (n_orders * pair_cnt) < {1 << 42} THEN 1
+              WHEN (n_orders * pair_cnt) < {1 << 50} THEN 256
+              WHEN (n_orders * pair_cnt) < {1 << 58} THEN 65536 ELSE 16777216 END))
+            * 1000000 // greatest((c1.cnt * c2.cnt) // (CASE WHEN (n_orders * pair_cnt) < {1 << 42} THEN 1
+              WHEN (n_orders * pair_cnt) < {1 << 50} THEN 256
+              WHEN (n_orders * pair_cnt) < {1 << 58} THEN 65536 ELSE 16777216 END), 1) AS BIGINT) AS lift_ppm
+FROM pc JOIN bc c1 ON pc.b1 = c1.b JOIN bc c2 ON pc.b2 = c2.b
+CROSS JOIN tot
+ORDER BY pair_cnt DESC, b1, b2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (non-dominated frontier) — window rewrite vs NOT-EXISTS spec
+# ---------------------------------------------------------------------------
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over parts: minimize retail price, maximize size.
+    A part is dominated iff another part is no worse on both axes and
+    strictly better on at least one.
+
+    The ORACLE is the O(n²) NOT-EXISTS dominance spec; the Spark side runs
+    the O(n log n) rewrite — two running-max windows over price order:
+
+      dominated ⇔ max(size | price' < price)  ≥ size     (strictly cheaper)
+                 ∨ max(size | price' ≤ price) > size      (no pricier)
+
+    so driver bit-equality is a machine-checked proof the rewrite matches
+    the quadratic definition, ties included (same pattern as
+    dedup_prefix_filter vs the naive join).
+
+    Prices are floor-money doubles → exact integer cents via
+    round(·×100) (HALF_UP in both engines) so the RANGE frame bound
+    ``-1 cent`` means "strictly cheaper", never "one float ulp".
+
+    Scale: the windows are global (skyline needs a total price order), so
+    a grid pre-prune runs first: per price-bucket max sizes (map-side
+    combined, ≤ |buckets| rows) → running max over the TINY bucket
+    relation → broadcast back; any point strictly below the prefix-max of
+    strictly-cheaper buckets is dominated by a witness in those buckets
+    and is dropped distributed-side. Survivors (≤ |buckets| × |distinct
+    sizes| in the worst case, tiny in practice) flow into the global
+    window. The naive spec never runs on Spark.
+    """
+    from pyspark.sql.window import Window as W
+
+    pts = (_t(spark, sf_dir, "part")
+           .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+           .select("p_partkey",
+                   F.round(F.col("p_retailprice") * 100, 0).cast("long")
+                   .alias("price_c"),
+                   F.col("p_size").cast("int").alias("size")))
+    # grid pre-prune: bucket = price_c div 100 (1-currency-unit cells).
+    # Two part scans by design (same shape as drift's bounds pass): the
+    # first collapses map-side to ≤|buckets| rows, the second filters
+    # against the broadcast prefix — checkpointing the corpus-sized pts
+    # relation instead would not survive 100 TB.
+    bkt = (pts.groupBy(F.expr("price_c div 100").alias("bk"))
+           .agg(F.max("size").alias("bmax")))
+    prefix = bkt.select(
+        "bk",
+        F.max("bmax").over(
+            W.orderBy("bk").rowsBetween(W.unboundedPreceding, -1)).alias("pmax"))
+    survivors = (pts.withColumn("bk", F.expr("price_c div 100"))
+                 .join(F.broadcast(prefix), "bk")
+                 .filter(F.col("pmax").isNull() | (F.col("size") >= F.col("pmax")))
+                 .select("p_partkey", "price_c", "size"))
+    wlt = W.orderBy("price_c").rangeBetween(W.unboundedPreceding, -1)
+    wle = W.orderBy("price_c").rangeBetween(W.unboundedPreceding, 0)
+    sky = (survivors
+           .withColumn("mx_lt", F.max("size").over(wlt))
+           .withColumn("mx_le", F.max("size").over(wle))
+           .filter((F.col("mx_lt").isNull() | (F.col("mx_lt") < F.col("size")))
+                   & (F.col("mx_le") <= F.col("size"))))
+    return (sky.select("p_partkey", "price_c", "size")
+            .orderBy("price_c", F.desc("size"), "p_partkey"))
+
+
+SKYLINE_SQL = """
+WITH pts AS MATERIALIZED (
+  SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(p_size AS INT) AS size
+  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT p_partkey, price_c, size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.size >= p.size
+    AND (q.price_c < p.price_c OR q.size > p.size)
+)
+ORDER BY price_c, size DESC, p_partkey
+"""
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q04_priority_exists": q04_priority_exists,
@@ -783,6 +954,8 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "q19_or_of_ands": q19_or_of_ands,
     "q22_idle_customers": q22_idle_customers,
+    "assoc_basket_rules": q_assoc_basket_rules,
+    "skyline_pareto": q_skyline_pareto,
 }
 
 ORACLE = {
@@ -803,4 +976,6 @@ ORACLE = {
     "q18_large_volume": Q18_SQL,
     "q19_or_of_ands": Q19_SQL,
     "q22_idle_customers": Q22_SQL,
+    "assoc_basket_rules": ASSOC_SQL,
+    "skyline_pareto": SKYLINE_SQL,
 }

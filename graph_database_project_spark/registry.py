@@ -106,6 +106,13 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # round) plus the round's two new operators (text_hybrid_rrf,
 # graph_temporal_multisource). Evicted (≥2x green each, family still
 # repped): mutation_scd2_pit_join, join_size_estimate, heavy_hitters_cms,
+# (second r08 batch, slots for the round's four NEW operators so their
+# first check happens the round they ship: q01_pricing_summary out, 7x
+# green AND still smoke-checked every round as entry(); xml_khop_flagship
+# out, 4x green + pinned by the independent ElementTree golden test;
+# q19_or_of_ands and ts_markov_transitions out, 1x green each with their
+# modules still repped — in: assoc_basket_rules, skyline_pareto,
+# bpe_learn_merges, ts_cusum_changepoint)
 # text_bm25_search, window_range_frame, join_bloom_prune, text_span_dedup,
 # text_cooccur_pmi, multimodal_png_decode, semantic_decontaminate,
 # graph_kcore, graph_khop_seeded (khop row moves to sql_recursive_khop),
@@ -118,10 +125,11 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # graph_weighted_sssp. Debt after this window: 19 of 167.
 _DRIVER_WINDOW = [
     # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
-    "q01_pricing_summary",
-    "q19_or_of_ands",  # r07: OR-of-ANDs pushdown rep (q03 out, 6x green)
+    # (q01 itself runs every round as the driver's entry() smoke)
     "q22_idle_customers",  # r07: NOT-EXISTS + scalar-subquery rep (q04 out, 6x green)
     "join_interval_overlap",  # r07: interval-overlap rep (range_follow out, 5x green)
+    "assoc_basket_rules",  # r08 NEW op: basket-pair support/conf/lift, first check
+    "skyline_pareto",  # r08 NEW op: window skyline vs NOT-EXISTS spec, first check
     # profiling sketch family (r07 crop stays for its 2nd check)
     "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles
     "heavy_hitters_cms_grouped",  # r07 new op: per-day CMS top talkers
@@ -133,13 +141,14 @@ _DRIVER_WINDOW = [
     "ts_lttb_downsample",  # r08: LTTB triangle downsample, first check
     "ts_gapfill_locf",  # r08: grid gap-fill + LOCF, first check
     "ts_ewma",  # r08: recursive EWMA via hourly collapse, first check
-    "ts_markov_transitions",  # r07 new op: next-event transition matrix
+    "ts_cusum_changepoint",  # r08 NEW op: exact-integer CUSUM, first check
     # LLM-pipeline text/curation reps (r08 debt-burn block)
     "text_pii_redact",  # r08: regex PII scrubbing, first check
     "text_unigram_logprob",  # r08: unigram-LM quality score, first check
     "text_repetition",  # r08: repetition signals, first check
     "text_quality_gopher",  # r07: Gopher quality gates
     "text_hybrid_rrf",  # r08 NEW op: BM25 ⊕ cosine RRF fusion, first check
+    "bpe_learn_merges",  # r08 NEW op: tokenizer merge learning, first check
     "udtf_bigram_explode",  # r08: UDTF seam (takes udf_embedding_norm's
     #                         §2.B UDF-surface slot), first check
     "sample_stratified",  # r07: per-stratum sampling
@@ -164,8 +173,8 @@ _DRIVER_WINDOW = [
     "graph_temporal_reachability",  # r07 new op: time-respecting BFS
     "graph_temporal_multisource",  # r08 NEW op: seed-set foremost arrival
     "graph_clustering_coeff",  # r07 new op: per-node lcc distribution
-    # XML ingest + flagship (§2.B 2, 23, 24)
-    "xml_khop_flagship",
+    # XML ingest + flagship (§2.B 2, 23, 24; the flagship itself is 4x
+    # green and pinned by the independent ElementTree golden test)
     "xml_title_hierarchy",  # r07: title containment paths
     "xml_rel_signatures",  # r08: (src)-[:rel]->(dst) catalog, first check
     #                        (label_counts out, 4x green; both now pinned by

@@ -106,3 +106,80 @@ def test_hybrid_rrf_fusion_arithmetic_and_arm_membership(spark):
             one = max(s.bm25_rank, s.cos_rank)
             if one >= max(head.bm25_rank, head.cos_rank):
                 assert s.rrf_ppm < head.rrf_ppm
+
+
+def test_bpe_hand_corpus_merges_and_tiebreak(spark):
+    """Pinned BPE semantics on a corpus small enough to verify by hand:
+    weighted argmax, lexicographic-min tie-break, and the single-pass
+    leftmost-non-overlapping merge (the odd-run 'abab' merges its first
+    'a b' only in round 1)."""
+    from graph_database_project_spark.operators.textops import learn_bpe_merges
+
+    wc = spark.createDataFrame(
+        [("abab", 3), ("ab", 5), ("ba", 1)], "word string, wcnt long")
+    rows = learn_bpe_merges(wc, 2).collect()
+    # round 1: 'a b' occurs twice in abab (x3) + once in ab (x5) = 11
+    assert (rows[0].pair, rows[0].merged, rows[0].weight) == ("a b", "ab", 11)
+    # round 2 vocab: ~ab~a~b~ (x3), ~ab~ (x5), ~b~a~ (x1) — pairs
+    # 'ab a' (3) ties 'a b' (3); '~ab~a~' < '~a~b~' lexicographically
+    assert (rows[1].pair, rows[1].merged, rows[1].weight) == ("ab a", "aba", 3)
+
+
+def test_skyline_matches_quadratic_dominance_bruteforce(spark):
+    """The grid pre-prune + running-max window rewrite must equal the
+    O(n²) dominance definition on the real corpus — computed here
+    independently in numpy (the driver oracle re-proves this vs SQL
+    NOT EXISTS; this test keeps the proof in-repo and ties included)."""
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.tpch_ext import q_skyline_pareto
+
+    pts = (load_table(spark, SF_ORACLE, "part")
+           .filter(F.col("p_retailprice").isNotNull()
+                   & F.col("p_size").isNotNull())
+           .select("p_partkey",
+                   F.round(F.col("p_retailprice") * 100, 0).cast("long")
+                   .alias("price_c"),
+                   F.col("p_size").cast("int").alias("size")).collect())
+    price = np.array([r.price_c for r in pts])
+    size = np.array([r.size for r in pts])
+    le = (price[:, None] <= price[None, :]) & (size[:, None] >= size[None, :])
+    strict = (price[:, None] < price[None, :]) | (size[:, None] > size[None, :])
+    dominated = (le & strict).any(axis=0)
+    expect = sorted((r.p_partkey, r.price_c, r.size)
+                    for r, d in zip(pts, dominated) if not d)
+    got = sorted((r.p_partkey, r.price_c, r.size)
+                 for r in q_skyline_pareto(spark, SF_ORACLE).collect())
+    assert got == expect and got, "skyline mismatch or empty"
+
+
+def test_assoc_rules_marginals_and_bounds(spark):
+    """Association-rule invariants: pair count never exceeds either
+    marginal, confidence/support are consistent floor-ppm ratios, and
+    every pair's lift is the ratio of observed to independence-expected
+    co-occurrence (spot-recomputed from the distinct basket relation)."""
+    from .conftest import SF_ORACLE
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.tpch_ext import (
+        q_assoc_basket_rules)
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, SF_ORACLE, "part").select("p_partkey", "p_brand")
+    ob = (li.join(part, li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+          .distinct())
+    n_orders = ob.select("o").distinct().count()
+    marg = {r.b: r.c for r in
+            ob.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    rows = q_assoc_basket_rules(spark, SF_ORACLE).collect()
+    assert rows, "no rules"
+    for r in rows:
+        assert 0 < r.pair_cnt <= min(marg[r.b1], marg[r.b2])
+        assert r.support_ppm == r.pair_cnt * 1_000_000 // n_orders
+        assert r.conf12_ppm == r.pair_cnt * 1_000_000 // marg[r.b1]
+        assert r.conf21_ppm == r.pair_cnt * 1_000_000 // marg[r.b2]
+        assert r.lift_ppm == (n_orders * r.pair_cnt) * 1_000_000 // (
+            marg[r.b1] * marg[r.b2])
+        assert r.b1 < r.b2

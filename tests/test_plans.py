@@ -668,6 +668,9 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "graph_temporal_multisource": 0,   # same presence relation, seed-keyed
         "text_hybrid_rrf": 2,  # tf sidecar checkpointed; 2 embeddings scans
         #                        (probe + corpus, the sim_topk baseline shape)
+        "assoc_basket_rules": 0,  # (order, brand) relation checkpointed
+        "ts_cusum_changepoint": 0,  # day series checkpointed
+        "bpe_learn_merges": 0,      # vocab + per-round winners checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
@@ -682,6 +685,22 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
     from graph_database_project_spark.api import _eager_on_build
     unflagged = [k for k in BOUNDS if not _eager_on_build(k)]
     assert not unflagged, f"BOUNDS keys missing from EAGER_ON_BUILD: {unflagged}"
+
+
+def test_skyline_two_scans_broadcast_prune_no_cartesian(spark):
+    # deliberately two part scans (bucket-max pass + prune pass — lazy,
+    # no checkpoint: the corpus-sized pts relation must not materialize
+    # at 100 TB); the bucket prefix relation attaches by broadcast; the
+    # global windows see only pre-pruned survivors
+    import re as _re
+
+    from graph_database_project_spark.operators import tpch_ext
+
+    p = plan(tpch_ext.q_skyline_pareto(spark, SF_ORACLE))
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) <= 2, p
+    assert n_ops(p, "CartesianProduct") == 0, p
+    assert n_ops(p, "SortMergeJoin") == 0, p
+    assert n_ops(p, "BroadcastHashJoin") == 1, p
 
 
 def test_lttb_single_scan_broadcast_anchors(spark):
