@@ -782,6 +782,145 @@ ORDER BY deg, lcc_ppm
 """
 
 
+# ---------------------------------------------------------------------------
+# Densest subgraph — distributed (1+ε)-peel (Bahmani et al., 2-approx family)
+# ---------------------------------------------------------------------------
+
+DENSEST_ROUNDS = 8          # fixed peel rounds (no fixpoint probe)
+DENSEST_EPS_NUM, DENSEST_EPS_DEN = 5, 4   # (1+ε) = 5/4
+
+
+def _densest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u<v) edge list with PLANTED DENSITY CONTRAST: 10-cliques
+    on every THIRD custkey block ((custkey div 10) % 3 == 0) over the
+    same-nation chain graph (u—u+1, u—u+2). The full-coverage clique
+    substrate the other graph ops use is deliberately NOT reused here —
+    with every node in a clique the whole graph is uniformly dense and
+    round 0 is already the peak (dead variation, caught by
+    test_densest_subgraph_*): the peel needs a chain-only sparse fringe
+    (deg ≤ 4) to shed before the clique core's density emerges."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    clique = (a.join(b, (b.v > a.u)
+                     & (b.v - b.v % 10 == a.u - a.u % 10)
+                     & ((a.u - a.u % 10) % 30 == 0))
+              .select(F.col("u").cast("long").alias("u"),
+                      F.col("v").cast("long").alias("v")))
+    chain = _chain_triangle_edges(spark, sf_dir) \
+        .select(F.col("u").cast("long").alias("u"),
+                F.col("v").cast("long").alias("v"))
+    return clique.union(chain).distinct().localCheckpoint(eager=True)
+
+
+def q_graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph extraction by distributed (1+ε)-greedy peeling
+    (Bahmani–Kumar–Vassilvitskii): each round drops every node whose
+    degree is ≤ (1+ε)·avg-degree of the current survivor graph; the
+    densest round is a 2(1+ε)-approximation of the maximum-density
+    subgraph. The community/fraud-core primitive k-core can't give — the
+    objective is average degree, not a uniform threshold.
+
+    Exact-integer peel test: keep node ⇔ deg > (1+ε)·2E/V; with deg an
+    INTEGER, ``deg > x ⇔ deg > floor(x)``, so both engines compare
+    against ``(5·ΣDeg) div (4·V)`` — no float, no cross-multiplied
+    overflow (5·ΣDeg stays in BIGINT past 10^17 edges, where 4·deg·V
+    cross-multiplication would have died at ~10^9 nodes).
+
+    Output: per-round audit rows (survivor counts + avg-degree ppm) with
+    the peak round flagged — rounds after the graph empties emit nothing
+    (the ε-threshold eventually exceeds every degree, by design).
+
+    Scale: edges checkpoint once at entry and once per peel (loop state);
+    each round is ONE degree aggregation (map-side combined) + a 1-row
+    broadcast threshold + two keyed semi-joins. O(log n) rounds suffice
+    for the approximation bound at any graph size. No driver-side
+    fixpoint probe: the round count is fixed and empty rounds cost two
+    empty jobs (CLAUDE.md fixed-round discipline).
+    """
+    edges = _densest_edges(spark, sf_dir)
+    stats_rows = []
+    for rnd in range(DENSEST_ROUNDS):
+        deg = (edges.select(F.col("u").alias("node"))
+               .unionAll(edges.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        st = deg.agg(F.count(F.lit(1)).alias("nv"),
+                     F.sum("deg").alias("two_e"))
+        stats_rows.append(
+            st.filter(F.col("nv") > 0)
+            .select(F.lit(rnd).alias("round"),
+                    F.col("nv").cast("long").alias("n_nodes"),
+                    F.expr("two_e div 2").alias("n_edges"),
+                    F.expr("two_e * 1000000L div nv").alias("avg_deg_ppm")))
+        surv = (deg.crossJoin(F.broadcast(st))
+                .filter(F.col("deg") > F.expr(
+                    f"({DENSEST_EPS_NUM} * two_e) div ({DENSEST_EPS_DEN} * nv)"))
+                .select("node"))
+        edges = (edges
+                 .join(surv, edges.u == surv.node, "left_semi")
+                 .join(surv, edges.v == surv.node, "left_semi")
+                 .localCheckpoint(eager=True))
+    out = stats_rows[0]
+    for s in stats_rows[1:]:
+        out = out.unionByName(s)
+    out = out.localCheckpoint(eager=True)   # ≤ DENSEST_ROUNDS rows; 3 readers
+    peak = out.agg(F.max("avg_deg_ppm").alias("pmax"))
+    prnd = (out.crossJoin(F.broadcast(peak))
+            .filter(F.col("avg_deg_ppm") == F.col("pmax"))
+            .agg(F.min("round").alias("prnd")))
+    return (out.crossJoin(F.broadcast(prnd))
+            .select("round", "n_nodes", "n_edges", "avg_deg_ppm",
+                    (F.col("round") == F.col("prnd")).alias("is_peak"))
+            .orderBy("round"))
+
+
+def _densest_sql() -> str:
+    """Unrolled peel oracle: the same union substrate as Q_LCC_SQL, then
+    DENSEST_ROUNDS × (degree agg → integer threshold → survivor filter)
+    as MATERIALIZED CTEs."""
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT CAST(a.c_custkey AS BIGINT) AS u, CAST(b.c_custkey AS BIGINT) AS v
+    FROM customer a JOIN customer b
+      ON b.c_custkey > a.c_custkey
+     AND b.c_custkey - b.c_custkey % 10 = a.c_custkey - a.c_custkey % 10
+     AND (a.c_custkey - a.c_custkey % 10) % 30 = 0
+    UNION ALL
+    SELECT CAST(a.c_custkey AS BIGINT), CAST(b.c_custkey AS BIGINT)
+    FROM customer a JOIN customer b
+      ON (b.c_custkey = a.c_custkey + 1 OR b.c_custkey = a.c_custkey + 2)
+     AND a.c_nationkey = b.c_nationkey
+  )
+)"""
+    rounds = []
+    for r in range(DENSEST_ROUNDS):
+        rounds.append(f""", d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r}
+  ) GROUP BY node
+), s{r} AS MATERIALIZED (
+  SELECT count(*) AS nv, CAST(sum(deg) AS BIGINT) AS two_e FROM d{r}
+), n{r} AS MATERIALIZED (
+  SELECT node FROM d{r}, s{r}
+  WHERE deg > ({DENSEST_EPS_NUM} * two_e) // ({DENSEST_EPS_DEN} * nv)
+), e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT node FROM n{r}) AND v IN (SELECT node FROM n{r})
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(nv AS BIGINT) AS n_nodes, "
+        f"two_e // 2 AS n_edges, two_e * 1000000 // nv AS avg_deg_ppm "
+        f"FROM s{r} WHERE nv > 0" for r in range(DENSEST_ROUNDS))
+    tail = f""", rows AS MATERIALIZED ({union}),
+pk AS (SELECT min(round) AS prnd FROM rows
+       WHERE avg_deg_ppm = (SELECT max(avg_deg_ppm) FROM rows))
+SELECT round, n_nodes, n_edges, avg_deg_ppm,
+       (round = prnd) AS is_peak
+FROM rows, pk ORDER BY round"""
+    return head + "".join(rounds) + tail
+
+
 # Supplier nodes offset into their own id range for the bipartite graph.
 # 2^40: TPC-H partkey = 200,000 × sf, so the old 1,000,000 base silently
 # aliased part and supplier nodes from sf≥5 (r05 ADVICE); at 2^40 a
@@ -1618,6 +1757,7 @@ QUERIES = {
     "graph_degree_histogram": q_degree_histogram,
     "graph_hyperball": q_graph_hyperball,
     "graph_hits": q_graph_hits,
+    "graph_densest_subgraph": q_graph_densest_subgraph,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
 
@@ -1635,6 +1775,7 @@ ORACLE = {
     "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_clustering_coeff": Q_LCC_SQL,
+    "graph_densest_subgraph": _densest_sql(),
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

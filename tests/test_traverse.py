@@ -390,3 +390,31 @@ def test_temporal_multisource_slices_match_single_source(spark):
     exp = [(r.user_id, r.first_reach) for r in single[:TEMPORAL_MS_TOP_N]]
     got = [(r.user_id, r.first_reach) for r in by_seed[TEMPORAL_SEED]]
     assert got == exp
+
+
+def test_densest_subgraph_peel_monotone_and_clique_peak(spark):
+    """Peel contracts the bit-exact oracle can't see: (a) every round
+    strictly shrinks the survivor set (a min-degree node never beats the
+    (1+eps)-avg threshold, integer floor included); (b) density at the
+    flagged peak is >= the full graph's (peeling never has to accept a
+    worse answer than round 0); (c) the peak reaches at least the planted
+    10-clique density (avg degree 9) - the dense core the sparse chain
+    fringe must not dilute; (d) exactly one flagged row, earliest on
+    ties."""
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_densest_subgraph)
+
+    rows = q_graph_densest_subgraph(spark, SF_ORACLE).collect()
+    assert rows and rows[0].round == 0
+    sizes = [r.n_nodes for r in rows]
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
+    flagged = [r for r in rows if r.is_peak]
+    assert len(flagged) == 1
+    peak = flagged[0]
+    assert peak.avg_deg_ppm == max(r.avg_deg_ppm for r in rows)
+    assert peak.round == min(r.round for r in rows
+                             if r.avg_deg_ppm == peak.avg_deg_ppm)
+    assert peak.avg_deg_ppm >= rows[0].avg_deg_ppm
+    assert peak.avg_deg_ppm >= 9_000_000, peak
+    # density contrast actually exercised: round 0 is diluted by chains
+    assert rows[0].avg_deg_ppm < peak.avg_deg_ppm
