@@ -297,32 +297,16 @@ def test_khop_grouped_caps_supernode_listing(spark):
     assert names == [f"n{i:03d}" for i in range(1, 11)]
 
 
-def test_goldens_match_independent_elementtree_recomputation():
-    """Break the golden self-reference (r07 verdict #2): the xml_* oracles
-    are generated FROM the engine (scripts/gen_xml_golden.py collects the
-    queries), so by themselves they freeze behavior rather than verify it.
-    This test recomputes ``xml_label_counts`` and ``xml_rel_signatures``
-    from the raw bulletins with a plain ElementTree walk — no Spark, no
-    shred/store code, no shared helpers — and asserts equality with the
-    pinned goldens. A shred-semantics drift that slipped into a
-    regenerated golden now fails HERE, against an implementation that
-    shares nothing with the engine.
-
-    Semantics intentionally re-derived from the documented contract
-    (shred.py module docstring / FIXTURES.md §A.2), not imported:
-    node identity (label, name, content, path, docnbr, batch) with the
-    root keyed (ServiceBulletin, docnbr) and LineNumber keyed
-    (label, name) only; HAS_<SANITIZED_TAG>/IS_PART_OF parent-child
-    edges; the effectivity types × line-numbers fan-out with
-    effects/affected_by/includes/included_in; edge dedup on
-    (src, dst, rel_type)."""
+def _independent_elementtree_shred():
+    """Plain ElementTree re-implementation of the shred contract — no
+    Spark, no shred/store code, no shared helpers (semantics re-derived
+    from the documented contract: shred.py module docstring /
+    FIXTURES.md §A.2). Returns (nodes: key→label, edges: {(src_key,
+    dst_key, rel_type)}). Shared by the golden-independence tests below;
+    node identity keys carry ``name`` at position 1."""
     import glob as _glob
     import re as _re
     import xml.etree.ElementTree as _ET
-    from collections import Counter
-
-    from graph_database_project_spark.operators.xml_golden import (
-        GOLDEN_XML_LABEL_COUNTS_ROWS, GOLDEN_XML_REL_SIGNATURES_ROWS)
 
     BATCH = "Batch_2024_08_26"
     MARKER = " Airplane(s), line number(s) "
@@ -376,9 +360,55 @@ def test_goldens_match_independent_elementtree_recomputation():
 
         walk(root, f"/{root.tag}[0]", root_key)
 
+    return nodes, edges
+
+
+def test_goldens_match_independent_elementtree_recomputation():
+    """Break the golden self-reference (r07 verdict #2): the xml_* oracles
+    are generated FROM the engine (scripts/gen_xml_golden.py collects the
+    queries), so by themselves they freeze behavior rather than verify it.
+    This test recomputes ``xml_label_counts`` and ``xml_rel_signatures``
+    from the raw bulletins with the plain ElementTree walk above and
+    asserts equality with the pinned goldens. A shred-semantics drift
+    that slipped into a regenerated golden now fails HERE, against an
+    implementation that shares nothing with the engine."""
+    from collections import Counter
+
+    from graph_database_project_spark.operators.xml_golden import (
+        GOLDEN_XML_LABEL_COUNTS_ROWS, GOLDEN_XML_REL_SIGNATURES_ROWS)
+
+    nodes, edges = _independent_elementtree_shred()
+
     label_counts = sorted(Counter(nodes.values()).items())
     assert label_counts == sorted(GOLDEN_XML_LABEL_COUNTS_ROWS)
 
     sig = Counter((nodes[s], r, nodes[d]) for s, d, r in edges)
     signatures = sorted((sl, r, dl, n) for (sl, r, dl), n in sig.items())
     assert signatures == sorted(GOLDEN_XML_REL_SIGNATURES_ROWS)
+
+
+def test_flagship_golden_matches_independent_bfs():
+    """Extend the golden independence to the FLAGSHIP: 3-hop outgoing BFS
+    from ServiceBulletin 737-00-1028 over the independently-shredded edge
+    set, names sorted and comma-joined. The joined string is invariant to
+    khop_grouped's (name, internal-id) tie-break — equal names produce
+    identical segments — so the recomputation needs no engine ids. A
+    traversal- or shred-semantics drift regenerated into the golden fails
+    here against pure ElementTree + BFS."""
+    from graph_database_project_spark.operators.xml_golden import (
+        GOLDEN_XML_KHOP_FLAGSHIP_ROWS)
+
+    nodes, edges = _independent_elementtree_shred()
+    seed = next(k for k, lbl in nodes.items()
+                if lbl == "ServiceBulletin" and k[1] == "737-00-1028")
+    out = {}
+    for s, d, _r in edges:
+        out.setdefault(s, set()).add(d)
+    reached, frontier = set(), {seed}
+    for _hop in range(3):
+        frontier = {d for s in frontier for d in out.get(s, ())} \
+            - reached - {seed}
+        reached |= frontier
+    names = ",".join(sorted(k[1] for k in reached))
+    assert GOLDEN_XML_KHOP_FLAGSHIP_ROWS == [
+        ("737-00-1028", names, len(reached))]
