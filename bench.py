@@ -109,6 +109,7 @@ EXTENDED = [
     "assoc_basket_rules",       # r08: basket pair self-join + lift
     "skyline_pareto",           # r08: grid prune + running-max windows
     "ts_cusum_changepoint",     # r08: day-grain integer CUSUM
+    "graph_densest_subgraph",   # r08: 8-round (1+eps)-peel loop
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
