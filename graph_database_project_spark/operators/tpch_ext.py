@@ -778,14 +778,15 @@ def q_assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25 brands → ≤ C(25,2) = 300 pair groups at every sf, so the output is
     sf-invariant in SHAPE while every count scales with the data).
 
-    Scale: ONE lineitem scan (broadcast part dim) builds the distinct
-    (order, brand) relation, checkpointed because three consumers read it
-    (pair counts, per-brand counts, the 1-row basket total). The pair
-    self-join is an equi-join on the order key with per-order fan-out
-    bounded by C(|brands in order|, 2) ≤ 300; the groupBy collapses to
-    ≤300 rows map-side before the shuffle. Brand counts (≤25 rows) and the
-    total (1 row) broadcast back onto the pairs — no corpus-sized shuffle
-    after the initial distinct.
+    Scale: the corpus crosses the wire ONCE — one lineitem scan (broadcast
+    part dim) groupBy-collapses to per-order sorted brand ARRAYS
+    (bounded: the item alphabet is 25 brands; a high-cardinality item
+    domain would cap the set the khop_grouped way), checkpointed because
+    three consumers read it. Pairs come from array combinatorics on that
+    relation — no self-join, no second corpus shuffle (the ORACLE is the
+    naive (o,b)⋈(o,b) self-join, so driver equality proves the rewrite);
+    the pair groupBy collapses map-side to ≤ C(25,2)=300 rows per task,
+    brand counts to ≤25, the basket total to 1 broadcast row.
 
     Overflow discipline: lift's numerator n_orders·pair_cnt stays < 2^62
     up to ~2×10^9 orders; the ppm scaling downshifts num and den by a
@@ -796,16 +797,19 @@ def q_assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-          .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-          .distinct()
-          .localCheckpoint(eager=True))
-    tot = ob.agg(F.count_distinct("o").alias("n_orders"))
-    brand_cnt = ob.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    lhs = ob.select("o", F.col("b").alias("b1"))
-    rhs = ob.select(F.col("o").alias("o2"), F.col("b").alias("b2"))
-    pairs = (lhs.join(rhs, (F.col("o") == F.col("o2")) & (F.col("b1") < F.col("b2")))
-             .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("pair_cnt")))
+    baskets = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy(F.col("l_orderkey").alias("o"))
+               .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+               .localCheckpoint(eager=True))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    brand_cnt = (baskets.select(F.explode("bs").alias("b"))
+                 .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
+    pairs = (baskets.select(F.explode(F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"
+    )).alias("p"))
+        .groupBy(F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt")))
     c1 = brand_cnt.select(F.col("b").alias("b1"), F.col("cnt").alias("cnt1"))
     c2 = brand_cnt.select(F.col("b").alias("b2"), F.col("cnt").alias("cnt2"))
     num = "(n_orders * pair_cnt)"

@@ -46,7 +46,12 @@ def main() -> None:
              "theta_sketch_setops", "dedup_prefix_filter", "graph_cc_incremental",
              "drift_histogram_tv", "graph_clustering_coeff",
              "heavy_hitters_cms_grouped", "graph_temporal_reachability",
-             "ts_markov_transitions"]
+             "ts_markov_transitions",
+             # r08 additions: retrieval fusion, basket/skyline/CUSUM/BPE,
+             # densest subgraph, multi-source temporal
+             "text_hybrid_rrf", "graph_temporal_multisource",
+             "assoc_basket_rules", "skyline_pareto", "ts_cusum_changepoint",
+             "bpe_learn_merges", "graph_densest_subgraph"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
