@@ -156,6 +156,13 @@ def contract_line(out: dict) -> str:
     if len(contract) > 1900:
         out = {**out, "queries_extended": {}}
         contract = json.dumps(out)
+    if len(contract) > 1900 and out.get("failed"):
+        # full-suite breakage renders a 46-key failed list (~2094 bytes
+        # even without extended rows — r08 review finding): keep a count
+        # plus a prefix so the line still names the blast radius
+        out = {**out, "failed_count": len(out["failed"]),
+               "failed": sorted(out["failed"])[:5]}
+        contract = json.dumps(out)
     return contract
 
 

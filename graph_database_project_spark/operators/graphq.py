@@ -825,7 +825,10 @@ def q_graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER, ``deg > x ⇔ deg > floor(x)``, so both engines compare
     against ``(5·ΣDeg) div (4·V)`` — no float, no cross-multiplied
     overflow (5·ΣDeg stays in BIGINT past 10^17 edges, where 4·deg·V
-    cross-multiplication would have died at ~10^9 nodes).
+    cross-multiplication would have died at ~10^9 nodes). The ppm OUTPUT
+    column has a tighter bound (ΣDeg·10^6 dies at ~4.6×10^12 edges), so
+    it goes through the shared power-of-two downshift instead
+    (profiling.py discipline — exact divisor 1 until 2^42).
 
     Output: per-round audit rows (survivor counts + avg-degree ppm) with
     the peak round flagged — rounds after the graph empties emit nothing
@@ -839,11 +842,26 @@ def q_graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty jobs (CLAUDE.md fixed-round discipline).
     """
     edges = _densest_edges(spark, sf_dir)
+    # ppm downshift: two_e·10^6 overflows BIGINT at ΣDeg ≈ 9.2×10^12
+    # (~4.6×10^12 edges) — far below the threshold test's own bound, so
+    # the output column gets the profiling.py downshift treatment: a
+    # common power-of-two divisor on num and den, identical floor
+    # semantics both engines (r08 review finding)
+    pd_ppm = (f"(CASE WHEN two_e < {1 << 42} THEN 1 "
+              f"WHEN two_e < {1 << 50} THEN 256 "
+              f"WHEN two_e < {1 << 58} THEN 65536 ELSE 16777216 END)")
+    ppm = (f"(two_e div {pd_ppm}) * 1000000 "
+           f"div greatest(nv div {pd_ppm}, 1L)")
     stats_rows = []
     for rnd in range(DENSEST_ROUNDS):
+        # deg checkpoints so the degree shuffle runs exactly ONCE per
+        # round — st, the stats row, and both semi-join references below
+        # otherwise re-expand it 3x (r08 review finding; CLAUDE.md
+        # multi-consumer discipline)
         deg = (edges.select(F.col("u").alias("node"))
                .unionAll(edges.select(F.col("v").alias("node")))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+               .localCheckpoint(eager=True))
         st = deg.agg(F.count(F.lit(1)).alias("nv"),
                      F.sum("deg").alias("two_e"))
         stats_rows.append(
@@ -851,7 +869,7 @@ def q_graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(rnd).alias("round"),
                     F.col("nv").cast("long").alias("n_nodes"),
                     F.expr("two_e div 2").alias("n_edges"),
-                    F.expr("two_e * 1000000L div nv").alias("avg_deg_ppm")))
+                    F.expr(ppm).alias("avg_deg_ppm")))
         surv = (deg.crossJoin(F.broadcast(st))
                 .filter(F.col("deg") > F.expr(
                     f"({DENSEST_EPS_NUM} * two_e) div ({DENSEST_EPS_DEN} * nv)"))
@@ -908,9 +926,13 @@ WITH e0 AS MATERIALIZED (
   SELECT u, v FROM e{r}
   WHERE u IN (SELECT node FROM n{r}) AND v IN (SELECT node FROM n{r})
 )""")
+    pd_ppm = (f"(CASE WHEN two_e < {1 << 42} THEN 1 "
+              f"WHEN two_e < {1 << 50} THEN 256 "
+              f"WHEN two_e < {1 << 58} THEN 65536 ELSE 16777216 END)")
     union = " UNION ALL ".join(
         f"SELECT {r} AS round, CAST(nv AS BIGINT) AS n_nodes, "
-        f"two_e // 2 AS n_edges, two_e * 1000000 // nv AS avg_deg_ppm "
+        f"two_e // 2 AS n_edges, (two_e // {pd_ppm}) * 1000000 "
+        f"// greatest(nv // {pd_ppm}, 1) AS avg_deg_ppm "
         f"FROM s{r} WHERE nv > 0" for r in range(DENSEST_ROUNDS))
     tail = f""", rows AS MATERIALIZED ({union}),
 pk AS (SELECT min(round) AS prnd FROM rows

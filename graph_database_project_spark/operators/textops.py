@@ -1291,13 +1291,17 @@ def learn_bpe_merges(word_counts: DataFrame, rounds: int) -> DataFrame:
         pairs = (vocab.select("wcnt", F.split("sym", "~").alias("s"))
                  .select("wcnt", F.explode(F.expr(pair_expr)).alias("pat"))
                  .groupBy("pat").agg(F.sum("wcnt").alias("cnt")))
-        mxc = pairs.agg(F.max("cnt").alias("mxc"))
-        best = (pairs.crossJoin(F.broadcast(mxc))
-                .filter(F.col("cnt") == F.col("mxc"))
-                .agg(F.min("pat").alias("pat"))
-                .crossJoin(F.broadcast(mxc))
-                .select(F.lit(rnd).alias("round"), "pat",
-                        F.col("mxc").alias("cnt"))
+        # single-pass argmax: min_by over (−cnt, pat) = max count with
+        # lexicographic-min tie-break, ONE reference to the pair-count
+        # shuffle (the max+filter two-reference form re-ran it twice per
+        # round — r08 review finding). min_by's struct ordering key is
+        # Spark-only; the ORACLE keeps its scalar-subquery argmax
+        # (DuckDB min_by rejects STRUCT keys, CLAUDE.md).
+        best = (pairs.agg(
+                    F.max("cnt").alias("cnt"),
+                    F.min_by("pat", F.struct((-F.col("cnt")).alias("nc"),
+                                             F.col("pat"))).alias("pat"))
+                .select(F.lit(rnd).alias("round"), "pat", "cnt")
                 .localCheckpoint(eager=True))  # 1 row; feeds merge + output
         bests.append(best)
         rep = F.expr("concat('~', replace(trim(BOTH '~' FROM pat), '~', ''), '~')")

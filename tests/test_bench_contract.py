@@ -38,14 +38,24 @@ def _out(per_query: float, n_failed: int = 0) -> dict:
 
 
 def test_contract_line_always_fits_and_parses():
-    # worst plausible rendering: FAIL_PENALTY-scale floats everywhere
-    for n_failed in (0, 5, len(bench.HEADLINE)):
-        line = bench.contract_line(_out(99999.999, n_failed))
+    # worst plausible rendering: FAIL_PENALTY-scale floats everywhere,
+    # up to a FULL-SUITE failed list (the r08 review gap: 46 failed keys
+    # overran the window even with extended rows dropped)
+    suite = len(bench.HEADLINE) + len(bench.EXTENDED) + len(bench.CUSTOM)
+    for n_failed in (0, 5, len(bench.HEADLINE), suite):
+        out = _out(99999.999)
+        if n_failed:
+            out["failed"] = sorted(bench.HEADLINE + bench.EXTENDED
+                                   + list(bench.CUSTOM))[:n_failed]
+        line = bench.contract_line(out)
         assert len(line) < 2000, (n_failed, len(line))
         parsed = json.loads(line)
         # the frozen v2 gate fields are never sacrificed
         assert set(parsed["queries"]) == set(bench.HEADLINE)
         assert parsed["sentinel_health"] == "degraded"
+        if n_failed:
+            # breakage stays visible: a count survives any truncation
+            assert parsed.get("failed_count", len(parsed["failed"])) == n_failed
 
 
 def test_realistic_contract_keeps_extended_rows():
