@@ -74,6 +74,7 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "assoc_basket_rules",  # checkpointed (order, brand) relation
                        "ts_cusum_changepoint",  # checkpointed day series
                        "bpe_learn_merges",  # checkpointed vocab + per-round winners
+                       "bpe_token_count",  # same learn loop at construction
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

@@ -1277,8 +1277,16 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def learn_bpe_merges(word_counts: DataFrame, rounds: int) -> DataFrame:
     """Core learning loop over a (word, wcnt) frame — factored out so the
     hand-corpus merge test can drive it without parquet."""
+    bests, _vocab = _bpe_learn(word_counts, rounds)
+    return bests
+
+
+def _bpe_learn(word_counts: DataFrame, rounds: int):
+    """Learning loop internals: returns (per-round winners frame, final
+    segmented vocab (word, wcnt, sym)) — the vocab feeds the tokenizer
+    APPLICATION operator (q_bpe_token_count)."""
     vocab = (word_counts
-             .select("wcnt",
+             .select("word", "wcnt",
                      F.concat(F.regexp_replace("word", "(.)", r"~$1"),
                               F.lit("~")).alias("sym"))
              .localCheckpoint(eager=True))
@@ -1289,6 +1297,7 @@ def learn_bpe_merges(word_counts: DataFrame, rounds: int) -> DataFrame:
     bests: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
         pairs = (vocab.select("wcnt", F.split("sym", "~").alias("s"))
+                 # word not needed for pair counting — dropped pre-explode
                  .select("wcnt", F.explode(F.expr(pair_expr)).alias("pat"))
                  .groupBy("pat").agg(F.sum("wcnt").alias("cnt")))
         # single-pass argmax: min_by over (−cnt, pat) = max count with
@@ -1306,23 +1315,61 @@ def learn_bpe_merges(word_counts: DataFrame, rounds: int) -> DataFrame:
         bests.append(best)
         rep = F.expr("concat('~', replace(trim(BOTH '~' FROM pat), '~', ''), '~')")
         vocab = (vocab.crossJoin(F.broadcast(best.select("pat")))
-                 .select("wcnt", F.replace("sym", F.col("pat"), rep).alias("sym"))
+                 .select("word", "wcnt",
+                         F.replace("sym", F.col("pat"), rep).alias("sym"))
                  .localCheckpoint(eager=True))
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
-    return out.select(
+    out = out.select(
         "round",
         F.expr("replace(trim(BOTH '~' FROM pat), '~', ' ')").alias("pair"),
         F.expr("replace(trim(BOTH '~' FROM pat), '~', '')").alias("merged"),
         F.col("cnt").cast("long").alias("weight"),
     ).orderBy("round")
+    return out, vocab
 
 
-def _bpe_sql() -> str:
-    """Unrolled BPE_ROUNDS-round oracle: each round a MATERIALIZED CTE
-    chain (pair counts → argmax-with-min-tie-break → merged vocab), the
-    same leftmost-non-overlapping single-pass replace."""
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: per-document token counts under the
+    ``BPE_ROUNDS``-merge tokenizer learned by ``bpe_learn_merges`` —
+    the learn → apply → count chain an LLM pipeline runs to budget
+    sequence packing and price a corpus in tokens.
+
+    Scale: learning runs on the vocab (see q_bpe_learn_merges); the
+    application never re-segments text — per-doc word counts (one scan,
+    map-side combined) join the segmented vocab's per-word token counts
+    (hint-free: vocab is auto-broadcast locally, keyed shuffle at
+    cluster vocab sizes — SCALE.md §2 broadcast policy), then one keyed
+    sum per doc. All integers; compression is floor-ppm of
+    tokens/alpha-chars.
+    """
+    _bests, vocab = _bpe_learn(_bpe_word_counts(spark, sf_dir), BPE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (docs.select("doc_id", F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z]+'), "
+        f"x -> length(x) >= {BPE_MIN_LEN} AND length(x) <= {BPE_MAX_LEN})"))
+        .alias("word"))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n")))
+    tok = vocab.select("word",
+                       (F.size(F.split("sym", "~")) - 2).alias("tok"),
+                       F.length("word").alias("chars"))
+    agg = (dw.join(tok, "word")
+           .groupBy("doc_id")
+           .agg(F.sum("n").cast("long").alias("n_words"),
+                F.sum(F.col("n") * F.col("tok")).cast("long").alias("n_tokens"),
+                F.sum(F.col("n") * F.col("chars")).cast("long").alias("n_chars")))
+    return (agg.select("doc_id", "n_words", "n_tokens", "n_chars",
+                       F.expr("n_tokens * 1000000L div n_chars")
+                       .alias("compression_ppm"))
+            .orderBy("doc_id"))
+
+
+def _bpe_chain_sql() -> str:
+    """Shared unrolled CTE chain (w → v0 → p1/b1/v1 → … → v{BPE_ROUNDS}):
+    pair counts → argmax-with-min-tie-break → merged vocab per round, the
+    same leftmost-non-overlapping single-pass replace. ``word`` rides
+    through every v CTE so the application oracle can join back."""
     parts = [f"""
 WITH w AS MATERIALIZED (
   SELECT word, count(*) AS wcnt FROM (
@@ -1330,7 +1377,7 @@ WITH w AS MATERIALIZED (
                   x -> len(x) >= {BPE_MIN_LEN} AND len(x) <= {BPE_MAX_LEN})) AS word
     FROM documents) GROUP BY word
 ), v0 AS MATERIALIZED (
-  SELECT wcnt, regexp_replace(word, '(.)', '~\\1', 'g') || '~' AS sym FROM w
+  SELECT word, wcnt, regexp_replace(word, '(.)', '~\\1', 'g') || '~' AS sym FROM w
 )"""]
     for r in range(1, BPE_ROUNDS + 1):
         parts.append(f""", p{r} AS MATERIALIZED (
@@ -1344,18 +1391,38 @@ WITH w AS MATERIALIZED (
   SELECT {r} AS round, min(pat) AS pat, (SELECT max(cnt) FROM p{r}) AS cnt
   FROM p{r} WHERE cnt = (SELECT max(cnt) FROM p{r})
 ), v{r} AS MATERIALIZED (
-  SELECT wcnt, replace(sym, b.pat,
+  SELECT word, wcnt, replace(sym, b.pat,
                        '~' || replace(trim(b.pat, '~'), '~', '') || '~') AS sym
   FROM v{r - 1}, b{r} b
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql() -> str:
     union = " UNION ALL ".join(f"SELECT * FROM b{r}"
                                for r in range(1, BPE_ROUNDS + 1))
-    parts.append(f"""
+    return _bpe_chain_sql() + f"""
 SELECT round, replace(trim(pat, '~'), '~', ' ') AS pair,
        replace(trim(pat, '~'), '~', '') AS merged,
        CAST(cnt AS BIGINT) AS weight
-FROM ({union}) ORDER BY round""")
-    return "".join(parts)
+FROM ({union}) ORDER BY round"""
+
+
+def _bpe_tokens_sql() -> str:
+    return _bpe_chain_sql() + f""", dw AS MATERIALIZED (
+  SELECT doc_id, word, count(*) AS n FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  x -> len(x) >= {BPE_MIN_LEN} AND len(x) <= {BPE_MAX_LEN})) AS word
+    FROM documents) GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * (len(string_split(sym, '~')) - 2)) AS BIGINT) AS n_tokens,
+       CAST(sum(n * len(word)) AS BIGINT) AS n_chars,
+       CAST(sum(n * (len(string_split(sym, '~')) - 2)) * 1000000
+            // sum(n * len(word)) AS BIGINT) AS compression_ppm
+FROM dw JOIN v{BPE_ROUNDS} USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
 
 
 QUERIES = {
@@ -1378,6 +1445,7 @@ QUERIES = {
     "text_span_dedup": q_span_dedup,
     "udtf_bigram_explode": q_udtf_bigram_explode,
     "bpe_learn_merges": q_bpe_learn_merges,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 ORACLE = {
@@ -1391,6 +1459,7 @@ ORACLE = {
     "text_bm25_search": _bm25_sql(),
     "text_hybrid_rrf": _hybrid_rrf_sql(),
     "bpe_learn_merges": _bpe_sql(),
+    "bpe_token_count": _bpe_tokens_sql(),
     "text_cooccur_pmi": Q_COOCCUR_PMI_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_decontaminate": _decontaminate_sql(),

@@ -149,6 +149,9 @@ _DRIVER_WINDOW = [
     "text_quality_gopher",  # r07: Gopher quality gates
     "text_hybrid_rrf",  # r08 NEW op: BM25 ⊕ cosine RRF fusion, first check
     "bpe_learn_merges",  # r08 NEW op: tokenizer merge learning, first check
+    "bpe_token_count",  # r08 NEW op: learned-tokenizer application, first
+    #   check (slot from xml_title_hierarchy, 1x green r07; xmlq still
+    #   repped by xml_rel_signatures + the ElementTree golden tests)
     "udtf_bigram_explode",  # r08: UDTF seam (takes udf_embedding_norm's
     #                         §2.B UDF-surface slot), first check
     "sample_stratified",  # r07: per-stratum sampling
@@ -177,7 +180,6 @@ _DRIVER_WINDOW = [
     "graph_clustering_coeff",  # r07 new op: per-node lcc distribution
     # XML ingest + flagship (§2.B 2, 23, 24; the flagship itself is 4x
     # green and pinned by the independent ElementTree golden test)
-    "xml_title_hierarchy",  # r07: title containment paths
     "xml_rel_signatures",  # r08: (src)-[:rel]->(dst) catalog, first check
     #                        (label_counts out, 4x green; both now pinned by
     #                        the independent ElementTree recomputation test)

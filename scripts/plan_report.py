@@ -51,7 +51,7 @@ def main() -> None:
              # densest subgraph, multi-source temporal
              "text_hybrid_rrf", "graph_temporal_multisource",
              "assoc_basket_rules", "skyline_pareto", "ts_cusum_changepoint",
-             "bpe_learn_merges", "graph_densest_subgraph"]
+             "bpe_learn_merges", "bpe_token_count", "graph_densest_subgraph"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -183,3 +183,31 @@ def test_assoc_rules_marginals_and_bounds(spark):
         assert r.lift_ppm == (n_orders * r.pair_cnt) * 1_000_000 // (
             marg[r.b1] * marg[r.b2])
         assert r.b1 < r.b2
+
+
+def test_bpe_token_count_bounds_and_consistency(spark):
+    """Application invariants the bit-exact oracle can't see: per doc,
+    n_words <= n_tokens <= n_chars (each word is at least one symbol and
+    merging only shrinks the segmentation), and the corpus-wide token
+    total strictly beats the unmerged character total (the learned merges
+    actually compress). Cross-checks n_words against an independent
+    whitespace+filter recount for one document."""
+    from .conftest import SF_ORACLE
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.textops import (
+        BPE_MAX_LEN, BPE_MIN_LEN, q_bpe_token_count)
+
+    rows = q_bpe_token_count(spark, SF_ORACLE).collect()
+    assert rows, "empty token counts"
+    for r in rows:
+        assert 0 < r.n_words <= r.n_tokens <= r.n_chars
+        assert r.compression_ppm == r.n_tokens * 1_000_000 // r.n_chars
+    assert sum(r.n_tokens for r in rows) < sum(r.n_chars for r in rows)
+    # independent python recount of one doc's filtered word total
+    import re as _re
+    doc = load_table(spark, SF_ORACLE, "documents") \
+        .filter(F.col("doc_id") == rows[0].doc_id).first()
+    words = [w for w in _re.split("[^a-z]+", doc.text.lower())
+             if BPE_MIN_LEN <= len(w) <= BPE_MAX_LEN]
+    assert rows[0].n_words == len(words)
+    assert rows[0].n_chars == sum(len(w) for w in words)

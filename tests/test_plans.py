@@ -671,6 +671,8 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "assoc_basket_rules": 0,  # (order, brand) relation checkpointed
         "ts_cusum_changepoint": 0,  # day series checkpointed
         "bpe_learn_merges": 0,      # vocab + per-round winners checkpointed
+        "bpe_token_count": 1,       # learn loop checkpointed; the per-doc
+        #                             word-count scan remains
         "graph_densest_subgraph": 0,  # edge list + per-round peels checkpointed
     }
     qs = all_queries()
