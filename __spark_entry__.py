@@ -2,9 +2,10 @@
 
 ``entry(spark)`` — flagship query smoke check on sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2.B.
-``oracle_sql()`` — DuckDB-equivalent SQL for each oracle-checkable query;
-keys absent here get the weaker rows-only check (iterative algorithms and
-Python-UDF seams, documented per query).
+``oracle_sql()`` — DuckDB-equivalent SQL for each oracle-checkable query.
+Since r08 EVERY ``queries()`` key has an oracle entry (the last rows-only
+key, the multimodal decode stub, gained a value oracle: its features are
+a pure function of md5(payload), recomputable from the hex digest).
 """
 
 from __future__ import annotations
