@@ -81,7 +81,7 @@ def cosine_arm(spark: SparkSession, sf_dir: str, cand: int) -> DataFrame:
     (cos desc, vec_id). Same zero-corpus-shuffle plan as
     q_sim_topk_bruteforce: 1-row broadcast probe, TakeOrdered to ``cand``,
     then a row_number window over the constant-bounded candidate set."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos = _dot(F.col("v"), F.col("qv")) / (

@@ -343,12 +343,12 @@ def _term_tf(words, term: str):
     return F.size(F.filter(words, lambda w: w == F.lit(term)))
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 keyword search: score every document against a fixed
-    query-term set and return the top-``BM25_TOP_N`` hits (reference
-    2.A#7/#12 answers content questions over stored documents; this is the
-    ranked-retrieval form an LLM-data pipeline uses for corpus search and
-    RAG-candidate generation).
+def bm25_arm(spark: SparkSession, sf_dir: str, cand: int,
+             exclude_doc: int | None = None) -> DataFrame:
+    """Shared Okapi BM25 scoring arm (used by q_bm25_search and the hybrid
+    RRF fusion — factored per the r08 advisor so the two call-sites cannot
+    drift). Returns the top-``cand`` positive-scoring docs as
+    (doc_id, dl, tf_*, bm25_raw), total-ordered (score desc, doc_id).
 
     Scale shape: per-doc term frequencies come from higher-order array
     functions over the tokenized text — no explode, no per-term shuffle, the
@@ -359,10 +359,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, with the df sidecar optionally precomputed as a tiny stats table.
 
     idf uses the non-negative Okapi variant ln(1 + (N - df + .5)/(df + .5)).
-    Ties (score, doc_id) are total-ordered; score rounded AFTER ranking so
-    the order matches the full-precision oracle rank.
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
+    if exclude_doc is not None:
+        docs = docs.filter(F.col("doc_id") != exclude_doc)
     words = _words(F.col("text"))
     # per feeds BOTH the stats aggregate and the scoring pass; without
     # materialization each reference re-tokenizes the raw text (2 corpus
@@ -380,7 +380,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
           for t in BM25_TERMS],
     )
-    scored = per.crossJoin(F.broadcast(stats))
     k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
     contrib = [
         F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
@@ -390,14 +389,28 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in BM25_TERMS
     ]
     score = sum(contrib[1:], contrib[0])
-    # full-precision score drives the ordering; rounding happens in the
-    # final select (lateral-alias trap: never round-then-reuse in one list)
-    ranked = (
-        scored.withColumn("bm25_raw", score)
-        .filter(F.col("bm25_raw") > 0)
-        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
-        .limit(BM25_TOP_N)
-    )
+    # full-precision score drives the ordering; rounding (if any) happens in
+    # the caller's final select (lateral-alias trap: never round-then-reuse)
+    return (per.crossJoin(F.broadcast(stats))
+            .withColumn("bm25_raw", score)
+            .filter(F.col("bm25_raw") > 0)
+            .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+            .limit(cand)
+            .select("doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS],
+                    "bm25_raw"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search: score every document against a fixed
+    query-term set and return the top-``BM25_TOP_N`` hits (reference
+    2.A#7/#12 answers content questions over stored documents; this is the
+    ranked-retrieval form an LLM-data pipeline uses for corpus search and
+    RAG-candidate generation). Scoring plan: see bm25_arm.
+
+    Ties (score, doc_id) are total-ordered; score rounded AFTER ranking so
+    the order matches the full-precision oracle rank.
+    """
+    ranked = bm25_arm(spark, sf_dir, BM25_TOP_N)
     return ranked.select(
         "doc_id", "dl",
         *[f"tf_{t}" for t in BM25_TERMS],
@@ -480,33 +493,7 @@ def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import cosine_arm  # function-level: keeps module graphs acyclic
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    words = _words(F.col("text"))
-    per = docs.filter(F.col("doc_id") != 0).select(
-        "doc_id",
-        F.size(words).alias("dl"),
-        *[_term_tf(words, t).alias(f"tf_{t}") for t in BM25_TERMS],
-    ).localCheckpoint(eager=True)
-    stats = per.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
-          for t in BM25_TERMS],
-    )
-    k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
-    contrib = [
-        F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
-              / (F.col(f"df_{t}") + F.lit(0.5)))
-        * (F.col(f"tf_{t}") * (k1 + F.lit(1.0)))
-        / (F.col(f"tf_{t}") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
-        for t in BM25_TERMS
-    ]
-    score = sum(contrib[1:], contrib[0])
-    bm_top = (per.crossJoin(F.broadcast(stats))
-              .withColumn("bm25_raw", score)
-              .filter(F.col("bm25_raw") > 0)
-              .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
-              .limit(RRF_CAND))
+    bm_top = bm25_arm(spark, sf_dir, RRF_CAND, exclude_doc=0)
     bm = bm_top.select(
         "doc_id",
         F.row_number().over(

@@ -186,7 +186,11 @@ def _missing_batches(store_path: str, which: str) -> list[str]:
     omits a committed id leaves that id missing, loudly. Only a LEGACY
     base (written before manifests existed, or transitively folded from
     one) falls back to the old presence inference, documented compat for
-    already-deployed stores."""
+    already-deployed stores — and (r08 advisor) that fallback applies
+    only when NO base in the family carries a manifest: once any base
+    records coverage, a sibling base missing its manifest contributes no
+    coverage, so deleting a single ``_covers.json`` can never silently
+    reopen the manufactured-base laundering path the manifests closed."""
     from .compaction import BASE_BATCH_ID, read_covers
 
     d = os.path.join(store_path, which)
@@ -196,12 +200,18 @@ def _missing_batches(store_path: str, which: str) -> list[str]:
     have = {e[len("batch="):] for e in os.listdir(d)
             if e.startswith("batch=")}
     covered = {b for b in have if not b.startswith("-")}
-    for base in (str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1)):
-        if base in have:
-            m = read_covers(os.path.join(d, f"batch={base}"))
-            if m is None or m["legacy_full"]:
-                return []  # legacy base: pre-manifest inference
-            covered |= {str(b) for b in m["covers"]}
+    bases = [b for b in (str(BASE_BATCH_ID), str(BASE_BATCH_ID - 1))
+             if b in have]
+    manifests = {b: read_covers(os.path.join(d, f"batch={b}")) for b in bases}
+    has_any_manifest = any(m is not None for m in manifests.values())
+    for b, m in manifests.items():
+        if m is None:
+            if not has_any_manifest:
+                return []  # ALL bases legacy: pre-manifest inference
+            continue  # manifest-less base beside a manifested one: no claim
+        if m["legacy_full"]:
+            return []  # recorded legacy lineage: presence inference
+        covered |= {str(x) for x in m["covers"]}
     return [b for b in os.listdir(committed) if b not in covered]
 
 

@@ -387,3 +387,43 @@ def test_base_coverage_is_recorded_not_inferred(spark, tmp_path):
     assert _missing_batches(store, "hist") == []
     assert sorted((r.bin, r.c) for r in read_hist(spark, store).collect()) \
         == want
+
+
+def test_manifest_deletion_beside_manifested_base_is_not_legacy(spark, tmp_path):
+    """r08 advisor: the legacy presence-inference fallback applies only
+    when NO base in the family carries a manifest. With two bases where
+    one records a gap, deleting the OTHER base's ``_covers.json`` must
+    not launder the gap into full coverage — the manifest-less base
+    simply contributes no coverage claim."""
+    import json
+    import shutil
+
+    from graph_database_project_spark.streaming.compaction import COVERS_FILE
+    from graph_database_project_spark.streaming.sketch import (
+        _missing_batches, compact_sketches)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(3).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store, schema=ev.schema)
+    committed = sorted(int(b) for b in
+                       os.listdir(os.path.join(store, "_committed")))
+    assert len(committed) >= 2
+    compact_sketches(spark, store)
+
+    # craft the two-base state: batch=-1 (compaction base) + batch=-2
+    # (backfill-slot base, here a copy), then record a GAP on -1 and
+    # delete -2's manifest entirely
+    victim = committed[0]
+    hist = os.path.join(store, "hist")
+    shutil.copytree(os.path.join(hist, "batch=-1"),
+                    os.path.join(hist, "batch=-2"))
+    with open(os.path.join(hist, "batch=-1", COVERS_FILE), "w") as f:
+        json.dump({"covers": [b for b in committed if b != victim],
+                   "legacy_full": False}, f)
+    os.remove(os.path.join(hist, "batch=-2", COVERS_FILE))
+
+    # the pre-fix code returned [] here (manifest-less -2 → legacy
+    # inference), silently accepting the gap -1's manifest records
+    assert _missing_batches(store, "hist") == [str(victim)]
