@@ -239,11 +239,20 @@ def k_core(vertices: DataFrame, edges: DataFrame, k: int = 3,
 
 
 def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             personalize: DataFrame | None = None) -> DataFrame:
     """PageRank with dangling-mass redistribution, fixed iteration count.
 
     vertices: (node,); edges: (src, dst) directed. Returns (node, rank)
     with ranks summing to ~N (classic formulation, rank_0 = 1.0).
+
+    ``personalize``: optional (node, p) relation with Σp = 1 —
+    PERSONALIZED PageRank (seeded teleport, the recommendation/RAG
+    relevance form): teleport mass (1−d) and the dangling mass both land
+    on the p distribution instead of uniformly, and rank_0 = p, so ranks
+    sum to ~1 and concentrate near the seed set. The global branch is
+    byte-for-byte the original expression tree (same IEEE op order) — a
+    personalization hook must not perturb the 7-round-green global ranks.
     """
     n = vertices.count()
     # vertices/edges/out_deg are loop-invariant but referenced in all
@@ -254,7 +263,14 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
     edges = edges.localCheckpoint(eager=True)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")) \
                    .localCheckpoint(eager=True)
-    ranks = vertices.select("node", F.lit(1.0).alias("rank"))
+    if personalize is None:
+        pvec = None
+        ranks = vertices.select("node", F.lit(1.0).alias("rank"))
+    else:
+        pvec = (vertices.join(personalize, "node", "left")
+                .select("node", F.coalesce("p", F.lit(0.0)).alias("p"))
+                .localCheckpoint(eager=True))
+        ranks = pvec.select("node", F.col("p").alias("rank"))
     for _ in range(n_iter):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
@@ -265,19 +281,35 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
         )
         # dangling mass stays in the plan as a 1-row broadcast — a driver
         # .first() here would cost an extra job per iteration
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dang"))
-        )
-        ranks = (
-            vertices.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0)) + F.col("_dang"))
-                ).alias("rank"),
-            )
-        ).localCheckpoint(eager=True)
+        dang_sum = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+        if pvec is None:
+            dangling = dang_sum.agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dang"))
+            ranks = (
+                vertices.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0)) + F.col("_dang"))
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=True)
+        else:
+            # raw dangling mass (no /n): it redistributes onto p, not 1/n
+            dangling = dang_sum.agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+            ranks = (
+                pvec.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("p")
+                        + F.lit(damping) * (F.coalesce("in_mass", F.lit(0.0))
+                                            + F.col("_dang") * F.col("p"))
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=True)
     return ranks

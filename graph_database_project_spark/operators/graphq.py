@@ -273,6 +273,106 @@ r{i} AS MATERIALIZED (
 Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+# Personalized-PageRank seed set: custkey % PPR_SEED_MOD == PPR_SEED_REM —
+# sparse (≈1% of nodes) so teleport locality is visible, sf-scaling (2
+# seeds at sf0.001, ~15 at sf0.01), and co-prime with the ring stride 7 so
+# seeds spread over the referral cycle instead of clustering.
+PPR_SEED_MOD, PPR_SEED_REM = 101, 7
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (seeded teleport) over the same referral ring
+    as ``graph_pagerank`` — the seeded-relevance generalization of the
+    reference's flagship "n-hop from seed" query (first-graph.py:141):
+    instead of asking *which nodes are ≤ k hops from the seeds*, it asks
+    *how much of a surfing-from-the-seeds process's time each node gets*,
+    the standard recommendation/RAG relevance score.
+
+    Semantics: rank₀ = p, rank_{i+1}(v) = (1−d)·p(v) + d·(in_mass(v) +
+    dangling·p(v)) with p uniform over the seed set (Σp = 1) — mass
+    conservation makes ranks a probability distribution concentrated near
+    the seeds (asserted in tests/test_traverse.py). Per-round cost is
+    IDENTICAL to global PageRank: same contribution join, same dangling
+    aggregate, one extra narrow column (p) in the rank update.
+
+    Float determinism: same accepted class as graph_pagerank — chained
+    identical IEEE expression trees both engines ((1−d), d, and 1/|S| are
+    single double divisions computed identically), in-mass sums are
+    per-node singletons on this in-degree-≤1 ring. Oracle: the fixed 10
+    iterations unrolled as MATERIALIZED CTEs.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 1) % n).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = vertices.filter(
+        F.col("node") % PPR_SEED_MOD == PPR_SEED_REM)
+    m = seeds.count()
+    personalize = seeds.select("node", F.lit(1.0 / m).alias("p"))
+    ranks = pagerank(vertices, edges, n_iter=10, damping=0.85,
+                     personalize=personalize)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of ``q_pagerank_personalized``: unrolled CTE chain
+    mirroring traverse.py's personalized branch term by term — seeded
+    teleport (1−d)·p, dangling mass redistributed onto p (no /n), rank₀
+    = p. 1/|S| is one double division in both engines (identical IEEE
+    bits to the Python-side ``1.0 / m`` Spark embeds)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+verts AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+e AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST((c_custkey * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM customer
+  WHERE CAST(c_custkey AS BIGINT)
+        != CAST((c_custkey * 7 + 1) % (SELECT n FROM nn) AS BIGINT)
+),
+od AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+ns AS (SELECT count(*) AS m FROM verts
+       WHERE node % {PPR_SEED_MOD} = {PPR_SEED_REM}),
+pv AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node % {PPR_SEED_MOD} = {PPR_SEED_REM}
+              THEN CAST(1.0 AS DOUBLE) / (SELECT m FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END AS p
+  FROM verts),
+r0 AS MATERIALIZED (SELECT node, p AS rank FROM pv)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM r{p} r LEFT JOIN od ON od.src = r.node
+  WHERE od.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         CAST({one_minus_d} AS DOUBLE) * v.p
+         + CAST({d} AS DOUBLE)
+           * (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
+              + (SELECT dm FROM d{i}) * v.p) AS rank
+  FROM pv v
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / od.out_deg) AS in_mass
+    FROM e JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) m ON m.node = v.node
+)""")
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+Q_PPR_SQL = _ppr_oracle_sql()
+
+
 LPA_ROUNDS = 10  # clique blocks converge by ~round 3; extra rounds are no-ops
 
 
@@ -1768,6 +1868,7 @@ QUERIES = {
     "graph_temporal_reachability": q_graph_temporal_reachability,
     "graph_temporal_multisource": q_graph_temporal_multisource,
     "graph_pagerank": q_pagerank,
+    "graph_pagerank_personalized": q_pagerank_personalized,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
     "graph_modularity": q_graph_modularity,
@@ -1792,6 +1893,7 @@ ORACLE = {
     "graph_temporal_reachability": _temporal_oracle_sql(),  # foremost-arrival rounds unrolled
     "graph_temporal_multisource": _temporal_multisource_oracle_sql(),  # per-seed unroll
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
+    "graph_pagerank_personalized": Q_PPR_SQL,  # seeded-teleport unrolled chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q

@@ -674,6 +674,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "bpe_token_count": 1,       # learn loop checkpointed; the per-doc
         #                             word-count scan remains
         "graph_densest_subgraph": 0,  # edge list + per-round peels checkpointed
+        "graph_pagerank_personalized": 0,  # verts/edges/pvec/ranks checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

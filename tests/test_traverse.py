@@ -77,6 +77,37 @@ def test_pagerank_star_center_highest(spark):
     assert abs(sum(ranks.values()) - 5.0) < 1e-6  # mass conserved
 
 
+def test_ppr_mass_conserved_and_concentrates_on_seeds(spark):
+    # 12-ring, one seed at node 0: ranks form a probability distribution
+    # whose mass decays geometrically with distance from the seed
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    p = spark.createDataFrame([(0, 1.0)], "node long, p double")
+    ranks = {r.node: r.rank
+             for r in pagerank(verts, edges, n_iter=30,
+                               personalize=p).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9       # Σp=1 conserved
+    assert ranks[0] > 0.15                              # seed holds ≥ (1-d)
+    # strictly decaying downstream of the seed (single out-edge ring)
+    for i in range(1, n - 1):
+        assert ranks[i] > ranks[i + 1]
+
+
+def test_ppr_registry_query_seed_locality(spark):
+    # the registered operator: seeds average ≥5x the non-seed average and
+    # total mass is ~1 (the property global PR cannot have — it tends to
+    # uniform on the in-degree-≤1 referral ring)
+    from graph_database_project_spark.operators.graphq import (
+        PPR_SEED_MOD, PPR_SEED_REM, q_pagerank_personalized)
+
+    rows = q_pagerank_personalized(spark, SF_ORACLE).collect()
+    seed = [r.rank for r in rows if r.node % PPR_SEED_MOD == PPR_SEED_REM]
+    non = [r.rank for r in rows if r.node % PPR_SEED_MOD != PPR_SEED_REM]
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+    assert (sum(seed) / len(seed)) > 5 * (sum(non) / len(non))
+
+
 def test_label_propagation_two_cliques_with_bridge(spark):
     """Two 4-cliques joined by one bridge edge: CC merges them into one
     component; LPA's majority vote must keep them as two communities
