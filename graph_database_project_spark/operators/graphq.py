@@ -782,6 +782,21 @@ GROUP BY e1.nationkey ORDER BY e1.nationkey
 """
 
 
+def _lcc_union_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u<v) edge list of the FULL-COVERAGE union graph: the LPA
+    clique+bridge substrate (every custkey block of 10 a clique, bridges
+    every 70) UNIONED with the same-nation chain edges, deduplicated.
+    One builder shared by the clustering-coefficient and sampled-
+    betweenness queries so their graphs can never drift (SQL twin: the
+    ``edges`` CTE in ``Q_LCC_SQL`` / ``_betweenness_sql``)."""
+    _, edges0 = _lpa_graph(spark, sf_dir)
+    chain = _chain_triangle_edges(spark, sf_dir) \
+        .select(F.col("u").cast("long").alias("u"),
+                F.col("v").cast("long").alias("v"))
+    return (edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(chain).distinct().localCheckpoint(eager=True))
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node LOCAL CLUSTERING COEFFICIENT — lcc(v) = 2·tri(v) /
     (deg(v)·(deg(v)−1)), how close each node's neighborhood is to a
@@ -808,12 +823,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-node table up to its (deg, lcc_ppm) DISTRIBUTION —
     sf-scaling group counts instead of a top-k of ties.
     """
-    _, edges0 = _lpa_graph(spark, sf_dir)
-    chain = _chain_triangle_edges(spark, sf_dir) \
-        .select(F.col("u").cast("long").alias("u"),
-                F.col("v").cast("long").alias("v"))
-    edges = (edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-             .union(chain).distinct().localCheckpoint(eager=True))
+    edges = _lcc_union_edges(spark, sf_dir)
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
@@ -1043,6 +1053,165 @@ FROM rows, pk ORDER BY round"""
     return head + "".join(rounds) + tail
 
 
+# ---------------------------------------------------------------------------
+# Sampled shortest-path betweenness (bounded-depth Brandes, stress variant)
+# ---------------------------------------------------------------------------
+
+BETW_DEPTH = 3              # bounded-distance truncation (fixed-round loops)
+BETW_SRC_MOD, BETW_SRC_REM = 397, 1   # pinned part-side source sample
+BETW_TOPK = 100
+
+
+def stress_centrality(und: DataFrame, sources: DataFrame,
+                      depth: int = BETW_DEPTH) -> DataFrame:
+    """Sampled shortest-path betweenness, STRESS variant (exact-integer):
+    stress(v) = Σ_{s∈sources} σ_s(v)·T_s(v), where σ_s(v) is the number
+    of shortest s→v paths and T_s(v) the number of shortest-path
+    continuations from v to targets within ``depth`` hops — i.e. the
+    number of shortest paths from s THROUGH v (Shimbel's stress
+    centrality, the integer-weighted member of Brandes' 2008 variant
+    framework; true δ-betweenness divides by σ_st, which would put
+    engine-ordered float sums in the output, so the driver-hashable form
+    is the σ-count one).
+
+    Brandes two-phase shape, both phases fixed-round (no fixpoint
+    probes): forward BFS layers l₀..l_D carry (source, node, σ) with σ
+    summed over predecessors and an anti-join against the visited set;
+    backward accumulation T_k(v) = Σ_{w∈succ(v)} (T_{k+1}(w)+1) descends
+    the layers. All joins are keyed equi-joins on (source, node); layers
+    checkpoint per round (loop state). At 100 TB: rows ≤ |sample|·|D-hop
+    ball|, the standard sampled-Brandes bound — exact betweenness is
+    quadratic and nobody runs it; the sample IS the scale strategy.
+
+    ``und`` must hold both directions of each undirected edge (src, dst);
+    ``sources`` is a (node,) relation. Returns (node, stress) for
+    stress > 0, all BIGINT.
+    """
+    und = und.localCheckpoint(eager=True)
+    l0 = sources.select(F.col("node").alias("s"), "node",
+                        F.lit(1).cast("long").alias("sigma")) \
+        .localCheckpoint(eager=True)
+    levels = [l0]
+    visited = l0.select("s", "node")
+    lvl = l0
+    for _ in range(depth):
+        nxt = (lvl.join(und, lvl["node"] == und["src"])
+               .select("s", F.col("dst").alias("node"), "sigma")
+               .join(visited, ["s", "node"], "left_anti")
+               .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+               .localCheckpoint(eager=True))
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "node")) \
+            .localCheckpoint(eager=True)
+        lvl = nxt
+    # backward: T_depth ≡ 0 (truncated DAG frontier has no successors)
+    tcur = levels[depth].select("s", "node", F.lit(0).cast("long").alias("t"))
+    tk: dict[int, DataFrame] = {depth: tcur}
+    for k in range(depth - 1, 0, -1):       # t₀ unused (v = s excluded)
+        succ_t = tk[k + 1].select(F.col("s").alias("ts"),
+                                  F.col("node").alias("w"), "t")
+        x = (levels[k].select("s", "node")
+             .join(und, F.col("node") == und["src"])
+             .join(succ_t, (F.col("s") == F.col("ts"))
+                   & (und["dst"] == F.col("w")))
+             .groupBy("s", "node").agg(F.sum(F.col("t") + 1).alias("tt")))
+        tk[k] = (levels[k].select("s", "node")
+                 .join(x, ["s", "node"], "left")
+                 .select("s", "node",
+                         F.coalesce("tt", F.lit(0)).cast("long").alias("t"))
+                 .localCheckpoint(eager=True))
+    contribs = None
+    for k in range(1, depth):               # layer `depth` has T = 0
+        c = (levels[k].join(tk[k], ["s", "node"])
+             .select("node", (F.col("sigma") * F.col("t")).alias("w")))
+        contribs = c if contribs is None else contribs.unionAll(c)
+    return (contribs.groupBy("node")
+            .agg(F.sum("w").cast("long").alias("stress"))
+            .filter(F.col("stress") > 0))
+
+
+def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness over the part↔supplier co-purchase bipartite
+    graph (the ``graph_shortest_paths`` substrate — genuinely cyclic,
+    ~25 edges/part at sf0.01): σ varies through the many parallel
+    part–supplier–part paths, so both phases carry live variation (the
+    clique-block substrates leave sampled sources in isolated cliques —
+    ≤8 output rows, dead; caught in dev). Bridge-wins closed form:
+    tests/test_traverse.py on a planted two-clique bridge.
+    Sources: partkey % {mod} == {rem} (sf-scaling pinned sample).
+    Output: top-{k} (node, stress), total-ordered (stress desc, node).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").cast("long").alias("u"),
+        (F.col("l_suppkey") + _SUPP_BASE).cast("long").alias("v"),
+    ).distinct()
+    und = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(e.select(F.col("v").alias("src"),
+                              F.col("u").alias("dst"))))
+    sources = (e.select(F.col("u").alias("node")).distinct()
+               .filter(F.col("node") % BETW_SRC_MOD == BETW_SRC_REM))
+    stress = stress_centrality(und, sources, depth=BETW_DEPTH)
+    return (stress.orderBy(F.desc("stress"), F.asc("node"))
+            .limit(BETW_TOPK))
+
+
+q_graph_betweenness_sampled.__doc__ = q_graph_betweenness_sampled.__doc__.format(
+    mod=BETW_SRC_MOD, rem=BETW_SRC_REM, k=BETW_TOPK)
+
+
+def _betweenness_sql(depth: int = BETW_DEPTH) -> str:
+    """Unrolled two-phase oracle: the same union substrate as
+    ``_densest_sql``, forward layers with NOT-EXISTS visited checks and
+    σ sums, backward T chain, σ·T contribution rollup."""
+    head = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+         CAST(l_suppkey + {_SUPP_BASE} AS BIGINT) AS v
+  FROM lineitem
+), und AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+), l0 AS MATERIALIZED (
+  SELECT u AS s, u AS node, CAST(1 AS BIGINT) AS sigma
+  FROM (SELECT DISTINCT u FROM e0)
+  WHERE u % {BETW_SRC_MOD} = {BETW_SRC_REM}
+)"""
+    parts = [head]
+    for k in range(1, depth + 1):
+        seen = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM l{j} p WHERE p.s = f.s AND p.node = u.dst)"
+            for j in range(k))
+        parts.append(f""", l{k} AS MATERIALIZED (
+  SELECT f.s, u.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM l{k - 1} f JOIN und u ON u.src = f.node
+  WHERE {seen}
+  GROUP BY f.s, u.dst
+)""")
+    parts.append(f""", t{depth} AS MATERIALIZED (
+  SELECT s, node, CAST(0 AS BIGINT) AS t FROM l{depth}
+)""")
+    for k in range(depth - 1, 0, -1):
+        parts.append(f""", t{k} AS MATERIALIZED (
+  SELECT a.s, a.node, CAST(COALESCE(x.tt, 0) AS BIGINT) AS t
+  FROM l{k} a LEFT JOIN (
+    SELECT b.s, b.node, SUM(w.t + 1) AS tt
+    FROM l{k} b JOIN und u ON u.src = b.node
+    JOIN t{k + 1} w ON w.s = b.s AND w.node = u.dst
+    GROUP BY b.s, b.node) x ON x.s = a.s AND x.node = a.node
+)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT l.node, l.sigma * t.t AS w FROM l{k} l "
+        f"JOIN t{k} t ON t.s = l.s AND t.node = l.node"
+        for k in range(1, depth))
+    parts.append(f"""
+SELECT node, CAST(SUM(w) AS BIGINT) AS stress FROM (
+    {union}
+)
+GROUP BY node HAVING SUM(w) > 0
+ORDER BY stress DESC, node LIMIT {BETW_TOPK}""")
+    return "".join(parts)
+
+
 # Supplier nodes offset into their own id range for the bipartite graph.
 # 2^40: TPC-H partkey = 200,000 × sf, so the old 1,000,000 base silently
 # aliased part and supplier nodes from sf≥5 (r05 ADVICE); at 2^40 a
@@ -1050,6 +1219,8 @@ FROM rows, pk ORDER BY round"""
 # 2^40) stay far inside int64. Disjointness is asserted, not assumed, in
 # tests/test_graphq.py::test_supp_base_disjoint_from_partkeys.
 _SUPP_BASE = 1 << 40
+
+Q_BETWEENNESS_SQL = _betweenness_sql()   # needs _SUPP_BASE at call time
 
 
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,6 +2052,7 @@ QUERIES = {
     "graph_hyperball": q_graph_hyperball,
     "graph_hits": q_graph_hits,
     "graph_densest_subgraph": q_graph_densest_subgraph,
+    "graph_betweenness_sampled": q_graph_betweenness_sampled,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
 
@@ -1900,6 +2072,7 @@ ORACLE = {
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_clustering_coeff": Q_LCC_SQL,
     "graph_densest_subgraph": _densest_sql(),
+    "graph_betweenness_sampled": Q_BETWEENNESS_SQL,  # two-phase unrolled chain
     "graph_shortest_paths": Q_SHORTEST_PATHS_SQL,
     "graph_weighted_sssp": _wsssp_oracle_sql(),  # Bellman-Ford rounds unrolled
     "graph_link_prediction": Q_LINK_PREDICTION_SQL,

@@ -675,6 +675,7 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         #                             word-count scan remains
         "graph_densest_subgraph": 0,  # edge list + per-round peels checkpointed
         "graph_pagerank_personalized": 0,  # verts/edges/pvec/ranks checkpointed
+        "graph_betweenness_sampled": 0,    # und/layers/T tables checkpointed
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():

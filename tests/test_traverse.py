@@ -108,6 +108,38 @@ def test_ppr_registry_query_seed_locality(spark):
     assert (sum(seed) / len(seed)) > 5 * (sum(non) / len(non))
 
 
+def test_stress_centrality_bridge_wins(spark):
+    # two 3-cliques {1,2,3} and {5,6,7} joined through bridge node 4
+    # (3—4—5): every cross-clique shortest path runs through 4, so the
+    # bridge strictly out-scores every other node; its clique attachment
+    # points (3, 5) come second, symmetric
+    from graph_database_project_spark.operators.graphq import stress_centrality
+
+    pairs = [(1, 2), (1, 3), (2, 3), (5, 6), (5, 7), (6, 7), (3, 4), (4, 5)]
+    e = spark.createDataFrame(pairs, "u long, v long")
+    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    src = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    got = {r.node: r.stress
+           for r in stress_centrality(und, src, depth=3).collect()}
+    assert got[4] == max(got.values())          # bridge wins
+    assert got[3] == got[5] and got[3] < got[4]  # symmetric attachments
+    assert set(got) == {3, 4, 5}  # clique interiors carry no through-paths
+
+
+def test_betweenness_registry_query_live_variation(spark):
+    # CLAUDE.md dead-variation discipline: the sampled-stress output must
+    # spread across many classes, not collapse to a constant
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_betweenness_sampled)
+
+    rows = q_graph_betweenness_sampled(spark, SF_ORACLE).collect()
+    vals = [r.stress for r in rows]
+    assert len(rows) >= 50
+    assert len(set(vals)) >= 20
+    assert vals == sorted(vals, reverse=True)   # total-ordered output
+
+
 def test_label_propagation_two_cliques_with_bridge(spark):
     """Two 4-cliques joined by one bridge edge: CC merges them into one
     component; LPA's majority vote must keep them as two communities
