@@ -123,77 +123,85 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # sim_ivfpq_topk, udf_embedding_norm (UDF-seam row moves to
 # udtf_bigram_explode), embedding_pca_power, zorder_layout,
 # graph_weighted_sssp. Debt after this window: 19 of 167.
+# r09 batch (verdict #2: burn the 21-key never-driver-checked debt to 0):
+# ALL 21 debt keys rotate in — including the round's two new centrality
+# operators (graph_pagerank_personalized, graph_betweenness_sampled) —
+# plus five module-coverage reps for the families the debt keys miss
+# (dedup/mutation/nl2query/profiling/similarity) and a 24-key
+# second-check block giving every remaining r08 first-timer its second
+# green. Evicted: q22_idle_customers, join_interval_overlap,
+# quantile_sketch_grouped, heavy_hitters_cms_grouped, theta_sketch_setops,
+# profile_columns, drift_histogram_tv, text_quality_gopher,
+# sample_stratified, dedup_simhash, graph_cc_incremental, graph_hyperball,
+# graph_hits, graph_temporal_reachability, graph_clustering_coeff,
+# multimodal_video_frames, stream_sliding_window, funnel_conversion
+# (all 2x green) and ts_ewma, text_repetition (1x green each; timeseries
+# keeps three window rows, textops keeps six — both families heavily
+# repped, and every evicted key stays in the bit-exact local gate).
+# New r09 operators shipped later this round take slots from the
+# second-check block in this order: graph_degree_histogram,
+# ts_gapfill_locf, text_unigram_logprob, multimodal_audio_stats.
 _DRIVER_WINDOW = [
-    # core relational: scan/filter/agg/join shapes (§2.B rows 1,4,6-8,11-12)
-    # (q01 itself runs every round as the driver's entry() smoke)
-    "q22_idle_customers",  # r07: NOT-EXISTS + scalar-subquery rep (q04 out, 6x green)
-    "join_interval_overlap",  # r07: interval-overlap rep (range_follow out, 5x green)
-    "assoc_basket_rules",  # r08 NEW op: basket-pair support/conf/lift, first check
-    "skyline_pareto",  # r08 NEW op: window skyline vs NOT-EXISTS spec, first check
-    # profiling sketch family (r07 crop stays for its 2nd check)
-    "quantile_sketch_grouped",  # r07 new op: per-day histogram quantiles
-    "heavy_hitters_cms_grouped",  # r07 new op: per-day CMS top talkers
-    "theta_sketch_setops",  # r07 new op: KMV set-op sketch
-    "profile_columns",  # r07: per-column profiler
-    "cardinality_hll_grouped",  # r08: per-day HLL DAU registers, first check
-    "drift_histogram_tv",  # r07 new op: TV drift audit
-    # time-series hypertable ops (r08 debt-burn block: never checked)
-    "ts_lttb_downsample",  # r08: LTTB triangle downsample, first check
-    "ts_gapfill_locf",  # r08: grid gap-fill + LOCF, first check
-    "ts_ewma",  # r08: recursive EWMA via hourly collapse, first check
-    "ts_cusum_changepoint",  # r08 NEW op: exact-integer CUSUM, first check
-    # LLM-pipeline text/curation reps (r08 debt-burn block)
-    "text_pii_redact",  # r08: regex PII scrubbing, first check
-    "text_unigram_logprob",  # r08: unigram-LM quality score, first check
-    "text_repetition",  # r08: repetition signals, first check
-    "text_quality_gopher",  # r07: Gopher quality gates
-    "text_hybrid_rrf",  # r08 NEW op: BM25 ⊕ cosine RRF fusion, first check
-    "bpe_learn_merges",  # r08 NEW op: tokenizer merge learning, first check
-    "bpe_token_count",  # r08 NEW op: learned-tokenizer application, first
-    #   check (slot from xml_title_hierarchy, 1x green r07; xmlq still
-    #   repped by xml_rel_signatures + the ElementTree golden tests)
-    "udtf_bigram_explode",  # r08: UDTF seam (takes udf_embedding_norm's
-    #                         §2.B UDF-surface slot), first check
-    "sample_stratified",  # r07: per-stratum sampling
-    "sample_split",  # r08: train/val/test hash split, first check
-    "embedding_outlier",  # r08: centroid-distance outliers, first check
-    # dedup family (§2.B 19, 30 + LLM-pipeline rows)
-    "dedup_simhash",  # r07: hamming-band near-dup
-    "dedup_prefix_filter",  # r07 new op: PPJoin prefix filter
-    "fuzzy_join_typo_linkage",  # r08: ed≤1 half-block linkage, first check
-    # similarity family (§2.B 31, 33 + LLM-pipeline rows)
-    "embedding_mrl_audit",  # r08: Matryoshka prefix-dim audit, first check
-    # graph traversal / iterative (§2.B 9, 25; khop row moves to the
-    # recursive-CTE twin, CC row stays on the r07 IVM variant)
-    "sql_recursive_khop",  # r08: WITH RECURSIVE k-hop, first check
-    "graph_densest_subgraph",  # r08 NEW op: (1+ε)-peel, first check
-    #   (slot from embedding_quantize_int8, 1x green r07; similarity
-    #    family still repped by embedding_mrl_audit + embedding_outlier)
-    "graph_triangle_count",  # r08: benched headline, never driver-checked
-    "graph_link_prediction",  # r08: common-neighbor/Jaccard scores, first check
-    "graph_degree_histogram",  # r08: degree distribution, first check
-    "graph_cc_incremental",  # r07 new op: IVM delta-merge CC
-    "graph_hyperball",  # r07 new op: HLL ball-merge centrality
-    "graph_hits",  # r07 new op: exact-integer hubs/authorities
-    "graph_temporal_reachability",  # r07 new op: time-respecting BFS
-    "graph_temporal_multisource",  # r08 NEW op: seed-set foremost arrival
-    "graph_clustering_coeff",  # r07 new op: per-node lcc distribution
-    # XML ingest + flagship (§2.B 2, 23, 24; the flagship itself is 4x
-    # green and pinned by the independent ElementTree golden test)
-    "xml_rel_signatures",  # r08: (src)-[:rel]->(dst) catalog, first check
-    #                        (label_counts out, 4x green; both now pinned by
-    #                        the independent ElementTree recomputation test)
-    # mutation (§2.B 20-22)
-    "mutation_table_diff",  # r07: CDC snapshot diff
-    # multimodal / streaming / pipeline / NL (§2.B 34 + LLM-pipeline rows)
-    "multimodal_video_frames",  # r07: Y4M frame extraction
-    "multimodal_phash_neardup",  # r08: pHash banded near-dup, first check
-    "multimodal_audio_stats",  # r08: real RIFF/WAVE codec, first check
-    "multimodal_decode",  # r08: newly value-oracled (md5 stub features), first check
-    "stream_sliding_window",  # r07: overlapping windows
-    "stream_dedup",  # r08: dropDuplicates batch twin, first check
-    "funnel_conversion",  # r07: ordered-step funnel
-    "nl2query_demo",  # r07: single-turn NL->query
+    # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
+    # core relational / tpch depth
+    "agg_approx_distinct",  # contract oracle (approx_count_distinct bounds)
+    "q18_large_volume",  # TPC-H Q18 large-volume customer
+    # graph traversal / centrality (incl. the two r09 NEW operators)
+    "graph_khop_hierarchy",
+    "graph_khop_undirected",
+    "graph_pagerank_personalized",  # r09 NEW: seeded-teleport PPR
+    "graph_betweenness_sampled",  # r09 NEW: bounded-depth Brandes
+    # text / curation
+    "dedup_chunk_level",
+    "text_fingerprint",
+    "sample_systematic",
+    "shard_assign",
+    "sample_weighted_mix",
+    # multimodal plumbing
+    "multimodal_blob_stats",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # stateful streaming family (entirely driver-unconfirmed before r09)
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_dedup_gate",
+    # xml graph analytics
+    "xml_shared_linenumbers",
+    "xml_connected_components",
+    # pipeline / timeseries
+    "funnel_retention_cohorts",
+    "ts_anomaly_zscore",
+    # --- module-coverage reps (one per family the debt keys miss) ---
+    "fuzzy_join_typo_linkage",  # dedup (1x green r08)
+    "mutation_table_diff",  # mutation (2x green)
+    "nl2query_demo",  # nl2query (2x green)
+    "cardinality_hll_grouped",  # profiling (1x green r08)
+    "embedding_mrl_audit",  # similarity (1x green r08)
+    # --- second-check block: r08 first-timers get their 2nd green ---
+    "assoc_basket_rules",
+    "skyline_pareto",
+    "ts_lttb_downsample",
+    "ts_gapfill_locf",
+    "ts_cusum_changepoint",
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "text_hybrid_rrf",
+    "bpe_learn_merges",
+    "bpe_token_count",
+    "udtf_bigram_explode",
+    "sample_split",
+    "embedding_outlier",
+    "sql_recursive_khop",
+    "graph_densest_subgraph",
+    "graph_triangle_count",
+    "graph_link_prediction",
+    "graph_degree_histogram",
+    "graph_temporal_multisource",
+    "xml_rel_signatures",
+    "multimodal_phash_neardup",
+    "multimodal_audio_stats",
+    "multimodal_decode",
+    "stream_dedup",
 ]
 
 
