@@ -202,6 +202,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you'd cap to the top-V words and give OOV a floor
     probability; the corpus total crosses as a broadcast 1-row join, not a
     driver collect.
+
+    ACCEPTED RISK (r08 verdict #1 sweep): ``avg_logp`` is round(avg(log10
+    (int/int)), 4) — log10 is transcendental, so no integer twin exists
+    (the per-word (cnt, total) pairs are not output columns). Both engines
+    evaluate log10 over BIT-IDENTICAL quotients (single IEEE div over
+    exact ints) and agree to <=1 ulp; round(·, 4) absorbs that. Fallback
+    if it ever hash-fails: drop avg_logp (n_words stays value-checked).
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
     # tok feeds the scoring join, freq, and (through freq) total — three
@@ -253,6 +260,13 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     row inflation but constant width; the alternative (per-partition numpy
     partial sums via mapInPandas) trades that for Python serialization —
     the JVM explode wins until dims get large (≥1k).
+
+    ACCEPTED RISK (r08 verdict #1 sweep): ``dist_to_centroid`` is
+    round(sqrt(Σdiff²), 4) over float-typed embedding data — not
+    rationalizable to integers. The centroid avg and the per-vector Σ are
+    64-term folds whose addends differ only if the engines' summation
+    order diverges; driver-green r08 (bit-exact). Fallback: drop the
+    column (vec_id/label membership stays checked).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -402,12 +416,18 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
             F.sum("n_chars").cast("long").alias("total_chars"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
             F.sum("doc_id").cast("long").alias("doc_id_checksum"),
         )
+        # integer ppm via floor div (r08 verdict #1 sweep): pure BIGINT
+        # arithmetic, identical semantics both engines — no rounded
+        # double in the hashed output
+        .withColumn("share_ppm",
+                    F.expr(f"n_docs * 1000000L div {total}"))
+        .select("split", "n_docs", "share_ppm", "total_chars",
+                "min_doc_id", "max_doc_id", "doc_id_checksum")
         .orderBy("split")
     )
 
@@ -424,7 +444,8 @@ WITH s AS (
   FROM documents
 )
 SELECT split, count(*) AS n_docs,
-       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM documents) AS BIGINT)
+         AS share_ppm,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id,

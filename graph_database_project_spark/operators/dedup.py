@@ -69,9 +69,24 @@ def exact_jaccard(sh_a, sh_b):
     """Rounded exact-Jaccard column over two shingle-array columns — the
     ONE definition of the verify metric; the batch minhash operator and
     the streaming admission gate both use it, so threshold semantics and
-    rounding can never diverge between them."""
+    rounding can never diverge between them.
+
+    Hash-risk note (r08 verdict #1): the quotient is a single IEEE
+    division over exactly-representable integers — the documented safe
+    float class — but outputs exposing it should ALSO emit the
+    ``jaccard_companions`` integer twins so a future rounding flake
+    downgrades to a column drop."""
     common = F.size(F.array_intersect(sh_a, sh_b))
     return F.round(common / (F.size(sh_a) + F.size(sh_b) - common), 6)
+
+
+def jaccard_companions(sh_a, sh_b):
+    """Exact-integer (common, union) twins of ``exact_jaccard`` — BIGINT
+    columns that fully determine the rounded quotient."""
+    common = F.size(F.array_intersect(sh_a, sh_b))
+    return (common.cast("long").alias("jac_common"),
+            (F.size(sh_a) + F.size(sh_b) - common).cast("long")
+            .alias("jac_union"))
 
 
 def jaccard_sql(a: str, b: str) -> str:
@@ -79,6 +94,14 @@ def jaccard_sql(a: str, b: str) -> str:
     inter = f"len(list_intersect({a}.shingles, {b}.shingles))"
     return (f"round({inter} * 1.0 / "
             f"(len({a}.shingles) + len({b}.shingles) - {inter}), 6)")
+
+
+def jaccard_companions_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``jaccard_companions`` (select-list fragment)."""
+    inter = f"len(list_intersect({a}.shingles, {b}.shingles))"
+    return (f"CAST({inter} AS BIGINT) AS jac_common, "
+            f"CAST(len({a}.shingles) + len({b}.shingles) - {inter} AS BIGINT)"
+            f" AS jac_union")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +147,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "common", "jaccard")
+        # jac_union: the integer twin completing (common, union) so the
+        # rounded quotient is redundant under the bit-exact driver hash
+        .select("doc_a", "doc_b", "common",
+                (F.col("n_a") + F.col("n_b") - F.col("common"))
+                .cast("long").alias("jac_union"),
+                "jaccard")
     )
 
 
@@ -142,6 +170,7 @@ WITH sh AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common,
+       CAST(sa.n_sh + sb.n_sh - common AS BIGINT) AS jac_union,
        round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
@@ -237,7 +266,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
         .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b",
+                *jaccard_companions(F.col("sh_a"), F.col("sh_b")),
+                "jaccard")
     )
 
 
@@ -277,7 +308,8 @@ _MINHASH_CTES = f"""sh AS (
 )"""
 
 _MINHASH_PAIRS_SELECT = f"""
-SELECT doc_a, doc_b, {jaccard_sql('sa', 'sb')} AS jaccard
+SELECT doc_a, doc_b, {jaccard_companions_sql('sa', 'sb')},
+       {jaccard_sql('sa', 'sb')} AS jaccard
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b

@@ -997,9 +997,17 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qbin")
         + (F.col("q") * F.col("n") - (F.col("bc.cum") - F.col("bc.c")))
         / F.col("bc.c")))
+    # exact-integer companions (r08 verdict #1: defuse the round(double)
+    # hash-risk class): qbin/cum/c/n are BIGINT and, with the raw-parquet
+    # lo/hi, fully determine est_value — a future last-ulp hash flake on
+    # est_value downgrades to dropping that one column, not an incident
     return est.select(
         "q",
         F.col("qbin").cast("long").alias("qbin"),
+        F.col("bc.cum").cast("long").alias("cum_at_bin"),
+        F.col("bc.c").cast("long").alias("c_at_bin"),
+        F.col("lo"),
+        F.col("hi"),
         F.round(est_value, 4).alias("est_value"),
         F.col("n").alias("n_total"),
     ).orderBy("q")
@@ -1028,6 +1036,9 @@ WITH vals AS (
 )
 SELECT qb.q,
        CAST(qb.qbin AS BIGINT) AS qbin,
+       CAST(cm.cum AS BIGINT) AS cum_at_bin,
+       CAST(cm.c AS BIGINT) AS c_at_bin,
+       b.lo, b.hi,
        round(b.lo + (b.hi - b.lo) / {QH_BINS}
              * (qb.qbin + (qb.q * b.n - (cm.cum - cm.c)) / cm.c), 4)
          AS est_value,
@@ -1075,8 +1086,9 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events.value is float data; the interpolation cannot be rationalized),
     and floor AMPLIFIES a last-ulp difference to ±1 near bin boundaries,
     which is strictly worse than round's half-ulp window. Driver-green
-    (bit-exact) r07; if it ever hash-fails, move qbin/cum/c/n (all exact
-    BIGINTs) into the output and drop est_value to rows-only.
+    (bit-exact) r07. Since r09 the exact-integer companions
+    (qbin/cum_at_bin/c_at_bin/n) and raw-parquet lo/hi ship IN the
+    output, so a future hash-fail is a one-line est_value column drop.
     """
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
@@ -1114,9 +1126,15 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qbin")
         + (F.col("q") * F.col("n") - (F.col("bc.cum") - F.col("bc.c")))
         / F.col("bc.c")))
+    # exact-integer companions — same contract as quantile_sketch_merge:
+    # (qbin, cum, c, n) + raw-parquet (lo, hi) determine est_value exactly
     return est.select(
         "day", "q",
         F.col("qbin").cast("long").alias("qbin"),
+        F.col("bc.cum").cast("long").alias("cum_at_bin"),
+        F.col("bc.c").cast("long").alias("c_at_bin"),
+        F.col("lo"),
+        F.col("hi"),
         F.round(est_value, 4).alias("est_value"),
         F.col("n").alias("n_day"),
     ).orderBy("day", "q")
@@ -1147,6 +1165,9 @@ WITH vals AS (
 )
 SELECT qb.day, qb.q,
        CAST(qb.qbin AS BIGINT) AS qbin,
+       CAST(cm.cum AS BIGINT) AS cum_at_bin,
+       CAST(cm.c AS BIGINT) AS c_at_bin,
+       b.lo, b.hi,
        round(b.lo + (b.hi - b.lo) / {QH_BINS}
              * (qb.qbin + (qb.q * qb.n - (cm.cum - cm.c)) / cm.c), 4)
          AS est_value,

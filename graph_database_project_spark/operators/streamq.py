@@ -445,7 +445,7 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pair set computed batch-side in DuckDB.
     """
     from .dedup import (JACCARD_THRESHOLD, _shingle_rel, _shingles,
-                        exact_jaccard, minhash_bands)
+                        exact_jaccard, jaccard_companions, minhash_bands)
 
     raw = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
@@ -479,7 +479,9 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(corp_sh, "dup_of")
         .withColumn("jaccard", exact_jaccard(F.col("sh_new"), F.col("sh_old")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("new_doc_id", "dup_of", "jaccard")
+        .select("new_doc_id", "dup_of",
+                *jaccard_companions(F.col("sh_new"), F.col("sh_old")),
+                "jaccard")
     )
     name = f"gate_{uuid.uuid4().hex[:8]}"
     q = (
@@ -491,7 +493,8 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_sql() -> str:
-    from .dedup import _MINHASH_CTES, JACCARD_THRESHOLD, jaccard_sql
+    from .dedup import (_MINHASH_CTES, JACCARD_THRESHOLD,
+                        jaccard_companions_sql, jaccard_sql)
     jac = jaccard_sql("sa", "sb")
     return f"""
 WITH {_MINHASH_CTES}, gate AS (
@@ -500,7 +503,8 @@ WITH {_MINHASH_CTES}, gate AS (
     ON i.band_idx = c.band_idx AND i.bk = c.bk
   WHERE i.doc_id % {GATE_MOD} = {GATE_REM} AND c.doc_id % {GATE_MOD} <> {GATE_REM}
 )
-SELECT new_doc_id, dup_of, {jac} AS jaccard
+SELECT new_doc_id, dup_of, {jaccard_companions_sql('sa', 'sb')},
+       {jac} AS jaccard
 FROM gate
 JOIN sh sa ON sa.doc_id = new_doc_id
 JOIN sh sb ON sb.doc_id = dup_of
