@@ -515,6 +515,129 @@ WHERE {jac} >= {JACCARD_THRESHOLD}
 Q_STREAM_DEDUP_GATE_SQL = _gate_sql()
 
 
+# --- continuous top-k: CMS + bounded candidate ledger (r09) -----------------
+TOPK_NSLICES = 4   # deterministic microbatch stand-in: slice = event_id % 4
+
+
+def q_stream_topk_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing "top talkers per day" — the batch twin of the streaming
+    store's ``read_topk`` (streaming/sketch.py): candidates are the UNION
+    of each microbatch-slice's exact per-day top-TOPK_CAND keys, scores
+    are CMS estimates from the folded per-day sketch, and the report is
+    the per-day top-3 by estimated total count (exact count + overcount
+    ride along as the differential ground truth).
+
+    Slices here are the deterministic ``event_id % TOPK_NSLICES`` so the
+    oracle can rebuild the identical candidate ledger; the real
+    microbatch form (one delta per Structured Streaming batch id, same
+    algebra) is exercised against this construction in
+    tests/test_streaming_sketch.py. The folded sketch is built directly
+    from the corpus — cell-for-cell equal to the sum of per-slice
+    sketches by CMS additivity, which that test also asserts.
+
+    Scale: the sketch is |days|×d×w cells (config × calendar, not data);
+    the candidate ledger is ≤ slices×days×TOPK_CAND rows and broadcast
+    to probe; per-slice candidate selection is one keyed shuffle with a
+    bounded row_number window. Raw keys never rank globally — only the
+    candidate union does, and it is bounded by construction.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.sketch import TOPK_CAND
+    from .profiling import (CMS_GROUP_TOPK, _cms_bucket, _cms_rows,
+                            cms_sketch_grouped)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select((F.col("event_id") % TOPK_NSLICES).alias("slice"),
+                  F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("user_id").cast("long").alias("k"))
+          # three consumers (sketch, slice candidates, exact counts) —
+          # materialize the narrow projection once (scan-multiplicity rule)
+          .localCheckpoint(eager=True))
+    sketch = cms_sketch_grouped(ev.select("day", "k"), group="day")
+    slice_cnt = ev.groupBy("slice", "day", "k").agg(
+        F.count(F.lit(1)).alias("n"))
+    cand = (slice_cnt.withColumn("rn", F.row_number().over(
+        W.partitionBy("slice", "day").orderBy(F.desc("n"), F.asc("k"))))
+        .filter(F.col("rn") <= TOPK_CAND)
+        .select("day", "k").dropDuplicates(["day", "k"]))
+    probe = (cand.select("day", "k", F.explode(_cms_rows()).alias("r"))
+             .select("day", "k", F.col("r.d").alias("d"),
+                     _cms_bucket(F.col("k"), F.col("r.a"),
+                                 F.col("r.b")).alias("bucket")))
+    est = (sketch.join(F.broadcast(probe), ["day", "d", "bucket"])
+           .groupBy("day", "k").agg(F.min("c").alias("est_n")))
+    exact = ev.groupBy("day", "k").agg(F.count(F.lit(1)).alias("exact_n"))
+    ranked = (est.join(exact, ["day", "k"])
+              .withColumn("rnk", F.row_number().over(
+                  W.partitionBy("day").orderBy(F.desc("est_n"), F.asc("k")))))
+    return (ranked.filter(F.col("rnk") <= CMS_GROUP_TOPK)
+            .select("day",
+                    F.col("k").alias("user_id"),
+                    "exact_n",
+                    F.col("est_n").cast("long").alias("est_n"),
+                    (F.col("est_n") - F.col("exact_n")).cast("long")
+                    .alias("overcount"),
+                    F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("day", "rnk"))
+
+
+def _topk_continuous_sql() -> str:
+    from ..streaming.sketch import TOPK_CAND
+    from .profiling import (CMS_A, CMS_B, CMS_D, CMS_GROUP_TOPK, CMS_P,
+                            CMS_W)
+    params = ", ".join(f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D))
+    return f"""
+WITH params AS (
+  SELECT * FROM (VALUES {params}) AS t(d, a, b)
+), ev AS MATERIALIZED (
+  SELECT event_id % {TOPK_NSLICES} AS slice,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id AS k
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), sketch AS MATERIALIZED (
+  SELECT day, d, ((a * k + b) % {CMS_P}) % {CMS_W} AS bucket, count(*) AS c
+  FROM ev CROSS JOIN params GROUP BY 1, 2, 3
+), slice_cnt AS (
+  SELECT slice, day, k, count(*) AS n FROM ev GROUP BY 1, 2, 3
+), cand AS (
+  SELECT DISTINCT day, k FROM (
+    SELECT slice, day, k,
+           row_number() OVER (PARTITION BY slice, day
+                              ORDER BY n DESC, k) AS rn
+    FROM slice_cnt)
+  WHERE rn <= {TOPK_CAND}
+), probe AS (
+  SELECT c.day, c.k, p.d, ((p.a * c.k + p.b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM cand c CROSS JOIN params p
+), est AS (
+  SELECT pr.day, pr.k, min(s.c) AS est_n
+  FROM probe pr JOIN sketch s USING (day, d, bucket)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT day, k, count(*) AS exact_n FROM ev GROUP BY 1, 2
+), ranked AS (
+  SELECT e.day, e.k, x.exact_n, e.est_n,
+         row_number() OVER (PARTITION BY e.day
+                            ORDER BY e.est_n DESC, e.k) AS rnk
+  FROM est e JOIN exact x ON x.day = e.day AND x.k = e.k
+)
+SELECT day, k AS user_id,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= {CMS_GROUP_TOPK}
+ORDER BY day, rnk
+"""
+
+
+Q_STREAM_TOPK_SQL = _topk_continuous_sql()
+
+
 QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_sliding_window": q_stream_sliding_window,
@@ -523,6 +646,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_dedup_gate": q_stream_dedup_gate,
+    "stream_topk_continuous": q_stream_topk_continuous,
 }
 
 ORACLE = {
@@ -533,4 +657,5 @@ ORACLE = {
     "stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
     "stream_dedup": Q_STREAM_DEDUP_SQL,
     "stream_dedup_gate": Q_STREAM_DEDUP_GATE_SQL,
+    "stream_topk_continuous": Q_STREAM_TOPK_SQL,
 }

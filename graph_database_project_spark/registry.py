@@ -141,6 +141,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # New r09 operators shipped later this round take slots from the
 # second-check block in this order: graph_degree_histogram,
 # ts_gapfill_locf, text_unigram_logprob, multimodal_audio_stats.
+# Swap 1: stream_topk_continuous (r09 NEW: CMS + candidate-ledger
+# continuous top-k) in for graph_degree_histogram (1x green r08; graphq
+# keeps 8 window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -195,7 +198,7 @@ _DRIVER_WINDOW = [
     "graph_densest_subgraph",
     "graph_triangle_count",
     "graph_link_prediction",
-    "graph_degree_histogram",
+    "stream_topk_continuous",  # r09 NEW op, first check
     "graph_temporal_multisource",
     "xml_rel_signatures",
     "multimodal_phash_neardup",

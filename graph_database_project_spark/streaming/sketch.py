@@ -40,6 +40,16 @@ bounds pass), the store-side feed for drift_histogram_tv-style audits.
 Additivity changes the repair contract: ``backfill_hist`` must REPLACE
 the delta dir (an overlaid base double-counts under sum), where the
 max-algebra day-HLL backfill could safely overlay.
+
+r09 adds CONTINUOUS TOP-K (the verdict-#6 standing query): a per-day
+CMS family (``cms_day``, additive) plus a bounded per-batch candidate
+ledger (``topk_cand``, union fold — each batch contributes its per-day
+exact top-TOPK_CAND keys). ``read_topk`` ranks the candidate union by
+CMS-estimated total count, so the "top talkers per day" answer is served
+from sketch-sized state at any stream size; the batch twin is
+``operators/streamq.q_stream_topk_continuous`` (deterministic slices,
+DuckDB-oracled) and the stream≡batch equality lives in
+tests/test_streaming_sketch.py.
 """
 
 from __future__ import annotations
@@ -48,8 +58,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.profiling import (QH_BINS, cms_sketch, hll_registers,
-                                   hll_registers_grouped)
+from ..operators.profiling import (QH_BINS, cms_sketch, cms_sketch_grouped,
+                                   hll_registers, hll_registers_grouped)
 
 # Fixed histogram domain for the STREAMING value histogram (the batch
 # drift audit discovers bounds with a corpus pass; a stream cannot — the
@@ -58,6 +68,16 @@ from ..operators.profiling import (QH_BINS, cms_sketch, hll_registers,
 # store without rescanning history.
 STREAM_HIST_LO = 0.0
 STREAM_HIST_HI = 500.0
+
+# Continuous top-k (r09): per-batch candidate width. Each microbatch
+# contributes its per-day exact top-TOPK_CAND keys to the standing
+# candidate ledger; serving ranks the candidate union by CMS-estimated
+# total count. Wider than the report size (3) so a key that is merely
+# strong in every batch still surfaces; the documented residual miss —
+# a key below rank TOPK_CAND in EVERY batch yet top-k overall — is the
+# standard continuous-top-k admission trade (SpaceSaving-style ledgers
+# make the same call), and narrows as TOPK_CAND grows.
+TOPK_CAND = 8
 
 
 def cms_keys(batch_df: DataFrame) -> DataFrame:
@@ -81,6 +101,32 @@ def hll_day_keys(batch_df: DataFrame) -> DataFrame:
             .select(F.date_format(F.date_trunc("day", F.col("ts")),
                                   "yyyy-MM-dd").alias("day"),
                     (F.col("user_id").cast("long") % 2147483648).alias("k")))
+
+
+def cms_day_keys(batch_df: DataFrame) -> DataFrame:
+    """Keyed-CMS prep (day, k) — the per-day frequency domain. Mirrors
+    q_heavy_hitters_cms_grouped's key prep so the streaming fold is
+    cell-for-cell comparable to the batch build."""
+    return (batch_df.filter(F.col("user_id").isNotNull()
+                            & F.col("ts").isNotNull())
+            .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                  "yyyy-MM-dd").alias("day"),
+                    F.col("user_id").cast("long").alias("k")))
+
+
+def topk_candidates(batch_df: DataFrame) -> DataFrame:
+    """One microbatch's (day, k) candidate rows: the batch's exact per-day
+    top-TOPK_CAND keys by count. Bounded delta (≤ days-in-batch ×
+    TOPK_CAND rows); the ledger folds by set union, so replay overlap is
+    harmless by algebra (same safety class as the max-fold HLL)."""
+    from pyspark.sql.window import Window as W
+
+    cnt = cms_day_keys(batch_df).groupBy("day", "k").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (cnt.withColumn("rn", F.row_number().over(
+        W.partitionBy("day").orderBy(F.desc("n"), F.asc("k"))))
+        .filter(F.col("rn") <= TOPK_CAND)
+        .select("day", "k"))
 
 
 def hist_bins(batch_df: DataFrame) -> DataFrame:
@@ -117,6 +163,11 @@ def _write_deltas(spark: SparkSession, store_path: str,
         .parquet(_delta_dir(store_path, "hll_day", batch_id))
     hist_bins(batch_df).write.mode("overwrite") \
         .parquet(_delta_dir(store_path, "hist", batch_id))
+    cms_sketch_grouped(cms_day_keys(batch_df), group="day") \
+        .write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "cms_day", batch_id))
+    topk_candidates(batch_df).write.mode("overwrite") \
+        .parquet(_delta_dir(store_path, "topk_cand", batch_id))
 
 
 def merge_sketches(spark: SparkSession, store_path: str,
@@ -215,9 +266,22 @@ def _missing_batches(store_path: str, which: str) -> list[str]:
     return [b for b in os.listdir(committed) if b not in covered]
 
 
+def _fold_cms_day(deltas: DataFrame) -> DataFrame:
+    """Keyed-CMS merge algebra: per-(day, d, bucket) cells ADD — the
+    grouped twin of ``_fold_cms``; additivity means fold-of-slices equals
+    the one-shot corpus build cell for cell."""
+    return deltas.groupBy("day", "d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def _fold_topk_cand(deltas: DataFrame) -> DataFrame:
+    """Candidate-ledger merge algebra: set UNION of (day, k) rows.
+    Idempotent under overlap, so replay/backfill overlays are harmless."""
+    return deltas.select("day", "k").dropDuplicates(["day", "k"])
+
+
 # delta families added AFTER the original cms/hll pair — each needs the
 # pre-upgrade coverage guard on read and before compaction
-_GUARDED_FAMILIES = ("hll_day", "hist")
+_GUARDED_FAMILIES = ("hll_day", "hist", "cms_day", "topk_cand")
 
 
 def _committed_ids(store_path: str) -> set[int]:
@@ -333,6 +397,88 @@ def backfill_hist(spark: SparkSession, events_df: DataFrame,
     shutil.rmtree(old, ignore_errors=True)
 
 
+def read_topk(spark: SparkSession, store_path: str,
+              k: int = 3) -> DataFrame:
+    """The standing "top talkers per day" answer from the maintained
+    store — the continuous top-k serving path (r08 verdict #6): fold the
+    per-batch day-CMS deltas (cells add), fold the candidate ledger
+    (set union), score every candidate by its CMS-estimated total count
+    (min over the d hash rows), and rank per day.
+
+    Touches only sketch-sized relations: |days|×d×w cells + the bounded
+    candidate ledger — never the stream's history. Both families are
+    coverage-guarded like hist/hll_day: a committed batch with no delta
+    would silently undercount (cms_day, additive) or silently hide a
+    winner (topk_cand), so refuse loudly and point at the backfill."""
+    from ..operators.profiling import _cms_bucket, _cms_rows
+
+    for fam in ("cms_day", "topk_cand"):
+        missing = _missing_batches(store_path, fam)
+        if missing:
+            raise RuntimeError(
+                f"sketch store {store_path!r} has committed batches with "
+                f"no {fam} delta ({sorted(missing)[:5]}…) — it predates "
+                f"the continuous top-k family; run backfill_topk before "
+                f"reading or the per-day report silently omits them")
+        if not os.path.isdir(os.path.join(store_path, fam)):
+            raise FileNotFoundError(
+                f"no {fam} deltas under {store_path!r} — the store "
+                f"predates the continuous top-k family; run "
+                f"backfill_topk(spark, events_df, store_path)")
+    sketch = _fold_cms_day(
+        spark.read.parquet(os.path.join(store_path, "cms_day")))
+    cand = _fold_topk_cand(
+        spark.read.parquet(os.path.join(store_path, "topk_cand")))
+    probe = (cand.select("day", "k", F.explode(_cms_rows()).alias("r"))
+             .select("day", "k", F.col("r.d").alias("d"),
+                     _cms_bucket(F.col("k"), F.col("r.a"),
+                                 F.col("r.b")).alias("bucket")))
+    est = (sketch.join(F.broadcast(probe), ["day", "d", "bucket"])
+           .groupBy("day", "k").agg(F.min("c").alias("est_n")))
+    from pyspark.sql.window import Window as W
+    return (est.withColumn("rank", F.row_number().over(
+        W.partitionBy("day").orderBy(F.desc("est_n"), F.asc("k"))))
+        .filter(F.col("rank") <= k)
+        .select("day", F.col("k").alias("user_id"), "est_n", "rank")
+        .orderBy("day", "rank"))
+
+
+def backfill_topk(spark: SparkSession, events_df: DataFrame,
+                  store_path: str) -> None:
+    """One-shot repair for stores that predate the continuous top-k
+    families. Two algebras, two repair shapes (the delta-store fold rule):
+    ``cms_day`` is ADDITIVE → atomically REPLACE its dir with a single
+    full-corpus base (overlap with surviving deltas would double-count);
+    ``topk_cand`` folds by UNION → overlay a ``batch=-2`` base (overlap
+    harmless, and the corpus-exact per-day top-TOPK_CAND is at least as
+    strong a candidate set as any per-batch union it covers)."""
+    import shutil
+
+    from .compaction import BASE_BATCH_ID, write_covers
+
+    d = os.path.join(store_path, "cms_day")
+    tmp, old = d + ".backfill-tmp", d + ".backfill-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    base_tmp = os.path.join(tmp, f"batch={BASE_BATCH_ID - 1}")
+    cms_sketch_grouped(cms_day_keys(events_df), group="day") \
+        .coalesce(1).write.mode("overwrite").parquet(base_tmp)
+    write_covers(base_tmp, _committed_ids(store_path))
+    if os.path.isdir(d):
+        os.rename(d, old)
+    try:
+        os.rename(tmp, d)
+    except Exception:
+        if os.path.isdir(old):
+            os.rename(old, d)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+    base = _delta_dir(store_path, "topk_cand", BASE_BATCH_ID - 1)
+    topk_candidates(events_df).write.mode("overwrite").parquet(base)
+    write_covers(base, _committed_ids(store_path))
+
+
 def read_sketches(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
     """Fold the per-batch deltas into the current sketches: CMS cells add,
     HLL registers max — the same constant-size merge the batch operators
@@ -368,7 +514,9 @@ def compact_sketches(spark: SparkSession, store_path: str) -> dict:
         "cms": compact_deltas(spark, os.path.join(store_path, "cms"), _fold_cms),
         "hll": compact_deltas(spark, os.path.join(store_path, "hll"), _fold_hll),
     }
-    for fam, fold in (("hll_day", _fold_hll_day), ("hist", _fold_hist)):
+    for fam, fold in (("hll_day", _fold_hll_day), ("hist", _fold_hist),
+                      ("cms_day", _fold_cms_day),
+                      ("topk_cand", _fold_topk_cand)):
         fam_dir = os.path.join(store_path, fam)
         if os.path.isdir(fam_dir):  # absent on pre-upgrade stores (backfill repairs)
             out[fam] = compact_deltas(spark, fam_dir, fold)

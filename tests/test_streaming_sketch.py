@@ -123,6 +123,79 @@ def test_stream_sketches_resume_across_restarts(spark, tmp_path):
     assert got == want
 
 
+def test_stream_topk_matches_batch_twin(spark, tmp_path):
+    """Continuous top-k (r09): after the drain (a) the additive cms_day
+    fold equals the one-shot grouped build cell for cell, (b) the stored
+    candidate ledger is exactly the union of each microbatch's per-day
+    top-TOPK_CAND (batch = one input file under maxFilesPerTrigger=1),
+    (c) the served report never undercounts (CMS contract) and ranks are
+    dense per day, and (d) a store missing the families is refused
+    loudly, then repaired by backfill_topk."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from graph_database_project_spark.operators.profiling import (
+        cms_sketch_grouped)
+    from graph_database_project_spark.streaming.sketch import (
+        _fold_cms_day, _fold_topk_cand, backfill_topk, cms_day_keys,
+        read_topk, topk_candidates)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "sk")
+    ev.repartition(4).write.parquet(events_dir)
+    stream_sketch_events(spark, events_dir, store,
+                         schema=ev.schema, max_files_per_trigger=1)
+    all_events = spark.read.parquet(events_dir)
+
+    # (a) stream ≡ batch for the sketch: fold of per-batch deltas equals
+    # the one-shot corpus build (CMS additivity, now per day)
+    got = sorted(map(tuple, _fold_cms_day(
+        spark.read.parquet(os.path.join(store, "cms_day"))).collect()))
+    want = sorted(map(tuple, cms_sketch_grouped(
+        cms_day_keys(all_events)).collect()))
+    assert got == want and len(got) > 0
+
+    # (b) stream ≡ batch for the candidate ledger: union of per-file
+    # candidate sets (file = microbatch under maxFilesPerTrigger=1)
+    files = glob.glob(os.path.join(events_dir, "*.parquet"))
+    assert len(files) >= 2
+    per_file: set = set()
+    for f in files:
+        per_file |= {(r.day, r.k) for r in
+                     topk_candidates(spark.read.parquet(f)).collect()}
+    stored = {(r.day, r.k) for r in _fold_topk_cand(
+        spark.read.parquet(os.path.join(store, "topk_cand"))).collect()}
+    assert stored == per_file
+
+    # (c) serving contract: dense ranks per day, CMS never undercounts
+    rep = read_topk(spark, store, k=3).collect()
+    exact = {(r.day, r.k): r.n for r in cms_day_keys(all_events)
+             .groupBy("day", "k").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    by_day: dict = {}
+    for r in rep:
+        by_day.setdefault(r.day, []).append(r.rank)
+        assert r.est_n >= exact[(r.day, r.user_id)], r
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_day.values())
+    assert any(len(v) == 3 for v in by_day.values())
+
+    # (d) pre-upgrade store: refused loudly, repaired by backfill
+    shutil.rmtree(os.path.join(store, "topk_cand"))
+    with pytest.raises(FileNotFoundError, match="backfill_topk"):
+        read_topk(spark, store)
+    backfill_topk(spark, all_events, store)
+    rep2 = read_topk(spark, store, k=3).collect()
+    # post-backfill candidates are the corpus-exact per-day top set, so
+    # the report is the batch-twin answer: est ranking over corpus top keys
+    assert len(rep2) >= len(by_day)
+    for r in rep2:
+        assert r.est_n >= exact[(r.day, r.user_id)], r
+
+
 def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
     """Both sketch stores compact to a single base delta with every CMS
     cell and HLL register value-identical — the fold is the read side's
@@ -141,7 +214,7 @@ def test_compact_sketches_preserves_registers_and_cells(spark, tmp_path):
 
     stats = compact_sketches(spark, store)
     assert stats["cms"]["deltas_before"] >= 2
-    for which in ("cms", "hll", "hll_day"):
+    for which in ("cms", "hll", "hll_day", "cms_day", "topk_cand"):
         dirs = [d for d in os.listdir(os.path.join(store, which))
                 if d.startswith("batch=")]
         assert dirs == ["batch=-1"], (which, dirs)
