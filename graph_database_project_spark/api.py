@@ -20,7 +20,19 @@ Routes:
                   returns {"sql", "rows", "answer"}; graph-shaped
                   questions ("what is connected to X") that no relational
                   rule grounds fall through to the graph lifecycle
-                  (answer_graph → k-hop expansion over the bulletin graph)
+                  (answer_graph → k-hop expansion over the bulletin graph).
+                  An optional "media_b64" (aliases: "image_b64",
+                  "audio_b64") attaches a base64 payload — decoded through
+                  the REAL codec battery (multimodal.describe_media: png/
+                  bmp/ppm/wav/y4m), its descriptor returned as "media" and
+                  woven into the answer. This is the reference front-end's
+                  image-upload / speech-input seam (static/script.js:19-67,
+                  129-173) with an actually-implemented server side (the
+                  reference's /gpt4-image route never existed); speech
+                  arrives as a WAV whose transcript, when the browser has
+                  one (Web Speech is client-side), is just another text
+                  message. A media-only body (no text) is answered with
+                  the decoded descriptor alone.
   POST /query   → body {"name": "<registry key>"} runs a registered
                   query and returns its first ROW_CAP rows
   POST /explain → body {"name": "<registry key>"} returns the query's
@@ -86,6 +98,21 @@ EAGER_ON_BUILD_NOTE = (
     "ingest build or eager-checkpointed iterative loop); for checkpointed "
     "loops the plan shown is the post-checkpoint scan, not the loop body"
 )
+
+
+def _media_sentence(media: dict) -> str:
+    """Deterministic one-liner describing a decoded attachment."""
+    if media["kind"] == "image":
+        return (f"[attachment: {media['format']} image "
+                f"{media['width']}x{media['height']}, "
+                f"pixel mean {media['pixel_mean']}]")
+    if media["kind"] == "audio":
+        return (f"[attachment: {media['format']} audio "
+                f"{media['duration_s']}s @ {media['sample_rate']} Hz, "
+                f"{media['n_channels']} ch, rms {media['rms']}]")
+    return (f"[attachment: {media['format']} video "
+            f"{media['width']}x{media['height']}, "
+            f"{media['n_frames']} frames @ {media['fps']} fps]")
 
 
 def _eager_on_build(name: str) -> bool:
@@ -193,6 +220,28 @@ def create_server(spark: SparkSession, sf_dir: str,
                     messages = data.get("messages") or []
                     history = [m["content"] for m in messages
                                if m.get("role", "user") == "user"]
+                    media = None
+                    b64 = (data.get("media_b64") or data.get("image_b64")
+                           or data.get("audio_b64"))
+                    if b64 is not None:
+                        import base64 as _b64
+
+                        from .operators.multimodal import describe_media
+                        try:
+                            raw = _b64.b64decode(b64, validate=True)
+                        except Exception:
+                            self._send(400, {"error": "invalid base64 in "
+                                                      "media payload"})
+                            return
+                        media = describe_media(raw)  # ValueError → 422
+                    if media is not None and not history:
+                        # media-only turn: the decoded descriptor IS the
+                        # answer (no question to ground)
+                        self._send(200, {
+                            "sql": None, "rows": [], "media": media,
+                            "answer": _media_sentence(media),
+                        })
+                        return
                     if not history:
                         self._send(400, {"error": "No messages provided"})
                         return
@@ -208,11 +257,16 @@ def create_server(spark: SparkSession, sf_dir: str,
                                    answer_graph(spark, _store(spark),
                                                 resolve_question(history)))
                     collected = df.limit(ROW_CAP).collect()
-                    self._send(200, {
+                    answer = explain_result(history[-1], collected)
+                    payload = {
                         "sql": sql,
                         "rows": _serialize(collected),
-                        "answer": explain_result(history[-1], collected),
-                    })
+                        "answer": (f"{_media_sentence(media)} {answer}"
+                                   if media is not None else answer),
+                    }
+                    if media is not None:
+                        payload["media"] = media
+                    self._send(200, payload)
                 elif self.path == "/query":
                     name = data.get("name")
                     if name not in queries:

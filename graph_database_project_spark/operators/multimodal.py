@@ -892,6 +892,41 @@ def _y4m_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+def describe_media(raw: bytes) -> dict:
+    """Sniff a media payload by magic bytes and decode it through the SAME
+    codecs the batch operators run — the single-payload seam the chat API
+    uses for uploaded attachments (reference north star:
+    static/script.js:19-67 captures an image upload and speech input that
+    the reference's server never processes; here the server side is the
+    real codec battery). Returns a JSON-able descriptor; raises
+    ValueError on an unrecognized or malformed payload (the API maps that
+    to 422, same contract as an untranslatable question)."""
+    if raw[:8] == _PNG_SIG:
+        w, h, depth, mean = decode_png(raw)
+        return {"format": "png", "kind": "image", "width": w, "height": h,
+                "bit_depth": depth, "pixel_mean": mean}
+    if raw[:2] == b"BM":
+        w, h, plane = decode_bmp(raw)
+        return {"format": "bmp", "kind": "image", "width": w, "height": h,
+                "pixel_mean": _round6(float(plane.sum()) / plane.size / 255)}
+    if raw[:2] == b"P6":
+        w, h, maxval, mean = decode_ppm(raw)
+        return {"format": "ppm", "kind": "image", "width": w, "height": h,
+                "maxval": maxval, "pixel_mean": mean}
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        nch, rate, nfr, dur, rms = decode_wav(raw)
+        return {"format": "wav", "kind": "audio", "n_channels": nch,
+                "sample_rate": rate, "n_frames": nfr,
+                "duration_s": dur, "rms": rms}
+    if raw[:9] == b"YUV4MPEG2":
+        w, h, fps, n_frames, means = decode_y4m(raw)
+        return {"format": "y4m", "kind": "video", "width": w, "height": h,
+                "fps": fps, "n_frames": n_frames,
+                "frame_means": means}
+    raise ValueError("unrecognized media payload (supported: png, bmp, "
+                     "ppm, wav, y4m)")
+
+
 def _y4m_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []

@@ -273,3 +273,69 @@ def test_root_chat_page_roundtrip(server):
          "content": "[image attached: wing.png, 1234 bytes] and for EUROPE?"},
     ]})
     assert code == 200 and body["rows"], body
+
+
+def test_chat_image_attachment_roundtrip(server):
+    """Verdict-#8 seam: a base64 PNG rides the chat body, the server
+    decodes it through the REAL codec (decode_png: zlib, CRC, filters),
+    and the decoded descriptor both returns as "media" and prefixes the
+    grounded NL answer."""
+    import base64
+
+    from graph_database_project_spark.operators.multimodal import (
+        _png_bytes, _ppm_dims)
+
+    raw = _png_bytes(40, "the quick brown fox")
+    w, h = _ppm_dims(40)
+    code, body = _post(f"{server}/chat", {
+        "messages": [{"role": "user",
+                      "content": "total revenue per nation in region 'ASIA'"}],
+        "image_b64": base64.b64encode(raw).decode(),
+    })
+    assert code == 200, body
+    assert body["media"]["format"] == "png"
+    assert (body["media"]["width"], body["media"]["height"]) == (w, h)
+    assert body["rows"] and {"n_name", "revenue"} <= set(body["rows"][0])
+    assert body["answer"].startswith("[attachment: png image")
+    assert "row(s)" in body["answer"]  # the NL lifecycle still answered
+
+
+def test_chat_audio_attachment_media_only(server):
+    """A speech capture with no transcript (Web Speech is client-side;
+    the reference sends audio nowhere) still gets a decoded answer: WAV
+    stats from the stdlib-codec path, no 400."""
+    import base64
+
+    from graph_database_project_spark.operators.multimodal import (
+        _wav_bytes, _wav_frames, decode_wav)
+
+    raw = _wav_bytes(15, "hello world")
+    nch, rate, nfr, dur, rms = decode_wav(raw)
+    assert nfr == _wav_frames(15)
+    code, body = _post(f"{server}/chat", {
+        "messages": [],
+        "audio_b64": base64.b64encode(raw).decode(),
+    })
+    assert code == 200, body
+    assert body["media"]["kind"] == "audio"
+    assert body["media"]["n_frames"] == nfr
+    assert body["media"]["rms"] == rms
+    assert body["answer"].startswith("[attachment: wav audio")
+    assert body["rows"] == [] and body["sql"] is None
+
+
+def test_chat_bad_media_payloads(server):
+    """Invalid base64 → 400; well-formed base64 of an unrecognizable
+    payload → 422 (same contract as an untranslatable question)."""
+    import base64
+
+    code, body = _post(f"{server}/chat", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "media_b64": "not-base64!!",
+    })
+    assert code == 400 and "base64" in body["error"]
+    code, body = _post(f"{server}/chat", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "media_b64": base64.b64encode(b"GIF89a not supported").decode(),
+    })
+    assert code == 422 and "unrecognized media" in body["error"]
