@@ -110,6 +110,10 @@ EXTENDED = [
     "skyline_pareto",           # r08: grid prune + running-max windows
     "ts_cusum_changepoint",     # r08: day-grain integer CUSUM
     "graph_densest_subgraph",   # r08: 8-round (1+eps)-peel loop
+    "graph_pagerank_personalized",  # r09: seeded-teleport PPR loop
+    "graph_betweenness_sampled",    # r09: bounded-depth Brandes two-chain
+    "stream_topk_continuous",   # r09: day-CMS + candidate-ledger top-k
+    "graph_ktruss",             # r09: triangle-support edge peel loop
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
@@ -151,18 +155,21 @@ def contract_line(out: dict) -> str:
     floats, failed-key lists), the extended rows are sacrificed from the
     LINE (they remain in BENCH_DETAIL.json); the frozen v2 gate fields
     always survive. tests/test_bench_contract.py drives this function
-    with worst-case renderings."""
-    contract = json.dumps(out)
+    with worst-case renderings. Compact separators (r09): 30 extended
+    rows at triple-digit renderings crossed 1900 bytes under the default
+    ", " separators — ~130 bytes of pure whitespace the driver's budget
+    can't spare."""
+    contract = json.dumps(out, separators=(",", ":"))
     if len(contract) > 1900:
         out = {**out, "queries_extended": {}}
-        contract = json.dumps(out)
+        contract = json.dumps(out, separators=(",", ":"))
     if len(contract) > 1900 and out.get("failed"):
         # full-suite breakage renders a 46-key failed list (~2094 bytes
         # even without extended rows — r08 review finding): keep a count
         # plus a prefix so the line still names the blast radius
         out = {**out, "failed_count": len(out["failed"]),
                "failed": sorted(out["failed"])[:5]}
-        contract = json.dumps(out)
+        contract = json.dumps(out, separators=(",", ":"))
     return contract
 
 

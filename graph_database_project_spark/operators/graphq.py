@@ -673,6 +673,169 @@ FROM d{n_iter} d JOIN a{n_iter} a USING (node)""")
 Q_KCORE_SQL = _kcore_oracle_sql()
 
 
+# --- k-truss: triangle-support edge peeling (r09) ---------------------------
+# Closes the cohesive-subgraph family: k-core peels NODES by degree,
+# densest-subgraph peels by average degree, k-truss peels EDGES by
+# triangle support — the strongest of the three (every k-truss edge sits
+# in ≥ k-2 triangles among survivors), the community-core primitive
+# fraud/cohesion pipelines run when degree alone over-admits hubs.
+TRUSS_K = 4        # support threshold = k-2 = 2 triangles per edge
+TRUSS_ROUNDS = 3   # cascade completes in 2 on the planted substrate;
+#                    round 3 proves the fixpoint (test-asserted)
+
+
+def _truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) edge list planting all three k=4 behaviors in
+    every 20-key customer block (CLAUDE.md: synthetic substrates need the
+    objective to actually exercise — uniform density never peels):
+
+      * positions 0-5: a 6-clique — every edge in 4 triangles, survives;
+      * positions 6-13: a TRIANGLE STRIP ((i, i+1) for 6≤i≤12 and
+        (i, i+2) for 6≤i≤11) — interior (i, i+1) edges start at support
+        2 (alive round 1) but their triangles ride support-1 edges, so
+        the second peel round cascades the whole strip away: the
+        multi-round behavior that distinguishes truss from one-shot
+        triangle filtering;
+      * positions 14-18: a support-0 chain, gone in round 1.
+
+    The clique needs a per-block self-join: equi-join on the block key
+    (bounded 6x6 pairs per block), never a cross product."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("u"))
+    b = cust.select(F.col("c_custkey").alias("v"))
+    blk_u = F.expr("u div 20")
+    blk_v = F.expr("v div 20")
+    iu = F.col("u") % 20
+    iv = F.col("v") % 20
+    clique = (a.filter(iu < 6)
+              .join(b.filter(iv < 6), (blk_v == blk_u) & (F.col("v") > F.col("u"))))
+
+    def step(delta: int, lo: int, hi: int):
+        return (a.filter((iu >= lo) & (iu <= hi))
+                .join(b, b.v == F.col("u") + delta)
+                .filter(blk_v == blk_u))
+
+    strip1 = step(1, 6, 12)
+    strip2 = step(2, 6, 11)
+    chain = step(1, 14, 18)
+    return (clique.union(strip1).union(strip2).union(chain)
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"))
+            .localCheckpoint(eager=True))
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (u<v) edge list: one
+    wedge join + one closing semi... inner join (the triangle-count
+    shape), then each triangle credits its three edges."""
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    sides = tri.select(F.col("x").alias("u"), F.col("y").alias("v")) \
+        .union(tri.select(F.col("y"), F.col("z"))) \
+        .union(tri.select(F.col("x"), F.col("z")))
+    return sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4) by fixed-round edge peeling: each round keeps the
+    edges with ≥ k-2 triangles among current survivors, and the audit row
+    records the round's edge and triangle counts — the planted clique
+    family survives, the triangle strip cascades away in two rounds, the
+    chain dies immediately (tests pin all three against an independent
+    clique-edge count).
+
+    Scale: the triangle enumeration is the graph_triangle_count wedge
+    join (two keyed shuffles on endpoints) over a MONOTONICALLY SHRINKING
+    edge set; each round's survivor list checkpoints (loop state, same
+    discipline as k-core/densest); counts are exact BIGINTs so both
+    engines agree bit for bit. Fixed TRUSS_ROUNDS, no fixpoint probe
+    (CLAUDE.md fixed-round discipline) — the fixpoint itself is a test
+    assertion, not a runtime branch.
+    """
+    edges = _truss_edges(spark, sf_dir)
+    audit = []
+    cur = edges
+    for r in range(TRUSS_ROUNDS + 1):
+        sup = _edge_support(cur)
+        # Σsup is exactly 3 triangles; integer div both engines (no float)
+        n_tri = (sup.agg(F.coalesce(F.sum("sup"), F.lit(0)).alias("s"))
+                 .select(F.expr("s div 3").cast("long").alias("n_tri")))
+        audit.append(
+            cur.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(n_tri)
+            .select(F.lit(r).alias("round"), "n_edges", "n_tri"))
+        if r < TRUSS_ROUNDS:
+            cur = (cur.join(sup.filter(F.col("sup") >= TRUSS_K - 2),
+                            ["u", "v"])
+                   .select("u", "v").localCheckpoint(eager=True))
+    out = audit[0]
+    for a_df in audit[1:]:
+        out = out.unionByName(a_df)
+    return out.orderBy("round")
+
+
+_TRUSS_EDGES_SQL = """
+  SELECT CAST(a.c_custkey AS BIGINT) AS u, CAST(b.c_custkey AS BIGINT) AS v
+  FROM customer a JOIN customer b
+    ON b.c_custkey // 20 = a.c_custkey // 20 AND b.c_custkey > a.c_custkey
+  WHERE a.c_custkey % 20 < 6 AND b.c_custkey % 20 < 6
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 1
+  WHERE a.c_custkey % 20 BETWEEN 6 AND 12
+    AND b.c_custkey // 20 = a.c_custkey // 20
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 2
+  WHERE a.c_custkey % 20 BETWEEN 6 AND 11
+    AND b.c_custkey // 20 = a.c_custkey // 20
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 1
+  WHERE a.c_custkey % 20 BETWEEN 14 AND 18
+    AND b.c_custkey // 20 = a.c_custkey // 20
+"""
+
+
+def _ktruss_oracle_sql(n_iter: int = TRUSS_ROUNDS, k: int = TRUSS_K) -> str:
+    """DuckDB twin: the fixed peel rounds unrolled as chained MATERIALIZED
+    CTEs mirroring q_graph_ktruss term by term (edge set e{r}, support
+    s{r}, audit row per round)."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_TRUSS_EDGES_SQL})"]
+    selects = []
+    for r in range(n_iter + 1):
+        parts.append(f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e{r} e1 JOIN e{r} e2 ON e2.u = e1.v
+  JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+), s{r} AS MATERIALIZED (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r})
+  GROUP BY 1, 2
+)""")
+        selects.append(
+            f"SELECT {r} AS round,\n"
+            f"  (SELECT count(*) FROM e{r}) AS n_edges,\n"
+            f"  (SELECT CAST(coalesce(sum(sup), 0) // 3 AS BIGINT) FROM s{r})"
+            f" AS n_tri")
+        if r < n_iter:
+            parts.append(f""",
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e JOIN s{r} s USING (u, v)
+  WHERE s.sup >= {k - 2}
+)""")
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round")
+    return "".join(parts)
+
+
+Q_KTRUSS_SQL = _ktruss_oracle_sql()
+
+
 def q_khop_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected 2-hop neighborhood from one customer seed through the
     hierarchy edges (direction='both') — the reverse/undirected traversal
@@ -2042,6 +2205,7 @@ QUERIES = {
     "graph_pagerank_personalized": q_pagerank_personalized,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
+    "graph_ktruss": q_graph_ktruss,
     "graph_modularity": q_graph_modularity,
     "graph_triangle_count": q_triangle_count,
     "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -2068,6 +2232,7 @@ ORACLE = {
     "graph_pagerank_personalized": Q_PPR_SQL,  # seeded-teleport unrolled chain
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
+    "graph_ktruss": Q_KTRUSS_SQL,  # fixed truss peel rounds unrolled
     "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_clustering_coeff": Q_LCC_SQL,

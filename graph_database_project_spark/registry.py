@@ -144,6 +144,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 1: stream_topk_continuous (r09 NEW: CMS + candidate-ledger
 # continuous top-k) in for graph_degree_histogram (1x green r08; graphq
 # keeps 8 window rows).
+# Swap 2: graph_ktruss (r09 NEW: triangle-support edge peel) in for
+# ts_gapfill_locf (1x green r08; timeseries keeps lttb + cusum +
+# anomaly_zscore window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -184,7 +187,7 @@ _DRIVER_WINDOW = [
     "assoc_basket_rules",
     "skyline_pareto",
     "ts_lttb_downsample",
-    "ts_gapfill_locf",
+    "graph_ktruss",  # r09 NEW op, first check
     "ts_cusum_changepoint",
     "text_pii_redact",
     "text_unigram_logprob",

@@ -481,3 +481,39 @@ def test_densest_subgraph_peel_monotone_and_clique_peak(spark):
     assert peak.avg_deg_ppm >= 9_000_000, peak
     # density contrast actually exercised: round 0 is diluted by chains
     assert rows[0].avg_deg_ppm < peak.avg_deg_ppm
+
+
+def test_ktruss_planted_structure_and_fixpoint(spark):
+    """The three planted behaviors actually exercise the peel (CLAUDE.md
+    dead-variation rule): the chain dies in round 1, the triangle strip
+    survives round 1 then cascades away in round 2 (the multi-round
+    semantics that distinguish truss from one-shot triangle filtering),
+    and the final rounds equal an INDEPENDENT per-block clique count —
+    with round R == round R-1 proving the fixed-round output reached the
+    true k-truss fixpoint."""
+    from math import comb
+
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        TRUSS_ROUNDS, q_graph_ktruss)
+
+    rows = {r["round"]: (r.n_edges, r.n_tri)
+            for r in q_graph_ktruss(spark, SF_ORACLE).collect()}
+    assert set(rows) == set(range(TRUSS_ROUNDS + 1))
+
+    # independent ground truth: the k=4 truss of the substrate is exactly
+    # the per-block cliques (positions 0-5); count them from raw keys
+    keys = [r.u for r in load_table(spark, SF_ORACLE, "customer")
+            .select(F.col("c_custkey").alias("u")).collect()]
+    per_block: dict[int, int] = {}
+    for u in keys:
+        if u % 20 < 6:
+            per_block[u // 20] = per_block.get(u // 20, 0) + 1
+    clique_edges = sum(comb(n, 2) for n in per_block.values())
+    clique_tris = sum(comb(n, 3) for n in per_block.values())
+
+    assert rows[TRUSS_ROUNDS] == (clique_edges, clique_tris)
+    assert rows[TRUSS_ROUNDS] == rows[TRUSS_ROUNDS - 1]  # fixpoint reached
+    # two REAL peel rounds: chain+ends die r1, strip cascade dies r2
+    assert rows[0][0] > rows[1][0] > rows[2][0] == clique_edges
+    assert rows[1][0] > clique_edges  # strip interior alive after round 1
