@@ -614,6 +614,132 @@ ORDER BY did, cid
 """
 
 
+# --- multi-field entity resolution with integer match scores ----------------
+# Fellegi–Sunter restated with PINNED INTEGER field weights so the score
+# algebra is exact in both engines: each candidate pair gets an agreement
+# vector over (name, balance, segment) and a weighted score; thresholds
+# classify match / possible / non_match. The weights are configuration
+# (as in any production linkage deployment), not estimated m/u logs —
+# estimating them is an EM fit the oracle could not replicate exactly,
+# and the pipeline shape (block → compare → score → band) is identical.
+ER_W_NAME, ER_W_BAL, ER_W_SEG = 40, 25, 15
+ER_T_MATCH, ER_T_POSSIBLE = 65, 40
+# Tolerance sits BETWEEN the planted shift levels (…, 100, 150, …), never
+# ON one: |(bal+100)-bal| can exceed 100 by half an ulp (both engines
+# agree — the comparison is one IEEE subtract over identical doubles —
+# but the band would flip on the planted class), so the boundary must
+# carry a margin orders of magnitude above ulp scale.
+ER_BAL_TOL = 120.0
+ER_ID_BASE = 9_000_000
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over two customer rosters: the catalog and a
+    synthesized "incoming feed" with keyed per-record corruption (name
+    typo classes by k%3 — clean / one-char / two-char; balance shifted by
+    50·(k%5); segment dropped to UNKNOWN for odd keys), so every
+    agreement pattern the score algebra distinguishes actually occurs
+    (CLAUDE.md dead-variation rule: the corruption moduli are coprime, so
+    bands and scores spread across k).
+
+    Blocking: (nationkey, last-3-of-name). The corruption never touches
+    the name's digit tail (typo positions sit in the shared 'Customer#'
+    prefix), so every true pair shares its block — recall is structural,
+    like the typo-linkage half keys — while key collisions 1000 apart
+    supply genuine impostor candidates that exercise the lower bands.
+    Candidate pairs are a pure equi-join on the block key; never
+    roster x roster.
+
+    Scoring: lev(name) ≤ 1 → +40, |Δbalance| ≤ 100 → +25, segment equal
+    → +15; ≥ 65 match, ≥ 40 possible, else non_match. All hashed outputs
+    are integers/strings — the balance comparison is a single IEEE
+    subtract over identical doubles, and only its boolean survives.
+
+    Scale: blocks are (nation × name-suffix) — thousands of tiny groups;
+    at 100 TB the skew guard is the standard block-size cap (split hot
+    suffixes on an extra field, same stop-shingle logic as PPJoin).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cat = cust.select(F.col("c_custkey").alias("cid"),
+                      F.col("c_name").alias("cname"),
+                      F.col("c_nationkey").alias("cnat"),
+                      F.col("c_acctbal").alias("cbal"),
+                      F.col("c_mktsegment").alias("cseg"))
+    k = F.col("c_custkey")
+    dname = (
+        F.when(k % 3 == 0, F.col("c_name"))
+        .when(k % 3 == 1, F.concat(
+            F.expr("substring(c_name, 1, (c_custkey % 9))"), F.lit("#"),
+            F.expr("substring(c_name, (c_custkey % 9) + 2)")))
+        .otherwise(F.concat(F.lit("##"), F.expr("substring(c_name, 3)")))
+    )
+    feed = cust.select((k + ER_ID_BASE).alias("did"),
+                       dname.alias("dname"),
+                       F.col("c_nationkey").alias("dnat"),
+                       (F.col("c_acctbal")
+                        + (k % 5).cast("double") * 50.0).alias("dbal"),
+                       F.when(k % 2 == 0, F.col("c_mktsegment"))
+                       .otherwise(F.lit("UNKNOWN")).alias("dseg"))
+    bk_c = F.concat_ws("|", F.col("cnat"), F.expr("substring(cname, -3)"))
+    bk_d = F.concat_ws("|", F.col("dnat"), F.expr("substring(dname, -3)"))
+    cand = (feed.withColumn("bk", bk_d)
+            .join(cat.withColumn("bk", bk_c), "bk"))
+    lev = F.levenshtein("dname", "cname")
+    score = (
+        F.when(lev <= 1, ER_W_NAME).otherwise(0)
+        + F.when(F.abs(F.col("dbal") - F.col("cbal")) <= ER_BAL_TOL,
+                 ER_W_BAL).otherwise(0)
+        + F.when(F.col("dseg") == F.col("cseg"), ER_W_SEG).otherwise(0)
+    )
+    return (cand.select(
+        "did", "cid",
+        lev.cast("long").alias("lev"),
+        score.cast("long").alias("score"),
+        F.when(score >= ER_T_MATCH, "match")
+        .when(score >= ER_T_POSSIBLE, "possible")
+        .otherwise("non_match").alias("band"))
+        .orderBy("did", "cid"))
+
+
+Q_ENTITY_RESOLUTION_SQL = f"""
+WITH cat AS (
+  SELECT c_custkey AS cid, c_name AS cname, c_nationkey AS cnat,
+         c_acctbal AS cbal, c_mktsegment AS cseg
+  FROM customer
+), feed AS (
+  SELECT c_custkey + {ER_ID_BASE} AS did,
+         CASE WHEN c_custkey % 3 = 0 THEN c_name
+              WHEN c_custkey % 3 = 1 THEN
+                substr(c_name, 1, c_custkey % 9) || '#'
+                  || substr(c_name, (c_custkey % 9) + 2)
+              ELSE '##' || substr(c_name, 3) END AS dname,
+         c_nationkey AS dnat,
+         c_acctbal + CAST(c_custkey % 5 AS DOUBLE) * 50.0 AS dbal,
+         CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+              ELSE 'UNKNOWN' END AS dseg
+  FROM customer
+), cand AS (
+  SELECT d.did, d.dname, d.dbal, d.dseg, c.cid, c.cname, c.cbal, c.cseg
+  FROM feed d JOIN cat c
+    ON c.cnat = d.dnat AND substr(c.cname, -3) = substr(d.dname, -3)
+), scored AS (
+  SELECT did, cid, levenshtein(dname, cname) AS lev,
+         (CASE WHEN levenshtein(dname, cname) <= 1
+               THEN {ER_W_NAME} ELSE 0 END
+          + CASE WHEN abs(dbal - cbal) <= {ER_BAL_TOL}
+                 THEN {ER_W_BAL} ELSE 0 END
+          + CASE WHEN dseg = cseg THEN {ER_W_SEG} ELSE 0 END) AS score
+  FROM cand
+)
+SELECT did, cid, CAST(lev AS BIGINT) AS lev, CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= {ER_T_MATCH} THEN 'match'
+            WHEN score >= {ER_T_POSSIBLE} THEN 'possible'
+            ELSE 'non_match' END AS band
+FROM scored
+ORDER BY did, cid
+"""
+
+
 # --- PPJoin-style prefix-filtered set-similarity join -----------------------
 # Exact-threshold Jaccard join with PREFIX FILTERING (Chaudhuri et al.
 # SSJoin 2006 / Xiao et al. PPJoin 2008): order every doc's shingles by
@@ -723,6 +849,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_cluster_canonical": q_dedup_cluster_canonical,
     "fuzzy_join_typo_linkage": q_fuzzy_join_typo_linkage,
+    "entity_resolution_scored": q_entity_resolution,
 }
 
 ORACLE = {
@@ -734,4 +861,5 @@ ORACLE = {
     "dedup_embedding_cosine": Q_DEDUP_EMBED_SQL,
     "dedup_cluster_canonical": Q_DEDUP_CLUSTER_SQL,
     "fuzzy_join_typo_linkage": Q_FUZZY_TYPO_SQL,
+    "entity_resolution_scored": Q_ENTITY_RESOLUTION_SQL,
 }

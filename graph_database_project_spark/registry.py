@@ -147,6 +147,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 2: graph_ktruss (r09 NEW: triangle-support edge peel) in for
 # ts_gapfill_locf (1x green r08; timeseries keeps lttb + cusum +
 # anomaly_zscore window rows).
+# Swap 3: entity_resolution_scored (r09 NEW: integer Fellegi-Sunter
+# linkage bands) in for text_unigram_logprob (1x green r08; textops
+# keeps five window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -190,7 +193,7 @@ _DRIVER_WINDOW = [
     "graph_ktruss",  # r09 NEW op, first check
     "ts_cusum_changepoint",
     "text_pii_redact",
-    "text_unigram_logprob",
+    "entity_resolution_scored",  # r09 NEW op, first check
     "text_hybrid_rrf",
     "bpe_learn_merges",
     "bpe_token_count",

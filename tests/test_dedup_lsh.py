@@ -94,3 +94,31 @@ def test_prefix_filter_prunes_candidates_losslessly(spark):
               .select("da", "db").distinct().count())
     assert pruned < naive / 3, (pruned, naive)
     assert pruned >= 25  # at least every true pair survives as a candidate
+
+
+def test_entity_resolution_class_contract(spark):
+    """The keyed corruption classes map to deterministic bands: a clean or
+    one-typo name with balance shift ≤ 100 is always a 'match'; two-typo
+    odd-key far-balance records are always 'non_match'; genuine impostor
+    candidates (block collisions, did != cid + base) exist and never reach
+    'match' unless they agree on every scored field."""
+    from graph_database_project_spark.operators.dedup import (
+        ER_ID_BASE, ER_T_MATCH, q_entity_resolution)
+
+    rows = q_entity_resolution(spark, SF_ORACLE).collect()
+    assert rows, "no candidate pairs"
+    true_pairs = [r for r in rows if r.did == r.cid + ER_ID_BASE]
+    impostors = [r for r in rows if r.did != r.cid + ER_ID_BASE]
+    assert impostors, "blocking produced no impostor candidates — the " \
+                      "non-trivial bands are untested (dead variation)"
+    for r in true_pairs:
+        k = r.cid
+        if k % 3 in (0, 1) and k % 5 in (0, 1, 2):
+            assert r.band == "match", r          # name 40 + balance 25
+        if k % 3 == 2 and k % 5 in (3, 4) and k % 2 == 1:
+            assert r.band == "non_match", r      # nothing agrees
+    for r in impostors:
+        if r.band == "match":
+            assert r.score >= ER_T_MATCH and r.lev <= 1, r
+    # every band actually occurs (live variation)
+    assert {r.band for r in rows} == {"match", "possible", "non_match"}
