@@ -1412,8 +1412,110 @@ FROM dw JOIN v{BPE_ROUNDS} USING (word)
 GROUP BY doc_id ORDER BY doc_id"""
 
 
+# --- vocabulary growth profile (Heaps-law audit, r09) ------------------------
+VOCAB_GROWTH_PCTS = (1, 2, 5, 10, 20, 50, 100)
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth profile: distinct-word count as a
+    function of corpus prefix (by doc_id order) at fixed percentile cuts —
+    the curve a tokenizer-sizing / dedup-planning job reads before fixing
+    vocab size or shingle filters (sub-linear growth is what makes the
+    top-V vocab cap in unigram scoring and the stop-shingle rule safe).
+
+    Exact-integer construction: a unit's contribution to every prefix is
+    fully determined by its FIRST-occurrence doc_id (one keyed min), so
+    each cut is a count over first_doc ≤ threshold — never a distinct per
+    cut. TWO vocabularies ride the same cuts: words (this corpus's word
+    vocabulary saturates within the first 1% — ~30 planted words, itself
+    a finding the curve exposes) and 3-word SHINGLES, whose space is
+    combinatorial and bends sub-linearly across the whole range — the
+    live dimension (CLAUDE.md dead-variation rule), and the one the
+    stop-shingle/prefix-filter policies actually consume. Outputs are
+    BIGINT counts only.
+
+    Scale: first-occurrence is the same min-aggregation the exact-dedup
+    survivor pick runs; the per-cut rollup is map-side combined against a
+    7-row broadcast. The shingle relation is the session-persisted
+    ``dedup._shingle_rel`` (one tokenize, reused family-wide), and at
+    100 TB the first_doc relations ARE the incremental form — new docs
+    only ever ADD rows with larger doc_ids, so the profile maintains by
+    merge like every sketch in SCALE.md §7b.
+    """
+    from .dedup import _shingle_rel
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    first_w = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    first_s = (_shingle_rel(spark, sf_dir)
+               .select("doc_id", F.explode("shingles").alias("s"))
+               .groupBy("s").agg(F.min("doc_id").alias("first_doc")))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    max_doc = docs.agg(F.max("doc_id").alias("max_doc"))
+    cuts = spark.createDataFrame([(p,) for p in VOCAB_GROWTH_PCTS],
+                                 "pct int") \
+        .crossJoin(F.broadcast(max_doc)) \
+        .select("pct", F.expr("(pct * max_doc) div 100").alias("thr"))
+
+    def at_cuts(first, out):
+        return (first.join(F.broadcast(cuts),
+                           F.col("first_doc") <= F.col("thr"))
+                .groupBy("pct").agg(F.count(F.lit(1)).alias(out)))
+
+    toks = (per_doc.join(F.broadcast(cuts), F.col("doc_id") <= F.col("thr"))
+            .groupBy("pct").agg(F.sum("n_tok").cast("long").alias("n_tokens"),
+                                F.count(F.lit(1)).alias("n_docs")))
+    return (at_cuts(first_w, "word_vocab")
+            .join(at_cuts(first_s, "shingle_vocab"), "pct")
+            .join(toks, "pct")
+            .select("pct", "n_docs", "n_tokens", "word_vocab",
+                    "shingle_vocab")
+            .orderBy("pct"))
+
+
+Q_VOCAB_GROWTH_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, unnest({{_sh}}) AS s
+  FROM (SELECT doc_id, {{_w}} AS words FROM documents)
+), first_w AS (
+  SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word
+), first_s AS (
+  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+), cuts AS (
+  SELECT pct, pct * (SELECT max(doc_id) FROM documents) // 100 AS thr
+  FROM (SELECT unnest([{", ".join(str(p) for p in VOCAB_GROWTH_PCTS)}]) AS pct)
+), wv AS (
+  SELECT pct, count(*) AS word_vocab FROM first_w JOIN cuts ON first_doc <= thr
+  GROUP BY pct
+), sv AS (
+  SELECT pct, count(*) AS shingle_vocab FROM first_s JOIN cuts ON first_doc <= thr
+  GROUP BY pct
+), toks AS (
+  SELECT pct, CAST(sum(n_tok) AS BIGINT) AS n_tokens, count(*) AS n_docs
+  FROM per_doc JOIN cuts ON doc_id <= thr GROUP BY pct
+)
+SELECT pct, n_docs, n_tokens, word_vocab, shingle_vocab
+FROM wv JOIN sv USING (pct) JOIN toks USING (pct)
+ORDER BY pct
+"""
+
+
+def _vocab_growth_sql() -> str:
+    """Substitute dedup's shared shingle/word SQL fragments so the shingle
+    definition can never drift from the dedup family's."""
+    from .dedup import _SHINGLES_SQL, _WORDS_SQL
+    return Q_VOCAB_GROWTH_SQL.format(_sh=_SHINGLES_SQL, _w=_WORDS_SQL)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "vocab_growth_heaps": q_vocab_growth,
     "text_lang_id": q_lang_id,
     "text_chunk_windows": q_text_chunk_windows,
     "dedup_chunk_level": q_dedup_chunk_level,
@@ -1437,6 +1539,7 @@ QUERIES = {
 
 ORACLE = {
     "text_chunk_windows": Q_TEXT_CHUNK_SQL,
+    "vocab_growth_heaps": _vocab_growth_sql(),
     "dedup_chunk_level": Q_DEDUP_CHUNK_SQL,
     "text_stats": Q_TEXT_STATS_SQL,
     "text_lang_id": Q_LANG_ID_SQL,

@@ -150,6 +150,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 3: entity_resolution_scored (r09 NEW: integer Fellegi-Sunter
 # linkage bands) in for text_unigram_logprob (1x green r08; textops
 # keeps five window rows).
+# Swap 4: vocab_growth_heaps (r09 NEW: first-occurrence Heaps profile,
+# word + shingle vocabularies) in for multimodal_audio_stats (1x green
+# r08; multimodal keeps five window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -208,7 +211,7 @@ _DRIVER_WINDOW = [
     "graph_temporal_multisource",
     "xml_rel_signatures",
     "multimodal_phash_neardup",
-    "multimodal_audio_stats",
+    "vocab_growth_heaps",  # r09 NEW op, first check
     "multimodal_decode",
     "stream_dedup",
 ]

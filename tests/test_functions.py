@@ -211,3 +211,24 @@ def test_bpe_token_count_bounds_and_consistency(spark):
              if BPE_MIN_LEN <= len(w) <= BPE_MAX_LEN]
     assert rows[0].n_words == len(words)
     assert rows[0].n_chars == sum(len(w) for w in words)
+
+
+def test_vocab_growth_heaps_shape(spark):
+    """The growth profile's semantic contract: all columns monotone in the
+    cut, the shingle vocabulary is the LIVE dimension (strictly growing at
+    every cut — the word vocabulary saturating after the first cut is an
+    exposed corpus property, not a test target), and growth is sub-linear
+    (Heaps): doubling the corpus from 50% to 100% must add fewer new
+    shingles than the first 50% found."""
+    from .conftest import SF_ORACLE
+    from graph_database_project_spark.operators.textops import q_vocab_growth
+
+    rows = q_vocab_growth(spark, SF_ORACLE).collect()
+    assert [r.pct for r in rows] == [1, 2, 5, 10, 20, 50, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs > a.n_docs and b.n_tokens > a.n_tokens
+        assert b.shingle_vocab > a.shingle_vocab   # live at every cut
+        assert b.word_vocab >= a.word_vocab
+    half = next(r for r in rows if r.pct == 50)
+    full = next(r for r in rows if r.pct == 100)
+    assert full.shingle_vocab - half.shingle_vocab < half.shingle_vocab
