@@ -509,6 +509,199 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_score(labels, edges)
 
 
+LOUVAIN_SWEEPS = 3
+
+
+def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level Louvain-style greedy modularity sweeps: from singleton
+    communities, each sweep moves nodes to the neighboring community with
+    the best modularity gain — the objective-driven community detector
+    that complements LPA's majority vote (LPA has no objective; Louvain
+    climbs Q directly, and q_graph_modularity's scorer audits the result
+    in the same output row).
+
+    EXACT-INTEGER gain argmax: with U = Σdeg = 2m, comparing ΔQ across
+    candidate communities c for node i reduces to comparing
+
+        score(i, c) = U·k_{i,c} − deg_i·(Σtot_c − [c = c_i]·deg_i)
+
+    — every operand a BIGINT (the 1/U² normalization is monotone-
+    irrelevant), so the per-node argmax (score DESC, community ASC) is
+    bit-identical in both engines with no float anywhere. Overflow bound:
+    |score| ≤ 2·U·deg_max — safe past 10^14 directed pairs at deg ≤ 10^4.
+
+    Synchronous-move trap (same family as LPA's oscillation): two
+    adjacent nodes moving simultaneously can each target the other's OLD
+    community and lower Q. Standard fix applied: each sweep activates
+    ALTERNATING HALVES ((node + sweep) % 2), so no two adjacent movers
+    in the planted graph's odd/even-mixed cliques race each other blind.
+    Fixed LOUVAIN_SWEEPS sweeps, no convergence probe (CLAUDE.md
+    fixed-round discipline); the quality claim — final Q beats both the
+    singleton start and a positive floor — is a test assertion.
+
+    Scale: und/deg checkpoint once (loop invariants); each sweep is two
+    keyed shuffles (k_{i,c} neighbor rollup, Σtot per community) + one
+    per-node window over candidate rows (groups bounded by degree, never
+    corpus-wide); labels checkpoint per sweep (loop state). Σtot joins by
+    key with NO broadcast hint — community count starts at |V| and is
+    sf-growing (the r05 hint-audit rule).
+
+    Output: the modularity_score audit row + an exact labels checksum
+    (Σ node·community) so the oracle must reproduce the identical
+    partition, not merely an equally-good one.
+    """
+    from pyspark.sql.window import Window as W
+
+    vertices, edges = _lpa_graph(spark, sf_dir)
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    deg = (und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .select(F.col("src").alias("node"), "deg")
+           .localCheckpoint(eager=True))
+    upairs = deg.agg(F.sum("deg").cast("long").alias("u")) \
+        .localCheckpoint(eager=True)
+    labels = vertices.select("node", F.col("node").alias("community")) \
+        .localCheckpoint(eager=True)
+    for s in range(1, LOUVAIN_SWEEPS + 1):
+        ldst = labels.select(F.col("node").alias("dst"),
+                             F.col("community").alias("cn"))
+        k_ic = (und.join(ldst, "dst")
+                .groupBy(F.col("src").alias("node"),
+                         F.col("cn").alias("cand"))
+                .agg(F.count(F.lit(1)).alias("k")))
+        sigma = (labels.join(deg, "node")
+                 .groupBy(F.col("community").alias("cand"))
+                 .agg(F.sum("deg").cast("long").alias("tot")))
+        stay = labels.select("node", F.col("community").alias("cand"),
+                             F.lit(0).cast("long").alias("k"))
+        cand = (k_ic.unionByName(stay)
+                .groupBy("node", "cand").agg(F.max("k").alias("k")))
+        cur = labels.select("node", F.col("community").alias("c_cur"))
+        adj_tot = (F.col("tot")
+                   - F.when(F.col("cand") == F.col("c_cur"),
+                            F.col("deg")).otherwise(F.lit(0)))
+        pick = (cand.join(sigma, "cand")
+                .join(deg, "node").join(cur, "node")
+                .crossJoin(F.broadcast(upairs))
+                .withColumn("score",
+                            F.col("u") * F.col("k") - F.col("deg") * adj_tot)
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("node")
+                    .orderBy(F.desc("score"), F.asc("cand"))))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("cand").alias("new_c")))
+        active = ((F.col("node") + F.lit(s)) % 2 == 0)
+        labels = (labels.join(pick, "node", "left")
+                  .select("node",
+                          F.when(active & F.col("new_c").isNotNull(),
+                                 F.col("new_c"))
+                          .otherwise(F.col("community")).alias("community"))
+                  .localCheckpoint(eager=True))
+    checksum = labels.agg(
+        F.sum(F.col("node") * F.col("community")).cast("long")
+        .alias("labels_checksum"))
+    return modularity_score(labels, edges).crossJoin(F.broadcast(checksum))
+
+
+def _louvain_oracle_sql(n_sweeps: int = LOUVAIN_SWEEPS) -> str:
+    """DuckDB twin of ``q_graph_louvain``: sweeps unrolled as chained
+    MATERIALIZED CTEs mirroring the Spark loop term by term (candidate
+    rollup, Σtot, stay-row union, integer score, (score DESC, cand ASC)
+    winner, alternating-half move)."""
+    parts = ["""
+WITH e0 AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON b.c_custkey > a.c_custkey
+   AND b.c_custkey - b.c_custkey % 10 = a.c_custkey - a.c_custkey % 10
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 10
+  WHERE a.c_custkey % 70 = 0
+), und AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), deg AS MATERIALIZED (
+  SELECT CAST(u AS BIGINT) AS node, count(*) AS deg FROM und GROUP BY 1
+), up AS MATERIALIZED (
+  SELECT CAST(sum(deg) AS BIGINT) AS u FROM deg
+), l0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         CAST(c_custkey AS BIGINT) AS community
+  FROM customer
+)"""]
+    for s in range(1, n_sweeps + 1):
+        p = s - 1
+        parts.append(f""",
+k{s} AS (
+  SELECT CAST(und.u AS BIGINT) AS node, l.community AS cand,
+         CAST(count(*) AS BIGINT) AS k
+  FROM und JOIN l{p} l ON l.node = und.v GROUP BY 1, 2
+), sg{s} AS MATERIALIZED (
+  SELECT l.community AS cand, CAST(sum(d.deg) AS BIGINT) AS tot
+  FROM l{p} l JOIN deg d USING (node) GROUP BY 1
+), cd{s} AS (
+  SELECT node, cand, max(k) AS k FROM (
+    SELECT node, cand, k FROM k{s}
+    UNION ALL SELECT node, community, CAST(0 AS BIGINT) FROM l{p}
+  ) GROUP BY 1, 2
+), w{s} AS (
+  SELECT c.node, c.cand,
+         row_number() OVER (PARTITION BY c.node ORDER BY
+           (SELECT u FROM up) * c.k
+             - d.deg * (s.tot - CASE WHEN c.cand = l.community
+                                     THEN d.deg ELSE 0 END) DESC,
+           c.cand ASC) AS rn
+  FROM cd{s} c
+  JOIN sg{s} s ON s.cand = c.cand
+  JOIN deg d ON d.node = c.node
+  JOIN l{p} l ON l.node = c.node
+), l{s} AS MATERIALIZED (
+  SELECT l.node,
+         CASE WHEN (l.node + {s}) % 2 = 0 AND w.cand IS NOT NULL
+              THEN w.cand ELSE l.community END AS community
+  FROM l{p} l LEFT JOIN (SELECT node, cand FROM w{s} WHERE rn = 1) w
+    USING (node)
+)""")
+    parts.append(f""",
+labels AS MATERIALIZED (SELECT node, community FROM l{n_sweeps}),
+pair_stats AS (
+  SELECT count(*) AS u_pairs,
+         CAST(sum(CASE WHEN ls.community = ld.community THEN 1 ELSE 0 END)
+              AS BIGINT) AS intra_pairs
+  FROM und
+  JOIN labels ls ON ls.node = und.u
+  JOIN labels ld ON ld.node = und.v
+), deg_stats AS (
+  SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_deg_sq FROM (
+    SELECT CAST(sum(d.deg) AS BIGINT) AS d_c
+    FROM deg d JOIN labels l USING (node) GROUP BY l.community)
+), lab_stats AS (
+  SELECT count(*) AS n_nodes, count(DISTINCT community) AS n_communities
+  FROM labels
+), largest AS (
+  SELECT max(sz) AS largest_community FROM (
+    SELECT count(*) AS sz FROM labels GROUP BY community)
+), cksum AS (
+  SELECT CAST(sum(node * community) AS BIGINT) AS labels_checksum
+  FROM labels
+)
+SELECT n_nodes, n_communities, CAST(largest_community AS BIGINT)
+         AS largest_community,
+       CAST(u_pairs / 2 AS BIGINT) AS m_edges,
+       intra_pairs, sum_deg_sq,
+       CAST(u_pairs * intra_pairs - sum_deg_sq AS DOUBLE)
+         / CAST(u_pairs * u_pairs AS DOUBLE) AS modularity,
+       labels_checksum
+FROM pair_stats CROSS JOIN deg_stats CROSS JOIN lab_stats
+CROSS JOIN largest CROSS JOIN cksum""")
+    return "".join(parts)
+
+
+Q_LOUVAIN_SQL = _louvain_oracle_sql()
+
+
 def modularity_score(labels: DataFrame, edges: DataFrame) -> DataFrame:
     """Score ANY (node, community) labeling against (src, dst) edges
     (treated undirected, deduped) — see q_graph_modularity for the exact
@@ -2206,6 +2399,7 @@ QUERIES = {
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
     "graph_ktruss": q_graph_ktruss,
+    "graph_louvain_sweeps": q_graph_louvain,
     "graph_modularity": q_graph_modularity,
     "graph_triangle_count": q_triangle_count,
     "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -2233,6 +2427,7 @@ ORACLE = {
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_ktruss": Q_KTRUSS_SQL,  # fixed truss peel rounds unrolled
+    "graph_louvain_sweeps": Q_LOUVAIN_SQL,  # sweeps unrolled, integer gain argmax
     "graph_modularity": Q_MODULARITY_SQL,  # LPA unroll + exact-integer Newman Q
     "graph_triangle_count": Q_TRIANGLE_SQL,
     "graph_clustering_coeff": Q_LCC_SQL,

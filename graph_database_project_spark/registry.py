@@ -153,6 +153,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 4: vocab_growth_heaps (r09 NEW: first-occurrence Heaps profile,
 # word + shingle vocabularies) in for multimodal_audio_stats (1x green
 # r08; multimodal keeps five window rows).
+# Swap 5: graph_louvain_sweeps (r09 NEW: exact-integer greedy modularity
+# moves) in for graph_link_prediction (1x green r08; graphq keeps eight
+# window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -206,7 +209,7 @@ _DRIVER_WINDOW = [
     "sql_recursive_khop",
     "graph_densest_subgraph",
     "graph_triangle_count",
-    "graph_link_prediction",
+    "graph_louvain_sweeps",  # r09 NEW op, first check
     "stream_topk_continuous",  # r09 NEW op, first check
     "graph_temporal_multisource",
     "xml_rel_signatures",

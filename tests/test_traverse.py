@@ -517,3 +517,22 @@ def test_ktruss_planted_structure_and_fixpoint(spark):
     # two REAL peel rounds: chain+ends die r1, strip cascade dies r2
     assert rows[0][0] > rows[1][0] > rows[2][0] == clique_edges
     assert rows[1][0] > clique_edges  # strip interior alive after round 1
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    """Objective-quality contract the oracle can't see: from singletons
+    (Q < 0 by construction) the greedy sweeps must fully recover the
+    planted 10-clique partition — exactly |V|/10 communities of size 10
+    and modularity within the clique-partition ballpark (> 0.9) — i.e.
+    the alternating-half synchronous moves actually climb Q instead of
+    oscillating."""
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_louvain)
+
+    row = q_graph_louvain(spark, SF_ORACLE).collect()[0]
+    assert row.n_communities == row.n_nodes // 10
+    assert row.largest_community == 10
+    assert row.modularity > 0.9
+    # singleton baseline is strictly negative: intra_pairs = 0 ⇒
+    # Q = -Σdeg²/U² — any positive Q proves real moves happened
+    assert row.intra_pairs > 0
