@@ -1457,8 +1457,11 @@ def stress_centrality(und: DataFrame, sources: DataFrame,
                .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
                .localCheckpoint(eager=True))
         levels.append(nxt)
-        visited = visited.union(nxt.select("s", "node")) \
-            .localCheckpoint(eager=True)
+        # visited is a union of ALREADY-checkpointed frontiers — keep it
+        # lazy: a checkpoint here would only re-materialize rows the
+        # per-level checkpoints already hold, one extra job per round
+        # (r09 audit of the heaviest extended row)
+        visited = visited.union(nxt.select("s", "node"))
         lvl = nxt
     # backward: T_depth ≡ 0 (truncated DAG frontier has no successors)
     tcur = levels[depth].select("s", "node", F.lit(0).cast("long").alias("t"))
