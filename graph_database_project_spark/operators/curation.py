@@ -454,8 +454,77 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+# --- training-mix token-budget allocation (r09) ------------------------------
+MIXBUDGET_TOKENS = 1_000_000      # global token budget to allocate
+MIXBUDGET_W_EVEN, MIXBUDGET_W_ODD = 3, 1   # per-domain mix weights (config)
+
+
+def q_mix_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget bookkeeping: given configured per-domain mix
+    weights (even-numbered sources upweighted 3:1), allocate a global
+    token budget proportionally and report each domain's oversampling
+    factor — the DoReMi-style accounting a pretraining run does BEFORE
+    touching data (epochs_ppm > 1e6 means the domain must repeat;
+    < 1e6 means it is subsampled; ``sample_weighted_mix`` is the row
+    gate that then implements the subsample).
+
+    Pure integer arithmetic: target_tokens = budget·w div Σw and
+    epochs_ppm = target·10^6 div available are BIGINT floor divisions,
+    identical both engines. Overflow: target·10^6 needs the shared
+    power-of-two downshift (profiling.py discipline) once budgets pass
+    ~9·10^12 tokens — documented, not yet needed at any real config.
+
+    Scale: one tokenize scan collapsed map-side to |sources| rows; the
+    weight sum is a 1-row broadcast. Dominated by the scan, like every
+    profile in SCALE.md §8.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.select(
+        "source", F.size(_words(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n").cast("long").alias("available_tokens")))
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    w = F.when(src_num % 2 == 0, F.lit(MIXBUDGET_W_EVEN)) \
+        .otherwise(F.lit(MIXBUDGET_W_ODD)).cast("long")
+    weighted = per_src.withColumn("w", w)
+    wsum = weighted.agg(F.sum("w").alias("w_sum"))
+    return (weighted.crossJoin(F.broadcast(wsum))
+            .withColumn("target_tokens",
+                        F.expr(f"({MIXBUDGET_TOKENS}L * w) div w_sum"))
+            .withColumn("epochs_ppm",
+                        F.expr("target_tokens * 1000000L div available_tokens"))
+            .select("source", "n_docs", "available_tokens", "w",
+                    "target_tokens", "epochs_ppm")
+            .orderBy("source"))
+
+
+Q_MIX_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))) AS BIGINT)
+           AS available_tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT *, CAST(CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
+                                    AS INTEGER) % 2 = 0
+                      THEN {MIXBUDGET_W_EVEN}
+                      ELSE {MIXBUDGET_W_ODD} END AS BIGINT) AS w
+  FROM per_src
+), ws AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM weighted)
+SELECT source, n_docs, available_tokens, w,
+       CAST({MIXBUDGET_TOKENS} * w // w_sum AS BIGINT) AS target_tokens,
+       CAST(({MIXBUDGET_TOKENS} * w // w_sum) * 1000000
+            // available_tokens AS BIGINT) AS epochs_ppm
+FROM weighted CROSS JOIN ws
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "mix_budget_allocate": q_mix_budget_allocate,
     "shard_assign": q_shard_assign,
     "sample_weighted_mix": q_sample_weighted_mix,
     "text_unigram_logprob": q_text_unigram_logprob,
@@ -466,6 +535,7 @@ QUERIES = {
 
 ORACLE = {
     "pack_sequences": Q_PACK_SEQUENCES_SQL,
+    "mix_budget_allocate": Q_MIX_BUDGET_SQL,
     "shard_assign": Q_SHARD_ASSIGN_SQL,
     "sample_weighted_mix": Q_SAMPLE_WEIGHTED_MIX_SQL,
     "text_unigram_logprob": Q_TEXT_UNIGRAM_LOGPROB_SQL,

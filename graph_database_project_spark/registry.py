@@ -156,6 +156,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 5: graph_louvain_sweeps (r09 NEW: exact-integer greedy modularity
 # moves) in for graph_link_prediction (1x green r08; graphq keeps eight
 # window rows).
+# Swap 6: mix_budget_allocate (r09 NEW: DoReMi-style token-budget
+# accounting) in for sql_recursive_khop (1x green r08; the khop row is
+# repped by graph_khop_hierarchy + graph_khop_undirected, both queued).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -206,7 +209,7 @@ _DRIVER_WINDOW = [
     "udtf_bigram_explode",
     "sample_split",
     "embedding_outlier",
-    "sql_recursive_khop",
+    "mix_budget_allocate",  # r09 NEW op, first check
     "graph_densest_subgraph",
     "graph_triangle_count",
     "graph_louvain_sweeps",  # r09 NEW op, first check
