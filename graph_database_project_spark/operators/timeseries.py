@@ -728,8 +728,101 @@ FROM ser, cd ORDER BY day
 """
 
 
+# --- exact-integer autocorrelation of the daily-count series (r09) -----------
+ACF_MAX_LAG = 7
+
+
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 — the
+    seasonality detector (a weekly cycle shows as a lag-7 peak) that
+    complements CUSUM (level shifts) and the z-score (outliers).
+
+    EXACT-INTEGER form: with x_t the daily counts, n days and S = Σx,
+    scale the mean out by n — X_t = n·x_t − S is a BIGINT, and
+
+        num_k = Σ_{t≤n−k} X_t·X_{t+k},   den = Σ_t X_t²
+
+    are exact in both engines (num_k/den is textbook ACF with the
+    full-series mean). |num_k| ≤ den (Cauchy–Schwarz), so the ppm output
+    downshifts num and den by the shared power-of-two divisor
+    (profiling._ppm_downshift_sql) before the ×10^6, and NEGATIVE
+    numerators go through sign·(|num|·10^6 div den): Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so a signed
+    floor-div would disagree on negative lags — abs first, then re-sign
+    (both engines agree on non-negative operands).
+
+    Scale: one events scan → |days| rows; the lag join and both rollups
+    run on the day-grain series (≤ calendar-sized). Companion num/den
+    BIGINTs ride along, so acf_ppm is redundant under the driver hash.
+    """
+    from .profiling import _ppm_downshift_sql
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day")))
+    daily = (ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+             .withColumn("t", F.row_number().over(W.orderBy("day")))
+             .localCheckpoint(eager=True))  # |days| rows, referenced 4x
+    stats = daily.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("x").cast("long").alias("s"))
+    xs = (daily.crossJoin(F.broadcast(stats))
+          .select("t", (F.col("n") * F.col("x") - F.col("s"))
+                  .cast("long").alias("xc")))
+    den = xs.agg(F.sum(F.col("xc") * F.col("xc")).cast("long").alias("den"))
+    lags = spark.createDataFrame([(k,) for k in range(1, ACF_MAX_LAG + 1)],
+                                 "lag int")
+    b = xs.select((F.col("t")).alias("tb"), F.col("xc").alias("xb"))
+    num = (lags.join(xs, how="cross")
+           .join(b, F.col("tb") == F.col("t") + F.col("lag"))
+           .groupBy("lag")
+           .agg(F.count(F.lit(1)).alias("n_overlap"),
+                F.sum(F.col("xc") * F.col("xb")).cast("long").alias("num")))
+    d = _ppm_downshift_sql("den")
+    return (num.crossJoin(F.broadcast(den))
+            .withColumn("acf_ppm", F.expr(
+                f"CAST(sign(num) AS BIGINT) * "
+                f"((abs(num) div {d}) * 1000000L div (den div {d}))"))
+            .select(F.col("lag").cast("long").alias("lag"),
+                    "n_overlap", "num", "den", "acf_ppm")
+            .orderBy("lag"))
+
+
+def _ts_acf_sql() -> str:
+    from .profiling import _ppm_downshift_sql
+    d = _ppm_downshift_sql("den")
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS t,
+         CAST((SELECT count(*) FROM daily) * x
+              - (SELECT sum(x) FROM daily) AS BIGINT) AS xc
+  FROM daily
+), dn AS (SELECT CAST(sum(xc * xc) AS BIGINT) AS den FROM ser),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+nums AS (
+  SELECT l.lag, count(*) AS n_overlap,
+         CAST(sum(a.xc * b.xc) AS BIGINT) AS num
+  FROM lags l
+  JOIN ser a ON TRUE
+  JOIN ser b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_overlap, num, den,
+       CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+            * ((abs(num) // {d}) * 1000000 // (den // {d})) AS BIGINT)
+         AS acf_ppm
+FROM nums CROSS JOIN dn
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
+    "ts_autocorrelation": q_ts_autocorrelation,
     "ts_markov_transitions": q_ts_markov_transitions,
     "ts_lttb_downsample": q_ts_lttb_downsample,
     "ts_gapfill_locf": q_ts_gapfill_locf,
@@ -740,6 +833,7 @@ QUERIES = {
 }
 ORACLE = {
     "ts_cusum_changepoint": Q_TS_CUSUM_SQL,
+    "ts_autocorrelation": _ts_acf_sql(),
     "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
     "ts_markov_transitions": Q_TS_MARKOV_SQL,
     "ts_lttb_downsample": Q_TS_LTTB_SQL,

@@ -159,6 +159,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 6: mix_budget_allocate (r09 NEW: DoReMi-style token-budget
 # accounting) in for sql_recursive_khop (1x green r08; the khop row is
 # repped by graph_khop_hierarchy + graph_khop_undirected, both queued).
+# Swap 7: ts_autocorrelation (r09 NEW: exact-integer ACF, signed-ppm
+# discipline) in for text_pii_redact (1x green r08; textops keeps
+# seven window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -201,7 +204,7 @@ _DRIVER_WINDOW = [
     "ts_lttb_downsample",
     "graph_ktruss",  # r09 NEW op, first check
     "ts_cusum_changepoint",
-    "text_pii_redact",
+    "ts_autocorrelation",  # r09 NEW op, first check
     "entity_resolution_scored",  # r09 NEW op, first check
     "text_hybrid_rrf",
     "bpe_learn_merges",
