@@ -51,7 +51,15 @@ def main() -> None:
              # densest subgraph, multi-source temporal
              "text_hybrid_rrf", "graph_temporal_multisource",
              "assoc_basket_rules", "skyline_pareto", "ts_cusum_changepoint",
-             "bpe_learn_merges", "bpe_token_count", "graph_densest_subgraph"]
+             "bpe_learn_merges", "bpe_token_count", "graph_densest_subgraph",
+             # r09 additions: centrality pair, truss/Louvain communities,
+             # ER linkage, Heaps profile, mix budgeting, integer ACF
+             # (stream_topk_continuous drains on build — audited in
+             # tests/test_streaming_sketch.py like the other stream shapes)
+             "graph_pagerank_personalized", "graph_betweenness_sampled",
+             "graph_ktruss", "graph_louvain_sweeps",
+             "entity_resolution_scored", "vocab_growth_heaps",
+             "mix_budget_allocate", "ts_autocorrelation"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
