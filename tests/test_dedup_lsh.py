@@ -122,3 +122,16 @@ def test_entity_resolution_class_contract(spark):
             assert r.score >= ER_T_MATCH and r.lev <= 1, r
     # every band actually occurs (live variation)
     assert {r.band for r in rows} == {"match", "possible", "non_match"}
+
+
+def test_entity_resolution_plan_is_blocked_equi_join(spark):
+    """The ER blocking contract at the plan level: candidate generation
+    must be an equi-join on the block key — a cartesian or broadcast
+    nested-loop roster x roster join would be the quadratic shape
+    blocking exists to prevent (same assert family as the LSH
+    no-quadratic-join tests)."""
+    from graph_database_project_spark.operators import dedup
+
+    p = _plan(dedup.q_entity_resolution(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
