@@ -457,6 +457,102 @@ def _ivf_chain_parts() -> list[str]:
     return parts
 
 
+IVF_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@k vs candidate cost across nprobe ∈
+    {1, 2, 4, 8} — the audit an ANN deployment runs BEFORE fixing nprobe
+    (the recall/QPS trade is THE serving knob; sim_ivf_topk pins one
+    point of this curve, this op measures the whole trade).
+
+    For each nprobe: probe the nprobe nearest cells, count the scanned
+    candidates (the cost proxy — work ∝ candidates at any corpus size),
+    take the in-cell top-k, and count overlap with the EXACT brute-force
+    top-k. Output is all-integer (hits, candidates, recall_ppm by floor
+    div) — the cosine scores themselves stay internal, so no float
+    reaches the driver hash.
+
+    Scale: the exact arm is the one full scan (the audit's ground truth
+    — run once, amortized over the 4 curve points); each curve point
+    scans only its probed cells. Index and corpus come from the
+    session-cached build/serve split (_ivf_index).
+    """
+    cents, cells, e = _ivf_index(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    exact = (e.filter(F.col("vec_id") != 0)
+             .crossJoin(F.broadcast(qv))
+             .withColumn("cosine", F.round(cos, 6))
+             .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+             .select("vec_id").localCheckpoint(eager=True))
+    ranked_cells = (cents.crossJoin(F.broadcast(qv))
+                    .withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+                    .select("cell", "d").localCheckpoint(eager=True))
+    out = None
+    for p in IVF_SWEEP_NPROBES:
+        probe = ranked_cells.orderBy("d", "cell").limit(p).select("cell")
+        cand = (cells.join(F.broadcast(probe), "cell")
+                .filter(F.col("vec_id") != 0))
+        approx = (cand.crossJoin(F.broadcast(qv))
+                  .withColumn("cosine", F.round(cos, 6))
+                  .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+                  .select("vec_id"))
+        row = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(approx.join(exact, "vec_id")
+                          .agg(F.count(F.lit(1)).alias("hits")))
+               .select(F.lit(p).cast("long").alias("nprobe"),
+                       "n_candidates", "hits",
+                       F.expr(f"hits * 1000000L div {TOP_K}")
+                       .alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+def _ivf_recall_sql() -> str:
+    """DuckDB twin: the shared Lloyd chain once, then one (probe, cand,
+    approx, stats) tail per nprobe, unioned."""
+    d1 = EMBED_DIM + 1
+    cosine = (f"round(list_sum(list_transform(range(1, {d1}),"
+              f" i -> a.v[i] * q.qv[i]))"
+              f" / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+              f" * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)")
+    parts = list(_ivf_chain_parts())   # ends with the nprobe=IVF_NPROBE
+    #                                    probe CTE, unused here
+    parts.append(f""", cellrank AS MATERIALIZED (
+  SELECT c.cell,
+         list_sum(list_transform(range(1, {d1}),
+           i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+  FROM c{IVF_ITERS} c CROSS JOIN q
+), exact AS MATERIALIZED (
+  SELECT a.vec_id FROM afin a CROSS JOIN q
+  WHERE a.vec_id <> 0
+  ORDER BY {cosine} DESC, a.vec_id LIMIT {TOP_K}
+)""")
+    selects = []
+    for p in IVF_SWEEP_NPROBES:
+        parts.append(f""", pr{p} AS (
+  SELECT cell FROM cellrank ORDER BY d, cell LIMIT {p}
+), cd{p} AS MATERIALIZED (
+  SELECT a.vec_id, a.v FROM afin a JOIN pr{p} USING (cell)
+  WHERE a.vec_id <> 0
+), ap{p} AS (
+  SELECT a.vec_id FROM cd{p} a CROSS JOIN q
+  ORDER BY {cosine} DESC, a.vec_id LIMIT {TOP_K}
+)""")
+        selects.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe,\n"
+            f"  (SELECT count(*) FROM cd{p}) AS n_candidates,\n"
+            f"  (SELECT count(*) FROM ap{p} JOIN exact USING (vec_id))"
+            f" AS hits,\n"
+            f"  CAST((SELECT count(*) FROM ap{p} JOIN exact USING (vec_id))"
+            f" * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm")
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY nprobe")
+    return "".join(parts)
+
+
 def _ivf_sql() -> str:
     """DuckDB oracle reproducing the whole IVF pipeline bit-for-bit:
     the shared chain (``_ivf_chain_parts``) plus in-cell brute-force
@@ -1067,6 +1163,7 @@ QUERIES = {
     "sim_knn_per_vector": q_sim_knn_per_vector,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "udf_embedding_norm": q_udf_embedding_norm,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -1079,6 +1176,7 @@ ORACLE = {
     "sim_knn_per_vector": Q_SIM_KNN_SQL,
     "sim_lsh_buckets": Q_SIM_LSH_SQL,
     "sim_ivf_topk": Q_SIM_IVF_SQL,
+    "sim_ivf_recall_curve": _ivf_recall_sql(),
     "sim_ivfpq_topk": Q_SIM_IVFPQ_SQL,
     "udf_embedding_norm": Q_UDF_NORM_SQL,
     "embedding_quantize_int8": Q_EMBEDDING_QUANTIZE_SQL,

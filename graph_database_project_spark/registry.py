@@ -162,6 +162,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 7: ts_autocorrelation (r09 NEW: exact-integer ACF, signed-ppm
 # discipline) in for text_pii_redact (1x green r08; textops keeps
 # seven window rows).
+# Swap 8: sim_ivf_recall_curve (r09 NEW: ANN recall/cost sweep) in for
+# ts_lttb_downsample (1x green r08; timeseries keeps acf + cusum +
+# anomaly_zscore window rows).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -201,7 +204,7 @@ _DRIVER_WINDOW = [
     # --- second-check block: r08 first-timers get their 2nd green ---
     "assoc_basket_rules",
     "skyline_pareto",
-    "ts_lttb_downsample",
+    "sim_ivf_recall_curve",  # r09 NEW op, first check
     "graph_ktruss",  # r09 NEW op, first check
     "ts_cusum_changepoint",
     "ts_autocorrelation",  # r09 NEW op, first check

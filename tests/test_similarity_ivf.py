@@ -59,3 +59,23 @@ def test_ivfpq_recall_and_rank_signal(spark):
     true_d = {r.vec_id: r.d for r in cand_exact.collect()}
     median = sorted(true_d.values())[len(true_d) // 2]
     assert all(true_d[v] <= median for v in pq_ids), (pq_ids, median)
+
+
+def test_ivf_recall_curve_is_monotone_and_saturates(spark):
+    """The tuning-curve semantics: recall and candidate cost are both
+    non-decreasing in nprobe (more cells can only add candidates, and the
+    approx top-k over a superset can only improve overlap with the exact
+    set), and probing every cell must reach perfect recall (at nprobe =
+    IVF_K the candidate set IS the corpus). Live variation guard: the
+    curve must actually move (recall at nprobe=1 strictly below the
+    max)."""
+    from graph_database_project_spark.operators.similarity import (
+        q_sim_ivf_recall_curve)
+    from .conftest import SF_ORACLE
+
+    rows = q_sim_ivf_recall_curve(spark, SF_ORACLE).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.hits >= a.hits
+    assert rows[0].recall_ppm < rows[-1].recall_ppm  # the knob matters
