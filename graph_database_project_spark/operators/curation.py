@@ -479,11 +479,14 @@ def q_mix_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile in SCALE.md §8.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # |sources| rows referenced twice (weight-sum + output) — checkpoint
+    # so the tokenize scan runs exactly once (r09 scan audit)
     per_src = (docs.select(
         "source", F.size(_words(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum("n").cast("long").alias("available_tokens")))
+             F.sum("n").cast("long").alias("available_tokens"))
+        .localCheckpoint(eager=True))
     src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
     w = F.when(src_num % 2 == 0, F.lit(MIXBUDGET_W_EVEN)) \
         .otherwise(F.lit(MIXBUDGET_W_ODD)).cast("long")

@@ -1445,7 +1445,11 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _shingle_rel
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    # tok feeds first-occurrence AND per-doc counts — materialize the
+    # tokenize once (the unigram/PMI/BM25 precedent; two lazy references
+    # re-ran the explode over two full scans, r09 scan audit)
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word")) \
+        .localCheckpoint(eager=True)
     first_w = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
     first_s = (_shingle_rel(spark, sf_dir)
                .select("doc_id", F.explode("shingles").alias("s"))
