@@ -187,14 +187,87 @@ ORDER BY cohort_week, week_offset
 """
 
 
+PATH_TOPK = 20
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the top-20 event-type TRIGRAMS across
+    per-user daily journeys — the n-step generalization of
+    ``ts_markov_transitions`` (1-step) and the exploratory sibling of the
+    fixed-order funnel (funnel_conversion asks "did they follow THE
+    path"; this asks "which paths do they actually follow").
+
+    Journey order within (user, day) is (ts, event_id) — the event_id
+    tie-break makes the sequence total in BOTH engines (equal-ts rows
+    would otherwise order nondeterministically and flip trigram counts).
+    Trigrams come from two rn/rn+1/rn+2 self-joins on the row-numbered
+    journey — pure equi-joins and BIGINT counts, no arrays in the hashed
+    output; top-20 is total-ordered (n desc, path asc).
+
+    Scale: one keyed window over (user, day) partitions (journey-sized,
+    never corpus-wide) + two self-joins on (user, day, rn) — the same
+    keyed-shuffle budget as sessionize; the trigram rollup collapses
+    map-side to ≤ |event_types|³ groups.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id",
+                  F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"),
+                  "ts", "event_id", "event_type"))
+    seq = (ev.withColumn("rn", F.row_number().over(
+        W.partitionBy("user_id", "day").orderBy("ts", "event_id")))
+        .select("user_id", "day", "rn", "event_type")
+        .localCheckpoint(eager=True))  # three references (a, b, c)
+    a = seq
+    b = seq.select(F.col("user_id").alias("ub"), F.col("day").alias("db"),
+                   F.col("rn").alias("rn_b"),
+                   F.col("event_type").alias("t2"))
+    c = seq.select(F.col("user_id").alias("uc"), F.col("day").alias("dc"),
+                   F.col("rn").alias("rn_c"),
+                   F.col("event_type").alias("t3"))
+    tri = (a.join(b, (F.col("rn_b") == F.col("rn") + 1)
+                  & (F.col("ub") == F.col("user_id"))
+                  & (F.col("db") == F.col("day")))
+           .join(c, (F.col("rn_c") == F.col("rn") + 2)
+                 & (F.col("uc") == F.col("user_id"))
+                 & (F.col("dc") == F.col("day")))
+           .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path")))
+    return (tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("path")).limit(PATH_TOPK))
+
+
+Q_PATH_TRIGRAMS_SQL = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn,
+         event_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path,
+       count(*) AS n
+FROM seq a
+JOIN seq b ON b.user_id = a.user_id AND b.day = a.day AND b.rn = a.rn + 1
+JOIN seq c ON c.user_id = a.user_id AND c.day = a.day AND c.rn = a.rn + 2
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
 QUERIES = {
     "pipeline_training_data": q_pipeline_training_data,
+    "path_trigrams": q_path_trigrams,
     "funnel_conversion": q_funnel_conversion,
     "funnel_retention_cohorts": q_funnel_retention_cohorts,
 }
 
 ORACLE = {
     "pipeline_training_data": Q_PIPELINE_SQL,
+    "path_trigrams": Q_PATH_TRIGRAMS_SQL,
     "funnel_conversion": Q_FUNNEL_SQL,
     "funnel_retention_cohorts": Q_RETENTION_SQL,
 }

@@ -165,6 +165,9 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 8: sim_ivf_recall_curve (r09 NEW: ANN recall/cost sweep) in for
 # ts_lttb_downsample (1x green r08; timeseries keeps acf + cusum +
 # anomaly_zscore window rows).
+# Swap 9: path_trigrams (r09 NEW: journey path mining) in for
+# bpe_token_count (1x green r08; the BPE family keeps bpe_learn_merges,
+# whose oracle embeds the same merge chain the apply step consumes).
 _DRIVER_WINDOW = [
     # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
     # core relational / tpch depth
@@ -211,7 +214,7 @@ _DRIVER_WINDOW = [
     "entity_resolution_scored",  # r09 NEW op, first check
     "text_hybrid_rrf",
     "bpe_learn_merges",
-    "bpe_token_count",
+    "path_trigrams",  # r09 NEW op, first check
     "udtf_bigram_explode",
     "sample_split",
     "embedding_outlier",
