@@ -221,8 +221,12 @@ def create_server(spark: SparkSession, sf_dir: str,
                     history = [m["content"] for m in messages
                                if m.get("role", "user") == "user"]
                     media = None
-                    b64 = (data.get("media_b64") or data.get("image_b64")
-                           or data.get("audio_b64"))
+                    # presence-based, not truthiness: an explicit empty
+                    # attachment must be REJECTED (422 via describe_media),
+                    # not silently answered as text-only (r09 review)
+                    b64 = next((data[k] for k in
+                                ("media_b64", "image_b64", "audio_b64")
+                                if k in data), None)
                     if b64 is not None:
                         import base64 as _b64
 

@@ -478,7 +478,7 @@ def q_mix_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight sum is a 1-row broadcast. Dominated by the scan, like every
     profile in SCALE.md §8.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     # |sources| rows referenced twice (weight-sum + output) — checkpoint
     # so the tokenize scan runs exactly once (r09 scan audit)
     per_src = (docs.select(

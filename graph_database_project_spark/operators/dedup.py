@@ -650,7 +650,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs are a pure equi-join on the block key; never
     roster x roster.
 
-    Scoring: lev(name) ≤ 1 → +40, |Δbalance| ≤ 100 → +25, segment equal
+    Scoring: lev(name) ≤ 1 → +40, |Δbalance| ≤ ER_BAL_TOL → +25, segment equal
     → +15; ≥ 65 match, ≥ 40 possible, else non_match. All hashed outputs
     are integers/strings — the balance comparison is a single IEEE
     subtract over identical doubles, and only its boolean survives.

@@ -599,10 +599,16 @@ def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("new_c"))
                           .otherwise(F.col("community")).alias("community"))
                   .localCheckpoint(eager=True))
+    # per-row mod before the sum: a raw Σ node·community wraps silently in
+    # Spark and errors in DuckDB past ~sf30 (r09 review finding); with the
+    # mod each addend is < 10^6, so the BIGINT sum is exact past 10^12
+    # rows, and the fingerprint stays engine-identical (operands
+    # non-negative, so %-semantics agree)
     checksum = labels.agg(
-        F.sum(F.col("node") * F.col("community")).cast("long")
-        .alias("labels_checksum"))
-    return modularity_score(labels, edges).crossJoin(F.broadcast(checksum))
+        F.sum((F.col("node") * F.col("community")) % F.lit(1000003))
+        .cast("long").alias("labels_checksum"))
+    return (modularity_score(labels, edges, und=und)
+            .crossJoin(F.broadcast(checksum)))
 
 
 def _louvain_oracle_sql(n_sweeps: int = LOUVAIN_SWEEPS) -> str:
@@ -684,7 +690,8 @@ pair_stats AS (
   SELECT max(sz) AS largest_community FROM (
     SELECT count(*) AS sz FROM labels GROUP BY community)
 ), cksum AS (
-  SELECT CAST(sum(node * community) AS BIGINT) AS labels_checksum
+  SELECT CAST(sum((node * community) % 1000003) AS BIGINT)
+    AS labels_checksum
   FROM labels
 )
 SELECT n_nodes, n_communities, CAST(largest_community AS BIGINT)
@@ -702,15 +709,21 @@ CROSS JOIN largest CROSS JOIN cksum""")
 Q_LOUVAIN_SQL = _louvain_oracle_sql()
 
 
-def modularity_score(labels: DataFrame, edges: DataFrame) -> DataFrame:
+def modularity_score(labels: DataFrame, edges: DataFrame,
+                     und: DataFrame | None = None) -> DataFrame:
     """Score ANY (node, community) labeling against (src, dst) edges
     (treated undirected, deduped) — see q_graph_modularity for the exact
     integer-arithmetic derivation. Unit-tested on a closed-form hand
-    graph in tests/test_traverse.py."""
-    und = (edges.select("src", "dst")
-           .union(edges.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-           .distinct().localCheckpoint(eager=True))
+    graph in tests/test_traverse.py.
+
+    ``und``: a caller that already holds the checkpointed
+    union+distinct relation (the Louvain loop does) passes it to skip
+    re-deriving it — one corpus-sized shuffle saved (r09 review)."""
+    if und is None:
+        und = (edges.select("src", "dst")
+               .union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+               .distinct().localCheckpoint(eager=True))
     lsrc = labels.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
     ldst = labels.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
     pair_stats = (und.join(lsrc, "src").join(ldst, "dst")
@@ -951,7 +964,10 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = []
     cur = edges
     for r in range(TRUSS_ROUNDS + 1):
-        sup = _edge_support(cur)
+        # sup feeds BOTH the audit row and the peel — materialize so each
+        # round's triangle enumeration (the dominant cost) runs once, not
+        # once per consumer (r09 review; the multi-consumer rule)
+        sup = _edge_support(cur).localCheckpoint(eager=True)
         # Σsup is exactly 3 triangles; integer div both engines (no float)
         n_tri = (sup.agg(F.coalesce(F.sum("sup"), F.lit(0)).alias("s"))
                  .select(F.expr("s div 3").cast("long").alias("n_tri")))

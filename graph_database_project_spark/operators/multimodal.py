@@ -914,12 +914,26 @@ def describe_media(raw: bytes) -> dict:
         return {"format": "ppm", "kind": "image", "width": w, "height": h,
                 "maxval": maxval, "pixel_mean": mean}
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-        nch, rate, nfr, dur, rms = decode_wav(raw)
+        # the stdlib codec raises wave.Error/EOFError on truncated bodies
+        # — normalize to ValueError so the API's malformed-payload → 422
+        # contract holds for recognized-but-corrupt attachments too
+        # (r09 review finding: these leaked through as 500s)
+        try:
+            nch, rate, nfr, dur, rms = decode_wav(raw)
+        except ValueError:
+            raise
+        except Exception as exc:
+            raise ValueError(f"malformed WAV payload: {exc}") from exc
         return {"format": "wav", "kind": "audio", "n_channels": nch,
                 "sample_rate": rate, "n_frames": nfr,
                 "duration_s": dur, "rms": rms}
     if raw[:9] == b"YUV4MPEG2":
-        w, h, fps, n_frames, means = decode_y4m(raw)
+        try:
+            w, h, fps, n_frames, means = decode_y4m(raw)
+        except ValueError:
+            raise
+        except Exception as exc:
+            raise ValueError(f"malformed Y4M payload: {exc}") from exc
         return {"format": "y4m", "kind": "video", "width": w, "height": h,
                 "fps": fps, "n_frames": n_frames,
                 "frame_means": means}

@@ -211,8 +211,13 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
+    # event_type must be null-filtered (the ts_markov/graphq discipline):
+    # Spark's concat_ws SKIPS a NULL while DuckDB's || yields NULL — a
+    # single NULL-typed row would silently produce different group keys
+    # on the two engines (r09 review finding)
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull())
           .select("user_id",
                   F.date_format(F.date_trunc("day", F.col("ts")),
                                 "yyyy-MM-dd").alias("day"),
@@ -245,7 +250,8 @@ WITH seq AS MATERIALIZED (
          row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
                             ORDER BY ts, event_id) AS rn,
          event_type
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path,
        count(*) AS n

@@ -339,3 +339,27 @@ def test_chat_bad_media_payloads(server):
         "media_b64": base64.b64encode(b"GIF89a not supported").decode(),
     })
     assert code == 422 and "unrecognized media" in body["error"]
+
+
+def test_chat_truncated_wav_is_422(server):
+    """Recognized-but-corrupt payloads must be a client error, not a
+    server crash: a WAV with an intact RIFF/WAVE header and a cut body
+    raises inside the stdlib codec (wave.Error/EOFError), which
+    describe_media normalizes to ValueError -> 422 (r09 review)."""
+    import base64
+
+    from graph_database_project_spark.operators.multimodal import _wav_bytes
+
+    raw = _wav_bytes(15, "hello world")[:30]  # header survives, body cut
+    code, body = _post(f"{server}/chat", {
+        "messages": [],
+        "audio_b64": base64.b64encode(raw).decode(),
+    })
+    assert code == 422 and "malformed WAV" in body["error"]
+    # explicit empty attachment: rejected (422 via unrecognized), never
+    # silently answered as text-only
+    code, body = _post(f"{server}/chat", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "media_b64": "",
+    })
+    assert code == 422 and "unrecognized media" in body["error"]
