@@ -168,68 +168,85 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # Swap 9: path_trigrams (r09 NEW: journey path mining) in for
 # bpe_token_count (1x green r08; the BPE family keeps bpe_learn_merges,
 # whose oracle embeds the same merge chain the apply step consumes).
+# r10 rotation (verdict #6: debt is zero, so the window's job becomes
+# RE-confirmation freshness): 19 slots go to the keys whose last driver
+# check is oldest — the r01 cohort (join_inner, join_semi, agg_pivot,
+# agg_rollup, window_ntile, window_running_sum, q05_local_supplier_volume),
+# the r04 cohort (join_anti, sessionize, window_lag_delta, agg_quantiles,
+# agg_stats_moments, mutation_property_set, dedup_ngram_jaccard,
+# sim_knn_per_vector, text_token_count) and the r05 cohort
+# (filter_project, sort_topk, graph_pagerank) — plus nl2query_followup and
+# cardinality_hll (r06) as their families' freshest-needed reps. The
+# second-check block keeps every r09 first-timer (all nine r09 NEW
+# operators + a spread of the r09 debt cohort) for its second green.
+# Evicted (each ≥1x driver-green, every family still repped, all still in
+# the local bit-exact gate): sample_systematic, shard_assign,
+# multimodal_resize, fuzzy_join_typo_linkage, mutation_table_diff,
+# nl2query_demo, cardinality_hll_grouped, embedding_mrl_audit,
+# assoc_basket_rules, skyline_pareto, ts_cusum_changepoint,
+# text_hybrid_rrf, bpe_learn_merges, udtf_bigram_explode, sample_split,
+# embedding_outlier, graph_densest_subgraph, graph_triangle_count,
+# graph_temporal_multisource, xml_rel_signatures, multimodal_phash_neardup,
+# multimodal_decode, stream_dedup, graph_khop_undirected.
 _DRIVER_WINDOW = [
-    # --- r09 debt burn (verdict #2): all 21 never-driver-checked keys ---
-    # core relational / tpch depth
-    "agg_approx_distinct",  # contract oracle (approx_count_distinct bounds)
-    "q18_large_volume",  # TPC-H Q18 large-volume customer
-    # graph traversal / centrality (incl. the two r09 NEW operators)
+    # --- r10 freshness rotation: last driver check ≤ r05 (19 keys) ---
+    "filter_project",             # r05
+    "join_inner",                 # r01
+    "join_semi",                  # r01
+    "join_anti",                  # r04
+    "agg_pivot",                  # r01
+    "agg_rollup",                 # r01
+    "agg_quantiles",              # r04
+    "agg_stats_moments",          # r04
+    "window_ntile",               # r01
+    "window_running_sum",         # r01
+    "window_lag_delta",           # r04
+    "sort_topk",                  # r05
+    "sessionize",                 # r04
+    "q05_local_supplier_volume",  # r01
+    "mutation_property_set",      # r04 (mutation family rep)
+    "dedup_ngram_jaccard",        # r04
+    "sim_knn_per_vector",         # r04
+    "text_token_count",           # r04
+    "graph_pagerank",             # r05
+    # --- family reps whose freshest check is r06 ---
+    "nl2query_followup",          # nl2query rep
+    "cardinality_hll",            # profiling rep
+    # --- second green for the nine r09 NEW operators ---
+    "sim_ivf_recall_curve",
+    "graph_ktruss",
+    "ts_autocorrelation",
+    "entity_resolution_scored",
+    "path_trigrams",
+    "mix_budget_allocate",
+    "graph_louvain_sweeps",
+    "stream_topk_continuous",
+    "vocab_growth_heaps",
+    # --- second green for the r09 debt-cohort first-timers ---
+    "agg_approx_distinct",
+    "q18_large_volume",
     "graph_khop_hierarchy",
-    "graph_khop_undirected",
-    "graph_pagerank_personalized",  # r09 NEW: seeded-teleport PPR
-    "graph_betweenness_sampled",  # r09 NEW: bounded-depth Brandes
-    # text / curation
+    "graph_pagerank_personalized",
+    "graph_betweenness_sampled",
     "dedup_chunk_level",
     "text_fingerprint",
-    "sample_systematic",
-    "shard_assign",
     "sample_weighted_mix",
-    # multimodal plumbing
     "multimodal_blob_stats",
-    "multimodal_resize",
     "multimodal_frame_sample",
-    # stateful streaming family (entirely driver-unconfirmed before r09)
     "stream_stateful_totals",
     "stream_stream_join",
     "stream_dedup_gate",
-    # xml graph analytics
     "xml_shared_linenumbers",
     "xml_connected_components",
-    # pipeline / timeseries
     "funnel_retention_cohorts",
     "ts_anomaly_zscore",
-    # --- module-coverage reps (one per family the debt keys miss) ---
-    "fuzzy_join_typo_linkage",  # dedup (1x green r08)
-    "mutation_table_diff",  # mutation (2x green)
-    "nl2query_demo",  # nl2query (2x green)
-    "cardinality_hll_grouped",  # profiling (1x green r08)
-    "embedding_mrl_audit",  # similarity (1x green r08)
-    # --- second-check block: r08 first-timers get their 2nd green ---
-    "assoc_basket_rules",
-    "skyline_pareto",
-    "sim_ivf_recall_curve",  # r09 NEW op, first check
-    "graph_ktruss",  # r09 NEW op, first check
-    "ts_cusum_changepoint",
-    "ts_autocorrelation",  # r09 NEW op, first check
-    "entity_resolution_scored",  # r09 NEW op, first check
-    "text_hybrid_rrf",
-    "bpe_learn_merges",
-    "path_trigrams",  # r09 NEW op, first check
-    "udtf_bigram_explode",
-    "sample_split",
-    "embedding_outlier",
-    "mix_budget_allocate",  # r09 NEW op, first check
-    "graph_densest_subgraph",
-    "graph_triangle_count",
-    "graph_louvain_sweeps",  # r09 NEW op, first check
-    "stream_topk_continuous",  # r09 NEW op, first check
-    "graph_temporal_multisource",
-    "xml_rel_signatures",
-    "multimodal_phash_neardup",
-    "vocab_growth_heaps",  # r09 NEW op, first check
-    "multimodal_decode",
+    # --- swap stock: r09 first-timers holding slots the round's NEW
+    # operators will take as they ship (named swaps commented below) ---
+    "multimodal_resize",
+    "graph_khop_undirected",
     "stream_dedup",
 ]
+
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
