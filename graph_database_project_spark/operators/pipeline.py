@@ -200,14 +200,17 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Journey order within (user, day) is (ts, event_id) — the event_id
     tie-break makes the sequence total in BOTH engines (equal-ts rows
     would otherwise order nondeterministically and flip trigram counts).
-    Trigrams come from two rn/rn+1/rn+2 self-joins on the row-numbered
-    journey — pure equi-joins and BIGINT counts, no arrays in the hashed
-    output; top-20 is total-ordered (n desc, path asc).
+    Trigrams come from ``lead(event_type, 1/2)`` over the SAME
+    (user, day) journey window — one keyed shuffle establishes the
+    partitioning and both leads ride it (the pack_sequences window-reuse
+    pattern); the r09 two-self-join form paid two extra keyed shuffles
+    for the identical relation (r09 verdict finding 2). BIGINT counts,
+    no arrays in the hashed output; top-20 is total-ordered
+    (n desc, path asc).
 
-    Scale: one keyed window over (user, day) partitions (journey-sized,
-    never corpus-wide) + two self-joins on (user, day, rn) — the same
-    keyed-shuffle budget as sessionize; the trigram rollup collapses
-    map-side to ≤ |event_types|³ groups.
+    Scale: ONE keyed window over (user, day) partitions (journey-sized,
+    never corpus-wide); the trigram rollup collapses map-side to
+    ≤ |event_types|³ groups.
     """
     from pyspark.sql.window import Window as W
 
@@ -222,23 +225,11 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.date_format(F.date_trunc("day", F.col("ts")),
                                 "yyyy-MM-dd").alias("day"),
                   "ts", "event_id", "event_type"))
-    seq = (ev.withColumn("rn", F.row_number().over(
-        W.partitionBy("user_id", "day").orderBy("ts", "event_id")))
-        .select("user_id", "day", "rn", "event_type")
-        .localCheckpoint(eager=True))  # three references (a, b, c)
-    a = seq
-    b = seq.select(F.col("user_id").alias("ub"), F.col("day").alias("db"),
-                   F.col("rn").alias("rn_b"),
-                   F.col("event_type").alias("t2"))
-    c = seq.select(F.col("user_id").alias("uc"), F.col("day").alias("dc"),
-                   F.col("rn").alias("rn_c"),
-                   F.col("event_type").alias("t3"))
-    tri = (a.join(b, (F.col("rn_b") == F.col("rn") + 1)
-                  & (F.col("ub") == F.col("user_id"))
-                  & (F.col("db") == F.col("day")))
-           .join(c, (F.col("rn_c") == F.col("rn") + 2)
-                 & (F.col("uc") == F.col("user_id"))
-                 & (F.col("dc") == F.col("day")))
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    tri = (ev
+           .withColumn("t2", F.lead("event_type", 1).over(w))
+           .withColumn("t3", F.lead("event_type", 2).over(w))
+           .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
            .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path")))
     return (tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("path")).limit(PATH_TOPK))

@@ -59,7 +59,10 @@ def main() -> None:
              "graph_pagerank_personalized", "graph_betweenness_sampled",
              "graph_ktruss", "graph_louvain_sweeps",
              "entity_resolution_scored", "vocab_growth_heaps",
-             "mix_budget_allocate", "ts_autocorrelation"]
+             "mix_budget_allocate", "ts_autocorrelation",
+             # r10 additions: the r09 plan-audit tail (verdict finding 1)
+             # + this round's new operators
+             "sim_ivf_recall_curve", "path_trigrams"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

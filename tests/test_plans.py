@@ -204,6 +204,34 @@ def test_pack_sequences_single_shuffle(spark):
     assert p.count("HashAggregate") >= 2  # map-side partial rollup
 
 
+def test_path_trigrams_lead_window_no_joins(spark):
+    # trigrams come from lead(1)/lead(2) over the (user, day) journey
+    # window — exactly TWO keyed shuffles total (the window partitioning
+    # + the path rollup) and NO joins; the r09 two-self-join form paid
+    # two extra keyed shuffles for the identical relation
+    from graph_database_project_spark.operators import pipeline
+
+    p = plan(pipeline.q_path_trigrams(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 2, p
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "BroadcastHashJoin") == 0
+    assert n_ops(p, "Scan parquet") == 1
+    assert "TakeOrderedAndProject" in p  # top-20 never sorts the corpus
+    assert p.count("HashAggregate") >= 2  # map-side partial rollup
+
+
+def test_ivf_recall_curve_no_keyed_shuffle(spark):
+    # the nprobe sweep rides the shared unrolled-Lloyd centroid chain:
+    # centroids come back as broadcasts, every per-vector rank is
+    # computed scan-side — zero hash-partition exchanges, bounded scans
+    from graph_database_project_spark.operators import similarity
+
+    p = plan(similarity.q_sim_ivf_recall_curve(spark, SF_ORACLE))
+    assert n_hash_shuffles(p) == 0, p
+    assert n_ops(p, "Scan parquet") <= 4
+    assert "Cartesian" not in p
+
+
 def test_unigram_logprob_vocab_broadcast_no_smj(spark):
     # vocab and corpus-total must come back as broadcasts (the vocab is
     # dim-sized at any corpus scale); the token stream must never be the
