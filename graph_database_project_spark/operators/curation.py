@@ -28,8 +28,11 @@ N_SHARDS = 16
 # Domain-mix acceptance rates: even-numbered sources are kept in full,
 # odd-numbered sources are downsampled to 30% — the shape of a "web crawl
 # gets downweighted, curated sources kept" mixing policy.
-MIX_EVEN_RATE = 1.0
-MIX_ODD_RATE = 0.3
+# acceptance rates as integer ppm (r10 sweep: the float 1.0/0.3 pair
+# became exact integer constants — the gate compares BIGINT to BIGINT
+# and the audit output carries no rounded double)
+MIX_EVEN_PPM = 1_000_000
+MIX_ODD_PPM = 300_000
 
 
 def _words(col):
@@ -71,8 +74,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("seq_tokens"),
-            F.round(F.sum("n_tokens") / F.lit(float(CTX_TOKENS)), 4).alias("fill_ratio"),
         )
+        # fill as integer ppm (r10 sweep): pure BIGINT floor-div replaces
+        # the former round(seq_tokens/ctx, 4) double in the hashed output
+        .withColumn("fill_ppm", F.expr(f"seq_tokens * 1000000 div {CTX_TOKENS}"))
         .orderBy("source", "seq_id")
     )
 
@@ -94,7 +99,8 @@ SELECT source,
        CAST(floor(start_tok / {CTX_TOKENS}.0) AS BIGINT) AS seq_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
-       round(sum(n_tokens) / {CTX_TOKENS}.0, 4) AS fill_ratio
+       CAST(CAST(sum(n_tokens) AS BIGINT) * 1000000 // {CTX_TOKENS} AS BIGINT)
+         AS fill_ppm
 FROM packed
 GROUP BY source, seq_id
 ORDER BY source, seq_id
@@ -150,16 +156,17 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
-    rate = F.when(src_num % 2 == 0, F.lit(MIX_EVEN_RATE)).otherwise(F.lit(MIX_ODD_RATE))
+    rate_ppm = (F.when(src_num % 2 == 0, F.lit(MIX_EVEN_PPM))
+                .otherwise(F.lit(MIX_ODD_PPM)).cast("long"))
     hv = _md5_long(F.col("doc_id").cast("string")) % 1000000
-    keep = (hv < F.floor(rate * 1000000).cast("long")).cast("int")
+    keep = (hv < rate_ppm).cast("int")
     return (
-        docs.select("source", rate.alias("rate"), keep.alias("keep"))
+        docs.select("source", rate_ppm.alias("rate_ppm"), keep.alias("keep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("keep").cast("long").alias("n_sampled"),
-            F.round(F.max("rate"), 2).alias("target_rate"),
+            F.max("rate_ppm").alias("target_rate_ppm"),
         )
         .orderBy("source")
     )
@@ -171,19 +178,17 @@ WITH gated AS (
   -- is NULL -> ELSE branch), matching Spark's cast('int') null semantics
   -- instead of crashing the oracle run
   SELECT source,
-         CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
-              THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END AS rate,
+         CAST(CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+              THEN {MIX_EVEN_PPM} ELSE {MIX_ODD_PPM} END AS BIGINT) AS rate_ppm,
          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                    % 1000000
-                   < CAST(floor(
-                       (CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
-                             THEN {MIX_EVEN_RATE} ELSE {MIX_ODD_RATE} END) * 1000000)
-                     AS BIGINT)
+                   < CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+                          THEN {MIX_EVEN_PPM} ELSE {MIX_ODD_PPM} END
               THEN 1 ELSE 0 END AS keep
   FROM documents
 )
 SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled,
-       round(max(rate), 2) AS target_rate
+       max(rate_ppm) AS target_rate_ppm
 FROM gated GROUP BY source ORDER BY source
 """
 
@@ -204,11 +209,15 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect.
 
     ACCEPTED RISK (r08 verdict #1 sweep): ``avg_logp`` is round(avg(log10
-    (int/int)), 4) — log10 is transcendental, so no integer twin exists
-    (the per-word (cnt, total) pairs are not output columns). Both engines
-    evaluate log10 over BIT-IDENTICAL quotients (single IEEE div over
-    exact ints) and agree to <=1 ulp; round(·, 4) absorbs that. Fallback
-    if it ever hash-fails: drop avg_logp (n_words stays value-checked).
+    (int/int)), 4) — log10 is transcendental, so no integer twin of the
+    exact value exists. Both engines evaluate log10 over BIT-IDENTICAL
+    quotients (single IEEE div over exact ints) and agree to <=1 ulp;
+    round(·, 4) absorbs that. r10 (verdict #5): the output now ALSO
+    carries ``surprisal_bits`` — Σ_words (ilog2(total) − ilog2(cnt)), a
+    pure-BIGINT floor-log2 surprisal computed via length(bin(n)) (exact
+    in both engines, no float path) that ranks documents the same way —
+    so if avg_logp ever hash-fails it downgrades to a one-column drop
+    with the doc-level LM signal still value-checked.
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
     # tok feeds the scoring join, freq, and (through freq) total — three
@@ -226,6 +235,11 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.round(F.avg(F.log10(F.col("cnt") / F.col("total"))), 4).alias("avg_logp"),
+            # integer twin (r10 sweep): floor-log2 surprisal via bin()
+            # string length — ilog2(n) = length(bin(n)) - 1, exact BIGINT
+            F.sum(F.length(F.bin(F.col("total")))
+                  - F.length(F.bin(F.col("cnt")))).cast("long")
+             .alias("surprisal_bits"),
         )
         .orderBy("doc_id")
     )
@@ -242,7 +256,9 @@ WITH tok AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
 )
 SELECT t.doc_id, count(*) AS n_words,
-       round(avg(log10(f.cnt * 1.0 / tt.total)), 4) AS avg_logp
+       round(avg(log10(f.cnt * 1.0 / tt.total)), 4) AS avg_logp,
+       CAST(sum(length(bin(tt.total)) - length(bin(f.cnt))) AS BIGINT)
+         AS surprisal_bits
 FROM tok t JOIN freq f USING (word) CROSS JOIN total tt
 GROUP BY t.doc_id ORDER BY t.doc_id
 """
@@ -265,8 +281,12 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(sqrt(Σdiff²), 4) over float-typed embedding data — not
     rationalizable to integers. The centroid avg and the per-vector Σ are
     64-term folds whose addends differ only if the engines' summation
-    order diverges; driver-green r08 (bit-exact). Fallback: drop the
-    column (vec_id/label membership stays checked).
+    order diverges; driver-green r08 (bit-exact). r10 (verdict #5): the
+    output now ALSO carries ``vec_q20_checksum`` — Σ_d floor(val·2^20),
+    exact BIGINT from the raw parquet values alone (×2^20 is an exponent
+    shift, so the scale is exact; floor is deterministic; the sum is
+    integer and order-free) — an exact fingerprint of each flagged
+    vector, so a dist flake downgrades to a one-column drop.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -279,7 +299,11 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.join(F.broadcast(cent), ["label", "pos"])
         .groupBy("vec_id", "label")
-        .agg(F.round(F.sqrt(F.sum(diff * diff)), 4).alias("dist_to_centroid"))
+        .agg(
+            F.round(F.sqrt(F.sum(diff * diff)), 4).alias("dist_to_centroid"),
+            F.sum(F.floor(F.col("val") * F.lit(1048576.0))).cast("long")
+             .alias("vec_q20_checksum"),
+        )
         .orderBy("vec_id")
     )
 
@@ -294,7 +318,8 @@ WITH dims AS (
   SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
 )
 SELECT e.vec_id, e.label,
-       round(sqrt(sum((e.val - c.c) * (e.val - c.c))), 4) AS dist_to_centroid
+       round(sqrt(sum((e.val - c.c) * (e.val - c.c))), 4) AS dist_to_centroid,
+       CAST(sum(floor(e.val * 1048576.0)) AS BIGINT) AS vec_q20_checksum
 FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
 GROUP BY e.vec_id, e.label
 ORDER BY e.vec_id
@@ -326,6 +351,16 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero corpus shuffles besides the final label rollup. No LSH needed:
     unlike near-dup (corpus × corpus), decontamination is corpus × bench,
     which stays linear. Norms computed once per side before the pair step.
+
+    Float-parity analysis (r10, verdict #5 sweep): each per-pair cos is a
+    strict left fold (_vdot ≡ list_sum fold order) + IEEE-correctly-
+    rounded sqrt/mul/div — bit-identical across engines — so
+    ``worst_cos`` (a MAX over bit-identical values) is in the safe class.
+    The former ``mean_max_cos`` was NOT (a group AVG folds in engine-
+    dependent order); it is replaced by ``sum_max_cos_q30`` =
+    Σ floor(max_cos·2^30) — per-row quantization of a bit-identical
+    double (×2^30 is an exponent shift, exact) into BIGINT, summed
+    order-free; mean = that / n_vectors / 2^30 for human consumption.
     """
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select(
@@ -352,7 +387,8 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("max_cos_raw") >= SEMDECON_THRESHOLD).cast("long"))
              .alias("n_contaminated"),
             F.round(F.max("max_cos_raw"), 6).alias("worst_cos"),
-            F.round(F.avg("max_cos_raw"), 6).alias("mean_max_cos"),
+            F.sum(F.floor(F.col("max_cos_raw") * F.lit(1073741824.0)))
+             .cast("long").alias("sum_max_cos_q30"),
         )
         .orderBy("label")
     )
@@ -380,7 +416,8 @@ SELECT label,
        CAST(sum(CASE WHEN max_cos_raw >= CAST({SEMDECON_THRESHOLD!r} AS DOUBLE)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
        round(max(max_cos_raw), 6) AS worst_cos,
-       round(avg(max_cos_raw), 6) AS mean_max_cos
+       CAST(sum(floor(max_cos_raw * 1073741824.0)) AS BIGINT)
+         AS sum_max_cos_q30
 FROM per_vec
 GROUP BY label
 ORDER BY label

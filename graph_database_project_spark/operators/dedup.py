@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io import load_table, session_memo
 
 SHINGLE_N = 3            # words per shingle
-JACCARD_THRESHOLD = 0.2
+# Integer-ppm Jaccard admission threshold (r10 sweep: the former float
+# 0.2 expressed as ppm — floor(j*1e6) >= 200000 <=> j >= 0.2 exactly,
+# because floor(x) >= k <=> x >= k for integer k)
+JACCARD_THRESHOLD_PPM = 200_000
 NUM_MINHASHES = 12
 LSH_BANDS = 4            # 12 minhashes → 4 bands × 3 rows
 COSINE_THRESHOLD = 0.35
@@ -65,19 +68,23 @@ def _shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, "_sg_shingle_cache", sf_dir, build)
 
 
-def exact_jaccard(sh_a, sh_b):
-    """Rounded exact-Jaccard column over two shingle-array columns — the
-    ONE definition of the verify metric; the batch minhash operator and
-    the streaming admission gate both use it, so threshold semantics and
-    rounding can never diverge between them.
+def exact_jaccard_ppm(sh_a, sh_b):
+    """Integer-ppm exact-Jaccard column over two shingle-array columns —
+    the ONE definition of the verify metric; the batch minhash operator
+    and the streaming admission gate both use it, so threshold semantics
+    can never diverge between them.
 
-    Hash-risk note (r08 verdict #1): the quotient is a single IEEE
-    division over exactly-representable integers — the documented safe
-    float class — but outputs exposing it should ALSO emit the
-    ``jaccard_companions`` integer twins so a future rounding flake
-    downgrades to a column drop."""
-    common = F.size(F.array_intersect(sh_a, sh_b))
-    return F.round(common / (F.size(sh_a) + F.size(sh_b) - common), 6)
+    r10 (r09 verdict #5 sweep): the former round(common/union, 6) double
+    becomes ``floor(common * 1e6 / union)`` BIGINT — pure integer
+    semantics both engines (non-negative operands, so Spark ``div`` and
+    DuckDB ``//`` agree). The floor is computed via the exact
+    ``(num - num % den) / den`` identity: every intermediate is ≤ ~1e9,
+    far inside double's 2^53 exact-integer range, so the division is
+    IEEE-exact — no float-rounding path to a flake."""
+    common = F.size(F.array_intersect(sh_a, sh_b)).cast("long")
+    num = common * F.lit(1000000).cast("long")
+    den = (F.size(sh_a) + F.size(sh_b)).cast("long") - common
+    return ((num - num % den) / den).cast("long")
 
 
 def jaccard_companions(sh_a, sh_b):
@@ -89,11 +96,11 @@ def jaccard_companions(sh_a, sh_b):
             .alias("jac_union"))
 
 
-def jaccard_sql(a: str, b: str) -> str:
-    """DuckDB twin of exact_jaccard over two aliases of the ``sh`` CTE."""
+def jaccard_ppm_sql(a: str, b: str) -> str:
+    """DuckDB twin of exact_jaccard_ppm over two aliases of ``sh``."""
     inter = f"len(list_intersect({a}.shingles, {b}.shingles))"
-    return (f"round({inter} * 1.0 / "
-            f"(len({a}.shingles) + len({b}.shingles) - {inter}), 6)")
+    return (f"CAST({inter} * 1000000 // "
+            f"(len({a}.shingles) + len({b}.shingles) - {inter}) AS BIGINT)")
 
 
 def jaccard_companions_sql(a: str, b: str) -> str:
@@ -142,17 +149,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    # integer end-to-end (r10 sweep): ppm via BIGINT floor-div — no
+    # rounded double left in the hashed output
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        # jac_union: the integer twin completing (common, union) so the
-        # rounded quotient is redundant under the bit-exact driver hash
-        .select("doc_a", "doc_b", "common",
-                (F.col("n_a") + F.col("n_b") - F.col("common"))
-                .cast("long").alias("jac_union"),
-                "jaccard")
+        .withColumn("jac_union",
+                    F.col("n_a").cast("long") + F.col("n_b") - F.col("common"))
+        .withColumn("jaccard_ppm", F.expr("common * 1000000 div jac_union"))
+        .filter(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
+        .select("doc_a", "doc_b", "common", "jac_union", "jaccard_ppm")
     )
 
 
@@ -171,11 +176,12 @@ WITH sh AS (
 )
 SELECT doc_a, doc_b, common,
        CAST(sa.n_sh + sb.n_sh - common AS BIGINT) AS jac_union,
-       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       CAST(common * 1000000 // (sa.n_sh + sb.n_sh - common) AS BIGINT)
+         AS jaccard_ppm
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_THRESHOLD}
+WHERE common * 1000000 // (sa.n_sh + sb.n_sh - common) >= {JACCARD_THRESHOLD_PPM}
 """
 
 
@@ -264,11 +270,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-        .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .withColumn("jaccard_ppm",
+                    exact_jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
         .select("doc_a", "doc_b",
                 *jaccard_companions(F.col("sh_a"), F.col("sh_b")),
-                "jaccard")
+                "jaccard_ppm")
     )
 
 
@@ -309,11 +316,11 @@ _MINHASH_CTES = f"""sh AS (
 
 _MINHASH_PAIRS_SELECT = f"""
 SELECT doc_a, doc_b, {jaccard_companions_sql('sa', 'sb')},
-       {jaccard_sql('sa', 'sb')} AS jaccard
+       {jaccard_ppm_sql('sa', 'sb')} AS jaccard_ppm
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
-WHERE {jaccard_sql('sa', 'sb')} >= {JACCARD_THRESHOLD}
+WHERE {jaccard_ppm_sql('sa', 'sb')} >= {JACCARD_THRESHOLD_PPM}
 """
 
 Q_DEDUP_MINHASH_SQL = f"WITH {_MINHASH_CTES}\n{_MINHASH_PAIRS_SELECT}"
@@ -373,6 +380,14 @@ FROM tok
 
 
 def _cosine_dot(x, y):
+    """Strict left-fold dot product (bit-identical to DuckDB list_sum).
+
+    Float-parity note (r10, verdict #5 sweep): the ``cosine`` outputs
+    built on this fold are in the documented SAFE float class — the fold
+    order is pinned on both engines, and sqrt/mul/div/round are IEEE-
+    correctly-rounded, so the per-pair cosine is bit-identical across
+    engines by construction (unlike transcendental log10 or order-varying
+    group avgs). No integer twin needed; rounding cannot flake."""
     return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
                        F.lit(0.0), lambda acc, t: acc + t)
 

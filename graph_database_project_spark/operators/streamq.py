@@ -444,8 +444,8 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     'LSH index as a table, stream probes it' architecture. Oracle: the
     identical pair set computed batch-side in DuckDB.
     """
-    from .dedup import (JACCARD_THRESHOLD, _shingle_rel, _shingles,
-                        exact_jaccard, jaccard_companions, minhash_bands)
+    from .dedup import (JACCARD_THRESHOLD_PPM, _shingle_rel, _shingles,
+                        exact_jaccard_ppm, jaccard_companions, minhash_bands)
 
     raw = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
@@ -477,11 +477,12 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("shingles").alias("sh_old"))
     scored = (
         cand.join(corp_sh, "dup_of")
-        .withColumn("jaccard", exact_jaccard(F.col("sh_new"), F.col("sh_old")))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .withColumn("jaccard_ppm",
+                    exact_jaccard_ppm(F.col("sh_new"), F.col("sh_old")))
+        .filter(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
         .select("new_doc_id", "dup_of",
                 *jaccard_companions(F.col("sh_new"), F.col("sh_old")),
-                "jaccard")
+                "jaccard_ppm")
     )
     name = f"gate_{uuid.uuid4().hex[:8]}"
     q = (
@@ -493,9 +494,9 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_sql() -> str:
-    from .dedup import (_MINHASH_CTES, JACCARD_THRESHOLD,
-                        jaccard_companions_sql, jaccard_sql)
-    jac = jaccard_sql("sa", "sb")
+    from .dedup import (_MINHASH_CTES, JACCARD_THRESHOLD_PPM,
+                        jaccard_companions_sql, jaccard_ppm_sql)
+    jac = jaccard_ppm_sql("sa", "sb")
     return f"""
 WITH {_MINHASH_CTES}, gate AS (
   SELECT DISTINCT i.doc_id AS new_doc_id, c.doc_id AS dup_of
@@ -504,11 +505,11 @@ WITH {_MINHASH_CTES}, gate AS (
   WHERE i.doc_id % {GATE_MOD} = {GATE_REM} AND c.doc_id % {GATE_MOD} <> {GATE_REM}
 )
 SELECT new_doc_id, dup_of, {jaccard_companions_sql('sa', 'sb')},
-       {jac} AS jaccard
+       {jac} AS jaccard_ppm
 FROM gate
 JOIN sh sa ON sa.doc_id = new_doc_id
 JOIN sh sb ON sb.doc_id = dup_of
-WHERE {jac} >= {JACCARD_THRESHOLD}
+WHERE {jac} >= {JACCARD_THRESHOLD_PPM}
 """
 
 
