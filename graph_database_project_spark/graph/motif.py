@@ -1,0 +1,184 @@
+"""Declarative graph-pattern (motif) matching compiled to nodes/edges
+equi-joins — the Spark-first re-expression of the reference's core query
+shape: its NL→Cypher contract lets GPT emit *arbitrary*
+``MATCH (a:L1 {prop})-[:T]->(b:L2) RETURN …`` patterns over the
+35-label/34-reltype catalog (first-graph.py:102-136 schema prompt, :141
+query contract). Instead of a Cypher interpreter, a pattern here is a
+small declarative spec (node predicates, typed directed edges) that
+compiles to a left-deep join plan over the two GraphStore DataFrames —
+Catalyst then orders/broadcasts/prunes it like any relational plan.
+
+Semantics (matching Cypher's): a match is a *homomorphism* from pattern
+variables to graph nodes — distinct variables MAY bind the same node
+(use a ``where`` inequality to forbid it), and the result is the SET of
+variable bindings (parallel edges between the same node pair collapse:
+the edge relation is de-duplicated to (src, dst) per edge pattern before
+joining, so binding multiplicity comes only from node bindings).
+
+Scale shape: every hop is an equi-join keyed on 64-bit node ids — the
+edge relation shuffles by key (or rides a broadcast when the bound side
+is selective), never a cartesian (the compiler REJECTS disconnected
+patterns rather than emitting a cross product). Node patterns with a
+selective predicate (name / docnbr / property) are broadcast: at 100 TB
+the typical motif starts from a dim-sized seed set and drags only
+matched edge partitions through each hop, exactly like the k-hop
+traversal plan (traverse.py:28).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# columns carried per bound variable, prefixed "<var>_<col>"
+_CARRY = ["id", "name", "content", "docnbr"]
+
+_VAR_RE = re.compile(r"^[a-z][a-z0-9]*$")
+
+
+@dataclass(frozen=True)
+class NodePat:
+    """One pattern variable: ``(var:label {name:, docnbr:, prop:})``.
+
+    All predicates are optional and AND-ed; ``prop`` is a (key, value)
+    equality over the node's ``props`` map — the analogue of Cypher's
+    inline property map.
+    """
+
+    var: str
+    label: str | None = None
+    name: str | None = None
+    docnbr: str | None = None
+    prop: tuple[str, str] | None = None
+
+
+@dataclass(frozen=True)
+class EdgePat:
+    """One typed edge: ``(src)-[:rel_type]->(dst)`` with ``direction``
+    ``out`` (src→dst in storage), ``in`` (storage dst→src — i.e. the
+    pattern arrow points backwards), or ``both`` (undirected match).
+    ``rel_type=None`` matches any relationship type."""
+
+    src: str
+    dst: str
+    rel_type: str | None = None
+    direction: str = "out"
+
+
+def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
+    """The filtered, var-prefixed projection of one node pattern; second
+    element says whether the pattern is selective (broadcast-worthy)."""
+    rel = nodes
+    if pat.label is not None:
+        rel = rel.filter(F.array_contains("labels", pat.label))
+    if pat.name is not None:
+        rel = rel.filter(F.col("name") == pat.name)
+    if pat.docnbr is not None:
+        rel = rel.filter(F.col("docnbr") == pat.docnbr)
+    if pat.prop is not None:
+        k, v = pat.prop
+        rel = rel.filter(F.col("props")[k] == v)
+    selective = any(x is not None for x in (pat.name, pat.docnbr, pat.prop))
+    proj = rel.select(*[F.col(c).alias(f"{pat.var}_{c}") for c in _CARRY])
+    return proj, selective
+
+
+def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
+    """The (src, dst) pair set for one edge pattern — de-duplicated so
+    parallel edges / multi-batch re-ingest don't inflate bindings."""
+    er = edges
+    if pat.rel_type is not None:
+        er = er.filter(F.col("rel_type") == pat.rel_type)
+    er = er.select("src", "dst")
+    if pat.direction == "in":
+        er = er.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif pat.direction == "both":
+        er = er.unionByName(
+            er.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    elif pat.direction != "out":
+        raise ValueError(f"bad direction {pat.direction!r}")
+    return er.distinct()
+
+
+def match_motif(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_pats: list[NodePat],
+    edge_pats: list[EdgePat],
+    where: Column | None = None,
+) -> DataFrame:
+    """Compile a motif to a DataFrame of variable bindings.
+
+    Output columns: ``<var>_id / _name / _content / _docnbr`` for every
+    pattern variable, one row per distinct binding. Edge patterns are
+    processed in order; each must touch at least one already-bound
+    variable (a disconnected pattern would be a cartesian product — the
+    compiler raises instead). An edge between two already-bound
+    variables becomes an existence (left-semi) filter — the closing edge
+    of a cycle.
+    """
+    pats = {p.var: p for p in node_pats}
+    if len(pats) != len(node_pats):
+        raise ValueError("duplicate pattern variable")
+    for v in pats:
+        if not _VAR_RE.match(v):
+            raise ValueError(f"bad variable name {v!r} (want [a-z][a-z0-9]*)")
+    if not edge_pats:
+        raise ValueError("motif needs at least one edge pattern")
+    for ep in edge_pats:
+        if ep.src not in pats or ep.dst not in pats:
+            raise ValueError(f"edge references unknown variable: {ep}")
+
+    sides = {v: _node_side(nodes, p) for v, p in pats.items()}
+
+    ep0 = edge_pats[0]
+    bound: set[str] = set()
+
+    def bind(result: DataFrame | None, var: str, on_edge_col) -> DataFrame:
+        """Join an unbound variable's node relation onto the result via
+        the current edge column; broadcast the node side when the
+        pattern is selective (seed-sized at any scale)."""
+        rel, selective = sides[var]
+        rel = F.broadcast(rel) if selective else rel
+        bound.add(var)
+        if result is None:
+            return rel
+        return result.join(rel, on_edge_col == F.col(f"{var}_id"))
+
+    result = bind(None, ep0.src, None)
+    for i, ep in enumerate(edge_pats):
+        if ep.src not in bound and ep.dst not in bound:
+            raise ValueError(
+                f"disconnected pattern at edge {i} ({ep.src}->{ep.dst}): "
+                "every edge must touch an already-bound variable")
+        er = _edge_rel(edges, ep)
+        if ep.src in bound and ep.dst in bound:
+            # closing edge of a cycle: existence filter, no new columns
+            result = result.join(
+                er,
+                (F.col(f"{ep.src}_id") == er["src"])
+                & (F.col(f"{ep.dst}_id") == er["dst"]),
+                "left_semi",
+            )
+        elif ep.src in bound:
+            e = er.select(F.col("src").alias(f"_e{i}_src"),
+                          F.col("dst").alias(f"_e{i}_dst"))
+            result = result.join(
+                e, F.col(f"{ep.src}_id") == F.col(f"_e{i}_src"))
+            result = bind(result, ep.dst, F.col(f"_e{i}_dst"))
+            result = result.drop(f"_e{i}_src", f"_e{i}_dst")
+        else:
+            e = er.select(F.col("src").alias(f"_e{i}_src"),
+                          F.col("dst").alias(f"_e{i}_dst"))
+            result = result.join(
+                e, F.col(f"{ep.dst}_id") == F.col(f"_e{i}_dst"))
+            result = bind(result, ep.src, F.col(f"_e{i}_src"))
+            result = result.drop(f"_e{i}_src", f"_e{i}_dst")
+    unbound = set(pats) - bound
+    if unbound:
+        raise ValueError(f"variables never reached by an edge: {unbound}")
+    if where is not None:
+        result = result.filter(where)
+    return result

@@ -239,6 +239,73 @@ GOLDEN_XML_CONNECTED_COMPONENTS_ROWS = [
     (687, '737-00-1028,737-00-1029,737-00-1030'),
 ]
 
+GOLDEN_GRAPH_MOTIF_CHAIN_COLS = [('docnbr', 'VARCHAR'), ('airplanes_head', 'VARCHAR'), ('airplanes_md5', 'VARCHAR'), ('airplanes_len', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_CHAIN_ROWS = [
+    ('737-00-1028', '737-8 and 737-9 Airplane(s), line number', 'ad8462ee76a00ea8d53a1d151b70326c', 2269),
+    ('737-00-1029', '737-8 and 737-9 Airplane(s), line number', '7a3d6ecbf9823e9b892230285d5e11fd', 810),
+    ('737-00-1030', '737-8 and 737-9 Airplane(s), line number', '59edf5c152b648700a681b8e01c97315', 810),
+]
+
+GOLDEN_GRAPH_MOTIF_FANOUT_COLS = [('docnbr', 'VARCHAR'), ('subject', 'VARCHAR'), ('compliance_md5', 'VARCHAR'), ('compliance_len', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_FANOUT_ROWS = [
+    ('737-00-1028', 'ADMINISTRATIVE GENERAL - Aircraft General - Angle of Attack Sensor System Test and Operational Readiness Flight', '64ab869b8e04beab9b9ff38b1b4fed21', 235),
+    ('737-00-1029', 'ENGINE FUEL AND CONTROL - Engine Fuel Pump Replacement', '966ba51d5e90e5f51af1e37490ec7d12', 193),
+    ('737-00-1030', 'HYDRAULIC POWER - Hydraulic System Pressure Check', '966ba51d5e90e5f51af1e37490ec7d12', 193),
+]
+
+GOLDEN_GRAPH_MOTIF_SHARED_COLS = [('line_number', 'VARCHAR'), ('doc_a', 'VARCHAR'), ('doc_b', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_SHARED_ROWS = [
+    ('6542', '737-00-1028', '737-00-1030'),
+    ('6562', '737-00-1028', '737-00-1030'),
+    ('6582', '737-00-1028', '737-00-1030'),
+    ('6612', '737-00-1028', '737-00-1030'),
+    ('6630', '737-00-1028', '737-00-1029'),
+    ('6652', '737-00-1028', '737-00-1030'),
+    ('6672', '737-00-1028', '737-00-1030'),
+    ('6690', '737-00-1028', '737-00-1029'),
+    ('6722', '737-00-1028', '737-00-1030'),
+    ('6740', '737-00-1028', '737-00-1029'),
+    ('6762', '737-00-1028', '737-00-1030'),
+    ('6780', '737-00-1028', '737-00-1029'),
+    ('6792', '737-00-1028', '737-00-1030'),
+    ('6810', '737-00-1028', '737-00-1029'),
+    ('6830', '737-00-1028', '737-00-1029'),
+    ('6850', '737-00-1028', '737-00-1029'),
+    ('6852', '737-00-1028', '737-00-1030'),
+    ('6872', '737-00-1028', '737-00-1030'),
+    ('6890', '737-00-1028', '737-00-1029'),
+    ('6920', '737-00-1028', '737-00-1029'),
+    ('6922', '737-00-1028', '737-00-1030'),
+    ('6940', '737-00-1028', '737-00-1029'),
+    ('6942', '737-00-1028', '737-00-1030'),
+    ('6960', '737-00-1028', '737-00-1029'),
+    ('6970', '737-00-1028', '737-00-1029'),
+    ('6980', '737-00-1028', '737-00-1029'),
+    ('7000', '737-00-1028', '737-00-1029'),
+    ('7010', '737-00-1028', '737-00-1029'),
+    ('7020', '737-00-1028', '737-00-1029'),
+    ('7030', '737-00-1028', '737-00-1029'),
+    ('7040', '737-00-1028', '737-00-1029'),
+    ('7050', '737-00-1028', '737-00-1029'),
+    ('7060', '737-00-1028', '737-00-1029'),
+    ('7062', '737-00-1028', '737-00-1030'),
+    ('7070', '737-00-1028', '737-00-1029'),
+    ('7090', '737-00-1028', '737-00-1029'),
+    ('7100', '737-00-1028', '737-00-1029'),
+    ('7120', '737-00-1028', '737-00-1029'),
+    ('7130', '737-00-1028', '737-00-1029'),
+    ('7140', '737-00-1028', '737-00-1029'),
+    ('7150', '737-00-1028', '737-00-1029'),
+    ('7160', '737-00-1028', '737-00-1029'),
+    ('7170', '737-00-1028', '737-00-1029'),
+    ('7190', '737-00-1028', '737-00-1029'),
+    ('7220', '737-00-1028', '737-00-1029'),
+    ('7250', '737-00-1028', '737-00-1029'),
+    ('7350', '737-00-1028', '737-00-1029'),
+    ('7370', '737-00-1028', '737-00-1029'),
+    ('7430', '737-00-1028', '737-00-1029'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -265,4 +332,7 @@ ORACLE = {
     "xml_subtree_content": _values_sql(GOLDEN_XML_SUBTREE_CONTENT_COLS, GOLDEN_XML_SUBTREE_CONTENT_ROWS),
     "xml_title_hierarchy": _values_sql(GOLDEN_XML_TITLE_HIERARCHY_COLS, GOLDEN_XML_TITLE_HIERARCHY_ROWS),
     "xml_connected_components": _values_sql(GOLDEN_XML_CONNECTED_COMPONENTS_COLS, GOLDEN_XML_CONNECTED_COMPONENTS_ROWS),
+    "graph_motif_chain": _values_sql(GOLDEN_GRAPH_MOTIF_CHAIN_COLS, GOLDEN_GRAPH_MOTIF_CHAIN_ROWS),
+    "graph_motif_fanout": _values_sql(GOLDEN_GRAPH_MOTIF_FANOUT_COLS, GOLDEN_GRAPH_MOTIF_FANOUT_ROWS),
+    "graph_motif_shared": _values_sql(GOLDEN_GRAPH_MOTIF_SHARED_COLS, GOLDEN_GRAPH_MOTIF_SHARED_ROWS),
 }

@@ -221,4 +221,8 @@ QUERIES = {
 # views — but the corpus is STATIC, so the outputs are fixed and the oracle
 # is a golden-constant VALUES table per query (see xml_golden.py for the
 # rationale and regeneration protocol).
-from .xml_golden import ORACLE as ORACLE  # noqa: F401  (re-export)
+from .xml_golden import ORACLE as _GOLDEN  # noqa: E402
+
+# xml_golden.py also holds the motif keys' goldens (operators/motifq.py
+# re-exports those) — each module exposes only its own keys
+ORACLE = {k: v for k, v in _GOLDEN.items() if k in QUERIES}

@@ -335,17 +335,61 @@ _GRAPH_RULE = re.compile(
     re.I,
 )
 
+# pattern-shaped questions route through the declarative motif matcher
+# (graph/motif.py) — the rule emits a Motif spec the way the reference's
+# GPT seam emits a MATCH pattern (first-graph.py:141)
+_MOTIF_AFFECTED_RULE = re.compile(
+    r"which airplanes (?:are )?affected by (?:bulletin\s+)?'?([\w.-]+)'?",
+    re.I,
+)
+_MOTIF_SUBJECT_RULE = re.compile(
+    r"(?:what is the )?subject of (?:bulletin\s+)?'?([\w.-]+)'?",
+    re.I,
+)
+
 
 def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
     """The reference's flagship chat lifecycle (first-graph.py:141,168-176)
-    against the graph store: NL question → seed + depth → k-hop downward
-    expansion → per-seed grouped result. Rule-based translation with the
-    same pluggable-translator contract as ``answer``; an LLM translator
-    would emit the same (seed_name, depth) plan.
+    against the graph store: NL question → plan → execute. Two rule
+    families, mirroring the two query shapes the reference's GPT seam
+    emits: pattern-shaped questions compile to a declarative motif
+    (graph/motif.py — label/edge-typed MATCH with a property predicate);
+    neighborhood questions compile to (seed, depth) k-hop expansion.
+    Rule-based translation with the same pluggable-translator contract as
+    ``answer``; an LLM translator would emit the same specs.
     """
     from pyspark.sql import functions as F
 
-    m = _GRAPH_RULE.search(question.strip().rstrip("?"))
+    from ..graph.motif import EdgePat, NodePat, match_motif
+
+    q = question.strip().rstrip("?")
+    m = _MOTIF_AFFECTED_RULE.search(q)
+    if m:
+        bindings = match_motif(
+            store.nodes, store.edges,
+            [NodePat("sb", label="ServiceBulletin", docnbr=m.group(1)),
+             NodePat("pi", label="planning_information"),
+             NodePat("eff", label="effectivity"),
+             NodePat("ap", label="airplanes")],
+            [EdgePat("sb", "pi", "HAS_PLANNING_INFORMATION"),
+             EdgePat("pi", "eff", "HAS_EFFECTIVITY"),
+             EdgePat("eff", "ap", "HAS_AIRPLANES")],
+        )
+        return bindings.select(F.col("sb_docnbr").alias("docnbr"),
+                               F.col("ap_content").alias("airplanes"))
+    m = _MOTIF_SUBJECT_RULE.search(q)
+    if m:
+        bindings = match_motif(
+            store.nodes, store.edges,
+            [NodePat("sb", label="ServiceBulletin", docnbr=m.group(1)),
+             NodePat("h", label="header"),
+             NodePat("subj", label="subject")],
+            [EdgePat("sb", "h", "HAS_HEADER"),
+             EdgePat("h", "subj", "HAS_SUBJECT")],
+        )
+        return bindings.select(F.col("sb_docnbr").alias("docnbr"),
+                               F.col("subj_content").alias("subject"))
+    m = _GRAPH_RULE.search(q)
     if not m:
         raise ValueError(f"no graph rule matches question: {question!r}")
     seed_name, depth = m.group(1), int(m.group(2) or 3)

@@ -22,14 +22,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
-    curation, dedup, graphq, multimodal, mutation, pipeline, profiling,
-    relational, similarity, streamq, textops, timeseries, tpch_ext, xmlq,
+    curation, dedup, graphq, motifq, multimodal, mutation, pipeline,
+    profiling, relational, similarity, streamq, textops, timeseries,
+    tpch_ext, xmlq,
 )
 from .plans import nl2query
 
 _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
             textops, multimodal, streamq, xmlq, nl2query, pipeline,
-            timeseries, curation, profiling]
+            timeseries, curation, profiling, motifq]
 
 # First-50 prefix: every operator family + every §2.B flagship, most load-
 # bearing first. Everything not listed keeps module order after these.
@@ -240,11 +241,15 @@ _DRIVER_WINDOW = [
     "xml_connected_components",
     "funnel_retention_cohorts",
     "ts_anomaly_zscore",
-    # --- swap stock: r09 first-timers holding slots the round's NEW
-    # operators will take as they ship (named swaps commented below) ---
-    "multimodal_resize",
-    "graph_khop_undirected",
-    "stream_dedup",
+    # --- r10 NEW operators (first driver check the round they ship) ---
+    # Swap 1-3: the declarative motif matcher's three keys in for the
+    # swap-stock placeholders multimodal_resize, graph_khop_undirected,
+    # stream_dedup (each 1x green r09; multimodal keeps blob_stats +
+    # frame_sample, graphq keeps khop_hierarchy + 5 more, streamq keeps
+    # topk_continuous + the stateful trio)
+    "graph_motif_chain",
+    "graph_motif_fanout",
+    "graph_motif_shared",
 ]
 
 

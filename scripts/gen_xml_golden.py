@@ -6,7 +6,10 @@ spark = get_spark("golden-gen2")
 qs = all_queries()
 names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          "xml_shared_linenumbers", "xml_subtree_content", "xml_title_hierarchy",
-         "xml_connected_components"]
+         "xml_connected_components",
+         # r10: declarative motif-matcher keys (operators/motifq.py) —
+         # same static corpus, same golden-constant discipline
+         "graph_motif_chain", "graph_motif_fanout", "graph_motif_shared"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

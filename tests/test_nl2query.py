@@ -172,6 +172,35 @@ def test_graph_question_flagship(spark):
         answer_graph(spark, store, "how is the weather")
 
 
+def test_graph_question_routes_through_motif(spark):
+    """Pattern-shaped questions compile to a declarative motif
+    (graph/motif.py), not the k-hop fallback: the routed answer must
+    equal the registry motif query's golden row for the same bulletin."""
+    from graph_database_project_spark.operators.motifq import (
+        q_graph_motif_chain, q_graph_motif_fanout)
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(
+        spark, store, "Which airplanes are affected by bulletin 737-00-1028?")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["docnbr"] == "737-00-1028"
+    import hashlib
+    golden = {r.docnbr: (r.airplanes_md5, r.airplanes_len)
+              for r in q_graph_motif_chain(spark, "/root/testdata/sf0.01")
+              .collect()}
+    txt = rows[0]["airplanes"]
+    assert (hashlib.md5(txt.encode()).hexdigest(), len(txt)) \
+        == golden["737-00-1028"]
+
+    df2 = answer_graph(spark, store, "subject of '737-00-1029'")
+    fan = {r.docnbr: r.subject
+           for r in q_graph_motif_fanout(spark, "/root/testdata/sf0.01")
+           .collect()}
+    assert df2.first()["subject"] == fan["737-00-1029"]
+
+
 def test_new_rules_ground_and_validate(spark):
     """Count-all / global-agg / sum-per rules: grounded SQL, plural
     normalization, and unknown-identifier rejection."""
