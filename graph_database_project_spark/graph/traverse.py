@@ -240,7 +240,8 @@ def k_core(vertices: DataFrame, edges: DataFrame, k: int = 3,
 
 def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85,
-             personalize: DataFrame | None = None) -> DataFrame:
+             personalize: DataFrame | None = None,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """PageRank with dangling-mass redistribution, fixed iteration count.
 
     vertices: (node,); edges: (src, dst) directed. Returns (node, rank)
@@ -253,6 +254,14 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
     sum to ~1 and concentrate near the seed set. The global branch is
     byte-for-byte the original expression tree (same IEEE op order) — a
     personalization hook must not perturb the 7-round-green global ranks.
+
+    ``init_ranks``: optional (node, rank) WARM START — the IVM hook: a
+    stored rank vector from a prior graph state seeds the iteration, so
+    a delta batch needs only a few correction rounds instead of a cold
+    restart (power iteration contracts the error by d per round from
+    wherever it starts). Per-round arithmetic is byte-for-byte the cold
+    branch's; only rank_0 changes. Nodes absent from init_ranks (births)
+    start at 1.0, the cold value.
     """
     n = vertices.count()
     # vertices/edges/out_deg are loop-invariant but referenced in all
@@ -265,7 +274,13 @@ def pagerank(vertices: DataFrame, edges: DataFrame, n_iter: int = 10,
                    .localCheckpoint(eager=True)
     if personalize is None:
         pvec = None
-        ranks = vertices.select("node", F.lit(1.0).alias("rank"))
+        if init_ranks is None:
+            ranks = vertices.select("node", F.lit(1.0).alias("rank"))
+        else:
+            ranks = (vertices.join(init_ranks, "node", "left")
+                     .select("node",
+                             F.coalesce("rank", F.lit(1.0)).alias("rank"))
+                     .localCheckpoint(eager=True))
     else:
         pvec = (vertices.join(personalize, "node", "left")
                 .select("node", F.coalesce("p", F.lit(0.0)).alias("p"))

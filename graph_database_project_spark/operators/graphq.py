@@ -373,6 +373,121 @@ r{i} AS MATERIALIZED (
 Q_PPR_SQL = _ppr_oracle_sql()
 
 
+# Incremental-PageRank split: ring edges whose src % PR_DELTA_MOD == 0
+# arrive as the delta batch; co-prime with the stride 7 so removed edges
+# spread over the cycle. Base rounds / correction rounds below.
+PR_DELTA_MOD = 11
+PR_BASE_ROUNDS = 10
+PR_CORR_ROUNDS = 4
+
+
+def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PageRank — the IVM form a 100 TB graph store actually
+    runs (the rank sibling of ``graph_cc_incremental``): stored ranks
+    from the base edge set WARM-START the power iteration on base∪delta,
+    so a delta batch pays only PR_CORR_ROUNDS correction rounds instead
+    of a cold restart. Power iteration contracts the error by the
+    damping factor per round from ANY starting vector, and the stored
+    vector is already near the new fixed point when the delta is small —
+    at cluster scale this is the difference between ~4 and ~50
+    edge-shuffle rounds per ingest batch (the first cost a production
+    graph pipeline eliminates; tests/test_traverse.py machine-checks the
+    warm start beats a cold start of the same budget).
+
+    Graph: a binary in-tree FUNNEL — every node links to its parent
+    src → src div 2 (node 0, the root's target, is dangling). The
+    substrate choice matters (r10 dead-variation lesson, a new failure
+    mode of the CLAUDE.md family): the referral RING is a permutation,
+    whose fixed point is exactly the uniform cold-start vector — on it a
+    cold start is unbeatable by construction and the IVM story is
+    vacuous; ring+shortcut variants stay too close to uniform to
+    discriminate. The funnel's fixed point concentrates geometrically
+    toward the root (rank(v) = (1−d) + d·Σchildren — low ids reach
+    many× the cold value), so the cold-start error is LARGE while the
+    stored vector (missing only the delta edges, src % 11 == 0) sits
+    near the full fixed point — the warm start demonstrably wins
+    (pinned in tests/test_traverse.py).
+
+    Float determinism: same accepted class as graph_pagerank — chained
+    identical IEEE expression trees both engines. In-mass sums have ≤2
+    terms per node (children 2v and 2v+1), and two-term IEEE addition
+    is commutative, so summation order cannot diverge. Oracle: base
+    rounds then correction rounds unrolled as MATERIALIZED CTEs over
+    the two edge sets (the warm start is PART of the checked
+    computation).
+    """
+    from ..graph.traverse import pagerank as _pr
+
+    cust = load_table(spark, sf_dir, "customer")
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    full_e = (cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        F.expr("CAST(c_custkey div 2 AS BIGINT)").alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    base_e = full_e.filter(F.col("src") % PR_DELTA_MOD != 0)
+    # the "stored" state a deployment would read back from parquet
+    stored = _pr(verts, base_e, n_iter=PR_BASE_ROUNDS)
+    incr = _pr(verts, full_e, n_iter=PR_CORR_ROUNDS, init_ranks=stored)
+    return incr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_incr_oracle_sql(damping: float = 0.85) -> str:
+    """DuckDB twin of ``q_graph_pagerank_incremental``: PR_BASE_ROUNDS
+    over the base edge set, then PR_CORR_ROUNDS over the full set seeded
+    from the base result — each phase mirroring _pagerank_oracle_sql's
+    round template term by term (same IEEE op order both engines)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+verts AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+ef AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST(c_custkey // 2 AS BIGINT) AS dst
+  FROM customer
+  WHERE CAST(c_custkey AS BIGINT) != CAST(c_custkey // 2 AS BIGINT)
+),
+eb AS MATERIALIZED (
+  SELECT src, dst FROM ef WHERE src % {PR_DELTA_MOD} <> 0
+),
+odf AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM ef GROUP BY src),
+odb AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM eb GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM verts)"""]
+
+    def round_sql(i: int, e: str, od: str) -> str:
+        p = i - 1
+        return f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) / (SELECT n FROM nn) AS dm
+  FROM r{p} r LEFT JOIN {od} ON {od}.src = r.node
+  WHERE {od}.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         CAST({one_minus_d} AS DOUBLE)
+         + CAST({d} AS DOUBLE)
+           * (COALESCE(m.in_mass, CAST(0 AS DOUBLE)) + (SELECT dm FROM d{i})) AS rank
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / od.out_deg) AS in_mass
+    FROM {e} e JOIN r{p} r ON r.node = e.src JOIN {od} od ON od.src = e.src
+    GROUP BY e.dst
+  ) m ON m.node = v.node
+)"""
+
+    for i in range(1, PR_BASE_ROUNDS + 1):
+        parts.append(round_sql(i, "eb", "odb"))
+    for i in range(PR_BASE_ROUNDS + 1, PR_BASE_ROUNDS + PR_CORR_ROUNDS + 1):
+        parts.append(round_sql(i, "ef", "odf"))
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank "
+        f"FROM r{PR_BASE_ROUNDS + PR_CORR_ROUNDS}")
+    return "".join(parts)
+
+
+Q_PAGERANK_INCR_SQL = _pagerank_incr_oracle_sql()
+
+
 LPA_ROUNDS = 10  # clique blocks converge by ~round 3; extra rounds are no-ops
 
 
@@ -2415,6 +2530,7 @@ QUERIES = {
     "graph_temporal_multisource": q_graph_temporal_multisource,
     "graph_pagerank": q_pagerank,
     "graph_pagerank_personalized": q_pagerank_personalized,
+    "graph_pagerank_incremental": q_graph_pagerank_incremental,
     "graph_label_propagation": q_label_propagation,
     "graph_kcore": q_graph_kcore,
     "graph_ktruss": q_graph_ktruss,
@@ -2443,6 +2559,7 @@ ORACLE = {
     "graph_temporal_multisource": _temporal_multisource_oracle_sql(),  # per-seed unroll
     "graph_pagerank": Q_PAGERANK_SQL,  # fixed-iteration unrolled CTE chain
     "graph_pagerank_personalized": Q_PPR_SQL,  # seeded-teleport unrolled chain
+    "graph_pagerank_incremental": Q_PAGERANK_INCR_SQL,  # warm-start IVM, both phases unrolled
     "graph_label_propagation": Q_LPA_SQL,  # same unrolled-CTE trick as PageRank
     "graph_kcore": Q_KCORE_SQL,  # fixed peel rounds unrolled
     "graph_ktruss": Q_KTRUSS_SQL,  # fixed truss peel rounds unrolled

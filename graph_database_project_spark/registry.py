@@ -238,7 +238,6 @@ _DRIVER_WINDOW = [
     "stream_stream_join",
     "stream_dedup_gate",
     "xml_shared_linenumbers",
-    "xml_connected_components",
     "funnel_retention_cohorts",
     "ts_anomaly_zscore",
     # --- r10 NEW operators (first driver check the round they ship) ---
@@ -250,6 +249,11 @@ _DRIVER_WINDOW = [
     "graph_motif_chain",
     "graph_motif_fanout",
     "graph_motif_shared",
+    # Swap 4: graph_pagerank_incremental (r10 NEW: warm-start IVM
+    # PageRank) in for xml_connected_components (1x green r09; xmlq
+    # keeps xml_shared_linenumbers, and the CC row keeps
+    # graph_cc_incremental in the local gate)
+    "graph_pagerank_incremental",
 ]
 
 

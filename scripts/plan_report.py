@@ -62,7 +62,9 @@ def main() -> None:
              "mix_budget_allocate", "ts_autocorrelation",
              # r10 additions: the r09 plan-audit tail (verdict finding 1)
              # + this round's new operators
-             "sim_ivf_recall_curve", "path_trigrams"]
+             "sim_ivf_recall_curve", "path_trigrams",
+             "graph_motif_chain", "graph_motif_fanout",
+             "graph_motif_shared", "graph_pagerank_incremental"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -342,6 +342,48 @@ def test_cc_incremental_equals_full_recompute_and_contracts(spark):
     assert 0 < n_delta < n_nodes / 3  # the delta is a real, small batch
 
 
+def test_pagerank_incremental_warm_start_converges_faster(spark):
+    """The IVM value proposition, machine-checked: warm-starting the
+    correction rounds from the stored base-graph ranks lands closer to
+    the converged full-graph fixed point than a COLD start with the same
+    round budget, and lands within a real tolerance of it — i.e. the
+    stored state buys convergence, it isn't just recomputation."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        PR_CORR_ROUNDS, PR_DELTA_MOD, q_graph_pagerank_incremental)
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    n = cust.count()
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    full_e = (cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        F.expr("CAST(c_custkey div 2 AS BIGINT)").alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    converged = {r.node: r.rank
+                 for r in pagerank(verts, full_e, n_iter=40).collect()}
+    cold = {r.node: r.rank
+            for r in pagerank(verts, full_e,
+                              n_iter=PR_CORR_ROUNDS).collect()}
+    incr = {r.node: r.rank
+            for r in q_graph_pagerank_incremental(spark, sf).collect()}
+    err_cold = max(abs(cold[k] - converged[k]) for k in converged)
+    err_incr = max(abs(incr[k] - converged[k]) for k in converged)
+    l1_cold = sum(abs(cold[k] - converged[k]) for k in converged)
+    l1_incr = sum(abs(incr[k] - converged[k]) for k in converged)
+    assert err_incr < err_cold / 2  # warm start clearly beats cold start
+    assert l1_incr < l1_cold / 5    # and by a wide margin in total mass
+    # measured at sf0.001: max-norm 1.25 vs 7.09, L1 6.8 vs 65.5
+
+    # dead-variation guards: the funnel's fixed point is FAR from the
+    # uniform cold vector (the permutation-ring trap: on a ring, uniform
+    # cold start IS the fixed point and the IVM story is vacuous), and
+    # the delta is real but small
+    assert err_cold > 0.5
+    n_delta = full_e.filter(F.col("src") % PR_DELTA_MOD == 0).count()
+    assert 0 < n_delta < n / 3
+
+
 def test_clustering_coeff_closed_form_classes(spark):
     """Closed-form expectations on the planted structure: interior
     full-clique nodes have lcc exactly 1.0 (deg 9, 36 triangles); pure
