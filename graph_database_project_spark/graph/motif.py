@@ -59,12 +59,20 @@ class EdgePat:
     """One typed edge: ``(src)-[:rel_type]->(dst)`` with ``direction``
     ``out`` (src→dst in storage), ``in`` (storage dst→src — i.e. the
     pattern arrow points backwards), or ``both`` (undirected match).
-    ``rel_type=None`` matches any relationship type."""
+    ``rel_type=None`` matches any relationship type.
+
+    ``negated=True`` is Cypher's ``WHERE NOT (src)-[:T]->(dst)``: an
+    existential anti-filter compiled to a left-anti join. Its src must
+    already be bound; its dst may be an auxiliary pattern variable that
+    appears ONLY in this edge (NOT-EXISTS-a-node-matching-P semantics) —
+    the auxiliary variable binds nothing and contributes no output
+    columns."""
 
     src: str
     dst: str
     rel_type: str | None = None
     direction: str = "out"
+    negated: bool = False
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -112,12 +120,15 @@ def match_motif(
     """Compile a motif to a DataFrame of variable bindings.
 
     Output columns: ``<var>_id / _name / _content / _docnbr`` for every
-    pattern variable, one row per distinct binding. Edge patterns are
+    pattern variable (negated-edge auxiliary variables excepted — they
+    bind nothing), one row per distinct binding. Edge patterns are
     processed in order; each must touch at least one already-bound
     variable (a disconnected pattern would be a cartesian product — the
     compiler raises instead). An edge between two already-bound
     variables becomes an existence (left-semi) filter — the closing edge
-    of a cycle.
+    of a cycle; a ``negated`` edge becomes a NOT-EXISTS (left-anti)
+    filter, against the bound pair or against any node matching its
+    auxiliary pattern.
     """
     pats = {p.var: p for p in node_pats}
     if len(pats) != len(node_pats):
@@ -134,7 +145,15 @@ def match_motif(
     sides = {v: _node_side(nodes, p) for v, p in pats.items()}
 
     ep0 = edge_pats[0]
+    if ep0.negated:
+        raise ValueError("first edge pattern cannot be negated "
+                         "(nothing is bound yet)")
+    refs: dict[str, int] = {}
+    for ep in edge_pats:
+        refs[ep.src] = refs.get(ep.src, 0) + 1
+        refs[ep.dst] = refs.get(ep.dst, 0) + 1
     bound: set[str] = set()
+    aux: set[str] = set()
 
     def bind(result: DataFrame | None, var: str, on_edge_col) -> DataFrame:
         """Join an unbound variable's node relation onto the result via
@@ -154,6 +173,34 @@ def match_motif(
                 f"disconnected pattern at edge {i} ({ep.src}->{ep.dst}): "
                 "every edge must touch an already-bound variable")
         er = _edge_rel(edges, ep)
+        if ep.negated:
+            # NOT-EXISTS anti-filter (Cypher WHERE NOT pattern)
+            if ep.src in bound and ep.dst in bound:
+                result = result.join(
+                    er,
+                    (F.col(f"{ep.src}_id") == er["src"])
+                    & (F.col(f"{ep.dst}_id") == er["dst"]),
+                    "left_anti",
+                )
+                continue
+            bvar, avar, edge_col = (
+                (ep.src, ep.dst, "src") if ep.src in bound
+                else (ep.dst, ep.src, "dst"))
+            if refs[avar] != 1 or avar in bound:
+                raise ValueError(
+                    f"negated-edge auxiliary variable {avar!r} must "
+                    "appear in exactly that one edge")
+            # NOT EXISTS an edge to ANY node matching the auxiliary
+            # pattern: anti-join against (edges ⋈ aux-node-pattern)
+            arel, _ = sides[avar]
+            hit = (er.join(arel,
+                           er["dst" if edge_col == "src" else "src"]
+                           == F.col(f"{avar}_id"))
+                   .select(er[edge_col].alias("_neg_key")))
+            result = result.join(
+                hit, F.col(f"{bvar}_id") == F.col("_neg_key"), "left_anti")
+            aux.add(avar)
+            continue
         if ep.src in bound and ep.dst in bound:
             # closing edge of a cycle: existence filter, no new columns
             result = result.join(
@@ -176,7 +223,7 @@ def match_motif(
                 e, F.col(f"{ep.dst}_id") == F.col(f"_e{i}_dst"))
             result = bind(result, ep.src, F.col(f"_e{i}_src"))
             result = result.drop(f"_e{i}_src", f"_e{i}_dst")
-    unbound = set(pats) - bound
+    unbound = set(pats) - bound - aux
     if unbound:
         raise ValueError(f"variables never reached by an edge: {unbound}")
     if where is not None:

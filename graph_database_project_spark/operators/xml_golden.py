@@ -306,6 +306,11 @@ GOLDEN_GRAPH_MOTIF_SHARED_ROWS = [
     ('7430', '737-00-1028', '737-00-1029'),
 ]
 
+GOLDEN_GRAPH_MOTIF_NEGATION_COLS = [('n_excluded', 'BIGINT'), ('min_line', 'BIGINT'), ('max_line', 'BIGINT'), ('line_checksum', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_NEGATION_ROWS = [
+    (292, 5602, 7446, 1640611),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -335,4 +340,5 @@ ORACLE = {
     "graph_motif_chain": _values_sql(GOLDEN_GRAPH_MOTIF_CHAIN_COLS, GOLDEN_GRAPH_MOTIF_CHAIN_ROWS),
     "graph_motif_fanout": _values_sql(GOLDEN_GRAPH_MOTIF_FANOUT_COLS, GOLDEN_GRAPH_MOTIF_FANOUT_ROWS),
     "graph_motif_shared": _values_sql(GOLDEN_GRAPH_MOTIF_SHARED_COLS, GOLDEN_GRAPH_MOTIF_SHARED_ROWS),
+    "graph_motif_negation": _values_sql(GOLDEN_GRAPH_MOTIF_NEGATION_COLS, GOLDEN_GRAPH_MOTIF_NEGATION_ROWS),
 }

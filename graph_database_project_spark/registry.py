@@ -230,7 +230,6 @@ _DRIVER_WINDOW = [
     "graph_pagerank_personalized",
     "graph_betweenness_sampled",
     "dedup_chunk_level",
-    "text_fingerprint",
     "sample_weighted_mix",
     "multimodal_blob_stats",
     "multimodal_frame_sample",
@@ -254,6 +253,10 @@ _DRIVER_WINDOW = [
     # keeps xml_shared_linenumbers, and the CC row keeps
     # graph_cc_incremental in the local gate)
     "graph_pagerank_incremental",
+    # Swap 5: graph_motif_negation (r10 NEW: NOT-EXISTS anti-pattern)
+    # in for text_fingerprint (1x green r09; textops keeps
+    # text_token_count, vocab_growth_heaps, dedup_chunk_level)
+    "graph_motif_negation",
 ]
 
 

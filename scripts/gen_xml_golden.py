@@ -9,7 +9,8 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          "xml_connected_components",
          # r10: declarative motif-matcher keys (operators/motifq.py) —
          # same static corpus, same golden-constant discipline
-         "graph_motif_chain", "graph_motif_fanout", "graph_motif_shared"]
+         "graph_motif_chain", "graph_motif_fanout", "graph_motif_shared",
+         "graph_motif_negation"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

@@ -57,6 +57,14 @@ QUERIES = [
     ("graph_cc_incremental", "graphq", "q_graph_cc_incremental"),
     ("graph_densest_subgraph", "graphq", "q_graph_densest_subgraph"),
     ("graph_modularity", "graphq", "q_graph_modularity"),
+    # r10 verdict #7: the two previously-unmeasured heavy rows. The
+    # lineitem proxy offsets l_partkey/l_suppkey too, so each replica is
+    # a DISJOINT copy of the part–supplier bipartite graph (shared part
+    # keys would collapse under the .distinct() and measure only scan
+    # scaling). Source density: (key + rep·OFFSET) % 397 picks a
+    # different-but-equal-density residue slice per replica.
+    ("graph_betweenness_sampled", "graphq", "q_graph_betweenness_sampled"),
+    ("stream_topk_continuous", "streamq", "q_stream_topk_continuous"),
 ]
 
 
@@ -102,8 +110,24 @@ def build_proxy(spark, out_dir: pathlib.Path, n_rep: int) -> None:
 
     (reps(li)
      .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * OFFSET)
+     # part/supp keys offset too (r10): the betweenness bipartite graph
+     # must be 10 disjoint copies, not one graph scanned 10 times
+     .withColumn("l_partkey",
+                 F.col("l_partkey").cast("long") + F.col("_rep") * OFFSET)
+     .withColumn("l_suppkey",
+                 F.col("l_suppkey").cast("long") + F.col("_rep") * OFFSET)
      .drop("_rep").repartition(32)
      .write.mode("overwrite").parquet(str(out_dir / "lineitem.parquet")))
+
+    ev = load_table(spark, SRC, "events")
+    # user/event ids offset (OFFSET is divisible by TOPK_NSLICES=4, so
+    # slice membership is replica-aligned); ts carries through unchanged
+    # so the day-keyed state stays |days|-sized while per-day data 10x-es
+    (reps(ev)
+     .withColumn("event_id", F.col("event_id") + F.col("_rep") * OFFSET)
+     .withColumn("user_id", F.col("user_id") + F.col("_rep") * OFFSET)
+     .drop("_rep").repartition(32)
+     .write.mode("overwrite").parquet(str(out_dir / "events.parquet")))
 
 
 def main() -> int:

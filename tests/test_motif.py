@@ -115,6 +115,46 @@ def test_property_and_name_predicates(tiny):
     assert [(r.a_name, r.b_name) for r in m2.collect()] == [("a2", "b2")]
 
 
+def test_negated_edge_pair_and_auxiliary(tiny):
+    nodes, edges = tiny
+    # pair form: a-R->b WHERE NOT c-T->a  ... both-bound anti via chain
+    m = match_motif(
+        nodes, edges,
+        [NodePat("a", "A"), NodePat("b", "B"), NodePat("c", "C")],
+        [EdgePat("a", "b", "R"), EdgePat("b", "c", "S"),
+         EdgePat("c", "a", "T", negated=True)])
+    # only a1 has the 5->1 T back-edge, so negation keeps a2
+    assert [(r.a_name,) for r in m.select("a_name").collect()] == [("a2",)]
+
+    # auxiliary form: b WHERE NOT (b)-[:S]->(:C) — every B has one, so
+    # empty; WHERE NOT (b)-[:T]->(:C) keeps both
+    pats = [NodePat("b", "B"), NodePat("x", "C")]
+    none_left = match_motif(
+        nodes, edges, [NodePat("a", "A")] + pats,
+        [EdgePat("a", "b", "R"), EdgePat("b", "x", "S", negated=True)])
+    assert none_left.count() == 0
+    kept = match_motif(
+        nodes, edges, [NodePat("a", "A")] + pats,
+        [EdgePat("a", "b", "R"), EdgePat("b", "x", "T", negated=True)])
+    assert kept.count() == 2
+    # auxiliary variable contributes no output columns
+    assert not any(c.startswith("x_") for c in kept.columns)
+
+
+def test_negated_edge_validation(tiny):
+    nodes, edges = tiny
+    with pytest.raises(ValueError, match="cannot be negated"):
+        match_motif(nodes, edges, [NodePat("a", "A"), NodePat("b", "B")],
+                    [EdgePat("a", "b", "R", negated=True)])
+    with pytest.raises(ValueError, match="exactly that one edge"):
+        # auxiliary var reused by a second edge
+        match_motif(
+            nodes, edges,
+            [NodePat("a", "A"), NodePat("b", "B"), NodePat("c", "C")],
+            [EdgePat("a", "b", "R"), EdgePat("b", "c", "S", negated=True),
+             EdgePat("b", "c", "S")])
+
+
 def test_rejects_disconnected_and_malformed(tiny):
     nodes, edges = tiny
     with pytest.raises(ValueError, match="disconnected"):
@@ -166,6 +206,30 @@ def test_shared_consistent_with_shared_linenumbers(spark):
                 for r in q_xml_shared_linenumbers(spark, SF).collect()}
     assert motif_lns == join_lns
     assert len(motif_lns) > 10  # the planted sharing is actually exercised
+
+
+def test_negation_set_algebra_consistency(spark):
+    """|lines in 1028 but not 1029| must equal |lines reached from 1028|
+    minus |lines shared between 1028 and 1029| — derived from the OTHER
+    motif queries, so the negation key is pinned by set algebra rather
+    than its own machinery."""
+    from graph_database_project_spark.operators.xmlq import _store
+
+    st = _store(spark)
+    m_all = match_motif(
+        st.nodes, st.edges,
+        [NodePat("ln", label="LineNumber"),
+         NodePat("a1", label="Airplane", docnbr="737-00-1028")],
+        [EdgePat("ln", "a1", "included_in")])
+    all_1028 = {r.ln_name for r in m_all.select("ln_name").collect()}
+    shared = {r.line_number
+              for r in motifq.q_graph_motif_shared(spark, SF).collect()
+              if {r.doc_a, r.doc_b} == {"737-00-1028", "737-00-1029"}}
+    row = motifq.q_graph_motif_negation(spark, SF).first()
+    expect = all_1028 - shared
+    assert row.n_excluded == len(expect)
+    # range-style names ('7305-7306') are NULL-skipped by the checksum
+    assert row.line_checksum == sum(int(x) for x in expect if x.isdigit())
 
 
 def test_motif_plans_no_cartesian(spark):
