@@ -66,13 +66,31 @@ class EdgePat:
     already be bound; its dst may be an auxiliary pattern variable that
     appears ONLY in this edge (NOT-EXISTS-a-node-matching-P semantics) —
     the auxiliary variable binds nothing and contributes no output
-    columns."""
+    columns.
+
+    ``min_hops``/``max_hops`` give Cypher's variable-length form
+    ``-[:T*min..max]->`` with REACHABILITY semantics: the edge relation
+    is expanded to the DISTINCT (src, dst) pairs connected by a path of
+    min..max edges of the given type/direction (node pairs, not paths —
+    the same set the k-hop traversal returns; path-multiplicity
+    semantics would be a different, factorially larger relation).
+    max_hops is capped at 8 — beyond that use graph/traverse.k_hop's
+    frontier loop, which checkpoints per hop.
+
+    ``optional=True`` is Cypher's OPTIONAL MATCH for one edge: a
+    left-outer join — bindings without the edge keep NULLs in the
+    optional variable's columns. The optional variable must be a leaf
+    (not referenced by any later edge), because a later inner join
+    through a NULL would silently re-drop the preserved rows."""
 
     src: str
     dst: str
     rel_type: str | None = None
     direction: str = "out"
     negated: bool = False
+    min_hops: int = 1
+    max_hops: int = 1
+    optional: bool = False
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -107,7 +125,26 @@ def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
             er.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     elif pat.direction != "out":
         raise ValueError(f"bad direction {pat.direction!r}")
-    return er.distinct()
+    er = er.distinct()
+    if (pat.min_hops, pat.max_hops) == (1, 1):
+        return er
+    if not (1 <= pat.min_hops <= pat.max_hops <= 8):
+        raise ValueError(
+            f"bad hop range {pat.min_hops}..{pat.max_hops} (want 1<=min"
+            "<=max<=8; use graph/traverse.k_hop beyond that)")
+    # variable-length expansion: exact-h pair sets chained by equi-join,
+    # unioned over the requested range — reachability (DISTINCT pairs)
+    cur = er
+    acc = er if pat.min_hops <= 1 else None
+    for h in range(2, pat.max_hops + 1):
+        cur = (cur.alias("a")
+               .join(er.alias("b"), F.col("a.dst") == F.col("b.src"))
+               .select(F.col("a.src").alias("src"),
+                       F.col("b.dst").alias("dst"))
+               .distinct())
+        if h >= pat.min_hops:
+            acc = cur if acc is None else acc.unionByName(cur).distinct()
+    return acc
 
 
 def match_motif(
@@ -173,6 +210,31 @@ def match_motif(
                 f"disconnected pattern at edge {i} ({ep.src}->{ep.dst}): "
                 "every edge must touch an already-bound variable")
         er = _edge_rel(edges, ep)
+        if ep.optional:
+            # OPTIONAL MATCH: left-outer binding of a leaf variable
+            if ep.negated:
+                raise ValueError("an edge cannot be both optional and "
+                                 "negated")
+            if ep.src in bound and ep.dst in bound:
+                raise ValueError("optional closing edges are not "
+                                 "supported (the existence filter would "
+                                 "be a no-op)")
+            bvar, ovar, bcol, ocol = (
+                (ep.src, ep.dst, "src", "dst") if ep.src in bound
+                else (ep.dst, ep.src, "dst", "src"))
+            if refs[ovar] != 1:
+                raise ValueError(
+                    f"optional variable {ovar!r} must be a leaf "
+                    "(referenced by exactly that one edge)")
+            orel, _ = sides[ovar]
+            rel = (er.join(orel, er[ocol] == F.col(f"{ovar}_id"))
+                   .select(er[bcol].alias("_opt_key"),
+                           *[f"{ovar}_{c}" for c in _CARRY]))
+            result = (result.join(
+                rel, F.col(f"{bvar}_id") == F.col("_opt_key"), "left")
+                .drop("_opt_key"))
+            bound.add(ovar)
+            continue
         if ep.negated:
             # NOT-EXISTS anti-filter (Cypher WHERE NOT pattern)
             if ep.src in bound and ep.dst in bound:

@@ -229,7 +229,6 @@ _DRIVER_WINDOW = [
     "graph_khop_hierarchy",
     "graph_pagerank_personalized",
     "graph_betweenness_sampled",
-    "dedup_chunk_level",
     "sample_weighted_mix",
     "multimodal_blob_stats",
     "multimodal_frame_sample",
@@ -257,6 +256,11 @@ _DRIVER_WINDOW = [
     # in for text_fingerprint (1x green r09; textops keeps
     # text_token_count, vocab_growth_heaps, dedup_chunk_level)
     "graph_motif_negation",
+    # Swap 6: graph_motif_varlength (r10 NEW: -[*1..3]-> reachability,
+    # the reference's literal 3-levels contract) in for
+    # dedup_chunk_level (1x green r09; textops keeps text_token_count +
+    # vocab_growth_heaps, dedup keeps ngram + entity_resolution)
+    "graph_motif_varlength",
 ]
 
 

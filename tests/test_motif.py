@@ -208,6 +208,84 @@ def test_shared_consistent_with_shared_linenumbers(spark):
     assert len(motif_lns) > 10  # the planted sharing is actually exercised
 
 
+def test_varlength_edge_reachability(tiny):
+    nodes, edges = tiny
+    # a-R->b-S->c: 1..2 hops from an A reaches its B (1) and C (2)
+    m = match_motif(
+        nodes, edges,
+        [NodePat("a", "A", name="a1"), NodePat("x")],
+        [EdgePat("a", "x", None, min_hops=1, max_hops=2)])
+    assert {r.x_name for r in m.collect()} == {"b1", "c1"}
+    # min_hops=2 excludes the direct neighbor
+    m2 = match_motif(
+        nodes, edges,
+        [NodePat("a", "A", name="a1"), NodePat("x")],
+        [EdgePat("a", "x", None, min_hops=2, max_hops=2)])
+    assert {r.x_name for r in m2.collect()} == {"c1"}
+    # cycle safety: 3 hops from a1 returns to a1 (1->3->5->1), each
+    # pair appearing once (reachability, not path counting)
+    m3 = match_motif(
+        nodes, edges,
+        [NodePat("a", "A", name="a1"), NodePat("x")],
+        [EdgePat("a", "x", None, min_hops=3, max_hops=3)])
+    assert [(r.x_name,) for r in m3.select("x_name").collect()] == [("a1",)]
+    with pytest.raises(ValueError, match="hop range"):
+        match_motif(nodes, edges, [NodePat("a"), NodePat("x")],
+                    [EdgePat("a", "x", None, min_hops=0, max_hops=2)])
+
+
+def test_optional_edge_left_outer(tiny):
+    nodes, edges = tiny
+    # every C-node binding keeps its row; only c1->a1 (T) exists, so
+    # the optional leaf is NULL for bindings without it... here all C
+    # have it; use B with T (none) vs B with S (all) instead
+    m = match_motif(
+        nodes, edges,
+        [NodePat("a", "A"), NodePat("b", "B"), NodePat("o", "C")],
+        [EdgePat("a", "b", "R"), EdgePat("b", "o", "T", optional=True)])
+    rows = {(r.b_name, r.o_name) for r in m.collect()}
+    assert rows == {("b1", None), ("b2", None)}  # preserved with NULLs
+    m2 = match_motif(
+        nodes, edges,
+        [NodePat("a", "A"), NodePat("b", "B"), NodePat("o", "C")],
+        [EdgePat("a", "b", "R"), EdgePat("b", "o", "S", optional=True)])
+    assert {(r.b_name, r.o_name) for r in m2.collect()} == \
+        {("b1", "c1"), ("b2", "c1")}
+    with pytest.raises(ValueError, match="leaf"):
+        match_motif(
+            nodes, edges,
+            [NodePat("a", "A"), NodePat("b", "B"), NodePat("o", "C")],
+            [EdgePat("a", "b", "R"), EdgePat("b", "o", "S", optional=True),
+             EdgePat("o", "a", "T")])
+    with pytest.raises(ValueError, match="optional and"):
+        match_motif(
+            nodes, edges,
+            [NodePat("a", "A"), NodePat("b", "B")],
+            [EdgePat("a", "b", "R"),
+             EdgePat("a", "b", "S", optional=True, negated=True)])
+
+
+def test_varlength_matches_khop_traversal(spark):
+    """Two independent machineries, one answer: the var-length motif's
+    per-bulletin reachability must equal graph/traverse.k_hop's
+    depth-1..3 node count from the same seeds."""
+    from graph_database_project_spark.graph.traverse import k_hop
+    from graph_database_project_spark.operators.xmlq import _store
+
+    st = _store(spark)
+    seeds = (st.nodes.filter(F.array_contains("labels", "ServiceBulletin"))
+             .select(F.col("docnbr").alias("seed"),
+                     F.col("id").alias("node")))
+    kh = (k_hop(seeds, st.edges.select("src", "dst"), depth=3,
+                direction="out")
+          .filter(F.col("depth") >= 1)
+          .groupBy("seed").agg(F.count(F.lit(1)).alias("n")))
+    expect = {r.seed: r.n for r in kh.collect()}
+    got = {r.docnbr: r.n_reachable
+           for r in motifq.q_graph_motif_varlength(spark, SF).collect()}
+    assert got == expect
+
+
 def test_negation_set_algebra_consistency(spark):
     """|lines in 1028 but not 1029| must equal |lines reached from 1028|
     minus |lines shared between 1028 and 1029| — derived from the OTHER
