@@ -311,6 +311,13 @@ GOLDEN_GRAPH_MOTIF_NEGATION_ROWS = [
     (292, 5602, 7446, 1640611),
 ]
 
+GOLDEN_GRAPH_MOTIF_VARLENGTH_COLS = [('docnbr', 'VARCHAR'), ('n_reachable', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_VARLENGTH_ROWS = [
+    ('737-00-1028', 40),
+    ('737-00-1029', 38),
+    ('737-00-1030', 36),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -341,4 +348,5 @@ ORACLE = {
     "graph_motif_fanout": _values_sql(GOLDEN_GRAPH_MOTIF_FANOUT_COLS, GOLDEN_GRAPH_MOTIF_FANOUT_ROWS),
     "graph_motif_shared": _values_sql(GOLDEN_GRAPH_MOTIF_SHARED_COLS, GOLDEN_GRAPH_MOTIF_SHARED_ROWS),
     "graph_motif_negation": _values_sql(GOLDEN_GRAPH_MOTIF_NEGATION_COLS, GOLDEN_GRAPH_MOTIF_NEGATION_ROWS),
+    "graph_motif_varlength": _values_sql(GOLDEN_GRAPH_MOTIF_VARLENGTH_COLS, GOLDEN_GRAPH_MOTIF_VARLENGTH_ROWS),
 }
