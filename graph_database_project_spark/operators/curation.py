@@ -562,8 +562,125 @@ ORDER BY source
 """
 
 
+def q_batch_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching padding audit: docs grouped into
+    power-of-two token-length buckets (the geometric bucketing inference
+    servers and packed-batch trainers actually use), reporting per
+    bucket how many pad tokens a pad-to-bucket-top batcher wastes —
+    the number that decides between bucketed batching and sequence
+    packing (``pack_sequences``) for a corpus.
+
+    Pure integers end-to-end: the power-of-two ceiling is
+    ``1 << length(bin(n-1))`` (exact in both engines, no log/float
+    path — the bin() trick of ``surprisal_bits``), and waste is ppm via
+    BIGINT floor-div. At 100 TB padded·10^6 crosses the LONG bound
+    around 9·10^12 padded tokens per bucket — the shared power-of-two
+    downshift (profiling.py) applies then; not needed at any test sf.
+
+    Scale: one tokenize scan, map-side collapse to ≤ log2(max_len)
+    buckets. Scan-dominated like every §8 profile.
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = (docs.select(F.size(_words(F.col("text"))).alias("n"))
+            .filter(F.col("n") > 0))
+    top = F.when(F.col("n") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(n - 1))) "
+               "AS BIGINT)"))
+    return (toks.withColumn("bucket_top", top)
+            .groupBy("bucket_top")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n").cast("long").alias("sum_tokens"))
+            .withColumn("padded_tokens",
+                        F.col("n_docs") * F.col("bucket_top"))
+            .withColumn("waste_ppm",
+                        F.expr("(padded_tokens - sum_tokens) * 1000000 "
+                               "div padded_tokens"))
+            .orderBy("bucket_top"))
+
+
+Q_BATCH_PADDING_SQL = """
+WITH toks AS (
+  SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n
+  FROM documents
+), bucketed AS (
+  SELECT CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 << length(bin(n - 1)) AS BIGINT) END AS bucket_top,
+         n
+  FROM toks WHERE n > 0
+), agg AS (
+  SELECT bucket_top, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+  FROM bucketed GROUP BY bucket_top
+)
+SELECT bucket_top, n_docs, sum_tokens,
+       CAST(n_docs * bucket_top AS BIGINT) AS padded_tokens,
+       CAST((n_docs * bucket_top - sum_tokens) * 1000000
+            // (n_docs * bucket_top) AS BIGINT) AS waste_ppm
+FROM agg ORDER BY bucket_top
+"""
+
+
+def q_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware per-domain token mass — the post-dedup accounting
+    a mix allocator should feed on instead of raw counts: each document
+    is down-weighted by its GLOBAL near-duplicate cluster size (the
+    SlimPajama-style 1/n_copies discipline), and the per-source
+    effective token mass is Σ floor(n_tokens·10^6 / n_copies). The
+    cluster key is the md5 of the document's SORTED DISTINCT WORD SET —
+    the bag-of-words template class (permutations/repetitions of the
+    same vocabulary collapse together), chosen over exact-text md5
+    because the synthetic corpus has ZERO exact duplicates at sf0.01
+    (dead variation) but 54 docs in multi-doc word-set clusters (446
+    clusters / 500 docs — the weight path is live at the oracle scale).
+    Only 32-hex keys cross the shuffle, never text (the 100 TB shape).
+
+    Sum-of-floors is deterministic in both engines (each term is a
+    BIGINT floor-div; the sum is exact integer addition, order-free).
+    """
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    words = _words(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+    d = docs.select("doc_id", "source", key.alias("h"),
+                    F.size(words).alias("n_tokens"))
+    copies = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (d.join(copies, "h")
+            .withColumn("eff_ppm",
+                        F.expr("CAST(n_tokens AS BIGINT) * 1000000 "
+                               "div n_copies"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("raw_tokens"),
+                 F.countDistinct("h").alias("n_clusters"),
+                 F.sum("eff_ppm").cast("long").alias("eff_tokens_ppm"))
+            .orderBy("source"))
+
+
+Q_DEDUP_WEIGHTED_MASS_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS h,
+         len(ws) AS n_tokens
+  FROM w
+), copies AS (
+  SELECT h, count(*) AS n_copies FROM d GROUP BY h
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS raw_tokens,
+       count(DISTINCT d.h) AS n_clusters,
+       CAST(sum(CAST(d.n_tokens AS BIGINT) * 1000000 // c.n_copies)
+            AS BIGINT) AS eff_tokens_ppm
+FROM d JOIN copies c ON d.h = c.h
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "batch_padding_audit": q_batch_padding_audit,
+    "dedup_weighted_mass": q_dedup_weighted_mass,
     "mix_budget_allocate": q_mix_budget_allocate,
     "shard_assign": q_shard_assign,
     "sample_weighted_mix": q_sample_weighted_mix,
@@ -575,6 +692,8 @@ QUERIES = {
 
 ORACLE = {
     "pack_sequences": Q_PACK_SEQUENCES_SQL,
+    "batch_padding_audit": Q_BATCH_PADDING_SQL,
+    "dedup_weighted_mass": Q_DEDUP_WEIGHTED_MASS_SQL,
     "mix_budget_allocate": Q_MIX_BUDGET_SQL,
     "shard_assign": Q_SHARD_ASSIGN_SQL,
     "sample_weighted_mix": Q_SAMPLE_WEIGHTED_MIX_SQL,

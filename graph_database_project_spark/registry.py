@@ -231,10 +231,8 @@ _DRIVER_WINDOW = [
     "graph_betweenness_sampled",
     "sample_weighted_mix",
     "multimodal_blob_stats",
-    "multimodal_frame_sample",
     "stream_stateful_totals",
     "stream_stream_join",
-    "stream_dedup_gate",
     "xml_shared_linenumbers",
     "funnel_retention_cohorts",
     "ts_anomaly_zscore",
@@ -261,6 +259,14 @@ _DRIVER_WINDOW = [
     # dedup_chunk_level (1x green r09; textops keeps text_token_count +
     # vocab_growth_heaps, dedup keeps ngram + entity_resolution)
     "graph_motif_varlength",
+    # Swap 7: batch_padding_audit (r10 NEW: geometric-bucket padding
+    # waste) in for multimodal_frame_sample (1x green r09; multimodal
+    # keeps blob_stats + resize... blob_stats remains)
+    "batch_padding_audit",
+    # Swap 8: dedup_weighted_mass (r10 NEW: duplicate-aware per-domain
+    # token mass) in for stream_dedup_gate (1x green r09; streamq keeps
+    # topk_continuous + stateful_totals + stream_join)
+    "dedup_weighted_mass",
 ]
 
 

@@ -64,7 +64,9 @@ def main() -> None:
              # + this round's new operators
              "sim_ivf_recall_curve", "path_trigrams",
              "graph_motif_chain", "graph_motif_fanout",
-             "graph_motif_shared", "graph_pagerank_incremental"]
+             "graph_motif_shared", "graph_motif_negation",
+             "graph_motif_varlength", "graph_pagerank_incremental",
+             "batch_padding_audit", "dedup_weighted_mass"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
