@@ -153,6 +153,7 @@ def match_motif(
     node_pats: list[NodePat],
     edge_pats: list[EdgePat],
     where: Column | None = None,
+    broadcast_node_sides: bool = False,
 ) -> DataFrame:
     """Compile a motif to a DataFrame of variable bindings.
 
@@ -166,6 +167,15 @@ def match_motif(
     of a cycle; a ``negated`` edge becomes a NOT-EXISTS (left-anti)
     filter, against the bound pair or against any node matching its
     auxiliary pattern.
+
+    ``broadcast_node_sides``: hint that EVERY node-pattern side is
+    dim-sized (not just selective ones). Needed when the store tables
+    are checkpointed/LogicalRDD relations whose sizes Catalyst cannot
+    see (defaultSizeInBytes makes it assume huge → shuffle joins for
+    node sides that are actually tiny). Set it when label-filtered node
+    sets are known dim-sized (the XML corpus; any label whose
+    cardinality the catalog bounds); leave False when a label can be
+    fact-sized — the edge relation must remain the streamed side.
     """
     pats = {p.var: p for p in node_pats}
     if len(pats) != len(node_pats):
@@ -195,9 +205,10 @@ def match_motif(
     def bind(result: DataFrame | None, var: str, on_edge_col) -> DataFrame:
         """Join an unbound variable's node relation onto the result via
         the current edge column; broadcast the node side when the
-        pattern is selective (seed-sized at any scale)."""
+        pattern is selective (seed-sized at any scale) or the caller
+        declared all node sides dim-sized."""
         rel, selective = sides[var]
-        rel = F.broadcast(rel) if selective else rel
+        rel = F.broadcast(rel) if (selective or broadcast_node_sides) else rel
         bound.add(var)
         if result is None:
             return rel
@@ -226,7 +237,9 @@ def match_motif(
                 raise ValueError(
                     f"optional variable {ovar!r} must be a leaf "
                     "(referenced by exactly that one edge)")
-            orel, _ = sides[ovar]
+            orel, osel = sides[ovar]
+            if osel or broadcast_node_sides:
+                orel = F.broadcast(orel)
             rel = (er.join(orel, er[ocol] == F.col(f"{ovar}_id"))
                    .select(er[bcol].alias("_opt_key"),
                            *[f"{ovar}_{c}" for c in _CARRY]))
@@ -254,7 +267,9 @@ def match_motif(
                     "appear in exactly that one edge")
             # NOT EXISTS an edge to ANY node matching the auxiliary
             # pattern: anti-join against (edges ⋈ aux-node-pattern)
-            arel, _ = sides[avar]
+            arel, asel = sides[avar]
+            if asel or broadcast_node_sides:
+                arel = F.broadcast(arel)
             hit = (er.join(arel,
                            er["dst" if edge_col == "src" else "src"]
                            == F.col(f"{avar}_id"))

@@ -310,10 +310,22 @@ def test_negation_set_algebra_consistency(spark):
     assert row.line_checksum == sum(int(x) for x in expect if x.isdigit())
 
 
-def test_motif_plans_no_cartesian(spark):
+def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
     """The compiler must emit joins only — a disconnected or mis-keyed
-    pattern would surface as a cartesian/nested-loop product."""
-    for fn in motifq.QUERIES.values():
+    pattern would surface as a cartesian/nested-loop product — and with
+    the dim-sized hint the node sides ride broadcasts: the only
+    exchanges left are the per-edge dedup distinct()s (+ the final
+    sort/rollup). Ceilings pinned so a hint regression (back to 13–20
+    shuffle-join plans) fails loudly."""
+    import re
+
+    ceil = {"graph_motif_chain": 7, "graph_motif_fanout": 10,
+            "graph_motif_shared": 5, "graph_motif_negation": 5,
+            "graph_motif_varlength": 16}
+    for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+        n_sh = len(re.findall(r"Exchange hashpartitioning", p))
+        assert n_sh <= ceil[name], f"{name}: {n_sh} > {ceil[name]}"
+        assert "BroadcastHashJoin" in p  # node sides actually broadcast
