@@ -639,8 +639,12 @@ def q_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     words = _words(F.col("text"))
     key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+    # d feeds copies AND the join-back — materialize the narrow
+    # projection once so the tokenize scan runs exactly once (the
+    # per-reference re-derivation rule, SCALE.md §2)
     d = docs.select("doc_id", "source", key.alias("h"),
-                    F.size(words).alias("n_tokens"))
+                    F.size(words).alias("n_tokens")) \
+        .localCheckpoint(eager=True)
     copies = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
     return (d.join(copies, "h")
             .withColumn("eff_ppm",
