@@ -154,6 +154,8 @@ def match_motif(
     edge_pats: list[EdgePat],
     where: Column | None = None,
     broadcast_node_sides: bool = False,
+    label_counts: dict[str, int] | None = None,
+    broadcast_max_nodes: int = 100_000,
 ) -> DataFrame:
     """Compile a motif to a DataFrame of variable bindings.
 
@@ -176,6 +178,14 @@ def match_motif(
     sets are known dim-sized (the XML corpus; any label whose
     cardinality the catalog bounds); leave False when a label can be
     fact-sized — the edge relation must remain the streamed side.
+
+    ``label_counts``: the principled form of the same decision — the
+    store's own catalog statistics (``GraphStore.catalog_labels()``
+    collected to a dict). A node side whose label count is ≤
+    ``broadcast_max_nodes`` broadcasts; unlabeled or unknown labels do
+    not. This is the engine supplying the statistics Catalyst cannot
+    derive through a checkpoint — per-label, so a motif mixing a
+    dim-sized label with a fact-sized one broadcasts only the former.
     """
     pats = {p.var: p for p in node_pats}
     if len(pats) != len(node_pats):
@@ -189,7 +199,20 @@ def match_motif(
         if ep.src not in pats or ep.dst not in pats:
             raise ValueError(f"edge references unknown variable: {ep}")
 
-    sides = {v: _node_side(nodes, p) for v, p in pats.items()}
+    def _dim_sized(p: NodePat) -> bool:
+        if broadcast_node_sides:
+            return True
+        if label_counts is None or p.label is None:
+            return False
+        n = label_counts.get(p.label)
+        return n is not None and n <= broadcast_max_nodes
+
+    # (projection, broadcast-worthy) per var: selective predicates and
+    # catalog-bounded labels both qualify
+    sides = {}
+    for v, p in pats.items():
+        proj, selective = _node_side(nodes, p)
+        sides[v] = (proj, selective or _dim_sized(p))
 
     ep0 = edge_pats[0]
     if ep0.negated:
@@ -207,8 +230,8 @@ def match_motif(
         the current edge column; broadcast the node side when the
         pattern is selective (seed-sized at any scale) or the caller
         declared all node sides dim-sized."""
-        rel, selective = sides[var]
-        rel = F.broadcast(rel) if (selective or broadcast_node_sides) else rel
+        rel, bcast = sides[var]
+        rel = F.broadcast(rel) if bcast else rel
         bound.add(var)
         if result is None:
             return rel
@@ -238,7 +261,7 @@ def match_motif(
                     f"optional variable {ovar!r} must be a leaf "
                     "(referenced by exactly that one edge)")
             orel, osel = sides[ovar]
-            if osel or broadcast_node_sides:
+            if osel:
                 orel = F.broadcast(orel)
             rel = (er.join(orel, er[ocol] == F.col(f"{ovar}_id"))
                    .select(er[bcol].alias("_opt_key"),
@@ -268,7 +291,7 @@ def match_motif(
             # NOT EXISTS an edge to ANY node matching the auxiliary
             # pattern: anti-join against (edges ⋈ aux-node-pattern)
             arel, asel = sides[avar]
-            if asel or broadcast_node_sides:
+            if asel:
                 arel = F.broadcast(arel)
             hit = (er.join(arel,
                            er["dst" if edge_col == "src" else "src"]

@@ -176,6 +176,116 @@ def test_rejects_disconnected_and_malformed(tiny):
                     [EdgePat("a", "b", "R")])
 
 
+# --- property-based cross-check against a brute-force matcher --------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _brute_match(node_rows, edge_rows, node_pats, edge_pats):
+    """Independent reference matcher: enumerate ALL variable→node
+    homomorphisms and keep those satisfying every edge pattern (1-hop
+    positive / pair-negated only — the subset the strategy generates).
+    Pure Python, shares no code with the compiler."""
+    by_id = {n["id"]: n for n in node_rows}
+    epairs = {}  # rel_type (or None=any) handled per lookup
+
+    def has_edge(s, d, rel, direction):
+        def hit(a, b):
+            return any(e[0] == a and e[1] == b and (rel is None or e[2] == rel)
+                       for e in edge_rows)
+        if direction == "out":
+            return hit(s, d)
+        if direction == "in":
+            return hit(d, s)
+        return hit(s, d) or hit(d, s)
+
+    def node_ok(nid, p):
+        n = by_id[nid]
+        if p.label is not None and p.label not in n["labels"]:
+            return False
+        if p.name is not None and n["name"] != p.name:
+            return False
+        return True
+
+    out = set()
+    import itertools
+    vars_ = [p.var for p in node_pats]
+    for combo in itertools.product(by_id, repeat=len(vars_)):
+        asg = dict(zip(vars_, combo))
+        if not all(node_ok(asg[p.var], p) for p in node_pats):
+            continue
+        ok = True
+        for ep in edge_pats:
+            e_ok = has_edge(asg[ep.src], asg[ep.dst], ep.rel_type,
+                            ep.direction)
+            if ep.negated:
+                e_ok = not e_ok
+            if not e_ok:
+                ok = False
+                break
+        if ok:
+            out.add(tuple(asg[v] for v in vars_))
+    return out
+
+
+_graphs = st.builds(
+    lambda n_nodes, edges, labels: (
+        [{"id": i, "labels": [labels[i]], "name": f"n{i}"}
+         for i in range(n_nodes)],
+        [(s % n_nodes, d % n_nodes, r) for s, d, r in edges],
+    ),
+    n_nodes=st.integers(min_value=3, max_value=6),
+    edges=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5),
+                             st.sampled_from(["R", "S"])),
+                   min_size=2, max_size=10),
+    labels=st.lists(st.sampled_from(["A", "B"]), min_size=6, max_size=6),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(g=_graphs, data=st.data())
+def test_motif_matches_brute_force(spark, g, data):
+    """For random small graphs and random 2-edge patterns (direction,
+    rel_type, optional pair-negation), the compiled join plan must
+    produce exactly the binding set a brute-force homomorphism
+    enumerator produces."""
+    node_rows, edge_rows = g
+    nodes = spark.createDataFrame(
+        [(n["id"], n["labels"], n["name"], None, None, {})
+         for n in node_rows],
+        "id long, labels array<string>, name string, content string, "
+        "docnbr string, props map<string,string>")
+    edges = spark.createDataFrame(
+        [(s, d, r) for s, d, r in edge_rows] or [(0, 0, "R")],
+        "src long, dst long, rel_type string")
+
+    labels = [data.draw(st.sampled_from(["A", "B", None]), label=f"l{i}")
+              for i in range(3)]
+    pats = [NodePat(v, label=labels[i])
+            for i, v in enumerate(["x", "y", "z"])]
+    e1 = EdgePat("x", "y",
+                 data.draw(st.sampled_from(["R", "S", None]), label="r1"),
+                 direction=data.draw(
+                     st.sampled_from(["out", "in", "both"]), label="d1"))
+    e2 = EdgePat(data.draw(st.sampled_from(["x", "y"]), label="s2"), "z",
+                 data.draw(st.sampled_from(["R", "S", None]), label="r2"),
+                 direction=data.draw(
+                     st.sampled_from(["out", "in"]), label="d2"),
+                 negated=data.draw(st.booleans(), label="neg2"))
+    if e2.negated:
+        # pair-negation needs z bound: close over x/y instead
+        e2 = EdgePat(e2.src, "y" if e2.src == "x" else "x", e2.rel_type,
+                     e2.direction, negated=True)
+        pats = pats[:2]
+    eps = [e1, e2]
+
+    got = {tuple(r[f"{p.var}_id"] for p in pats)
+           for r in match_motif(nodes, edges, pats, eps).collect()}
+    want = _brute_match(node_rows, edge_rows, pats, eps)
+    assert got == want
+
+
 # --- corpus-level checks ----------------------------------------------------
 
 def test_chain_matches_elementtree_recompute(spark):
@@ -319,9 +429,12 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
     shuffle-join plans) fails loudly."""
     import re
 
+    # varlength's unlabeled x is deliberately NOT broadcast (an
+    # unlabeled variable can be fact-sized at scale — only
+    # catalog-bounded labels ride broadcasts under label_counts)
     ceil = {"graph_motif_chain": 7, "graph_motif_fanout": 10,
             "graph_motif_shared": 5, "graph_motif_negation": 5,
-            "graph_motif_varlength": 16}
+            "graph_motif_varlength": 18}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
