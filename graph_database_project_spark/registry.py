@@ -189,84 +189,76 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # embedding_outlier, graph_densest_subgraph, graph_triangle_count,
 # graph_temporal_multisource, xml_rel_signatures, multimodal_phash_neardup,
 # multimodal_decode, stream_dedup, graph_khop_undirected.
+# r11 rotation (verdict #2: retire the stale driver-confirmation cohort —
+# after this window no live key's last driver check predates r06): ALL 31
+# live keys whose last driver check is ≤ r05 rotate in — the 17-key r01
+# cohort (q02/q06–q17/q20/q21 TPC-H battery, agg_cube, agg_unpivot), the
+# 8-key r04 cohort (dedup_embedding_cosine, dq_audit, join_asof_last_view,
+# join_salted_skew, pack_sequences, sim_lsh_buckets, text_lang_id,
+# ts_rollup_multires) and the 6-key r05 cohort (agg_count_distinct,
+# agg_grouping_sets, dedup_cluster_canonical, join_left_agg,
+# text_decontaminate, window_topk_per_group) — plus the eight r10 NEW
+# operators for their second green, plus six family reps chosen as each
+# uncovered module's OLDEST-checked key (mutation_delete_cascade,
+# multimodal_image_decode, stream_session_window, xml_subtree_content,
+# nl2query_demo, pipeline_training_data — all r06/r07 cohort, so the
+# rotation also starts on the r06 backlog). Evicted: the 19-key r10
+# freshness block (now ≥2x green each) and the r09 second-check block
+# (every r09 first-timer got its second green in r10). Every family keeps
+# ≥1 window rep (asserted by tests/test_registry.py); every evicted key
+# stays in the local bit-exact parity gate.
 _DRIVER_WINDOW = [
-    # --- r10 freshness rotation: last driver check ≤ r05 (19 keys) ---
-    "filter_project",             # r05
-    "join_inner",                 # r01
-    "join_semi",                  # r01
-    "join_anti",                  # r04
-    "agg_pivot",                  # r01
-    "agg_rollup",                 # r01
-    "agg_quantiles",              # r04
-    "agg_stats_moments",          # r04
-    "window_ntile",               # r01
-    "window_running_sum",         # r01
-    "window_lag_delta",           # r04
-    "sort_topk",                  # r05
-    "sessionize",                 # r04
-    "q05_local_supplier_volume",  # r01
-    "mutation_property_set",      # r04 (mutation family rep)
-    "dedup_ngram_jaccard",        # r04
-    "sim_knn_per_vector",         # r04
-    "text_token_count",           # r04
-    "graph_pagerank",             # r05
-    # --- family reps whose freshest check is r06 ---
-    "nl2query_followup",          # nl2query rep
-    "cardinality_hll",            # profiling rep
-    # --- second green for the nine r09 NEW operators ---
-    "sim_ivf_recall_curve",
-    "graph_ktruss",
-    "ts_autocorrelation",
-    "entity_resolution_scored",
-    "path_trigrams",
-    "mix_budget_allocate",
-    "graph_louvain_sweeps",
-    "stream_topk_continuous",
-    "vocab_growth_heaps",
-    # --- second green for the r09 debt-cohort first-timers ---
-    "agg_approx_distinct",
-    "q18_large_volume",
-    "graph_khop_hierarchy",
-    "graph_pagerank_personalized",
-    "graph_betweenness_sampled",
-    "sample_weighted_mix",
-    "multimodal_blob_stats",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "xml_shared_linenumbers",
-    "funnel_retention_cohorts",
-    "ts_anomaly_zscore",
-    # --- r10 NEW operators (first driver check the round they ship) ---
-    # Swap 1-3: the declarative motif matcher's three keys in for the
-    # swap-stock placeholders multimodal_resize, graph_khop_undirected,
-    # stream_dedup (each 1x green r09; multimodal keeps blob_stats +
-    # frame_sample, graphq keeps khop_hierarchy + 5 more, streamq keeps
-    # topk_continuous + the stateful trio)
+    # --- r01 cohort (17 keys, last driver check r01) ---
+    "q02_min_cost_supplier",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_profit_by_nation",
+    "q10_returned_items",
+    "q11_acctbal_share",
+    "q12_priority_case_agg",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_avg",
+    "q20_promo_part_suppliers",
+    "q21_sole_returner",
+    "agg_cube",
+    "agg_unpivot",
+    # --- r04 cohort (8 keys) ---
+    "dedup_embedding_cosine",
+    "dq_audit",
+    "join_asof_last_view",
+    "join_salted_skew",
+    "pack_sequences",
+    "sim_lsh_buckets",
+    "text_lang_id",
+    "ts_rollup_multires",
+    # --- r05 cohort (6 keys) ---
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "dedup_cluster_canonical",
+    "join_left_agg",
+    "text_decontaminate",
+    "window_topk_per_group",
+    # --- family reps (oldest-checked key of each uncovered module) ---
+    "mutation_delete_cascade",    # r06; mutation rep
+    "multimodal_image_decode",    # r06; multimodal rep
+    "stream_session_window",      # r06; streamq rep
+    "xml_subtree_content",        # r06; xmlq rep
+    "nl2query_demo",              # r07; nl2query rep
+    "pipeline_training_data",     # r06; pipeline rep
+    # --- second green for the eight r10 NEW operators ---
     "graph_motif_chain",
     "graph_motif_fanout",
     "graph_motif_shared",
-    # Swap 4: graph_pagerank_incremental (r10 NEW: warm-start IVM
-    # PageRank) in for xml_connected_components (1x green r09; xmlq
-    # keeps xml_shared_linenumbers, and the CC row keeps
-    # graph_cc_incremental in the local gate)
-    "graph_pagerank_incremental",
-    # Swap 5: graph_motif_negation (r10 NEW: NOT-EXISTS anti-pattern)
-    # in for text_fingerprint (1x green r09; textops keeps
-    # text_token_count, vocab_growth_heaps, dedup_chunk_level)
     "graph_motif_negation",
-    # Swap 6: graph_motif_varlength (r10 NEW: -[*1..3]-> reachability,
-    # the reference's literal 3-levels contract) in for
-    # dedup_chunk_level (1x green r09; textops keeps text_token_count +
-    # vocab_growth_heaps, dedup keeps ngram + entity_resolution)
     "graph_motif_varlength",
-    # Swap 7: batch_padding_audit (r10 NEW: geometric-bucket padding
-    # waste) in for multimodal_frame_sample (1x green r09; multimodal
-    # keeps blob_stats + resize... blob_stats remains)
+    "graph_pagerank_incremental",
     "batch_padding_audit",
-    # Swap 8: dedup_weighted_mass (r10 NEW: duplicate-aware per-domain
-    # token mass) in for stream_dedup_gate (1x green r09; streamq keeps
-    # topk_continuous + stateful_totals + stream_join)
     "dedup_weighted_mass",
+    # --- r11 NEW operators (first driver check the round they ship) ---
 ]
 
 
