@@ -8,12 +8,24 @@ small declarative spec (node predicates, typed directed edges) that
 compiles to a left-deep join plan over the two GraphStore DataFrames —
 Catalyst then orders/broadcasts/prunes it like any relational plan.
 
-Semantics (matching Cypher's): a match is a *homomorphism* from pattern
-variables to graph nodes — distinct variables MAY bind the same node
-(use a ``where`` inequality to forbid it), and the result is the SET of
-variable bindings (parallel edges between the same node pair collapse:
-the edge relation is de-duplicated to (src, dst) per edge pattern before
-joining, so binding multiplicity comes only from node bindings).
+Semantics: a match is a *homomorphism* from pattern variables to graph
+nodes — distinct variables MAY bind the same node (use a ``where``
+inequality to forbid it), and the result is the SET of variable bindings
+(parallel edges between the same node pair collapse: the edge relation
+is de-duplicated to (src, dst) per edge pattern before joining, so
+binding multiplicity comes only from node bindings).
+
+DELIBERATE DEVIATION from Cypher: Cypher additionally enforces
+*relationship uniqueness* within one MATCH — two edge patterns in the
+same pattern cannot bind the same stored edge (so e.g. a 2-step pattern
+never walks the same edge forward-then-back). This compiler admits such
+bindings (pure homomorphism semantics, like SQL/GQL ``REPEATABLE
+EDGES``): a pattern ported verbatim from the reference's Cypher surface
+can therefore return EXTRA rows where two edge variables coincide.
+Callers recover Cypher edge-distinctness by adding ``where``
+inequalities over the endpoint variables (the shipped
+``graph_motif_shared`` query does exactly this: ``a1_id != a2_id``
+forbids the two included_in patterns from binding one edge).
 
 Scale shape: every hop is an equi-join keyed on 64-bit node ids — the
 edge relation shuffles by key (or rides a broadcast when the bound side

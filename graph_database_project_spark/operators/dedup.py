@@ -80,11 +80,18 @@ def exact_jaccard_ppm(sh_a, sh_b):
     DuckDB ``//`` agree). The floor is computed via the exact
     ``(num - num % den) / den`` identity: every intermediate is ≤ ~1e9,
     far inside double's 2^53 exact-integer range, so the division is
-    IEEE-exact — no float-rounding path to a flake."""
+    IEEE-exact — no float-rounding path to a flake.
+
+    den = |A|+|B|−common is 0 only when BOTH shingle arrays are empty;
+    ANSI mode would throw DIVIDE_BY_ZERO there, so the den==0 case is
+    pinned to 0 ppm (Jaccard of two empty sets — unreachable from the
+    current call sites, whose candidates share ≥1 shingle, but this is
+    a shared helper; r11 advice guard)."""
     common = F.size(F.array_intersect(sh_a, sh_b)).cast("long")
     num = common * F.lit(1000000).cast("long")
     den = (F.size(sh_a) + F.size(sh_b)).cast("long") - common
-    return ((num - num % den) / den).cast("long")
+    return F.when(den == 0, F.lit(0).cast("long")) \
+            .otherwise(((num - num % den) / den).cast("long"))
 
 
 def jaccard_companions(sh_a, sh_b):
@@ -97,10 +104,13 @@ def jaccard_companions(sh_a, sh_b):
 
 
 def jaccard_ppm_sql(a: str, b: str) -> str:
-    """DuckDB twin of exact_jaccard_ppm over two aliases of ``sh``."""
+    """DuckDB twin of exact_jaccard_ppm over two aliases of ``sh``
+    (incl. the den==0 → 0 ppm guard, so the ONE-definition promise
+    holds on the degenerate both-empty input too)."""
     inter = f"len(list_intersect({a}.shingles, {b}.shingles))"
-    return (f"CAST({inter} * 1000000 // "
-            f"(len({a}.shingles) + len({b}.shingles) - {inter}) AS BIGINT)")
+    den = f"(len({a}.shingles) + len({b}.shingles) - {inter})"
+    return (f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({inter} * 1000000 // {den} AS BIGINT) END")
 
 
 def jaccard_companions_sql(a: str, b: str) -> str:

@@ -373,12 +373,60 @@ r{i} AS MATERIALIZED (
 Q_PPR_SQL = _ppr_oracle_sql()
 
 
-# Incremental-PageRank split: ring edges whose src % PR_DELTA_MOD == 0
-# arrive as the delta batch; co-prime with the stride 7 so removed edges
-# spread over the cycle. Base rounds / correction rounds below.
+# Incremental-PageRank delta: the base graph is the INTACT funnel; the
+# delta batch ADDS one shortcut edge per node with src % PR_DELTA_MOD == 0
+# (every 11th node, sampling every tree level), targeting the childless
+# leaf half (dst = N − src div 4 ≥ 3N/4). Additive — so neither phase has
+# any dangling node and no float fold ever exceeds two terms (see
+# q_graph_pagerank_incremental's docstring). Base / correction rounds below.
 PR_DELTA_MOD = 11
 PR_BASE_ROUNDS = 10
 PR_CORR_ROUNDS = 4
+
+
+def _pr_incr_graphs(spark: SparkSession, sf_dir: str):
+    """The incremental-PageRank substrate — ONE builder shared with
+    tests/test_traverse.py (the _lpa_graph discipline): returns
+    ``(verts, base_e, full_e)`` where base_e is the intact binary
+    in-tree funnel (src → src div 2) and full_e additionally carries
+    the delta batch of shortcut edges src → N − src div 4 for leaf-half
+    sources (src % 11 == 0 AND 2·src > N).
+
+    Both shape choices are load-bearing: (a) bit-exact parity — the
+    target N − src div 4 lands in the childless leaf half (2·dst > N,
+    so no funnel mass arrives there) and at most one src per div-4
+    bucket is ≡ 0 (mod 11), so every shortcut target receives EXACTLY
+    one in-edge and every funnel target keeps its ≤ 2 children; and
+    custkeys run 0..N with node 0's funnel edge 0→0 self-looping away
+    and node 0 excluded from shortcut sources (0·2 > N fails), so the
+    dangling set is exactly {node 0} in BOTH phases — a ONE-term,
+    order-free sum (the r11 advice fix: the old removal-based delta
+    made ~N/11 nodes dangling in the base phase, a heterogeneous
+    engine-order-dependent fold outside the ≤2-term safe class);
+    (b) the warm-start story — leaf-half sources carry little rank
+    (≈(1−d)), so the delta perturbs the fixed point mildly and the
+    stored vector stays close to it (measured at sf0.001: warm/cold
+    max-norm ratio 0.26, L1 ratio 0.12), whereas mid-tree sources
+    divert half their up-flowing mass and compound the shift along the
+    root path (ratio degraded to ~0.7 — the warm start stopped clearly
+    winning)."""
+    cust = load_table(spark, sf_dir, "customer")
+    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    base_e = (cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        F.expr("CAST(c_custkey div 2 AS BIGINT)").alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    nmx = cust.agg(F.max(F.col("c_custkey").cast("long")).alias("nmax"))
+    delta_e = (cust.crossJoin(F.broadcast(nmx))
+               .filter((F.col("c_custkey") % PR_DELTA_MOD == 0)
+                       & (F.col("c_custkey").cast("long") * 2
+                          > F.col("nmax")))
+               .select(F.col("c_custkey").cast("long").alias("src"),
+                       (F.col("nmax")
+                        - F.expr("CAST(c_custkey div 4 AS BIGINT)"))
+                       .alias("dst"))
+               .filter(F.col("src") != F.col("dst")))
+    return verts, base_e, base_e.unionByName(delta_e)
 
 
 def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,37 +442,37 @@ def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph pipeline eliminates; tests/test_traverse.py machine-checks the
     warm start beats a cold start of the same budget).
 
-    Graph: a binary in-tree FUNNEL — every node links to its parent
-    src → src div 2 (node 0, the root's target, is dangling). The
-    substrate choice matters (r10 dead-variation lesson, a new failure
-    mode of the CLAUDE.md family): the referral RING is a permutation,
-    whose fixed point is exactly the uniform cold-start vector — on it a
-    cold start is unbeatable by construction and the IVM story is
-    vacuous; ring+shortcut variants stay too close to uniform to
-    discriminate. The funnel's fixed point concentrates geometrically
-    toward the root (rank(v) = (1−d) + d·Σchildren — low ids reach
-    many× the cold value), so the cold-start error is LARGE while the
-    stored vector (missing only the delta edges, src % 11 == 0) sits
-    near the full fixed point — the warm start demonstrably wins
-    (pinned in tests/test_traverse.py).
+    Graph: the base state is a binary in-tree FUNNEL — every node links
+    to its parent src → src div 2 — and the delta batch ADDS shortcut
+    edges src → N − src div 4 for every 11th node (see _pr_incr_graphs).
+    The substrate choice matters twice over (r10 dead-variation lesson +
+    the r11 float-fold advice fix): (a) the referral RING is a
+    permutation whose fixed point equals the uniform cold-start vector —
+    on it a warm start cannot win and the IVM story is vacuous, while
+    the funnel's fixed point concentrates geometrically toward the root
+    (rank(v) = (1−d) + d·Σchildren — low ids reach many× the cold
+    value), so the cold-start error is LARGE while the stored vector
+    sits near the new fixed point (the shortcut perturbation is small);
+    (b) the delta must be ADDITIVE — the earlier removal-based split
+    left ~N/11 nodes dangling in the base phase, making each round's
+    dangling-mass SUM a multi-term double fold whose grouping differs
+    between Spark partial aggregation and DuckDB scan order. Here every
+    node except 0 keeps its funnel out-edge in both phases, so the
+    dangling set is {node 0} in both phases — a 1-term, order-free sum.
 
-    Float determinism: same accepted class as graph_pagerank — chained
-    identical IEEE expression trees both engines. In-mass sums have ≤2
-    terms per node (children 2v and 2v+1), and two-term IEEE addition
-    is commutative, so summation order cannot diverge. Oracle: base
-    rounds then correction rounds unrolled as MATERIALIZED CTEs over
-    the two edge sets (the warm start is PART of the checked
+    Float determinism: strictly inside the ≤2-term safe class. In-mass
+    sums have ≤2 terms per node — funnel children 2v and 2v+1; shortcut
+    targets sit in the childless leaf half (dst ≥ 3N/4 ⇒ 2·dst > N) and
+    each receives exactly one shortcut — and two-term IEEE addition is
+    commutative, so summation order cannot diverge; the dangling sum
+    has at most ONE term in every round of both phases. Oracle:
+    base rounds then correction rounds unrolled as MATERIALIZED CTEs
+    over the two edge sets (the warm start is PART of the checked
     computation).
     """
     from ..graph.traverse import pagerank as _pr
 
-    cust = load_table(spark, sf_dir, "customer")
-    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    full_e = (cust.select(
-        F.col("c_custkey").cast("long").alias("src"),
-        F.expr("CAST(c_custkey div 2 AS BIGINT)").alias("dst"))
-        .filter(F.col("src") != F.col("dst")))
-    base_e = full_e.filter(F.col("src") % PR_DELTA_MOD != 0)
+    verts, base_e, full_e = _pr_incr_graphs(spark, sf_dir)
     # the "stored" state a deployment would read back from parquet
     stored = _pr(verts, base_e, n_iter=PR_BASE_ROUNDS)
     incr = _pr(verts, full_e, n_iter=PR_CORR_ROUNDS, init_ranks=stored)
@@ -438,17 +486,30 @@ def _pagerank_incr_oracle_sql(damping: float = 0.85) -> str:
     round template term by term (same IEEE op order both engines)."""
     one_minus_d = repr(1.0 - damping)
     d = repr(damping)
+    # `//` vs Spark's `div`: both operands are non-negative everywhere
+    # below (custkeys ≥ 1), where truncation and floor agree (CLAUDE.md
+    # signed-div trap does not bite).
     parts = [f"""
 WITH nn AS (SELECT count(*) AS n FROM customer),
+nmx AS (SELECT max(CAST(c_custkey AS BIGINT)) AS nmax FROM customer),
 verts AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
-ef AS MATERIALIZED (
+eb AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) AS src,
          CAST(c_custkey // 2 AS BIGINT) AS dst
   FROM customer
   WHERE CAST(c_custkey AS BIGINT) != CAST(c_custkey // 2 AS BIGINT)
 ),
-eb AS MATERIALIZED (
-  SELECT src, dst FROM ef WHERE src % {PR_DELTA_MOD} <> 0
+ed AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         (SELECT nmax FROM nmx) - CAST(c_custkey // 4 AS BIGINT) AS dst
+  FROM customer
+  WHERE c_custkey % {PR_DELTA_MOD} = 0
+    AND CAST(c_custkey AS BIGINT) * 2 > (SELECT nmax FROM nmx)
+    AND CAST(c_custkey AS BIGINT)
+        != (SELECT nmax FROM nmx) - CAST(c_custkey // 4 AS BIGINT)
+),
+ef AS MATERIALIZED (
+  SELECT src, dst FROM eb UNION ALL SELECT src, dst FROM ed
 ),
 odf AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM ef GROUP BY src),
 odb AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM eb GROUP BY src),

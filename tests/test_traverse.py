@@ -348,18 +348,12 @@ def test_pagerank_incremental_warm_start_converges_faster(spark):
     the converged full-graph fixed point than a COLD start with the same
     round budget, and lands within a real tolerance of it — i.e. the
     stored state buys convergence, it isn't just recomputation."""
-    from graph_database_project_spark.io import load_table
     from graph_database_project_spark.operators.graphq import (
-        PR_CORR_ROUNDS, PR_DELTA_MOD, q_graph_pagerank_incremental)
+        PR_CORR_ROUNDS, _pr_incr_graphs, q_graph_pagerank_incremental)
 
     sf = "/root/testdata/sf0.001"
-    cust = load_table(spark, sf, "customer")
-    n = cust.count()
-    verts = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    full_e = (cust.select(
-        F.col("c_custkey").cast("long").alias("src"),
-        F.expr("CAST(c_custkey div 2 AS BIGINT)").alias("dst"))
-        .filter(F.col("src") != F.col("dst")))
+    verts, base_e, full_e = _pr_incr_graphs(spark, sf)
+    n = verts.count()
     converged = {r.node: r.rank
                  for r in pagerank(verts, full_e, n_iter=40).collect()}
     cold = {r.node: r.rank
@@ -373,15 +367,26 @@ def test_pagerank_incremental_warm_start_converges_faster(spark):
     l1_incr = sum(abs(incr[k] - converged[k]) for k in converged)
     assert err_incr < err_cold / 2  # warm start clearly beats cold start
     assert l1_incr < l1_cold / 5    # and by a wide margin in total mass
-    # measured at sf0.001: max-norm 1.25 vs 7.09, L1 6.8 vs 65.5
 
     # dead-variation guards: the funnel's fixed point is FAR from the
     # uniform cold vector (the permutation-ring trap: on a ring, uniform
     # cold start IS the fixed point and the IVM story is vacuous), and
-    # the delta is real but small
+    # the delta is a real, small additive batch
     assert err_cold > 0.5
-    n_delta = full_e.filter(F.col("src") % PR_DELTA_MOD == 0).count()
+    n_delta = full_e.count() - base_e.count()
     assert 0 < n_delta < n / 3
+
+    # float-safety structural guards (the r11 advice fix): the dangling
+    # set is {node 0} in BOTH phases (its funnel edge 0→0 self-loops
+    # away and 0 is excluded from shortcut sources — a ONE-term,
+    # order-free sum), and no node's in-mass fold ever exceeds two
+    # terms in either phase
+    for e in (base_e, full_e):
+        dangling = verts.join(e, verts.node == e.src, "left_anti")
+        assert [r.node for r in dangling.collect()] == [0]
+    max_indeg = (full_e.groupBy("dst").count()
+                 .agg(F.max("count").alias("m")).first().m)
+    assert max_indeg <= 2
 
 
 def test_clustering_coeff_closed_form_classes(spark):
