@@ -1,0 +1,444 @@
+"""Textual MATCH-pattern front-end for the motif compiler — parses the
+Cypher-shaped pattern strings the reference's NL path emits
+(first-graph.py:141 lets GPT return arbitrary ``MATCH … RETURN …`` text
+against the catalog; :148-157 executes it verbatim) into the
+``NodePat``/``EdgePat`` spec ``graph/motif.py`` compiles to DataFrame
+join plans. This closes the last expressivity gap: the engine accepts
+pattern TEXT, not only Python objects.
+
+Supported subset — exactly what the compiler supports, nothing more:
+
+* node: ``(var)``, ``(var:Label)``, ``(:Label)``, ``()``, each with an
+  optional property map ``{name: 'x', docnbr: 'y', key: 'v'}`` (string
+  equality; ``name``/``docnbr`` map to their typed predicates, any other
+  single key to the ``props`` map lookup);
+* edge: ``-[:TYPE]->`` (out), ``<-[:TYPE]-`` (in), ``-[:TYPE]-``
+  (both), untyped ``-[]->``, variable-length ``-[:TYPE*1..3]->`` /
+  ``-[*2]->`` / ``-[*..3]->`` (reachability semantics, bounds required —
+  an unbounded ``*`` is rejected with the k_hop pointer);
+* clauses: ``MATCH p1, p2``, additional ``MATCH`` / ``OPTIONAL MATCH``
+  (every edge in an OPTIONAL MATCH clause is left-outer);
+* ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
+  (the ``negated`` anti-join form; the right node may be anonymous with
+  predicates — NOT-EXISTS-a-node-matching-P) and comparisons
+  ``a.field OP b.field`` / ``a.field OP 'literal'`` over the carried
+  fields (id/name/content/docnbr) with OP in = <> != < <= > >=;
+* ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
+  ``match_pattern``; a bare variable expands to its carried columns.
+
+Rejected with explicit errors (parse-time, not plan-time): edge
+variables (``-[r:T]->`` — bindings are node-only), OR in WHERE,
+unbounded ``*``, shortest-path functions, and any trailing clause
+(ORDER BY/LIMIT belong to the DataFrame, not the pattern language).
+
+Semantics note: matches are homomorphisms (see motif.py's deviation
+note) — Cypher's relationship-uniqueness is NOT implied by the text
+form either; add WHERE inequalities exactly as you would in the object
+API.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .motif import _CARRY, EdgePat, NodePat, match_motif
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<num>\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<punct><=|>=|<>|!=|\.\.|<-|->|[()\[\]{}:,.\-<>=*])
+    )""",
+    re.VERBOSE,
+)
+
+_COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+_KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
+             "DISTINCT", "AS"}
+
+
+class PatternSyntaxError(ValueError):
+    """A MATCH string the parser rejects — message carries the position
+    and what was expected, so the NL layer can surface it verbatim."""
+
+
+def _tokenize(text: str) -> list[tuple[str, str, int]]:
+    toks: list[tuple[str, str, int]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise PatternSyntaxError(
+                f"unrecognized character {text[pos]!r} at position {pos}")
+        pos = m.end()
+        for kind in ("str", "num", "ident", "punct"):
+            val = m.group(kind)
+            if val is not None:
+                if kind == "ident" and val.upper() in _KEYWORDS:
+                    toks.append(("kw", val.upper(), m.start()))
+                else:
+                    toks.append((kind, val, m.start()))
+                break
+    toks.append(("eof", "", len(text)))
+    return toks
+
+
+@dataclass
+class ParsedPattern:
+    """The compiled-from-text spec: feed node_pats/edge_pats/where to
+    ``match_motif`` (``match_pattern`` does, then applies ``returns``)."""
+
+    node_pats: list[NodePat]
+    edge_pats: list[EdgePat]
+    where_fn: list  # list of Column-producing thunks, AND-ed
+    returns: list[tuple[str, str | None, str]] | None  # (var, field, alias)
+    distinct: bool = False
+
+    def where_column(self) -> Column | None:
+        if not self.where_fn:
+            return None
+        col = self.where_fn[0]()
+        for th in self.where_fn[1:]:
+            col = col & th()
+        return col
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.nodes: dict[str, NodePat] = {}
+        self.edges: list[EdgePat] = []
+        self.where_fn: list = []
+        self.returns: list[tuple[str, str | None, str]] | None = None
+        self.distinct = False
+        self._anon = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i = min(self.i + 1, len(self.toks) - 1)
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v, p = self.next()
+        if k != kind or (val is not None and v != val):
+            want = val if val is not None else kind
+            raise PatternSyntaxError(
+                f"expected {want!r} at position {p}, got {v!r}")
+        return v
+
+    def at(self, kind: str, val: str | None = None) -> bool:
+        k, v, _ = self.peek()
+        return k == kind and (val is None or v == val)
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> ParsedPattern:
+        self.expect("kw", "MATCH")
+        self._clauses(optional=False)
+        while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
+            optional = self.at("kw", "OPTIONAL")
+            if optional:
+                self.next()
+            self.expect("kw", "MATCH")
+            self._clauses(optional=optional)
+        if self.at("kw", "WHERE"):
+            self.next()
+            self._where_terms()
+        if self.at("kw", "RETURN"):
+            self.next()
+            self._returns()
+        k, v, p = self.peek()
+        if k != "eof":
+            raise PatternSyntaxError(
+                f"unexpected {v!r} at position {p} (ORDER BY / LIMIT / "
+                "extra clauses are not part of the pattern language — "
+                "apply them on the returned DataFrame)")
+        if not self.edges:
+            raise PatternSyntaxError(
+                "pattern has no edge — a single-node MATCH is a table "
+                "scan, not a motif; use the store API directly")
+        return ParsedPattern(list(self.nodes.values()), self.edges,
+                             self.where_fn, self.returns, self.distinct)
+
+    def _clauses(self, optional: bool) -> None:
+        self._path(optional)
+        while self.at("punct", ","):
+            self.next()
+            self._path(optional)
+
+    def _fresh_var(self) -> str:
+        while True:
+            v = f"anon{self._anon}"
+            self._anon += 1
+            if v not in self.nodes:
+                return v
+
+    def _path(self, optional: bool, collect: list | None = None) -> None:
+        var = self._node()
+        while self.at("punct", "-") or self.at("punct", "<-"):
+            ep_kw = self._edge_spec()
+            dst = self._node()
+            ep = EdgePat(src=var, dst=dst, optional=optional, **ep_kw)
+            if collect is not None:
+                collect.append(ep)
+            else:
+                self.edges.append(ep)
+            var = dst
+
+    def _node(self) -> str:
+        self.expect("punct", "(")
+        var = None
+        label = None
+        name = None
+        docnbr = None
+        prop = None
+        if self.at("ident"):
+            var = self.next()[1]
+        if self.at("punct", ":"):
+            self.next()
+            label = self.expect("ident")
+        if self.at("punct", "{"):
+            self.next()
+            while True:
+                key = self.expect("ident")
+                self.expect("punct", ":")
+                k, v, p = self.next()
+                if k != "str":
+                    raise PatternSyntaxError(
+                        f"property values must be quoted strings "
+                        f"(position {p}, got {v!r})")
+                val = v[1:-1]
+                if key == "name":
+                    name = val
+                elif key == "docnbr":
+                    docnbr = val
+                elif prop is None:
+                    prop = (key, val)
+                else:
+                    raise PatternSyntaxError(
+                        f"at most one non-name/docnbr property per node "
+                        f"(position {p}) — the compiler's NodePat.prop "
+                        "is a single map-equality")
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", "}")
+        self.expect("punct", ")")
+        if var is None:
+            var = self._fresh_var()
+        if not re.match(r"^[a-z][a-z0-9]*$", var):
+            raise PatternSyntaxError(
+                f"variable {var!r}: want [a-z][a-z0-9]* (the compiler's "
+                "column-prefix contract)")
+        pat = NodePat(var, label=label, name=name, docnbr=docnbr, prop=prop)
+        prev = self.nodes.get(var)
+        if prev is not None:
+            # re-mention of a bound variable: bare () re-use is fine,
+            # conflicting predicates are not
+            bare = NodePat(var)
+            if pat != bare and pat != prev:
+                raise PatternSyntaxError(
+                    f"variable {var!r} re-declared with different "
+                    "predicates")
+        else:
+            self.nodes[var] = pat
+        return var
+
+    def _edge_spec(self) -> dict:
+        """``-[:T*1..3]->`` / ``<-[:T]-`` / ``-[]-`` → EdgePat kwargs."""
+        arrow_in = self.at("punct", "<-")
+        self.next()  # '-' or '<-'
+        rel_type = None
+        min_hops = max_hops = 1
+        if self.at("punct", "["):
+            self.next()
+            if self.at("ident"):
+                k, v, p = self.next()
+                raise PatternSyntaxError(
+                    f"edge variable {v!r} at position {p} is not "
+                    "supported — bindings are node-only (motif.py's "
+                    "homomorphism semantics carry no edge identity)")
+            if self.at("punct", ":"):
+                self.next()
+                rel_type = self.expect("ident")
+            if self.at("punct", "*"):
+                self.next()
+                min_hops, max_hops = self._hop_range()
+            self.expect("punct", "]")
+        # closing arrow
+        if arrow_in:
+            self.expect("punct", "-")
+            direction = "in"
+        elif self.at("punct", "->"):
+            self.next()
+            direction = "out"
+        elif self.at("punct", "-"):
+            self.next()
+            direction = "both"
+        else:
+            k, v, p = self.peek()
+            raise PatternSyntaxError(
+                f"expected '->' or '-' after edge at position {p}, "
+                f"got {v!r}")
+        return dict(rel_type=rel_type, direction=direction,
+                    min_hops=min_hops, max_hops=max_hops)
+
+    def _hop_range(self) -> tuple[int, int]:
+        if self.at("num"):
+            lo = int(self.next()[1])
+            if self.at("punct", ".."):
+                self.next()
+                if self.at("num"):
+                    return lo, int(self.next()[1])
+                raise PatternSyntaxError(
+                    "unbounded '*n..' hop range — the compiler caps at 8; "
+                    "give an explicit upper bound or use "
+                    "graph/traverse.k_hop")
+            return lo, lo
+        if self.at("punct", ".."):
+            self.next()
+            return 1, int(self.expect("num"))
+        raise PatternSyntaxError(
+            "unbounded '*' reachability is not supported (reachability "
+            "closure is graph/traverse.k_hop's frontier loop); give "
+            "bounds like *1..3")
+
+    # -- WHERE ------------------------------------------------------------
+    def _where_terms(self) -> None:
+        self._where_term()
+        while True:
+            if self.at("kw", "AND"):
+                self.next()
+                self._where_term()
+                continue
+            if self.at("kw", "OR"):
+                _, _, p = self.next()
+                raise PatternSyntaxError(
+                    f"OR at position {p} is not supported — the motif "
+                    "compiler ANDs all predicates; run two patterns and "
+                    "union the results")
+            break
+
+    def _where_term(self) -> None:
+        if self.at("kw", "NOT"):
+            self.next()
+            negs: list[EdgePat] = []
+            self._path(optional=False, collect=negs)
+            if len(negs) != 1:
+                raise PatternSyntaxError(
+                    "NOT takes a single-edge pattern (chain negation "
+                    "is not supported — negate the final hop)")
+            ep = negs[0]
+            self.edges.append(EdgePat(
+                src=ep.src, dst=ep.dst, rel_type=ep.rel_type,
+                direction=ep.direction, min_hops=ep.min_hops,
+                max_hops=ep.max_hops, negated=True))
+            return
+        var, fld = self._field_ref()
+        k, op, p = self.next()
+        if k != "punct" or op not in _COMPARE_OPS:
+            raise PatternSyntaxError(
+                f"expected comparison operator at position {p}, got {op!r}")
+        if self.at("str"):
+            lit = self.next()[1][1:-1]
+            rhs = lambda: F.lit(lit)  # noqa: E731
+        elif self.at("num"):
+            litn = int(self.next()[1])
+            rhs = lambda: F.lit(litn)  # noqa: E731
+        else:
+            v2, f2 = self._field_ref()
+            rhs = lambda: F.col(f"{v2}_{f2}")  # noqa: E731
+        lhs = lambda: F.col(f"{var}_{fld}")  # noqa: E731
+        ops = {"=": lambda a, b: a == b,
+               "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
+               "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+               ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
+        self.where_fn.append(lambda: ops(lhs(), rhs()))
+
+    def _field_ref(self) -> tuple[str, str]:
+        var = self.expect("ident")
+        self.expect("punct", ".")
+        fld = self.expect("ident")
+        if var not in self.nodes:
+            raise PatternSyntaxError(
+                f"WHERE references unknown variable {var!r}")
+        if fld not in _CARRY:
+            raise PatternSyntaxError(
+                f"field {fld!r} is not carried (have: {', '.join(_CARRY)})")
+        return var, fld
+
+    # -- RETURN -----------------------------------------------------------
+    def _returns(self) -> None:
+        if self.at("kw", "DISTINCT"):
+            self.next()
+            self.distinct = True
+        self.returns = []
+        while True:
+            var = self.expect("ident")
+            if var not in self.nodes:
+                raise PatternSyntaxError(
+                    f"RETURN references unknown variable {var!r}")
+            fld: str | None = None
+            if self.at("punct", "."):
+                self.next()
+                fld = self.expect("ident")
+                if fld not in _CARRY:
+                    raise PatternSyntaxError(
+                        f"field {fld!r} is not carried "
+                        f"(have: {', '.join(_CARRY)})")
+            alias = f"{var}_{fld}" if fld else var
+            if self.at("kw", "AS"):
+                _, _, p = self.next()
+                if fld is None:
+                    raise PatternSyntaxError(
+                        f"AS at position {p}: a bare variable expands to "
+                        "its carried columns and cannot be aliased — "
+                        "alias a field (var.field AS name)")
+                alias = self.expect("ident")
+            self.returns.append((var, fld, alias))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+
+
+def parse_match(text: str) -> ParsedPattern:
+    """Parse a MATCH pattern string into the motif spec. Raises
+    ``PatternSyntaxError`` (a ValueError) with position + expectation on
+    anything outside the supported subset."""
+    return _Parser(text).parse()
+
+
+def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
+                  **motif_kwargs) -> DataFrame:
+    """Text → bindings: parse ``text`` and compile it with
+    ``match_motif`` (all of whose kwargs — label_counts,
+    broadcast_node_sides, … — pass through). A RETURN clause projects
+    (bare variables expand to their carried columns); without one, all
+    bound variables' columns come back."""
+    spec = parse_match(text)
+    out = match_motif(nodes, edges, spec.node_pats, spec.edge_pats,
+                      where=spec.where_column(), **motif_kwargs)
+    if spec.returns is not None:
+        cols = []
+        for var, fld, alias in spec.returns:
+            if fld is None:
+                cols.extend(F.col(f"{var}_{c}") for c in _CARRY)
+            else:
+                cols.append(F.col(f"{var}_{fld}").alias(alias))
+        out = out.select(*cols)
+    if spec.distinct:
+        out = out.distinct()
+    return out

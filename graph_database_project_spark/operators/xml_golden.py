@@ -318,6 +318,27 @@ GOLDEN_GRAPH_MOTIF_VARLENGTH_ROWS = [
     ('737-00-1030', 36),
 ]
 
+GOLDEN_GRAPH_MOTIF_PARSED_COLS = [('docnbr', 'VARCHAR'), ('issue_date', 'VARCHAR'), ('subject', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_PARSED_ROWS = [
+    ('737-00-1028', 'July 20, 2020', 'ADMINISTRATIVE GENERAL - Aircraft General - Angle of Attack Sensor System Test and Operational Readiness Flight'),
+    ('737-00-1029', 'August 10, 2020', 'ENGINE FUEL AND CONTROL - Engine Fuel Pump Replacement'),
+    ('737-00-1030', 'September 15, 2020', 'HYDRAULIC POWER - Hydraulic System Pressure Check'),
+]
+
+GOLDEN_GRAPH_MOTIF_OPTIONAL_COLS = [('docnbr', 'VARCHAR'), ('parent', 'VARCHAR'), ('step_head', 'VARCHAR'), ('step_len', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_OPTIONAL_ROWS = [
+    ('737-00-1028', 'planning_information', '1. Do an Angle of Attack (AOA)', 50),
+    ('737-00-1028', 'planning_information', '2. Do an Operational Readiness', 38),
+    ('737-00-1028', 'summary', '(no steps)', -1),
+    ('737-00-1029', 'planning_information', '1. Remove the existing fuel pu', 33),
+    ('737-00-1029', 'planning_information', '2. Install the new fuel pump a', 38),
+    ('737-00-1029', 'planning_information', '3. Perform a functional test o', 46),
+    ('737-00-1029', 'summary', '(no steps)', -1),
+    ('737-00-1030', 'planning_information', '1. Perform a hydraulic system ', 76),
+    ('737-00-1030', 'planning_information', '2. Check for any leaks and rec', 48),
+    ('737-00-1030', 'summary', '(no steps)', -1),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -349,4 +370,6 @@ ORACLE = {
     "graph_motif_shared": _values_sql(GOLDEN_GRAPH_MOTIF_SHARED_COLS, GOLDEN_GRAPH_MOTIF_SHARED_ROWS),
     "graph_motif_negation": _values_sql(GOLDEN_GRAPH_MOTIF_NEGATION_COLS, GOLDEN_GRAPH_MOTIF_NEGATION_ROWS),
     "graph_motif_varlength": _values_sql(GOLDEN_GRAPH_MOTIF_VARLENGTH_COLS, GOLDEN_GRAPH_MOTIF_VARLENGTH_ROWS),
+    "graph_motif_parsed": _values_sql(GOLDEN_GRAPH_MOTIF_PARSED_COLS, GOLDEN_GRAPH_MOTIF_PARSED_ROWS),
+    "graph_motif_optional": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_ROWS),
 }

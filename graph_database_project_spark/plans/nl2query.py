@@ -335,9 +335,10 @@ _GRAPH_RULE = re.compile(
     re.I,
 )
 
-# pattern-shaped questions route through the declarative motif matcher
-# (graph/motif.py) — the rule emits a Motif spec the way the reference's
-# GPT seam emits a MATCH pattern (first-graph.py:141)
+# pattern-shaped questions route through the declarative motif matcher —
+# since r11 the rules emit MATCH *strings* compiled by graph/pattern.py,
+# the same text interface the reference's GPT seam uses
+# (first-graph.py:141 emits pattern text; :148-157 executes it)
 _MOTIF_AFFECTED_RULE = re.compile(
     r"which airplanes (?:are )?affected by (?:bulletin\s+)?'?([\w.-]+)'?",
     re.I,
@@ -352,43 +353,34 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
     """The reference's flagship chat lifecycle (first-graph.py:141,168-176)
     against the graph store: NL question → plan → execute. Two rule
     families, mirroring the two query shapes the reference's GPT seam
-    emits: pattern-shaped questions compile to a declarative motif
-    (graph/motif.py — label/edge-typed MATCH with a property predicate);
-    neighborhood questions compile to (seed, depth) k-hop expansion.
-    Rule-based translation with the same pluggable-translator contract as
-    ``answer``; an LLM translator would emit the same specs.
+    emits: pattern-shaped questions translate to a MATCH *string* —
+    exactly what the reference's GPT returns — compiled by
+    graph/pattern.parse_match into the motif plan; neighborhood
+    questions compile to (seed, depth) k-hop expansion. Rule-based
+    translation with the same pluggable-translator contract as
+    ``answer``; an LLM translator would emit the same pattern text.
     """
     from pyspark.sql import functions as F
 
-    from ..graph.motif import EdgePat, NodePat, match_motif
+    from ..graph.pattern import match_pattern
 
     q = question.strip().rstrip("?")
     m = _MOTIF_AFFECTED_RULE.search(q)
     if m:
-        bindings = match_motif(
-            store.nodes, store.edges,
-            [NodePat("sb", label="ServiceBulletin", docnbr=m.group(1)),
-             NodePat("pi", label="planning_information"),
-             NodePat("eff", label="effectivity"),
-             NodePat("ap", label="airplanes")],
-            [EdgePat("sb", "pi", "HAS_PLANNING_INFORMATION"),
-             EdgePat("pi", "eff", "HAS_EFFECTIVITY"),
-             EdgePat("eff", "ap", "HAS_AIRPLANES")],
-        )
-        return bindings.select(F.col("sb_docnbr").alias("docnbr"),
-                               F.col("ap_content").alias("airplanes"))
+        pattern = (
+            f"MATCH (sb:ServiceBulletin {{docnbr: '{m.group(1)}'}})"
+            "-[:HAS_PLANNING_INFORMATION]->(pi:planning_information)"
+            "-[:HAS_EFFECTIVITY]->(eff:effectivity)"
+            "-[:HAS_AIRPLANES]->(ap:airplanes) "
+            "RETURN sb.docnbr AS docnbr, ap.content AS airplanes")
+        return match_pattern(store.nodes, store.edges, pattern)
     m = _MOTIF_SUBJECT_RULE.search(q)
     if m:
-        bindings = match_motif(
-            store.nodes, store.edges,
-            [NodePat("sb", label="ServiceBulletin", docnbr=m.group(1)),
-             NodePat("h", label="header"),
-             NodePat("subj", label="subject")],
-            [EdgePat("sb", "h", "HAS_HEADER"),
-             EdgePat("h", "subj", "HAS_SUBJECT")],
-        )
-        return bindings.select(F.col("sb_docnbr").alias("docnbr"),
-                               F.col("subj_content").alias("subject"))
+        pattern = (
+            f"MATCH (sb:ServiceBulletin {{docnbr: '{m.group(1)}'}})"
+            "-[:HAS_HEADER]->(h:header)-[:HAS_SUBJECT]->(subj:subject) "
+            "RETURN sb.docnbr AS docnbr, subj.content AS subject")
+        return match_pattern(store.nodes, store.edges, pattern)
     m = _GRAPH_RULE.search(q)
     if not m:
         raise ValueError(f"no graph rule matches question: {question!r}")

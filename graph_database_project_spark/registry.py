@@ -259,6 +259,12 @@ _DRIVER_WINDOW = [
     "batch_padding_audit",
     "dedup_weighted_mass",
     # --- r11 NEW operators (first driver check the round they ship) ---
+    # graph_motif_parsed: a motif compiled from a MATCH STRING
+    # (graph/pattern.py parser -> match_motif), closing the reference's
+    # text-pattern interface; graph_motif_optional: OPTIONAL MATCH
+    # (left-outer pattern) from text, NULL-flattened scalars.
+    "graph_motif_parsed",
+    "graph_motif_optional",
 ]
 
 

@@ -10,7 +10,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r10: declarative motif-matcher keys (operators/motifq.py) —
          # same static corpus, same golden-constant discipline
          "graph_motif_chain", "graph_motif_fanout", "graph_motif_shared",
-         "graph_motif_negation", "graph_motif_varlength"]
+         "graph_motif_negation", "graph_motif_varlength",
+         # r11: MATCH-string front-end keys (parse_match -> match_motif)
+         "graph_motif_parsed", "graph_motif_optional"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

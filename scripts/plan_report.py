@@ -66,7 +66,9 @@ def main() -> None:
              "graph_motif_chain", "graph_motif_fanout",
              "graph_motif_shared", "graph_motif_negation",
              "graph_motif_varlength", "graph_pagerank_incremental",
-             "batch_padding_audit", "dedup_weighted_mass"]
+             "batch_padding_audit", "dedup_weighted_mass",
+             # r11 additions: the MATCH-string front-end keys
+             "graph_motif_parsed", "graph_motif_optional"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -2,10 +2,11 @@
 parses the FINAL line (BENCH_r05.json: "parsed": null — the r05 contract
 line grew past the window and was truncated mid-JSON). Drive bench.py's
 actual emission logic (``contract_line``) with worst-case renderings,
-WITHOUT running Spark: the line must always fit and parse, sacrificing
-the extended rows (kept in BENCH_DETAIL.json) before the frozen v2 gate
-fields; under REALISTIC renderings the extended rows must survive in the
-line, because the judge reads them from the recorded BENCH_r{N}.json.
+WITHOUT running Spark: the line must always fit and parse. Since r11
+per-row extended medians never ride the line (39 rows outgrew the
+budget) — they live in BENCH_DETAIL.json + an earlier stdout line — and
+the line carries the frozen v2 gate fields plus the extended AGGREGATE
+(extended_total / extended_n).
 """
 
 from __future__ import annotations
@@ -53,19 +54,21 @@ def test_contract_line_always_fits_and_parses():
         # the frozen v2 gate fields are never sacrificed
         assert set(parsed["queries"]) == set(bench.HEADLINE)
         assert parsed["sentinel_health"] == "degraded"
+        # the extended aggregate always survives; per-row never rides
+        assert parsed["extended_n"] == len(bench.EXTENDED) + len(bench.CUSTOM)
+        assert "extended_total" in parsed
+        assert "queries_extended" not in parsed
         if n_failed:
             # breakage stays visible: a count survives any truncation
             assert parsed.get("failed_count", len(parsed["failed"])) == n_failed
 
 
-def test_realistic_contract_keeps_extended_rows():
-    # normal rounds (single-digit seconds, 3-decimal medians) must ship
-    # the extended rows in the LINE — the judge reads BENCH_r{N}.json
+def test_realistic_contract_has_budget_headroom():
+    # normal rounds (single-digit seconds, 3-decimal medians) must leave
+    # real headroom — the r09/r11 lesson: each growth spurt of the suite
+    # ate the budget silently until a guard said so
     line = bench.contract_line(_out(123.456))
-    assert len(line) < 1900, len(line)
-    parsed = json.loads(line)
-    assert set(parsed["queries_extended"]) == set(
-        bench.EXTENDED + list(bench.CUSTOM))
+    assert len(line) < 1400, len(line)
 
 
 def test_sentinel_health_verdict():

@@ -434,7 +434,12 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
     # catalog-bounded labels ride broadcasts under label_counts)
     ceil = {"graph_motif_chain": 7, "graph_motif_fanout": 10,
             "graph_motif_shared": 5, "graph_motif_negation": 5,
-            "graph_motif_varlength": 18}
+            "graph_motif_varlength": 18,
+            # r11 text-front-end keys: every labeled side broadcasts
+            # (labeling in the pattern STRING is the plan lever — the
+            # unlabeled first draft ran 12 exchanges); optional's
+            # unlabeled p streams by design
+            "graph_motif_parsed": 6, "graph_motif_optional": 6}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
