@@ -33,6 +33,13 @@ Routes:
                   one (Web Speech is client-side), is just another text
                   message. A media-only body (no text) is answered with
                   the decoded descriptor alone.
+  POST /pattern → body {"pattern": "MATCH (a:L)-[:T]->(b) RETURN …"}
+                  compiles the MATCH text (graph/pattern.py) against
+                  the bulletin graph and returns the first ROW_CAP
+                  bindings; syntax outside the supported subset is a
+                  422 with the parser's positioned message — the
+                  reference's NL→pattern→result lifecycle end-to-end
+                  over HTTP (first-graph.py:141,148-157)
   POST /query   → body {"name": "<registry key>"} runs a registered
                   query and returns its first ROW_CAP rows
   POST /explain → body {"name": "<registry key>"} returns the query's
@@ -271,6 +278,26 @@ def create_server(spark: SparkSession, sf_dir: str,
                     if media is not None:
                         payload["media"] = media
                     self._send(200, payload)
+                elif self.path == "/pattern":
+                    # the reference's NL→pattern→result lifecycle over
+                    # HTTP, minus the LLM: the body carries the MATCH
+                    # text its GPT seam would emit (first-graph.py:141)
+                    # and the parser+compiler answer it. Malformed
+                    # patterns raise PatternSyntaxError (a ValueError) —
+                    # the outer handler turns that into the 422 contract.
+                    pattern = data.get("pattern")
+                    if not pattern or not isinstance(pattern, str):
+                        self._send(400, {"error":
+                                         "body needs a 'pattern' string"})
+                        return
+                    from .graph.pattern import match_pattern
+                    from .operators.motifq import _label_stats
+                    from .operators.xmlq import _store
+                    st = _store(spark)
+                    df = match_pattern(st.nodes, st.edges, pattern,
+                                       label_counts=_label_stats(spark))
+                    self._send(200, {"pattern": pattern,
+                                     "rows": _rows(df)})
                 elif self.path == "/query":
                     name = data.get("name")
                     if name not in queries:

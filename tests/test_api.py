@@ -363,3 +363,41 @@ def test_chat_truncated_wav_is_422(server):
         "media_b64": "",
     })
     assert code == 422 and "unrecognized media" in body["error"]
+
+
+def test_pattern_endpoint_compiles_match_text(server):
+    """The reference lifecycle over HTTP: pattern text in, bindings out
+    (a 2-hop pattern with a property predicate and a RETURN projection)."""
+    code, body = _post(f"{server}/pattern", {"pattern":
+        "MATCH (sb:ServiceBulletin {docnbr: '737-00-1029'})"
+        "-[:HAS_HEADER]->(h:header)-[:HAS_SUBJECT]->(subj:subject) "
+        "RETURN sb.docnbr AS docnbr, subj.content AS subject"})
+    assert code == 200
+    assert body["rows"] == [{"docnbr": "737-00-1029",
+                             "subject": "ENGINE FUEL AND CONTROL - "
+                                        "Engine Fuel Pump Replacement"}]
+
+
+def test_pattern_endpoint_optional_and_where(server):
+    code, body = _post(f"{server}/pattern", {"pattern":
+        "MATCH (ln:LineNumber)-[:included_in]->(a1:Airplane), "
+        "(ln)-[:included_in]->(a2:Airplane) WHERE a1.docnbr < a2.docnbr "
+        "RETURN DISTINCT a1.docnbr AS doc_a, a2.docnbr AS doc_b"})
+    assert code == 200
+    pairs = {(r["doc_a"], r["doc_b"]) for r in body["rows"]}
+    assert all(a < b for a, b in pairs) and pairs
+
+
+def test_pattern_endpoint_malformed_is_422(server):
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": "MATCH (a)-[r:T*]->(b) RETURN r"})
+    assert code == 422
+    assert "edge variable" in body["error"]
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": "MATCH (a)-[:T]->(b) LIMIT 5"})
+    assert code == 422
+
+
+def test_pattern_endpoint_missing_body_is_400(server):
+    code, body = _post(f"{server}/pattern", {})
+    assert code == 400
