@@ -122,6 +122,7 @@ EXTENDED = [
     "batch_padding_audit",      # r10: geometric-bucket padding waste
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
+    "graph_scc",                # r11: repeated-squaring mutual reach
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -2581,6 +2581,132 @@ ORDER BY seed, reach_rank
 """)
 
 
+# --- strongly connected components (r11) -----------------------------------
+
+SCC_SQUARINGS = 4  # reach relation covers paths of length <= 2^4 = 16
+
+
+def _scc_graph(spark: SparkSession, sf_dir: str):
+    """The planted-SCC substrate — ONE builder shared with
+    tests/test_traverse.py (the _lpa_graph/_pr_incr_graphs discipline).
+
+    Customers in blocks of 10 (block b = key div 10): a directed chain
+    k → k+1 runs through every block; blocks with b % 3 != 0 get the
+    closing edge (10b+9) → 10b and become directed 10-cycles (one
+    10-node SCC each); blocks with b % 3 == 0 stay open chains (ten
+    singleton SCCs — the size variation the dead-variation rule
+    demands). Every 7th block bridges forward to the next block's head
+    — cross-SCC edges that mutual-reachability must NOT merge (the
+    failure a plain CC/min-flood would commit; the test asserts the
+    planted counts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    verts = cust.select(F.col("c_custkey").cast("long").alias("v"))
+    k = F.col("c_custkey").cast("long")
+    nmax = verts.agg(F.max("v").alias("nmax"))
+    chain = (cust.crossJoin(F.broadcast(nmax))
+             .filter((k % 10 < 9) & (k + 1 <= F.col("nmax")))
+             .select(k.alias("src"), (k + 1).alias("dst")))
+    closing = (cust.filter((k % 10 == 9) & (F.expr("CAST(c_custkey div 10 AS BIGINT)")
+                                            % 3 != 0))
+               .select(k.alias("src"), (k - 9).alias("dst")))
+    bridge = (cust.crossJoin(F.broadcast(nmax))
+              .filter((k % 10 == 9) & (F.expr("CAST(c_custkey div 10 AS BIGINT)") % 7 == 0)
+                      & (k + 1 <= F.col("nmax")))
+              .select(k.alias("src"), (k + 1).alias("dst")))
+    return verts, chain.unionByName(closing).unionByName(bridge)
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components — the directed sibling of
+    graph_connected_components (which would dissolve the planted cycles
+    and their one-way bridges into merged blobs). Exact via MUTUAL
+    reachability: u,v share an SCC iff u ⇝ v and v ⇝ u, so each node's
+    SCC label is the minimum id it mutually reaches — correct for ANY
+    cross-SCC structure (one-way bridges can never be mutual) and exact
+    whenever every SCC's internal diameter fits the reach bound.
+
+    The ≤2^{SCC_SQUARINGS}-hop reach relation is built by REPEATED
+    SQUARING (p_{k+1} = p_k ∘ p_k, seeded with edges ∪ identity):
+    4 keyed equi-join+distinct rounds give 16-hop cover for the
+    diameter-9 planted cycles — log₂ rounds instead of 16 frontier
+    hops, the right shape when reach sets are bounded. 100 TB: each
+    squaring shuffles on 64-bit ids; the relation stays |V|·reach-sized
+    (bounded fan-out substrates — the k_hop caveat; hub graphs want the
+    frontier/label-propagation form instead, cf. SCALE.md §7g). All
+    arithmetic BIGINT; oracle unrolls the same squarings as
+    MATERIALIZED CTEs. Output: SCC size histogram + label checksum."""
+    verts, edges = _scc_graph(spark, sf_dir)
+    p = (verts.select(F.col("v").alias("a"), F.col("v").alias("b"))
+         .unionByName(edges.select(F.col("src").alias("a"),
+                                   F.col("dst").alias("b")))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(SCC_SQUARINGS):
+        p = (p.alias("x")
+             .join(p.alias("y"), F.col("x.b") == F.col("y.a"))
+             .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+             .distinct().localCheckpoint(eager=True))
+    rev = p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    lab = (p.join(rev, ["a", "b"], "left_semi")
+           .groupBy("a").agg(F.min("b").alias("scc")))
+    sizes = lab.groupBy("scc").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("scc_size"))
+            .agg(F.count(F.lit(1)).alias("n_sccs"),
+                 F.sum("scc").alias("label_checksum"))
+            .orderBy("scc_size"))
+
+
+def _scc_oracle_sql() -> str:
+    """DuckDB twin: the same edge algebra and the same unrolled
+    squarings (p_k referenced twice per squaring → MATERIALIZED, the
+    CLAUDE.md CTE rule)."""
+    parts = [f"""
+WITH verts AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+nmx AS (SELECT max(v) AS nmax FROM verts),
+e AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST(c_custkey AS BIGINT) + 1 AS dst
+  FROM customer
+  WHERE c_custkey % 10 < 9
+    AND CAST(c_custkey AS BIGINT) + 1 <= (SELECT nmax FROM nmx)
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT) - 9
+  FROM customer
+  WHERE c_custkey % 10 = 9 AND (c_custkey // 10) % 3 <> 0
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT) + 1
+  FROM customer
+  WHERE c_custkey % 10 = 9 AND (c_custkey // 10) % 7 = 0
+    AND CAST(c_custkey AS BIGINT) + 1 <= (SELECT nmax FROM nmx)
+),
+p0 AS MATERIALIZED (
+  SELECT v AS a, v AS b FROM verts
+  UNION
+  SELECT src AS a, dst AS b FROM e
+)"""]
+    for i in range(1, SCC_SQUARINGS + 1):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT DISTINCT x.a, y.b
+  FROM p{i-1} x JOIN p{i-1} y ON x.b = y.a
+)""")
+    pk = f"p{SCC_SQUARINGS}"
+    parts.append(f""",
+lab AS MATERIALIZED (
+  SELECT f.a AS node, min(f.b) AS scc
+  FROM {pk} f JOIN {pk} r ON f.a = r.b AND f.b = r.a
+  GROUP BY f.a
+),
+sizes AS (SELECT scc, count(*) AS sz FROM lab GROUP BY scc)
+SELECT CAST(sz AS BIGINT) AS scc_size,
+       CAST(count(*) AS BIGINT) AS n_sccs,
+       CAST(sum(scc) AS BIGINT) AS label_checksum
+FROM sizes GROUP BY sz ORDER BY scc_size""")
+    return "".join(parts)
+
+
+Q_GRAPH_SCC_SQL = _scc_oracle_sql()
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -2607,6 +2733,7 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_densest_subgraph": q_graph_densest_subgraph,
     "graph_betweenness_sampled": q_graph_betweenness_sampled,
+    "graph_scc": q_graph_scc,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
 
@@ -2636,5 +2763,6 @@ ORACLE = {
     "graph_degree_histogram": Q_DEGREE_HISTOGRAM_SQL,
     "graph_hyperball": _hyperball_oracle_sql(),  # HLL ball-merge rounds unrolled
     "graph_hits": _hits_oracle_sql(),  # exact-integer mutual reinforcement
+    "graph_scc": Q_GRAPH_SCC_SQL,  # mutual reach via unrolled squarings
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

@@ -265,6 +265,9 @@ _DRIVER_WINDOW = [
     # (left-outer pattern) from text, NULL-flattened scalars.
     "graph_motif_parsed",
     "graph_motif_optional",
+    # graph_scc: strongly connected components (directed) via mutual
+    # reachability over a repeated-squaring reach relation
+    "graph_scc",
 ]
 
 

@@ -583,3 +583,34 @@ def test_louvain_recovers_planted_cliques(spark):
     # singleton baseline is strictly negative: intra_pairs = 0 ⇒
     # Q = -Σdeg²/U² — any positive Q proves real moves happened
     assert row.intra_pairs > 0
+
+
+def test_scc_planted_structure_and_oneway_bridges(spark):
+    """The SCC detector against the planted truth: closed blocks are
+    10-node SCCs, open chains are singletons (the size variation), and
+    the forward-only bridges exist but never merge components — the
+    exact failure a CC/min-flood would commit on a directed graph."""
+    from graph_database_project_spark.operators.graphq import (
+        _scc_graph, q_graph_scc)
+
+    sf = "/root/testdata/sf0.001"
+    verts, edges = _scc_graph(spark, sf)
+    n = verts.count()
+    assert n % 10 == 0
+    blocks = n // 10
+    closed = [b for b in range(blocks) if b % 3 != 0]
+    opened = [b for b in range(blocks) if b % 3 == 0]
+
+    rows = {r.scc_size: (r.n_sccs, r.label_checksum)
+            for r in q_graph_scc(spark, sf).collect()}
+    assert set(rows) == {1, 10}          # both planted classes present
+    assert rows[10] == (len(closed), sum(10 * b for b in closed))
+    assert rows[1] == (10 * len(opened),
+                       sum(k for b in opened
+                           for k in range(10 * b, 10 * b + 10)))
+
+    # the bridges are live (cross-block edges exist) yet did not merge:
+    # every 10-SCC is exactly one closed block, counted above
+    nb = edges.filter((F.col("src") % 10 == 9)
+                      & (F.col("dst") == F.col("src") + 1)).count()
+    assert nb > 0
