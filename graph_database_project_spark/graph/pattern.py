@@ -144,8 +144,11 @@ class _Parser:
 
     # -- grammar ----------------------------------------------------------
     def parse(self) -> ParsedPattern:
+        first_optional = self.at("kw", "OPTIONAL")
+        if first_optional:
+            self.next()
         self.expect("kw", "MATCH")
-        self._clauses(optional=False)
+        self._clauses(optional=first_optional)
         while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
             optional = self.at("kw", "OPTIONAL")
             if optional:
@@ -412,6 +415,58 @@ class _Parser:
                 self.next()
                 continue
             break
+
+
+def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
+    """The inverse of ``parse_match`` over the spec surface (WHERE
+    comparisons and RETURN excepted): render a NodePat/EdgePat spec as
+    canonical MATCH text — regular/optional edges one clause each in
+    order, negated edges as ``WHERE NOT`` terms. Useful for logging the
+    pattern a programmatic caller actually ran, and the hinge of the
+    parser's property-based round-trip test (render → parse → same
+    spec)."""
+    pats = {p.var: p for p in node_pats}
+    mentioned: set[str] = set()
+
+    def node(var: str) -> str:
+        p = pats[var]
+        if var in mentioned:
+            return f"({var})"
+        mentioned.add(var)
+        parts = [var]
+        if p.label is not None:
+            parts.append(f":{p.label}")
+        props = []
+        if p.name is not None:
+            props.append(f"name: '{p.name}'")
+        if p.docnbr is not None:
+            props.append(f"docnbr: '{p.docnbr}'")
+        if p.prop is not None:
+            props.append(f"{p.prop[0]}: '{p.prop[1]}'")
+        if props:
+            parts.append(" {" + ", ".join(props) + "}")
+        return "(" + "".join(parts) + ")"
+
+    def edge(ep: EdgePat) -> str:
+        inner = f":{ep.rel_type}" if ep.rel_type else ""
+        if (ep.min_hops, ep.max_hops) != (1, 1):
+            inner += f"*{ep.min_hops}..{ep.max_hops}"
+        if ep.direction == "in":
+            return f"{node(ep.src)}<-[{inner}]-{node(ep.dst)}"
+        arrow = "->" if ep.direction == "out" else "-"
+        return f"{node(ep.src)}-[{inner}]{arrow}{node(ep.dst)}"
+
+    clauses, negs = [], []
+    for ep in edge_pats:
+        if ep.negated:
+            negs.append(ep)
+        else:
+            kw = "OPTIONAL MATCH" if ep.optional else "MATCH"
+            clauses.append(f"{kw} {edge(ep)}")
+    out = " ".join(clauses)
+    if negs:
+        out += " WHERE " + " AND ".join(f"NOT {edge(ep)}" for ep in negs)
+    return out
 
 
 def parse_match(text: str) -> ParsedPattern:

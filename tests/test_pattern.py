@@ -267,3 +267,67 @@ def test_nl_graph_rules_emit_text_patterns(spark, store):
     assert len(rows) == 1 and rows[0].docnbr == "737-00-1029"
     df2 = answer_graph(spark, store, "subject of '737-00-1028'")
     assert "Angle of Attack" in df2.collect()[0].subject
+
+
+# --- property-based round-trip: render → parse → identical spec -----------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from graph_database_project_spark.graph.pattern import render_match
+
+_ident = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
+_label = st.one_of(st.none(),
+                   st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True))
+_val = st.from_regex(r"[A-Za-z0-9 ._-]{1,12}", fullmatch=True)
+_dirn = st.sampled_from(["out", "in", "both"])
+_hops = st.one_of(st.just((1, 1)),
+                  st.tuples(st.integers(1, 3), st.integers(1, 3))
+                  .map(lambda t: (min(t), max(t))))
+
+
+@st.composite
+def _specs(draw):
+    n = draw(st.integers(2, 5))
+    vars_ = [f"v{i}" for i in range(n)]
+    nodes = []
+    for v in vars_:
+        nodes.append(NodePat(
+            v, label=draw(_label),
+            name=draw(st.one_of(st.none(), _val)),
+            docnbr=draw(st.one_of(st.none(), _val)),
+            prop=draw(st.one_of(st.none(),
+                                st.tuples(_ident, _val)))))
+    edges = []
+    # spanning chain: edge i binds v_{i+1} to a random earlier variable,
+    # so every rendered pattern is connected (the compiler's contract)
+    for i in range(1, n):
+        lo, hi = draw(_hops)
+        edges.append(EdgePat(
+            src=draw(st.sampled_from(vars_[:i])), dst=vars_[i],
+            rel_type=draw(st.one_of(st.none(), st.from_regex(
+                r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True))),
+            direction=draw(_dirn), min_hops=lo, max_hops=hi,
+            # only the final chain edge may be optional: its dst is then
+            # a leaf referenced by exactly that edge (the compiler rule)
+            optional=(i == n - 1) and draw(st.booleans())))
+    if draw(st.booleans()):
+        # a negated edge to a fresh auxiliary variable, appended last
+        # (the parser materializes WHERE NOT terms after all clauses)
+        aux = "aux0"
+        nodes.append(NodePat(aux, label=draw(_label)))
+        edges.append(EdgePat(src="v0", dst=aux,
+                             rel_type=draw(st.one_of(st.none(), st.just("T"))),
+                             direction=draw(st.sampled_from(["out", "in"])),
+                             negated=True))
+    return nodes, edges
+
+
+@settings(max_examples=200, deadline=None)
+@given(_specs())
+def test_render_parse_roundtrip(spec):
+    nodes, edges = spec
+    text = render_match(nodes, edges)
+    parsed = parse_match(text)
+    assert set(parsed.node_pats) == set(nodes), text
+    assert parsed.edge_pats == edges, text
