@@ -123,6 +123,7 @@ EXTENDED = [
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
     "graph_scc",                # r11: repeated-squaring mutual reach
+    "attribution_linear",       # r11: multi-touch value split
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -6,7 +6,7 @@ prove the compositions stay oracle-checkable end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 
@@ -255,11 +255,112 @@ LIMIT {PATH_TOPK}
 """
 
 
+ATTR_LOOKBACK_MS = 7 * 24 * 3600 * 1000  # 7-day attribution window
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the marketing-analytics sibling
+    of the funnel pair: every purchase's value is split EQUALLY across
+    the user's click/view touches in the 7-day lookback window, the
+    integer remainder going to the LATEST touch, purchases with no touch
+    landing whole in the '(organic)' bucket. Per-channel rollup.
+
+    Exact integer conservation is the operator's contract (and what the
+    oracle's value hash effectively checks): value → cents via one
+    engine-identical IEEE op (floor(value·100), the accepted
+    single-op float class), then cents = Σ(cents div n) + remainder by
+    construction — the attributed total equals the purchase total to
+    the cent, per purchase. The remainder's recipient is chosen by
+    (t_ms, touch_type) descending; ties beyond that are absorbed by the
+    channel rollup (identical keys → identical channel).
+
+    Scale: the touch expansion is a USER-keyed equi-join with the time
+    range as a residual predicate — per-user event lists are bounded,
+    so the join is hash-shaped and skew-safe; one window pass per
+    purchase id for the count/rank; rollup is |channels|-sized. No
+    window over the raw stream, no cross join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("event_id").alias("p_id"),
+                     ms.alias("p_ms"),
+                     F.floor(F.col("value") * F.lit(100.0)).cast("long")
+                     .alias("cents")))
+    touch = (ev.filter(F.col("event_type").isin("click", "view"))
+             .select(F.col("user_id").alias("t_user"),
+                     ms.alias("t_ms"),
+                     F.col("event_type").alias("touch_type")))
+    j = purch.join(
+        touch,
+        (purch.p_user == touch.t_user)
+        & (touch.t_ms <= purch.p_ms)
+        & (touch.t_ms >= purch.p_ms - ATTR_LOOKBACK_MS),
+        "left")
+    w = W.partitionBy("p_id")
+    wo = w.orderBy(F.col("t_ms").desc(), F.col("touch_type").desc())
+    per = j.select(
+        "p_id", "cents", "touch_type",
+        F.count("t_ms").over(w).alias("n_touch"),
+        F.row_number().over(wo).alias("rn"))
+    attributed = per.select(
+        F.coalesce("touch_type", F.lit("(organic)")).alias("channel"),
+        F.when(F.col("n_touch") == 0, F.col("cents"))
+         .otherwise(F.expr("cents div n_touch")
+                    + F.when(F.col("rn") == 1,
+                             F.col("cents") % F.col("n_touch"))
+                       .otherwise(F.lit(0))).alias("attr_cents"),
+        "p_id")
+    return (attributed.groupBy("channel")
+            .agg(F.sum("attr_cents").alias("attributed_cents"),
+                 F.countDistinct("p_id").alias("n_purchases"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("channel"))
+
+
+Q_ATTRIBUTION_SQL = f"""
+WITH purch AS (
+  SELECT user_id AS p_user, event_id AS p_id, epoch_ms(ts) AS p_ms,
+         CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS t_user, epoch_ms(ts) AS t_ms, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT p.p_id, p.cents, t.touch_type, t.t_ms
+  FROM purch p LEFT JOIN touch t
+    ON t.t_user = p.p_user AND t.t_ms <= p.p_ms
+   AND t.t_ms >= p.p_ms - {ATTR_LOOKBACK_MS}
+), per AS (
+  SELECT p_id, cents, touch_type,
+         count(t_ms) OVER (PARTITION BY p_id) AS n_touch,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ms DESC, touch_type DESC) AS rn
+  FROM j
+), attributed AS (
+  SELECT COALESCE(touch_type, '(organic)') AS channel,
+         CASE WHEN n_touch = 0 THEN cents
+              ELSE cents // n_touch
+                   + CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END
+         END AS attr_cents,
+         p_id
+  FROM per
+)
+SELECT channel,
+       CAST(sum(attr_cents) AS BIGINT) AS attributed_cents,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM attributed GROUP BY channel ORDER BY channel
+"""
+
+
 QUERIES = {
     "pipeline_training_data": q_pipeline_training_data,
     "path_trigrams": q_path_trigrams,
     "funnel_conversion": q_funnel_conversion,
     "funnel_retention_cohorts": q_funnel_retention_cohorts,
+    "attribution_linear": q_attribution_linear,
 }
 
 ORACLE = {
@@ -267,4 +368,5 @@ ORACLE = {
     "path_trigrams": Q_PATH_TRIGRAMS_SQL,
     "funnel_conversion": Q_FUNNEL_SQL,
     "funnel_retention_cohorts": Q_RETENTION_SQL,
+    "attribution_linear": Q_ATTRIBUTION_SQL,
 }

@@ -268,6 +268,12 @@ _DRIVER_WINDOW = [
     # graph_scc: strongly connected components (directed) via mutual
     # reachability over a repeated-squaring reach relation
     "graph_scc",
+    # attribution_linear: multi-touch attribution with exact integer
+    # value conservation (r11 NEW — first check the round it ships)
+    "attribution_linear",
+    # --- spare slot → one more r06-cohort §2.B flagship (the freshness
+    # guard forces the rest of that cohort through r12-r13) ---
+    "dedup_exact",                # r06; the exact-dedup §2.B row
 ]
 
 

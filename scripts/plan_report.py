@@ -68,7 +68,8 @@ def main() -> None:
              "graph_motif_varlength", "graph_pagerank_incremental",
              "batch_padding_audit", "dedup_weighted_mass",
              # r11 additions: the MATCH-string front-end keys + SCC
-             "graph_motif_parsed", "graph_motif_optional", "graph_scc"]
+             "graph_motif_parsed", "graph_motif_optional", "graph_scc",
+             "attribution_linear"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
