@@ -56,11 +56,13 @@ class NodePat:
 
     All predicates are optional and AND-ed; ``prop`` is a (key, value)
     equality over the node's ``props`` map — the analogue of Cypher's
-    inline property map.
+    inline property map. ``label`` may be a tuple of labels —
+    DISJUNCTION (Cypher's ``:A|B``): the node matches if it carries ANY
+    of them.
     """
 
     var: str
-    label: str | None = None
+    label: str | tuple[str, ...] | None = None
     name: str | None = None
     docnbr: str | None = None
     prop: tuple[str, str] | None = None
@@ -80,6 +82,10 @@ class EdgePat:
     the auxiliary variable binds nothing and contributes no output
     columns.
 
+    ``rel_type`` may be a tuple — DISJUNCTION (Cypher's ``-[:A|B]->``):
+    the edge matches any of the listed types (still de-duplicated to
+    distinct (src, dst) pairs afterwards).
+
     ``min_hops``/``max_hops`` give Cypher's variable-length form
     ``-[:T*min..max]->`` with REACHABILITY semantics: the edge relation
     is expanded to the DISTINCT (src, dst) pairs connected by a path of
@@ -97,7 +103,7 @@ class EdgePat:
 
     src: str
     dst: str
-    rel_type: str | None = None
+    rel_type: str | tuple[str, ...] | None = None
     direction: str = "out"
     negated: bool = False
     min_hops: int = 1
@@ -110,7 +116,11 @@ def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
     element says whether the pattern is selective (broadcast-worthy)."""
     rel = nodes
     if pat.label is not None:
-        rel = rel.filter(F.array_contains("labels", pat.label))
+        labels = (pat.label,) if isinstance(pat.label, str) else pat.label
+        cond = F.array_contains("labels", labels[0])
+        for lb in labels[1:]:
+            cond = cond | F.array_contains("labels", lb)
+        rel = rel.filter(cond)
     if pat.name is not None:
         rel = rel.filter(F.col("name") == pat.name)
     if pat.docnbr is not None:
@@ -128,7 +138,9 @@ def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
     parallel edges / multi-batch re-ingest don't inflate bindings."""
     er = edges
     if pat.rel_type is not None:
-        er = er.filter(F.col("rel_type") == pat.rel_type)
+        types = ((pat.rel_type,) if isinstance(pat.rel_type, str)
+                 else pat.rel_type)
+        er = er.filter(F.col("rel_type").isin(*types))
     er = er.select("src", "dst")
     if pat.direction == "in":
         er = er.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -216,8 +228,13 @@ def match_motif(
             return True
         if label_counts is None or p.label is None:
             return False
-        n = label_counts.get(p.label)
-        return n is not None and n <= broadcast_max_nodes
+        labels = (p.label,) if isinstance(p.label, str) else p.label
+        ns = [label_counts.get(lb) for lb in labels]
+        # a disjunction is dim-sized only when EVERY branch is catalog-
+        # bounded (one unknown label could be fact-sized)
+        if any(n is None for n in ns):
+            return False
+        return sum(ns) <= broadcast_max_nodes
 
     # (projection, broadcast-worthy) per var: selective predicates and
     # catalog-bounded labels both qualify

@@ -8,14 +8,16 @@ pattern TEXT, not only Python objects.
 
 Supported subset — exactly what the compiler supports, nothing more:
 
-* node: ``(var)``, ``(var:Label)``, ``(:Label)``, ``()``, each with an
-  optional property map ``{name: 'x', docnbr: 'y', key: 'v'}`` (string
-  equality; ``name``/``docnbr`` map to their typed predicates, any other
-  single key to the ``props`` map lookup);
+* node: ``(var)``, ``(var:Label)``, ``(:Label)``, ``()``, label
+  disjunction ``(var:A|B)``, each with an optional property map
+  ``{name: 'x', docnbr: 'y', key: 'v'}`` (string equality;
+  ``name``/``docnbr`` map to their typed predicates, any other single
+  key to the ``props`` map lookup);
 * edge: ``-[:TYPE]->`` (out), ``<-[:TYPE]-`` (in), ``-[:TYPE]-``
-  (both), untyped ``-[]->``, variable-length ``-[:TYPE*1..3]->`` /
-  ``-[*2]->`` / ``-[*..3]->`` (reachability semantics, bounds required —
-  an unbounded ``*`` is rejected with the k_hop pointer);
+  (both), untyped ``-[]->``, type disjunction ``-[:A|B]->``,
+  variable-length ``-[:TYPE*1..3]->`` / ``-[*2]->`` / ``-[*..3]->``
+  (reachability semantics, bounds required — an unbounded ``*`` is
+  rejected with the k_hop pointer);
 * clauses: ``MATCH p1, p2``, additional ``MATCH`` / ``OPTIONAL MATCH``
   (every edge in an OPTIONAL MATCH clause is left-outer);
 * ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
@@ -51,7 +53,7 @@ _TOKEN_RE = re.compile(
         (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct><=|>=|<>|!=|\.\.|<-|->|[()\[\]{}:,.\-<>=*])
+      | (?P<punct><=|>=|<>|!=|\.\.|<-|->|[()\[\]{}:,.\-<>=*|])
     )""",
     re.VERBOSE,
 )
@@ -81,7 +83,10 @@ def _tokenize(text: str) -> list[tuple[str, str, int]]:
             val = m.group(kind)
             if val is not None:
                 if kind == "ident" and val.upper() in _KEYWORDS:
-                    toks.append(("kw", val.upper(), m.start()))
+                    # keep the ORIGINAL spelling: at name positions
+                    # (labels, rel-types, property keys) a keyword-shaped
+                    # word is a legitimate identifier
+                    toks.append(("kw", val, m.start()))
                 else:
                     toks.append((kind, val, m.start()))
                 break
@@ -132,7 +137,8 @@ class _Parser:
 
     def expect(self, kind: str, val: str | None = None) -> str:
         k, v, p = self.next()
-        if k != kind or (val is not None and v != val):
+        cmp = v.upper() if kind == "kw" else v
+        if k != kind or (val is not None and cmp != val):
             want = val if val is not None else kind
             raise PatternSyntaxError(
                 f"expected {want!r} at position {p}, got {v!r}")
@@ -140,7 +146,17 @@ class _Parser:
 
     def at(self, kind: str, val: str | None = None) -> bool:
         k, v, _ = self.peek()
-        return k == kind and (val is None or v == val)
+        cmp = v.upper() if kind == "kw" else v
+        return k == kind and (val is None or cmp == val)
+
+    def expect_name(self) -> str:
+        """An identifier at a NAME position (label, rel-type, property
+        key) — keyword-shaped words are legitimate there."""
+        k, v, p = self.next()
+        if k not in ("ident", "kw"):
+            raise PatternSyntaxError(
+                f"expected a name at position {p}, got {v!r}")
+        return v
 
     # -- grammar ----------------------------------------------------------
     def parse(self) -> ParsedPattern:
@@ -210,11 +226,11 @@ class _Parser:
             var = self.next()[1]
         if self.at("punct", ":"):
             self.next()
-            label = self.expect("ident")
+            label = self._alt_idents()
         if self.at("punct", "{"):
             self.next()
             while True:
-                key = self.expect("ident")
+                key = self.expect_name()
                 self.expect("punct", ":")
                 k, v, p = self.next()
                 if k != "str":
@@ -275,7 +291,7 @@ class _Parser:
                     "homomorphism semantics carry no edge identity)")
             if self.at("punct", ":"):
                 self.next()
-                rel_type = self.expect("ident")
+                rel_type = self._alt_idents()
             if self.at("punct", "*"):
                 self.next()
                 min_hops, max_hops = self._hop_range()
@@ -297,6 +313,15 @@ class _Parser:
                 f"got {v!r}")
         return dict(rel_type=rel_type, direction=direction,
                     min_hops=min_hops, max_hops=max_hops)
+
+    def _alt_idents(self) -> str | tuple[str, ...]:
+        """``A`` or the disjunction ``A|B|C`` (Cypher's label/rel-type
+        alternation) — a plain string for one, a tuple for several."""
+        names = [self.expect_name()]
+        while self.at("punct", "|"):
+            self.next()
+            names.append(self.expect_name())
+        return names[0] if len(names) == 1 else tuple(names)
 
     def _hop_range(self) -> tuple[int, int]:
         if self.at("num"):
@@ -435,7 +460,8 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
         mentioned.add(var)
         parts = [var]
         if p.label is not None:
-            parts.append(f":{p.label}")
+            lb = p.label if isinstance(p.label, str) else "|".join(p.label)
+            parts.append(f":{lb}")
         props = []
         if p.name is not None:
             props.append(f"name: '{p.name}'")
@@ -448,7 +474,9 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
         return "(" + "".join(parts) + ")"
 
     def edge(ep: EdgePat) -> str:
-        inner = f":{ep.rel_type}" if ep.rel_type else ""
+        rt = (ep.rel_type if isinstance(ep.rel_type, (str, type(None)))
+              else "|".join(ep.rel_type))
+        inner = f":{rt}" if rt else ""
         if (ep.min_hops, ep.max_hops) != (1, 1):
             inner += f"*{ep.min_hops}..{ep.max_hops}"
         if ep.direction == "in":

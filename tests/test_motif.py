@@ -439,7 +439,9 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # (labeling in the pattern STRING is the plan lever — the
             # unlabeled first draft ran 12 exchanges); optional's
             # unlabeled p streams by design
-            "graph_motif_parsed": 6, "graph_motif_optional": 6}
+            # optional dropped 6 → 4 when p gained the label disjunction
+            # (:summary|planning_information — the r11 `:A|B` feature)
+            "graph_motif_parsed": 6, "graph_motif_optional": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

@@ -177,6 +177,44 @@ def test_text_optional_preserves_unmatched(tiny):
     assert rows2 == [("c1", "a1")]
 
 
+def test_label_and_reltype_disjunction(tiny):
+    """Cypher's ``:A|B`` alternation, text and object forms agreeing."""
+    nodes, edges = tiny
+    via_text = match_pattern(
+        nodes, edges,
+        "MATCH (x:A|B)-[:R|S]->(y:B|C) RETURN x.name AS xn, y.name AS yn")
+    via_obj = match_motif(
+        nodes, edges,
+        [NodePat("x", label=("A", "B")), NodePat("y", label=("B", "C"))],
+        [EdgePat("x", "y", rel_type=("R", "S"))],
+    ).select(F.col("x_name").alias("xn"), F.col("y_name").alias("yn"))
+    rows = _bindings(via_text)
+    assert rows == _bindings(via_obj)
+    # A-R->B and B-S->C both admitted; nothing else
+    assert rows == [("a1", "b1"), ("a2", "b2"), ("b1", "c1"), ("b2", "c1")]
+
+
+def test_disjunction_broadcast_needs_every_branch_bounded(tiny):
+    """label_counts: a disjunction broadcasts only when all branches are
+    catalog-bounded and their SUM fits."""
+    from graph_database_project_spark.graph.motif import match_motif
+
+    nodes, edges = tiny
+
+    def plan(label, counts):
+        df = match_motif(
+            nodes, edges, [NodePat("x", label=label), NodePat("y")],
+            [EdgePat("x", "y", "R")], label_counts=counts)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(("A", "B"), {"A": 2, "B": 2})
+    # one unknown branch → no broadcast hint for the node side
+    assert "BroadcastHashJoin" not in plan(("A", "Z"), {"A": 2})
+    # sum over the cap → no broadcast
+    assert "BroadcastHashJoin" not in plan(
+        ("A", "B"), {"A": 2, "B": 200_000})
+
+
 def test_bare_return_variable_expands_to_carry_columns(tiny):
     nodes, edges = tiny
     df = match_pattern(nodes, edges, "MATCH (a:A)-[:R]->(b:B) RETURN b")
@@ -277,8 +315,10 @@ from hypothesis import given, settings
 from graph_database_project_spark.graph.pattern import render_match
 
 _ident = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
-_label = st.one_of(st.none(),
-                   st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True))
+_name1 = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+# a single label/type stays a STRING; a disjunction is a 2-tuple (the
+# parser's canonical forms — a 1-tuple would not round-trip)
+_label = st.one_of(st.none(), _name1, st.tuples(_name1, _name1))
 _val = st.from_regex(r"[A-Za-z0-9 ._-]{1,12}", fullmatch=True)
 _dirn = st.sampled_from(["out", "in", "both"])
 _hops = st.one_of(st.just((1, 1)),
@@ -305,8 +345,8 @@ def _specs(draw):
         lo, hi = draw(_hops)
         edges.append(EdgePat(
             src=draw(st.sampled_from(vars_[:i])), dst=vars_[i],
-            rel_type=draw(st.one_of(st.none(), st.from_regex(
-                r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True))),
+            rel_type=draw(st.one_of(st.none(), _name1,
+                                    st.tuples(_name1, _name1))),
             direction=draw(_dirn), min_hops=lo, max_hops=hi,
             # only the final chain edge may be optional: its dst is then
             # a leaf referenced by exactly that edge (the compiler rule)
