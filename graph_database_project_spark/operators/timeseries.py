@@ -820,6 +820,78 @@ ORDER BY lag
 """
 
 
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition of the daily event-count series by
+    day-of-week profile — the structural sibling of ts_autocorrelation
+    (which DETECTS the weekly cycle; this one REMOVES it): per day,
+    the dow-group seasonal level and the residual deviation from it,
+    the series an anomaly monitor actually thresholds after
+    deseasonalizing.
+
+    EXACT-INTEGER form: dow = (days-since-epoch) mod 7 (identical
+    arithmetic both engines — named-weekday functions differ in origin
+    between Spark and DuckDB); the seasonal level rides as companion
+    BIGINTs (dow_sum, n_days) plus a milli rendering
+    ``dow_sum·1000 div n_days``; the residual is the signed integer
+    ``n_days·cnt − dow_sum`` and its ppm ratio goes through the
+    abs-then-resign discipline (Spark ``div`` truncates, DuckDB ``//``
+    floors — they agree only on non-negative operands). Overflow bound:
+    |resid|·10⁶ ≤ n_days·cnt·10⁶ — safe below ~10¹² events/day, far
+    past the 100 TB shape, so no downshift is needed (contrast the
+    Σdev·10⁶ case in profiling._ppm_downshift_sql).
+
+    Scale: one events scan → |days| rows; the dow profile is 7 rows and
+    broadcasts; everything after the first aggregate is calendar-sized.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select(F.date_trunc("day", F.col("ts")).cast("date").alias("d")))
+    daily = (ev.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+             .withColumn("dow", (F.datediff(
+                 F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+                 .cast("long")))
+    prof = daily.groupBy("dow").agg(
+        F.sum("cnt").cast("long").alias("dow_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (daily.join(F.broadcast(prof), "dow")
+            .withColumn("resid_num",
+                        (F.col("n_days") * F.col("cnt") - F.col("dow_sum"))
+                        .cast("long"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dow", "cnt", "dow_sum", "n_days",
+                    F.expr("dow_sum * 1000L div n_days")
+                    .alias("seasonal_milli"),
+                    F.expr("CAST(sign(resid_num) AS BIGINT) * "
+                           "(abs(resid_num) * 1000000L div dow_sum)")
+                    .alias("dev_ppm"))
+            .orderBy("day"))
+
+
+Q_TS_SEASONAL_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), dd AS MATERIALIZED (
+  SELECT d, cnt,
+         CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow
+  FROM daily
+), prof AS MATERIALIZED (
+  SELECT dow, CAST(sum(cnt) AS BIGINT) AS dow_sum,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM dd GROUP BY dow
+)
+SELECT strftime(dd.d, '%Y-%m-%d') AS day, dd.dow, dd.cnt,
+       p.dow_sum, p.n_days,
+       CAST(p.dow_sum * 1000 // p.n_days AS BIGINT) AS seasonal_milli,
+       CAST(CAST(sign(p.n_days * dd.cnt - p.dow_sum) AS BIGINT)
+            * (abs(p.n_days * dd.cnt - p.dow_sum) * 1000000 // p.dow_sum)
+            AS BIGINT) AS dev_ppm
+FROM dd JOIN prof p USING (dow)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "ts_rollup_multires": q_ts_rollup_multires,
     "ts_autocorrelation": q_ts_autocorrelation,
@@ -830,9 +902,11 @@ QUERIES = {
     "ts_ewma": q_ts_ewma,
     "ts_rollup_incremental": q_ts_rollup_incremental,
     "ts_cusum_changepoint": q_ts_cusum_changepoint,
+    "ts_seasonal_decompose": q_ts_seasonal_decompose,
 }
 ORACLE = {
     "ts_cusum_changepoint": Q_TS_CUSUM_SQL,
+    "ts_seasonal_decompose": Q_TS_SEASONAL_SQL,
     "ts_autocorrelation": _ts_acf_sql(),
     "ts_rollup_incremental": Q_TS_ROLLUP_INCREMENTAL_SQL,
     "ts_markov_transitions": Q_TS_MARKOV_SQL,

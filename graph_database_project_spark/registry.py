@@ -271,9 +271,11 @@ _DRIVER_WINDOW = [
     # attribution_linear: multi-touch attribution with exact integer
     # value conservation (r11 NEW — first check the round it ships)
     "attribution_linear",
-    # --- spare slot → one more r06-cohort §2.B flagship (the freshness
-    # guard forces the rest of that cohort through r12-r13) ---
-    "dedup_exact",                # r06; the exact-dedup §2.B row
+    # ts_seasonal_decompose: day-of-week seasonal profile + signed-ppm
+    # residuals (r11 NEW; takes the spare slot that briefly held
+    # dedup_exact — that r06 key stays inside the freshness budget
+    # until r13 and remains in the local bit-exact gate)
+    "ts_seasonal_decompose",
 ]
 
 
