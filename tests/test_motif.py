@@ -449,3 +449,38 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
         n_sh = len(re.findall(r"Exchange hashpartitioning", p))
         assert n_sh <= ceil[name], f"{name}: {n_sh} > {ceil[name]}"
         assert "BroadcastHashJoin" in p  # node sides actually broadcast
+
+
+def test_parsed_key_matches_elementtree_recompute(spark):
+    """Independent oracle for the r11 text-compiled key: header fields
+    read straight off the XML."""
+    expect = set()
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        expect.add((root.findtext("./header/number").strip(),
+                    root.findtext("./header/original_issue_date").strip(),
+                    root.findtext("./header/subject").strip()))
+    got = {(r.docnbr, r.issue_date, r.subject)
+           for r in motifq.q_graph_motif_parsed(spark, SF).collect()}
+    assert got == expect
+
+
+def test_optional_key_matches_elementtree_recompute(spark):
+    """Independent oracle for the r11 OPTIONAL MATCH key: summary
+    descriptions carry prose and no steps (the NULL-flattened rows),
+    planning descriptions carry their steps."""
+    expect = []
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        sd = root.find("./summary/description")
+        assert sd is not None and not sd.findall("step")
+        expect.append((docnbr, "summary", "(no steps)", -1))
+        pd_ = root.find("./planning_information/description")
+        for s in pd_.findall("step"):
+            txt = s.text
+            expect.append((docnbr, "planning_information",
+                           txt[:30], len(txt)))
+    got = [(r.docnbr, r.parent, r.step_head, r.step_len)
+           for r in motifq.q_graph_motif_optional(spark, SF).collect()]
+    assert sorted(got) == sorted(expect)
