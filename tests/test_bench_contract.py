@@ -81,3 +81,13 @@ def test_sentinel_health_verdict():
     assert bench.sentinel_health(hot, idle)[0] == "degraded"
     edge = {k: v * bench.SENTINEL_HEALTHY_MAX for k, v in ref.items()}
     assert bench.sentinel_health(idle, edge)[0] == "healthy"
+
+
+def test_every_bench_suite_key_is_registered():
+    """A typo'd HEADLINE/EXTENDED name would silently charge
+    FAIL_PENALTY at bench time — catch it at test time instead."""
+    from graph_database_project_spark.registry import all_queries
+
+    keys = set(all_queries())
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in keys]
+    assert not missing, missing
