@@ -94,6 +94,7 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "ts_cusum_changepoint",  # checkpointed day series
                        "bpe_learn_merges",  # checkpointed vocab + per-round winners
                        "bpe_token_count",  # same learn loop at construction
+                       "ts_seasonal_decompose",  # checkpointed day series
                        "ts_rollup_incremental"}
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)

@@ -846,10 +846,14 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("ts").isNotNull())
           .select(F.date_trunc("day", F.col("ts")).cast("date").alias("d")))
+    # daily feeds BOTH the profile and the join — materialize the
+    # |days|-row relation once or each reference re-scans events
+    # (the r05 multi-consumer rule; audit showed 2 scans unchecked)
     daily = (ev.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
              .withColumn("dow", (F.datediff(
                  F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
-                 .cast("long")))
+                 .cast("long"))
+             .localCheckpoint(eager=True))
     prof = daily.groupBy("dow").agg(
         F.sum("cnt").cast("long").alias("dow_sum"),
         F.count(F.lit(1)).cast("long").alias("n_days"))

@@ -687,6 +687,8 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "cardinality_hll_grouped": 1,    # registers checkpointed; exact-count scan remains
         "graph_hyperball": 0,            # edges + per-round registers checkpointed
         "graph_hits": 0,                 # edges/verts + per-round scores checkpointed
+        "graph_scc": 0,                  # substrate + squarings checkpointed
+        "ts_seasonal_decompose": 1,      # daily relation checkpointed
         "quantile_sketch_grouped": 0,    # bounds + (day, bin) hist checkpointed
         "theta_sketch_setops": 1,        # K-min survivors checkpointed; exact-count scan remains
         "graph_cc_incremental": 0,       # stored labels + delta edges checkpointed
