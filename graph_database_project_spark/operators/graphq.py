@@ -2616,6 +2616,24 @@ def _scc_graph(spark: SparkSession, sf_dir: str):
     return verts, chain.unionByName(closing).unionByName(bridge)
 
 
+def _scc_labels(verts: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node=a, scc) labeling by mutual reachability over the
+    repeated-squaring reach relation — shared by q_graph_scc and the
+    condensation query (see q_graph_scc's docstring for the method)."""
+    p = (verts.select(F.col("v").alias("a"), F.col("v").alias("b"))
+         .unionByName(edges.select(F.col("src").alias("a"),
+                                   F.col("dst").alias("b")))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(SCC_SQUARINGS):
+        p = (p.alias("x")
+             .join(p.alias("y"), F.col("x.b") == F.col("y.a"))
+             .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+             .distinct().localCheckpoint(eager=True))
+    rev = p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (p.join(rev, ["a", "b"], "left_semi")
+            .groupBy("a").agg(F.min("b").alias("scc")))
+
+
 def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRONGLY connected components — the directed sibling of
     graph_connected_components (which would dissolve the planted cycles
@@ -2636,18 +2654,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic BIGINT; oracle unrolls the same squarings as
     MATERIALIZED CTEs. Output: SCC size histogram + label checksum."""
     verts, edges = _scc_graph(spark, sf_dir)
-    p = (verts.select(F.col("v").alias("a"), F.col("v").alias("b"))
-         .unionByName(edges.select(F.col("src").alias("a"),
-                                   F.col("dst").alias("b")))
-         .distinct().localCheckpoint(eager=True))
-    for _ in range(SCC_SQUARINGS):
-        p = (p.alias("x")
-             .join(p.alias("y"), F.col("x.b") == F.col("y.a"))
-             .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
-             .distinct().localCheckpoint(eager=True))
-    rev = p.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    lab = (p.join(rev, ["a", "b"], "left_semi")
-           .groupBy("a").agg(F.min("b").alias("scc")))
+    lab = _scc_labels(verts, edges)
     sizes = lab.groupBy("scc").agg(F.count(F.lit(1)).alias("sz"))
     return (sizes.groupBy(F.col("sz").alias("scc_size"))
             .agg(F.count(F.lit(1)).alias("n_sccs"),
@@ -2655,9 +2662,11 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scc_size"))
 
 
-def _scc_oracle_sql() -> str:
-    """DuckDB twin: the same edge algebra and the same unrolled
-    squarings (p_k referenced twice per squaring → MATERIALIZED, the
+def _scc_label_cte_sql() -> str:
+    """The WITH-fragment ending at ``lab(node, scc)`` — the DuckDB twin
+    of _scc_labels over the planted substrate, shared by the SCC and
+    condensation oracles (the same edge algebra and the same unrolled
+    squarings; p_k referenced twice per squaring → MATERIALIZED, the
     CLAUDE.md CTE rule)."""
     parts = [f"""
 WITH verts AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
@@ -2695,16 +2704,104 @@ lab AS MATERIALIZED (
   SELECT f.a AS node, min(f.b) AS scc
   FROM {pk} f JOIN {pk} r ON f.a = r.b AND f.b = r.a
   GROUP BY f.a
-),
+)""")
+    return "".join(parts)
+
+
+Q_GRAPH_SCC_SQL = _scc_label_cte_sql() + """,
 sizes AS (SELECT scc, count(*) AS sz FROM lab GROUP BY scc)
 SELECT CAST(sz AS BIGINT) AS scc_size,
        CAST(count(*) AS BIGINT) AS n_sccs,
        CAST(sum(scc) AS BIGINT) AS label_checksum
-FROM sizes GROUP BY sz ORDER BY scc_size""")
+FROM sizes GROUP BY sz ORDER BY scc_size"""
+
+
+SCC_LEVEL_ROUNDS = 12  # ≥ longest condensation path (≤ 11 on the substrate)
+
+
+def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONDENSATION of the SCC partition — collapse every SCC to one
+    node, keep the distinct cross-SCC edges (an acyclic DAG by
+    construction), and layer it by LONGEST-path topological level via
+    fixed max-relax rounds: level(c) = 1 + max over predecessors, 0 for
+    sources. This is the dependency-scheduling view of a directed graph
+    (build stages, pipeline waves): everything in level L can run once
+    levels < L are done.
+
+    Fixed-round discipline (CLAUDE.md): SCC_LEVEL_ROUNDS = 12 relax
+    rounds with NO fixpoint probe — the substrate's longest condensation
+    path is ≤ 11 (a 9-edge open-block chain + a bridge + one more hop),
+    and one relax round extends covered path length by 1, so 12 rounds
+    are exact; the bound is documented, not probed. All BIGINT. Output:
+    per level, the SCC count, total member nodes, and a label checksum.
+
+    Scale: the condensation is |SCCs|-sized — usually orders of
+    magnitude below |V| — so the relax loop runs on the REDUCED graph;
+    the only |V|-sized steps are the labeling (shared with q_graph_scc)
+    and the two label joins deriving condensed edges/sizes."""
+    verts, edges = _scc_graph(spark, sf_dir)
+    lab = _scc_labels(verts, edges).localCheckpoint(eager=True)
+    sizes = lab.groupBy("scc").agg(F.count(F.lit(1)).alias("n_nodes"))
+    lsrc = lab.select(F.col("a").alias("src"), F.col("scc").alias("c_src"))
+    ldst = lab.select(F.col("a").alias("dst"), F.col("scc").alias("c_dst"))
+    ce = (edges.join(lsrc, "src").join(ldst, "dst")
+          .filter(F.col("c_src") != F.col("c_dst"))
+          .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+          .distinct().localCheckpoint(eager=True))
+    lv = sizes.select("scc", F.lit(0).cast("long").alias("lv")) \
+              .localCheckpoint(eager=True)
+    for _ in range(SCC_LEVEL_ROUNDS):
+        incoming = (ce.join(lv.withColumnRenamed("scc", "src"), "src")
+                    .groupBy(F.col("dst").alias("scc"))
+                    .agg((F.max("lv") + 1).alias("mx")))
+        lv = (lv.join(incoming, "scc", "left")
+              .select("scc", F.greatest("lv", F.coalesce("mx", F.lit(0)))
+                      .cast("long").alias("lv"))
+              .localCheckpoint(eager=True))
+    return (lv.join(sizes, "scc")
+            .groupBy(F.col("lv").alias("level"))
+            .agg(F.count(F.lit(1)).alias("n_sccs"),
+                 F.sum("n_nodes").alias("n_nodes"),
+                 F.sum("scc").alias("label_checksum"))
+            .orderBy("level"))
+
+
+def _scc_condensation_oracle_sql() -> str:
+    """DuckDB twin: the shared labeling prefix, the same condensed-edge
+    derivation, and SCC_LEVEL_ROUNDS unrolled max-relax rounds."""
+    parts = [_scc_label_cte_sql(), """,
+sizes AS MATERIALIZED (
+  SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY scc
+),
+ce AS MATERIALIZED (
+  SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+  FROM e
+  JOIN lab ls ON ls.node = e.src
+  JOIN lab ld ON ld.node = e.dst
+  WHERE ls.scc <> ld.scc
+),
+lv0 AS MATERIALIZED (SELECT scc, CAST(0 AS BIGINT) AS lv FROM sizes)"""]
+    for i in range(1, SCC_LEVEL_ROUNDS + 1):
+        parts.append(f""",
+lv{i} AS MATERIALIZED (
+  SELECT s.scc,
+         CAST(greatest(s.lv, COALESCE(m.mx, 0)) AS BIGINT) AS lv
+  FROM lv{i-1} s LEFT JOIN (
+    SELECT ce.dst AS scc, max(p.lv) + 1 AS mx
+    FROM ce JOIN lv{i-1} p ON p.scc = ce.src GROUP BY ce.dst
+  ) m USING (scc)
+)""")
+    parts.append(f"""
+SELECT lv AS level,
+       CAST(count(*) AS BIGINT) AS n_sccs,
+       CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+       CAST(sum(s.scc) AS BIGINT) AS label_checksum
+FROM lv{SCC_LEVEL_ROUNDS} s JOIN sizes USING (scc)
+GROUP BY lv ORDER BY level""")
     return "".join(parts)
 
 
-Q_GRAPH_SCC_SQL = _scc_oracle_sql()
+Q_GRAPH_SCC_CONDENSATION_SQL = _scc_condensation_oracle_sql()
 
 
 QUERIES = {
@@ -2734,6 +2831,7 @@ QUERIES = {
     "graph_densest_subgraph": q_graph_densest_subgraph,
     "graph_betweenness_sampled": q_graph_betweenness_sampled,
     "graph_scc": q_graph_scc,
+    "graph_scc_condensation": q_graph_scc_condensation,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
 
@@ -2764,5 +2862,6 @@ ORACLE = {
     "graph_hyperball": _hyperball_oracle_sql(),  # HLL ball-merge rounds unrolled
     "graph_hits": _hits_oracle_sql(),  # exact-integer mutual reinforcement
     "graph_scc": Q_GRAPH_SCC_SQL,  # mutual reach via unrolled squarings
+    "graph_scc_condensation": Q_GRAPH_SCC_CONDENSATION_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

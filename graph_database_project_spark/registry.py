@@ -249,14 +249,16 @@ _DRIVER_WINDOW = [
     "xml_subtree_content",        # r06; xmlq rep
     "nl2query_demo",              # r07; nl2query rep
     "pipeline_training_data",     # r06; pipeline rep
-    # --- second green for the eight r10 NEW operators ---
+    # --- second green for the r10 NEW operators (batch_padding_audit
+    # yields its second-green slot to graph_scc_condensation below —
+    # 1x green r10, curation stays repped by pack_sequences +
+    # dedup_weighted_mass, and it remains in the local bit-exact gate) ---
     "graph_motif_chain",
     "graph_motif_fanout",
     "graph_motif_shared",
     "graph_motif_negation",
     "graph_motif_varlength",
     "graph_pagerank_incremental",
-    "batch_padding_audit",
     "dedup_weighted_mass",
     # --- r11 NEW operators (first driver check the round they ship) ---
     # graph_motif_parsed: a motif compiled from a MATCH STRING
@@ -276,6 +278,9 @@ _DRIVER_WINDOW = [
     # dedup_exact — that r06 key stays inside the freshness budget
     # until r13 and remains in the local bit-exact gate)
     "ts_seasonal_decompose",
+    # graph_scc_condensation: condensation DAG + longest-path topo
+    # levels (r11 NEW)
+    "graph_scc_condensation",
 ]
 
 

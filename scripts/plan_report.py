@@ -69,7 +69,8 @@ def main() -> None:
              "batch_padding_audit", "dedup_weighted_mass",
              # r11 additions: the MATCH-string front-end keys + SCC
              "graph_motif_parsed", "graph_motif_optional", "graph_scc",
-             "attribution_linear", "ts_seasonal_decompose"]
+             "attribution_linear", "ts_seasonal_decompose",
+             "graph_scc_condensation"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

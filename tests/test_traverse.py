@@ -614,3 +614,28 @@ def test_scc_planted_structure_and_oneway_bridges(spark):
     nb = edges.filter((F.col("src") % 10 == 9)
                       & (F.col("dst") == F.col("src") + 1)).count()
     assert nb > 0
+
+
+def test_scc_condensation_levels_match_planted_structure(spark):
+    """Longest-path levels over the condensation DAG, checked against
+    the substrate arithmetic: open blocks spread their chain across
+    levels (tail at 9), a bridge lifts its target one past the source's
+    last node, and the ONLY level-10 occupants are (a) closed blocks
+    bridged from an open chain's tail (source block ≡ 0 mod 21 — its
+    successor ≡ 1 mod 3 is always closed) and (b) at larger sf, chain
+    tails of open blocks bridged from closed sources. At sf0.001
+    (blocks 0..14) only case (a) with b=0 exists: one 10-node SCC."""
+    from graph_database_project_spark.operators.graphq import (
+        q_graph_scc_condensation)
+
+    rows = {r.level: (r.n_sccs, r.n_nodes)
+            for r in q_graph_scc_condensation(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert max(rows) == 10                 # the relax bound is tight
+    assert rows[10] == (1, 10)             # block 1, bridged from b=0
+    # levels 2..9 hold exactly the open-block chain interiors: one
+    # singleton per open block per level (5 open blocks at sf0.001)
+    for lv in range(2, 10):
+        assert rows[lv] == (5, 5)
+    # level 0 holds every unbridged closed block + chain heads
+    assert rows[0][1] > rows[0][0]         # multi-node SCCs present
