@@ -124,6 +124,7 @@ EXTENDED = [
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
     "graph_scc",                # r11: repeated-squaring mutual reach
     "attribution_linear",       # r11: multi-touch value split
+    "graph_scc_condensation",   # r11: condensation DAG topo levels
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
