@@ -189,98 +189,78 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # embedding_outlier, graph_densest_subgraph, graph_triangle_count,
 # graph_temporal_multisource, xml_rel_signatures, multimodal_phash_neardup,
 # multimodal_decode, stream_dedup, graph_khop_undirected.
-# r11 rotation (verdict #2: retire the stale driver-confirmation cohort —
-# after this window no live key's last driver check predates r06): ALL 31
-# live keys whose last driver check is ≤ r05 rotate in — the 17-key r01
-# cohort (q02/q06–q17/q20/q21 TPC-H battery, agg_cube, agg_unpivot), the
-# 8-key r04 cohort (dedup_embedding_cosine, dq_audit, join_asof_last_view,
-# join_salted_skew, pack_sequences, sim_lsh_buckets, text_lang_id,
-# ts_rollup_multires) and the 6-key r05 cohort (agg_count_distinct,
-# agg_grouping_sets, dedup_cluster_canonical, join_left_agg,
-# text_decontaminate, window_topk_per_group) — plus the eight r10 NEW
-# operators for their second green, plus six family reps chosen as each
-# uncovered module's OLDEST-checked key (mutation_delete_cascade,
-# multimodal_image_decode, stream_session_window, xml_subtree_content,
-# nl2query_demo, pipeline_training_data — all r06/r07 cohort, so the
-# rotation also starts on the r06 backlog). Evicted: the 19-key r10
-# freshness block (now ≥2x green each) and the r09 second-check block
-# (every r09 first-timer got its second green in r10). Every family keeps
-# ≥1 window rep (asserted by tests/test_registry.py); every evicted key
-# stays in the local bit-exact parity gate.
+# r12 rotation (verdict #2 + tests/test_driver_freshness.py forcing
+# function): the 18-key r06 cohort is exactly at the MAX_AGE_ROUNDS=6
+# boundary (stale at the r13 build unless re-confirmed this round), so
+# ALL of it rotates in; the remaining slots clear the ENTIRE 29-key r07
+# cohort too (prepaying r13's obligation), plus nl2query_demo /
+# pipeline_training_data / graph_motif_parsed as the nl2query, pipeline
+# and motifq family reps (those modules have no r06/r07 key). New r12
+# keys take slots as they land, evicting (in order) graph_motif_parsed
+# (r11 green; motifq stays repped by the new pattern-surface keys),
+# q19_or_of_ands and q01_pricing_summary (tpch_ext stays repped by
+# q03/q04 — the evicted r07 keys stay inside the freshness budget until
+# the r14 build and rotate in r13). Evicted wholesale: the 31-key
+# r01/r04/r05 cohort (all re-confirmed r11) and the r10/r11 NEW blocks
+# (all ≥1x driver-green, freshest checks in the file set). Every family
+# keeps ≥1 window rep (asserted by tests/test_registry.py); every
+# evicted key stays in the local bit-exact parity gate.
 _DRIVER_WINDOW = [
-    # --- r01 cohort (17 keys, last driver check r01) ---
-    "q02_min_cost_supplier",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_profit_by_nation",
-    "q10_returned_items",
-    "q11_acctbal_share",
-    "q12_priority_case_agg",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_avg",
-    "q20_promo_part_suppliers",
-    "q21_sole_returner",
-    "agg_cube",
-    "agg_unpivot",
-    # --- r04 cohort (8 keys) ---
-    "dedup_embedding_cosine",
-    "dq_audit",
-    "join_asof_last_view",
-    "join_salted_skew",
-    "pack_sequences",
-    "sim_lsh_buckets",
-    "text_lang_id",
-    "ts_rollup_multires",
-    # --- r05 cohort (6 keys) ---
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "dedup_cluster_canonical",
-    "join_left_agg",
-    "text_decontaminate",
-    "window_topk_per_group",
-    # --- family reps (oldest-checked key of each uncovered module) ---
-    "mutation_delete_cascade",    # r06; mutation rep
-    "multimodal_image_decode",    # r06; multimodal rep
-    "stream_session_window",      # r06; streamq rep
-    "xml_subtree_content",        # r06; xmlq rep
-    "nl2query_demo",              # r07; nl2query rep
-    "pipeline_training_data",     # r06; pipeline rep
-    # --- second green for the r10 NEW operators (batch_padding_audit
-    # yields its second-green slot to graph_scc_condensation below —
-    # 1x green r10, curation stays repped by pack_sequences +
-    # dedup_weighted_mass, and it remains in the local bit-exact gate) ---
-    "graph_motif_chain",
-    "graph_motif_fanout",
-    "graph_motif_shared",
-    "graph_motif_negation",
-    "graph_motif_varlength",
-    "graph_pagerank_incremental",
-    "dedup_weighted_mass",
-    # --- r11 NEW operators (first driver check the round they ship) ---
-    # graph_motif_parsed: a motif compiled from a MATCH STRING
-    # (graph/pattern.py parser -> match_motif), closing the reference's
-    # text-pattern interface; graph_motif_optional: OPTIONAL MATCH
-    # (left-outer pattern) from text, NULL-flattened scalars.
-    "graph_motif_parsed",
-    "graph_motif_optional",
-    # graph_scc: strongly connected components (directed) via mutual
-    # reachability over a repeated-squaring reach relation
-    "graph_scc",
-    # attribution_linear: multi-touch attribution with exact integer
-    # value conservation (r11 NEW — first check the round it ships)
-    "attribution_linear",
-    # ts_seasonal_decompose: day-of-week seasonal profile + signed-ppm
-    # residuals (r11 NEW; takes the spare slot that briefly held
-    # dedup_exact — that r06 key stays inside the freshness budget
-    # until r13 and remains in the local bit-exact gate)
-    "ts_seasonal_decompose",
-    # graph_scc_condensation: condensation DAG + longest-path topo
-    # levels (r11 NEW)
-    "graph_scc_condensation",
+    # --- r06 cohort (18 keys, last driver check r06 — at the freshness
+    # boundary; MUST re-confirm this round) ---
+    "catalog_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "graph_label_propagation",
+    "graph_shortest_paths",
+    "join_range_follow",
+    "json_funcs",
+    "mutation_scd2_build",
+    "q03_shipping_priority",
+    "q04_priority_exists",
+    "quantile_sketch_merge",
+    "scalar_funcs",
+    "setop_ops",
+    "sim_topk_bruteforce",
+    "stream_tumbling_hourly",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "ts_rollup_incremental",
+    # --- r07 cohort (29 keys, last driver check r07 — prepaying the
+    # r13 freshness obligation) ---
+    "embedding_pca_power",
+    "embedding_quantize_int8",
+    "graph_connected_components",
+    "graph_kcore",
+    "graph_khop_seeded",
+    "graph_modularity",
+    "graph_weighted_sssp",
+    "heavy_hitters_cms",
+    "join_bloom_prune",
+    "join_size_estimate",
+    "multimodal_png_decode",
+    "mutation_merge_upsert",
+    "mutation_scd2_pit_join",
+    "q01_pricing_summary",
+    "q19_or_of_ands",
+    "semantic_decontaminate",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "text_bm25_search",
+    "text_chunk_windows",
+    "text_cooccur_pmi",
+    "text_span_dedup",
+    "ts_markov_transitions",
+    "udf_embedding_norm",
+    "window_range_frame",
+    "xml_khop_flagship",
+    "xml_label_counts",
+    "xml_title_hierarchy",
+    "zorder_layout",
+    # --- family reps (modules with no r06/r07-cohort key) ---
+    "nl2query_demo",              # r11 green; nl2query rep
+    "pipeline_training_data",     # r11 green; pipeline rep
+    "graph_motif_parsed",         # r11 green; motifq rep
 ]
 
 
