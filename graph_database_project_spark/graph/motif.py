@@ -15,17 +15,21 @@ inequality to forbid it), and the result is the SET of variable bindings
 is de-duplicated to (src, dst) per edge pattern before joining, so
 binding multiplicity comes only from node bindings).
 
-DELIBERATE DEVIATION from Cypher: Cypher additionally enforces
+DEFAULT DEVIATION from Cypher: Cypher additionally enforces
 *relationship uniqueness* within one MATCH — two edge patterns in the
 same pattern cannot bind the same stored edge (so e.g. a 2-step pattern
-never walks the same edge forward-then-back). This compiler admits such
-bindings (pure homomorphism semantics, like SQL/GQL ``REPEATABLE
-EDGES``): a pattern ported verbatim from the reference's Cypher surface
-can therefore return EXTRA rows where two edge variables coincide.
-Callers recover Cypher edge-distinctness by adding ``where``
-inequalities over the endpoint variables (the shipped
+never walks the same edge forward-then-back). By DEFAULT this compiler
+admits such bindings (pure homomorphism semantics, like SQL/GQL
+``REPEATABLE EDGES``): a pattern ported verbatim from the reference's
+Cypher surface can therefore return EXTRA rows where two edge variables
+coincide. Callers recover Cypher edge-distinctness either by adding
+``where`` inequalities over the endpoint variables (the shipped
 ``graph_motif_shared`` query does exactly this: ``a1_id != a2_id``
-forbids the two included_in patterns from binding one edge).
+forbids the two included_in patterns from binding one edge) or — r12 —
+by passing ``edge_distinct=True``, which compiles the pairwise
+edge-tuple inequalities automatically (``edge_distinct_where`` below;
+the text front-end's ``match_pattern(..., edge_distinct=True)`` applies
+it PER MATCH CLAUSE, which is Cypher's actual scoping).
 
 Scale shape: every hop is an equi-join keyed on 64-bit node ids — the
 edge relation shuffles by key (or rides a broadcast when the bound side
@@ -99,7 +103,18 @@ class EdgePat:
     left-outer join — bindings without the edge keep NULLs in the
     optional variable's columns. The optional variable must be a leaf
     (not referenced by any later edge), because a later inner join
-    through a NULL would silently re-drop the preserved rows."""
+    through a NULL would silently re-drop the preserved rows.
+
+    ``var`` is Cypher's edge variable ``-[r:T]->`` (r12): the binding
+    carries the bound edge's relationship type as ``<var>_rel_type``
+    (the reference's data model has no edge properties — SURVEY §1.1 —
+    so rel_type IS the whole edge payload). An edge with a variable is
+    de-duplicated per (src, dst, rel_type) TRIPLE instead of pair, so an
+    untyped ``-[r]->`` returns one binding per distinct type connecting
+    a pair — exactly Cypher's per-relationship multiplicity. Not allowed
+    on negated edges (nothing binds) or variable-length edges (a path
+    binds a LIST of relationships — out of scope; use the k_hop
+    traversal)."""
 
     src: str
     dst: str
@@ -109,6 +124,7 @@ class EdgePat:
     min_hops: int = 1
     max_hops: int = 1
     optional: bool = False
+    var: str | None = None
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -135,23 +151,31 @@ def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
 
 def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
     """The (src, dst) pair set for one edge pattern — de-duplicated so
-    parallel edges / multi-batch re-ingest don't inflate bindings."""
+    parallel edges / multi-batch re-ingest don't inflate bindings. With
+    an edge variable the set keeps ``rel_type`` (dedup per triple)."""
     er = edges
     if pat.rel_type is not None:
         types = ((pat.rel_type,) if isinstance(pat.rel_type, str)
                  else pat.rel_type)
         er = er.filter(F.col("rel_type").isin(*types))
-    er = er.select("src", "dst")
+    extra = [F.col("rel_type")] if pat.var else []
+    er = er.select("src", "dst", *extra)
     if pat.direction == "in":
-        er = er.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        er = er.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       *extra)
     elif pat.direction == "both":
         er = er.unionByName(
-            er.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            er.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                      *extra))
     elif pat.direction != "out":
         raise ValueError(f"bad direction {pat.direction!r}")
     er = er.distinct()
     if (pat.min_hops, pat.max_hops) == (1, 1):
         return er
+    if pat.var is not None:
+        raise ValueError(
+            "an edge variable on a variable-length edge is not supported "
+            "(a path binds a list of relationships; use graph/traverse)")
     if not (1 <= pat.min_hops <= pat.max_hops <= 8):
         raise ValueError(
             f"bad hop range {pat.min_hops}..{pat.max_hops} (want 1<=min"
@@ -171,6 +195,69 @@ def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
     return acc
 
 
+def edge_distinct_where(edge_pats: list[EdgePat]) -> Column | None:
+    """Cypher relationship-uniqueness over a group of edge patterns as a
+    pairwise binding predicate (r12): for every pair of POSITIVE,
+    non-optional, single-hop edge patterns whose rel_type constraints
+    could bind the same stored edge (type sets overlap, or either is
+    untyped), require their bound (src, dst) endpoint tuples to differ —
+    direction-normalized to storage orientation, and compared UNORDERED
+    when either pattern is undirected (``both``: the binding's storage
+    orientation is not observable, so the conservative unordered compare
+    is used). With the store's pair-level dedup (parallel same-type
+    same-endpoint edges collapse on ingest) this equals Cypher's
+    relationship uniqueness exactly.
+
+    Excluded from the constraint (documented scoping):
+    * negated edges — they assert NON-existence and bind nothing;
+    * optional edges — Cypher scopes uniqueness per MATCH clause and
+      OPTIONAL MATCH is always its own clause (also, a NULL endpoint
+      from a preserved row would NULL-poison the predicate and silently
+      drop the row the outer join preserved).
+
+    Raises on a variable-length positive edge: a path binds MANY
+    relationships and its intermediate endpoints are not in the binding,
+    so uniqueness is not expressible over the output columns.
+
+    Returns None when no pair needs a constraint."""
+    pos = [ep for ep in edge_pats if not ep.negated and not ep.optional]
+    for ep in pos:
+        if (ep.min_hops, ep.max_hops) != (1, 1):
+            raise ValueError(
+                "edge_distinct with a variable-length edge pattern is not "
+                "supported (path-internal relationships are not in the "
+                "binding); add explicit where inequalities instead")
+
+    def tset(ep: EdgePat) -> set[str] | None:
+        if ep.rel_type is None:
+            return None
+        return ({ep.rel_type} if isinstance(ep.rel_type, str)
+                else set(ep.rel_type))
+
+    def stored(ep: EdgePat) -> tuple[Column, Column]:
+        s, d = F.col(f"{ep.src}_id"), F.col(f"{ep.dst}_id")
+        return (d, s) if ep.direction == "in" else (s, d)
+
+    conds: list[Column] = []
+    for i in range(len(pos)):
+        for j in range(i + 1, len(pos)):
+            a, b = pos[i], pos[j]
+            ta, tb = tset(a), tset(b)
+            if ta is not None and tb is not None and not (ta & tb):
+                continue  # type-disjoint patterns can never share an edge
+            (sa, da), (sb, db) = stored(a), stored(b)
+            same = (sa == sb) & (da == db)
+            if "both" in (a.direction, b.direction):
+                same = same | ((sa == db) & (da == sb))
+            conds.append(~same)
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def match_motif(
     nodes: DataFrame,
     edges: DataFrame,
@@ -180,12 +267,14 @@ def match_motif(
     broadcast_node_sides: bool = False,
     label_counts: dict[str, int] | None = None,
     broadcast_max_nodes: int = 100_000,
+    edge_distinct: bool = False,
 ) -> DataFrame:
     """Compile a motif to a DataFrame of variable bindings.
 
     Output columns: ``<var>_id / _name / _content / _docnbr`` for every
     pattern variable (negated-edge auxiliary variables excepted — they
-    bind nothing), one row per distinct binding. Edge patterns are
+    bind nothing), plus ``<evar>_rel_type`` for every edge variable, one
+    row per distinct binding. Edge patterns are
     processed in order; each must touch at least one already-bound
     variable (a disconnected pattern would be a cartesian product — the
     compiler raises instead). An edge between two already-bound
@@ -210,6 +299,12 @@ def match_motif(
     not. This is the engine supplying the statistics Catalyst cannot
     derive through a checkpoint — per-label, so a motif mixing a
     dim-sized label with a fact-sized one broadcasts only the former.
+
+    ``edge_distinct``: compile Cypher's relationship-uniqueness as a
+    pairwise binding filter over ALL positive non-optional edge patterns
+    (``edge_distinct_where`` — this object-API form treats the whole
+    spec as ONE MATCH clause; the text front-end scopes per clause).
+    Default False: homomorphism semantics, the documented deviation.
     """
     pats = {p.var: p for p in node_pats}
     if len(pats) != len(node_pats):
@@ -219,9 +314,23 @@ def match_motif(
             raise ValueError(f"bad variable name {v!r} (want [a-z][a-z0-9]*)")
     if not edge_pats:
         raise ValueError("motif needs at least one edge pattern")
+    evars: set[str] = set()
     for ep in edge_pats:
         if ep.src not in pats or ep.dst not in pats:
             raise ValueError(f"edge references unknown variable: {ep}")
+        if ep.var is not None:
+            if not _VAR_RE.match(ep.var):
+                raise ValueError(f"bad edge variable name {ep.var!r} "
+                                 "(want [a-z][a-z0-9]*)")
+            if ep.var in pats or ep.var in evars:
+                raise ValueError(
+                    f"edge variable {ep.var!r} collides with another "
+                    "variable (each edge variable binds one edge)")
+            if ep.negated:
+                raise ValueError(
+                    f"edge variable {ep.var!r} on a negated pattern binds "
+                    "nothing (NOT asserts non-existence)")
+            evars.add(ep.var)
 
     def _dim_sized(p: NodePat) -> bool:
         if broadcast_node_sides:
@@ -292,8 +401,10 @@ def match_motif(
             orel, osel = sides[ovar]
             if osel:
                 orel = F.broadcast(orel)
+            ecarry = ([er["rel_type"].alias(f"{ep.var}_rel_type")]
+                      if ep.var else [])
             rel = (er.join(orel, er[ocol] == F.col(f"{ovar}_id"))
-                   .select(er[bcol].alias("_opt_key"),
+                   .select(er[bcol].alias("_opt_key"), *ecarry,
                            *[f"{ovar}_{c}" for c in _CARRY]))
             result = (result.join(
                 rel, F.col(f"{bvar}_id") == F.col("_opt_key"), "left")
@@ -330,24 +441,38 @@ def match_motif(
                 hit, F.col(f"{bvar}_id") == F.col("_neg_key"), "left_anti")
             aux.add(avar)
             continue
+        ecarry = ([F.col("rel_type").alias(f"{ep.var}_rel_type")]
+                  if ep.var else [])
         if ep.src in bound and ep.dst in bound:
-            # closing edge of a cycle: existence filter, no new columns
-            result = result.join(
-                er,
-                (F.col(f"{ep.src}_id") == er["src"])
-                & (F.col(f"{ep.dst}_id") == er["dst"]),
-                "left_semi",
-            )
+            if ep.var:
+                # closing edge WITH a variable: inner join carrying the
+                # bound type (one row per distinct type on the pair —
+                # Cypher's per-relationship multiplicity)
+                e = er.select(F.col("src").alias(f"_e{i}_src"),
+                              F.col("dst").alias(f"_e{i}_dst"), *ecarry)
+                result = (result.join(
+                    e,
+                    (F.col(f"{ep.src}_id") == F.col(f"_e{i}_src"))
+                    & (F.col(f"{ep.dst}_id") == F.col(f"_e{i}_dst")))
+                    .drop(f"_e{i}_src", f"_e{i}_dst"))
+            else:
+                # closing edge of a cycle: existence filter, no new cols
+                result = result.join(
+                    er,
+                    (F.col(f"{ep.src}_id") == er["src"])
+                    & (F.col(f"{ep.dst}_id") == er["dst"]),
+                    "left_semi",
+                )
         elif ep.src in bound:
             e = er.select(F.col("src").alias(f"_e{i}_src"),
-                          F.col("dst").alias(f"_e{i}_dst"))
+                          F.col("dst").alias(f"_e{i}_dst"), *ecarry)
             result = result.join(
                 e, F.col(f"{ep.src}_id") == F.col(f"_e{i}_src"))
             result = bind(result, ep.dst, F.col(f"_e{i}_dst"))
             result = result.drop(f"_e{i}_src", f"_e{i}_dst")
         else:
             e = er.select(F.col("src").alias(f"_e{i}_src"),
-                          F.col("dst").alias(f"_e{i}_dst"))
+                          F.col("dst").alias(f"_e{i}_dst"), *ecarry)
             result = result.join(
                 e, F.col(f"{ep.dst}_id") == F.col(f"_e{i}_dst"))
             result = bind(result, ep.src, F.col(f"_e{i}_src"))
@@ -355,6 +480,10 @@ def match_motif(
     unbound = set(pats) - bound - aux
     if unbound:
         raise ValueError(f"variables never reached by an edge: {unbound}")
+    if edge_distinct:
+        ed = edge_distinct_where(edge_pats)
+        if ed is not None:
+            result = result.filter(ed)
     if where is not None:
         result = result.filter(where)
     return result

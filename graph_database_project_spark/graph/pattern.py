@@ -17,7 +17,13 @@ Supported subset — exactly what the compiler supports, nothing more:
   (both), untyped ``-[]->``, type disjunction ``-[:A|B]->``,
   variable-length ``-[:TYPE*1..3]->`` / ``-[*2]->`` / ``-[*..3]->``
   (reachability semantics, bounds required — an unbounded ``*`` is
-  rejected with the k_hop pointer);
+  rejected with the k_hop pointer), and — r12 — edge variables
+  ``-[r:TYPE]->`` / ``-[r]->``: ``r`` binds the edge's relationship
+  type (the reference model's whole edge payload, SURVEY §1.1) as the
+  carried field ``r.rel_type``, usable in WHERE and RETURN (bare
+  ``RETURN r`` expands to it); an untyped ``-[r]->`` binds one row per
+  distinct type connecting a pair (Cypher's per-relationship
+  multiplicity). Not allowed on negated or variable-length edges;
 * clauses: ``MATCH p1, p2``, additional ``MATCH`` / ``OPTIONAL MATCH``
   (every edge in an OPTIONAL MATCH clause is left-outer);
 * ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
@@ -28,15 +34,27 @@ Supported subset — exactly what the compiler supports, nothing more:
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
   ``match_pattern``; a bare variable expands to its carried columns.
 
-Rejected with explicit errors (parse-time, not plan-time): edge
-variables (``-[r:T]->`` — bindings are node-only), OR in WHERE,
-unbounded ``*``, shortest-path functions, and any trailing clause
-(ORDER BY/LIMIT belong to the DataFrame, not the pattern language).
+Rejected with explicit errors (parse-time, not plan-time): OR in
+WHERE, unbounded ``*``, shortest-path functions, any trailing clause
+(ORDER BY/LIMIT belong to the DataFrame, not the pattern language),
+RETURN/WHERE references to a negation-only auxiliary variable (it
+binds no output columns), multi-hop OPTIONAL MATCH paths (each hop
+must be its own OPTIONAL MATCH clause — the compiler's leaf rule), and
+edge variables on negated or variable-length patterns.
 
-Semantics note: matches are homomorphisms (see motif.py's deviation
-note) — Cypher's relationship-uniqueness is NOT implied by the text
-form either; add WHERE inequalities exactly as you would in the object
-API.
+Re-mentioning a variable: a bare re-mention of a predicated variable
+re-uses its binding (``(a:L)… (a)``); a PREDICATED re-mention of a
+previously BARE variable refines it (``(a)… (a:L)`` — Cypher's
+refinement, r12); two conflicting predicated mentions are rejected.
+
+String literals use backslash escapes (``{name: 'it\\'s'}``) — they
+are unescaped at parse time and re-escaped by ``render_match`` (r12).
+
+Semantics note: matches are homomorphisms by default (see motif.py's
+deviation note). ``match_pattern(..., edge_distinct=True)`` restores
+Cypher's relationship-uniqueness, scoped PER MATCH CLAUSE exactly as
+Cypher scopes it (edges in different MATCH / OPTIONAL MATCH clauses may
+still bind the same stored edge — that is Cypher's behavior too).
 """
 
 from __future__ import annotations
@@ -46,7 +64,21 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .motif import _CARRY, EdgePat, NodePat, match_motif
+from .motif import (_CARRY, EdgePat, NodePat, edge_distinct_where,
+                    match_motif)
+
+
+def _unescape(inner: str) -> str:
+    """Resolve backslash escapes inside a quoted literal (``\\'`` → ``'``,
+    ``\\\\`` → ``\\``) — the tokenizer admits them, so the VALUE must not
+    keep the backslashes (ADVICE r11)."""
+    return re.sub(r"\\(.)", r"\1", inner)
+
+
+def _escape(val: str) -> str:
+    """The inverse for ``render_match``: make a value safe inside a
+    single-quoted literal."""
+    return val.replace("\\", "\\\\").replace("'", "\\'")
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -104,6 +136,11 @@ class ParsedPattern:
     where_fn: list  # list of Column-producing thunks, AND-ed
     returns: list[tuple[str, str | None, str]] | None  # (var, field, alias)
     distinct: bool = False
+    # indices into edge_pats per MATCH / OPTIONAL MATCH clause, in order
+    # (WHERE NOT edges belong to no clause) — the scoping edge_distinct
+    # uses; defaults keep older call sites/tests equality-compatible
+    clauses: list[tuple[int, ...]] = field(default_factory=list)
+    edge_vars: tuple[str, ...] = ()
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -121,6 +158,9 @@ class _Parser:
         self.i = 0
         self.nodes: dict[str, NodePat] = {}
         self.edges: list[EdgePat] = []
+        self.edge_vars: dict[str, int] = {}  # var -> declaration position
+        self.neg_only: set[str] = set()  # vars living only in NOT patterns
+        self.clauses: list[tuple[int, ...]] = []
         self.where_fn: list = []
         self.returns: list[tuple[str, str | None, str]] | None = None
         self.distinct = False
@@ -164,13 +204,13 @@ class _Parser:
         if first_optional:
             self.next()
         self.expect("kw", "MATCH")
-        self._clauses(optional=first_optional)
+        self._clause_group(optional=first_optional)
         while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
             optional = self.at("kw", "OPTIONAL")
             if optional:
                 self.next()
             self.expect("kw", "MATCH")
-            self._clauses(optional=optional)
+            self._clause_group(optional=optional)
         if self.at("kw", "WHERE"):
             self.next()
             self._where_terms()
@@ -188,13 +228,16 @@ class _Parser:
                 "pattern has no edge — a single-node MATCH is a table "
                 "scan, not a motif; use the store API directly")
         return ParsedPattern(list(self.nodes.values()), self.edges,
-                             self.where_fn, self.returns, self.distinct)
+                             self.where_fn, self.returns, self.distinct,
+                             self.clauses, tuple(self.edge_vars))
 
-    def _clauses(self, optional: bool) -> None:
+    def _clause_group(self, optional: bool) -> None:
+        start = len(self.edges)
         self._path(optional)
         while self.at("punct", ","):
             self.next()
             self._path(optional)
+        self.clauses.append(tuple(range(start, len(self.edges))))
 
     def _fresh_var(self) -> str:
         while True:
@@ -205,10 +248,21 @@ class _Parser:
 
     def _path(self, optional: bool, collect: list | None = None) -> None:
         var = self._node()
+        n_hops = 0
         while self.at("punct", "-") or self.at("punct", "<-"):
+            _, _, hop_pos = self.peek()
             ep_kw = self._edge_spec()
             dst = self._node()
             ep = EdgePat(src=var, dst=dst, optional=optional, **ep_kw)
+            n_hops += 1
+            if optional and n_hops > 1:
+                # plan-time the compiler requires the optional variable
+                # to be a leaf — a chained optional hop ALWAYS violates
+                # that; reject here with position instead (ADVICE r11)
+                raise PatternSyntaxError(
+                    f"multi-hop OPTIONAL MATCH path at position {hop_pos} "
+                    "— the optional variable must be a leaf; split each "
+                    "hop into its own OPTIONAL MATCH clause")
             if collect is not None:
                 collect.append(ep)
             else:
@@ -237,7 +291,7 @@ class _Parser:
                     raise PatternSyntaxError(
                         f"property values must be quoted strings "
                         f"(position {p}, got {v!r})")
-                val = v[1:-1]
+                val = _unescape(v[1:-1])
                 if key == "name":
                     name = val
                 elif key == "docnbr":
@@ -261,13 +315,21 @@ class _Parser:
             raise PatternSyntaxError(
                 f"variable {var!r}: want [a-z][a-z0-9]* (the compiler's "
                 "column-prefix contract)")
+        if var in self.edge_vars:
+            raise PatternSyntaxError(
+                f"variable {var!r} is already an edge variable "
+                f"(declared at position {self.edge_vars[var]})")
         pat = NodePat(var, label=label, name=name, docnbr=docnbr, prop=prop)
         prev = self.nodes.get(var)
         if prev is not None:
-            # re-mention of a bound variable: bare () re-use is fine,
-            # conflicting predicates are not
+            # re-mention of a bound variable: bare () re-use is fine; a
+            # predicated re-mention of a previously-BARE variable refines
+            # it (Cypher refinement, ADVICE r11); two different
+            # predicated mentions conflict
             bare = NodePat(var)
-            if pat != bare and pat != prev:
+            if prev == bare:
+                self.nodes[var] = pat
+            elif pat != bare and pat != prev:
                 raise PatternSyntaxError(
                     f"variable {var!r} re-declared with different "
                     "predicates")
@@ -280,20 +342,34 @@ class _Parser:
         arrow_in = self.at("punct", "<-")
         self.next()  # '-' or '<-'
         rel_type = None
+        var = None
         min_hops = max_hops = 1
         if self.at("punct", "["):
             self.next()
             if self.at("ident"):
                 k, v, p = self.next()
-                raise PatternSyntaxError(
-                    f"edge variable {v!r} at position {p} is not "
-                    "supported — bindings are node-only (motif.py's "
-                    "homomorphism semantics carry no edge identity)")
+                if not re.match(r"^[a-z][a-z0-9]*$", v):
+                    raise PatternSyntaxError(
+                        f"edge variable {v!r} at position {p}: want "
+                        "[a-z][a-z0-9]* (the compiler's column-prefix "
+                        "contract)")
+                if v in self.nodes or v in self.edge_vars:
+                    raise PatternSyntaxError(
+                        f"edge variable {v!r} at position {p} collides "
+                        "with an existing variable (each edge variable "
+                        "binds one edge)")
+                var = v
+                self.edge_vars[v] = p
             if self.at("punct", ":"):
                 self.next()
                 rel_type = self._alt_idents()
             if self.at("punct", "*"):
-                self.next()
+                _, _, p = self.next()
+                if var is not None:
+                    raise PatternSyntaxError(
+                        f"edge variable {var!r} on a variable-length edge "
+                        f"(position {p}) is not supported — a path binds "
+                        "a LIST of relationships; use graph/traverse")
                 min_hops, max_hops = self._hop_range()
             self.expect("punct", "]")
         # closing arrow
@@ -312,7 +388,7 @@ class _Parser:
                 f"expected '->' or '-' after edge at position {p}, "
                 f"got {v!r}")
         return dict(rel_type=rel_type, direction=direction,
-                    min_hops=min_hops, max_hops=max_hops)
+                    min_hops=min_hops, max_hops=max_hops, var=var)
 
     def _alt_idents(self) -> str | tuple[str, ...]:
         """``A`` or the disjunction ``A|B|C`` (Cypher's label/rel-type
@@ -361,7 +437,8 @@ class _Parser:
 
     def _where_term(self) -> None:
         if self.at("kw", "NOT"):
-            self.next()
+            _, _, not_pos = self.next()
+            known = set(self.nodes)
             negs: list[EdgePat] = []
             self._path(optional=False, collect=negs)
             if len(negs) != 1:
@@ -369,6 +446,21 @@ class _Parser:
                     "NOT takes a single-edge pattern (chain negation "
                     "is not supported — negate the final hop)")
             ep = negs[0]
+            if ep.var is not None:
+                raise PatternSyntaxError(
+                    f"edge variable {ep.var!r} on a negated pattern "
+                    "binds nothing (NOT asserts non-existence)")
+            new_vars = set(self.nodes) - known
+            if ep.src in new_vars:
+                raise PatternSyntaxError(
+                    f"NOT pattern at position {not_pos} must anchor on "
+                    f"an already-bound variable ({ep.src!r} appears only "
+                    "inside the negation)")
+            # a variable introduced ONLY inside the NOT binds no output
+            # columns — RETURN/WHERE references to it are rejected at
+            # parse time (ADVICE r11), preserving the positioned-422
+            # contract on POST /pattern
+            self.neg_only |= new_vars
             self.edges.append(EdgePat(
                 src=ep.src, dst=ep.dst, rel_type=ep.rel_type,
                 direction=ep.direction, min_hops=ep.min_hops,
@@ -380,7 +472,7 @@ class _Parser:
             raise PatternSyntaxError(
                 f"expected comparison operator at position {p}, got {op!r}")
         if self.at("str"):
-            lit = self.next()[1][1:-1]
+            lit = _unescape(self.next()[1][1:-1])
             rhs = lambda: F.lit(lit)  # noqa: E731
         elif self.at("num"):
             litn = int(self.next()[1])
@@ -399,9 +491,19 @@ class _Parser:
         var = self.expect("ident")
         self.expect("punct", ".")
         fld = self.expect("ident")
+        if var in self.edge_vars:
+            if fld != "rel_type":
+                raise PatternSyntaxError(
+                    f"edge variable field {fld!r} is not carried — the "
+                    "data model's whole edge payload is rel_type")
+            return var, fld
         if var not in self.nodes:
             raise PatternSyntaxError(
                 f"WHERE references unknown variable {var!r}")
+        if var in self.neg_only:
+            raise PatternSyntaxError(
+                f"variable {var!r} exists only inside a NOT pattern and "
+                "binds no output columns")
         if fld not in _CARRY:
             raise PatternSyntaxError(
                 f"field {fld!r} is not carried (have: {', '.join(_CARRY)})")
@@ -415,17 +517,29 @@ class _Parser:
         self.returns = []
         while True:
             var = self.expect("ident")
-            if var not in self.nodes:
+            is_edge = var in self.edge_vars
+            if not is_edge and var not in self.nodes:
                 raise PatternSyntaxError(
                     f"RETURN references unknown variable {var!r}")
+            if var in self.neg_only:
+                raise PatternSyntaxError(
+                    f"variable {var!r} exists only inside a NOT pattern "
+                    "and binds no output columns")
             fld: str | None = None
             if self.at("punct", "."):
                 self.next()
                 fld = self.expect("ident")
-                if fld not in _CARRY:
+                if is_edge and fld != "rel_type":
+                    raise PatternSyntaxError(
+                        f"edge variable field {fld!r} is not carried — "
+                        "the data model's whole edge payload is rel_type")
+                if not is_edge and fld not in _CARRY:
                     raise PatternSyntaxError(
                         f"field {fld!r} is not carried "
                         f"(have: {', '.join(_CARRY)})")
+            elif is_edge:
+                # bare edge variable expands to its one carried field
+                fld = "rel_type"
             alias = f"{var}_{fld}" if fld else var
             if self.at("kw", "AS"):
                 _, _, p = self.next()
@@ -464,11 +578,11 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
             parts.append(f":{lb}")
         props = []
         if p.name is not None:
-            props.append(f"name: '{p.name}'")
+            props.append(f"name: '{_escape(p.name)}'")
         if p.docnbr is not None:
-            props.append(f"docnbr: '{p.docnbr}'")
+            props.append(f"docnbr: '{_escape(p.docnbr)}'")
         if p.prop is not None:
-            props.append(f"{p.prop[0]}: '{p.prop[1]}'")
+            props.append(f"{p.prop[0]}: '{_escape(p.prop[1])}'")
         if props:
             parts.append(" {" + ", ".join(props) + "}")
         return "(" + "".join(parts) + ")"
@@ -476,7 +590,7 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
     def edge(ep: EdgePat) -> str:
         rt = (ep.rel_type if isinstance(ep.rel_type, (str, type(None)))
               else "|".join(ep.rel_type))
-        inner = f":{rt}" if rt else ""
+        inner = (ep.var or "") + (f":{rt}" if rt else "")
         if (ep.min_hops, ep.max_hops) != (1, 1):
             inner += f"*{ep.min_hops}..{ep.max_hops}"
         if ep.direction == "in":
@@ -505,15 +619,27 @@ def parse_match(text: str) -> ParsedPattern:
 
 
 def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
-                  **motif_kwargs) -> DataFrame:
+                  edge_distinct: bool = False, **motif_kwargs) -> DataFrame:
     """Text → bindings: parse ``text`` and compile it with
     ``match_motif`` (all of whose kwargs — label_counts,
     broadcast_node_sides, … — pass through). A RETURN clause projects
     (bare variables expand to their carried columns); without one, all
-    bound variables' columns come back."""
+    bound variables' columns come back.
+
+    ``edge_distinct=True`` (r12) restores Cypher's relationship
+    uniqueness with Cypher's own scoping: the pairwise edge-tuple
+    inequality predicate (``motif.edge_distinct_where``) is built PER
+    MATCH CLAUSE, so edges in different MATCH / OPTIONAL MATCH clauses
+    may still bind the same stored edge — exactly as in Cypher."""
     spec = parse_match(text)
+    where = spec.where_column()
+    if edge_distinct:
+        for group in spec.clauses:
+            ed = edge_distinct_where([spec.edge_pats[i] for i in group])
+            if ed is not None:
+                where = ed if where is None else (where & ed)
     out = match_motif(nodes, edges, spec.node_pats, spec.edge_pats,
-                      where=spec.where_column(), **motif_kwargs)
+                      where=where, **motif_kwargs)
     if spec.returns is not None:
         cols = []
         for var, fld, alias in spec.returns:

@@ -87,7 +87,6 @@ def test_parse_where_comparisons_build_columns(spark):
 
 @pytest.mark.parametrize("bad,hint", [
     ("MATCH (a)", "no edge"),
-    ("MATCH (a)-[r:T]->(b) RETURN a.id", "edge variable"),
     ("MATCH (a)-[:T*]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T*2..]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T]->(b) WHERE a.id = 1 OR b.id = 2 RETURN a.id", "OR"),
@@ -101,11 +100,75 @@ def test_parse_where_comparisons_build_columns(spark):
     ("MATCH (a {k: 1})-[:T]->(b) RETURN a.id", "quoted"),
     ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(c)-[:V]->(d) "
      "RETURN a.id", "single-edge"),
+    # --- r12: edge-variable boundaries, all parse-time ---
+    ("MATCH (a)-[r:T*1..3]->(b) RETURN a.id", "variable-length"),
+    ("MATCH (a)-[r:T]->(b)-[r:U]->(c) RETURN a.id", "collides"),
+    ("MATCH (a)-[b:T]->(b) RETURN a.id", "already an edge variable"),
+    ("MATCH (a)-[r:T]->(b) RETURN r.name", "rel_type"),
+    ("MATCH (a)-[r:T]->(b) WHERE r.name = 'x' RETURN a.id", "rel_type"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[r:U]->(c) RETURN a.id",
+     "binds nothing"),
+    # --- r12: negation-only auxiliaries rejected at parse time (ADVICE)
+    ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(c) RETURN c.name",
+     "only inside a NOT"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(c) AND c.name = 'x' "
+     "RETURN a.id", "only inside a NOT"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT (q)-[:U]->(w) RETURN a.id",
+     "anchor"),
+    # --- r12: multi-hop OPTIONAL chain rejected at parse time (ADVICE)
+    ("MATCH (a)-[:T]->(b) OPTIONAL MATCH (b)-[:U]->(c)-[:V]->(d) "
+     "RETURN a.id", "multi-hop"),
 ])
 def test_parse_rejects_with_positioned_errors(bad, hint):
     with pytest.raises(PatternSyntaxError) as ei:
         parse_match(bad)
     assert hint.lower().split()[0] in str(ei.value).lower()
+
+
+def test_parse_edge_variable_accepted():
+    """r12 (verdict #4): ``-[r:T]->`` parses, binds r to rel_type."""
+    p = parse_match("MATCH (a)-[r:T]->(b) RETURN a.name, r.rel_type")
+    assert p.edge_pats == [EdgePat("a", "b", "T", var="r")]
+    assert p.edge_vars == ("r",)
+    assert ("r", "rel_type", "r_rel_type") in p.returns
+    # bare edge variable expands to its one carried field
+    p2 = parse_match("MATCH (a)-[r]->(b) RETURN r")
+    assert p2.returns == [("r", "rel_type", "r_rel_type")]
+    # AS alias on the field form and the bare form
+    p3 = parse_match("MATCH (a)-[r]->(b) RETURN r.rel_type AS t, r AS u")
+    assert p3.returns == [("r", "rel_type", "t"), ("r", "rel_type", "u")]
+
+
+def test_parse_refinement_re_mention():
+    """ADVICE r11: a predicated re-mention of a previously BARE variable
+    refines it (Cypher refinement); bare-after-predicated still re-uses;
+    conflicting predicated mentions still reject."""
+    p = parse_match("MATCH (a)-[:T]->(b) MATCH (a:L)-[:U]->(c) RETURN a.id")
+    assert next(n for n in p.node_pats if n.var == "a").label == "L"
+    p2 = parse_match("MATCH (a:L)-[:T]->(b) MATCH (a)-[:U]->(c) "
+                     "RETURN a.id")
+    assert next(n for n in p2.node_pats if n.var == "a").label == "L"
+
+
+def test_parse_unescapes_string_literals(spark):
+    """ADVICE r11: backslash-escaped quotes in literals are unescaped at
+    parse time (property map and WHERE literal positions). (spark: the
+    WHERE thunk builds Columns, which need an active session.)"""
+    p = parse_match(r"MATCH (a {name: 'it\'s'})-[:T]->(b) "
+                    r"WHERE b.name = 'a\\b' RETURN a.id")
+    assert next(n for n in p.node_pats if n.var == "a").name == "it's"
+    # the WHERE thunk carries the unescaped literal
+    s = str(p.where_column())
+    assert "a\\b" in s or "a\\\\b" in s  # Column repr escapes once more
+
+
+def test_parse_clause_groups_tracked():
+    p = parse_match(
+        "MATCH (a)-[:T]->(b), (b)-[:U]->(c) MATCH (c)-[:V]->(d) "
+        "OPTIONAL MATCH (d)-[:W]->(e) WHERE NOT (a)-[:X]->(z) "
+        "RETURN a.id")
+    assert p.clauses == [(0, 1), (2,), (3,)]
+    assert p.edge_pats[4].negated  # the NOT edge is in no clause
 
 
 # --- layer 2: text ≡ object on a synthetic graph ---------------------------
@@ -221,6 +284,153 @@ def test_bare_return_variable_expands_to_carry_columns(tiny):
     assert df.columns == ["b_id", "b_name", "b_content", "b_docnbr"]
 
 
+# --- r12: edge variables ----------------------------------------------------
+
+def test_edge_variable_binds_rel_type(tiny):
+    nodes, edges = tiny
+    rows = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[r]->(b:C) RETURN a.name AS an, r.rel_type AS t"))
+    assert rows == [("b1", "S"), ("b2", "S")]
+    # WHERE over the edge variable's carried field
+    rows2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[r]->(b) WHERE r.rel_type = 'S' RETURN a.name AS an"))
+    assert rows2 == [("b1",), ("b2",)]
+
+
+def test_edge_variable_untyped_per_relationship_multiplicity(spark):
+    """An untyped ``-[r]->`` binds one row per distinct type on a pair
+    (Cypher's per-relationship multiplicity); without the variable the
+    pair collapses to one binding (the documented pair-dedup)."""
+    nodes = spark.createDataFrame(
+        [(1, ["A"], "a", None, "d", {}), (2, ["B"], "b", None, "d", {})],
+        "id long, labels array<string>, name string, content string, "
+        "docnbr string, props map<string,string>")
+    edges = spark.createDataFrame(
+        [(1, 2, "R"), (1, 2, "S"), (1, 2, "S")],
+        "src long, dst long, rel_type string")
+    with_var = _bindings(match_pattern(
+        nodes, edges, "MATCH (a)-[r]->(b) RETURN r"))
+    assert with_var == [("R",), ("S",)]
+    without = _bindings(match_pattern(
+        nodes, edges, "MATCH (a)-[]->(b) RETURN a.name AS an"))
+    assert without == [("a",)]
+
+
+def test_edge_variable_on_optional_and_closing_edges(tiny):
+    nodes, edges = tiny
+    # optional edge with a variable: NULL rel_type on preserved rows
+    rows = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B) OPTIONAL MATCH (b)-[r:T]->(z) "
+        "RETURN b.name AS bn, r.rel_type AS t"))
+    assert rows == [("b1", None), ("b2", None)]
+    # closing edge of a cycle with a variable carries the bound type
+    rows2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b)-[:S]->(c)-[r]->(a) RETURN a.name AS an, r"))
+    assert rows2 == [("a1", "T")]
+
+
+def test_edge_variable_object_api_matches_text(tiny):
+    nodes, edges = tiny
+    via_obj = match_motif(
+        nodes, edges, [NodePat("a"), NodePat("b", "C")],
+        [EdgePat("a", "b", None, var="r")],
+    ).select(F.col("a_name").alias("an"), F.col("r_rel_type").alias("t"))
+    via_text = match_pattern(
+        nodes, edges, "MATCH (a)-[r]->(b:C) RETURN a.name AS an, "
+        "r.rel_type AS t")
+    assert _bindings(via_obj) == _bindings(via_text)
+
+
+# --- r12: edge_distinct (Cypher relationship-uniqueness) --------------------
+
+def test_edge_distinct_excludes_same_edge_bindings(tiny):
+    """(x:B)-[:S]->(y)<-[:S]-(z:B): homomorphism admits x=z (both
+    patterns binding the SAME stored edge); edge_distinct forbids it —
+    the one semantic divergence from Cypher, now closed (verdict #3)."""
+    nodes, edges = tiny
+    text = ("MATCH (x:B)-[:S]->(y), (z:B)-[:S]->(y) "
+            "RETURN x.name AS xn, z.name AS zn")
+    homo = _bindings(match_pattern(nodes, edges, text))
+    assert len(homo) == 4  # (3,3),(3,4),(4,3),(4,4) onto node 5
+    dist = _bindings(match_pattern(nodes, edges, text, edge_distinct=True))
+    assert dist == [("b1", "b2"), ("b2", "b1")]
+    # object API (flat one-clause scoping) agrees
+    via_obj = match_motif(
+        nodes, edges,
+        [NodePat("x", "B"), NodePat("y"), NodePat("z", "B")],
+        [EdgePat("x", "y", "S"), EdgePat("z", "y", "S")],
+        edge_distinct=True,
+    ).select(F.col("x_name").alias("xn"), F.col("z_name").alias("zn"))
+    assert _bindings(via_obj) == dist
+
+
+def test_edge_distinct_scoped_per_match_clause(tiny):
+    """Edges in DIFFERENT MATCH clauses may bind the same stored edge —
+    Cypher's actual scoping, preserved by the text front-end."""
+    nodes, edges = tiny
+    two_clauses = ("MATCH (x:B)-[:S]->(y) MATCH (z:B)-[:S]->(y) "
+                   "RETURN x.name AS xn, z.name AS zn")
+    rows = _bindings(match_pattern(nodes, edges, two_clauses,
+                                   edge_distinct=True))
+    assert len(rows) == 4  # no uniqueness across clauses
+
+
+def test_edge_distinct_type_disjoint_pairs_unconstrained(tiny):
+    """Type-disjoint edge patterns can never bind the same stored edge —
+    no predicate is emitted (edge_distinct_where returns None)."""
+    from graph_database_project_spark.graph.motif import edge_distinct_where
+    assert edge_distinct_where(
+        [EdgePat("a", "b", "R"), EdgePat("b", "c", "S")]) is None
+    assert edge_distinct_where([EdgePat("a", "b", "R")]) is None
+    # overlapping disjunctions DO constrain
+    assert edge_distinct_where(
+        [EdgePat("a", "b", ("R", "S")), EdgePat("b", "c", "S")]) is not None
+    nodes, edges = tiny
+    text = ("MATCH (a:A)-[:R]->(b)-[:S]->(c) "
+            "RETURN a.name AS an, c.name AS cn")
+    assert _bindings(match_pattern(nodes, edges, text)) == \
+        _bindings(match_pattern(nodes, edges, text, edge_distinct=True))
+
+
+def test_edge_distinct_undirected_unordered_compare(tiny):
+    """With an undirected pattern the storage orientation of the bound
+    edge is unobservable — the predicate compares endpoint tuples
+    UNORDERED, so walking the single T edge forward-then-back is
+    excluded."""
+    nodes, edges = tiny
+    text = ("MATCH (x)-[:T]-(y)-[:T]-(z) "
+            "RETURN x.name AS xn, y.name AS yn, z.name AS zn")
+    homo = _bindings(match_pattern(nodes, edges, text))
+    assert len(homo) == 2  # 5-1-5 and 1-5-1, same edge twice
+    assert _bindings(
+        match_pattern(nodes, edges, text, edge_distinct=True)) == []
+
+
+def test_edge_distinct_varlength_raises(tiny):
+    from graph_database_project_spark.graph.motif import edge_distinct_where
+    with pytest.raises(ValueError, match="variable-length"):
+        edge_distinct_where(
+            [EdgePat("a", "b", "R", min_hops=1, max_hops=3),
+             EdgePat("b", "c", "R")])
+
+
+def test_render_escapes_quotes_roundtrip():
+    """ADVICE r11: render_match escapes quotes/backslashes so a NodePat
+    value containing them round-trips through text."""
+    from graph_database_project_spark.graph.pattern import render_match
+    nodes = [NodePat("a", name="it's", prop=("k", "a\\b")),
+             NodePat("b", docnbr="x'y")]
+    edges = [EdgePat("a", "b", "T")]
+    text = render_match(nodes, edges)
+    parsed = parse_match(text)
+    assert set(parsed.node_pats) == set(nodes), text
+    assert parsed.edge_pats == edges
+
+
 # --- layer 3: corpus — shipped keys, text front-end ------------------------
 
 @pytest.fixture(scope="module")
@@ -319,7 +529,9 @@ _name1 = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
 # a single label/type stays a STRING; a disjunction is a 2-tuple (the
 # parser's canonical forms — a 1-tuple would not round-trip)
 _label = st.one_of(st.none(), _name1, st.tuples(_name1, _name1))
-_val = st.from_regex(r"[A-Za-z0-9 ._-]{1,12}", fullmatch=True)
+# r12: values may contain quotes/backslashes — render escapes, parse
+# unescapes (the ADVICE escaping fix, property-tested here)
+_val = st.from_regex(r"[A-Za-z0-9 ._'\\-]{1,12}", fullmatch=True)
 _dirn = st.sampled_from(["out", "in", "both"])
 _hops = st.one_of(st.just((1, 1)),
                   st.tuples(st.integers(1, 3), st.integers(1, 3))
@@ -350,7 +562,10 @@ def _specs(draw):
             direction=draw(_dirn), min_hops=lo, max_hops=hi,
             # only the final chain edge may be optional: its dst is then
             # a leaf referenced by exactly that edge (the compiler rule)
-            optional=(i == n - 1) and draw(st.booleans())))
+            optional=(i == n - 1) and draw(st.booleans()),
+            # r12: edge variables render/parse too (single-hop only)
+            var=f"r{i}" if (lo, hi) == (1, 1) and draw(st.booleans())
+            else None))
     if draw(st.booleans()):
         # a negated edge to a fresh auxiliary variable, appended last
         # (the parser materializes WHERE NOT terms after all clauses)
