@@ -234,9 +234,23 @@ def edge_distinct_where(edge_pats: list[EdgePat]) -> Column | None:
         return ({ep.rel_type} if isinstance(ep.rel_type, str)
                 else set(ep.rel_type))
 
-    def stored(ep: EdgePat) -> tuple[Column, Column]:
-        s, d = F.col(f"{ep.src}_id"), F.col(f"{ep.dst}_id")
-        return (d, s) if ep.direction == "in" else (s, d)
+    def stored(ep: EdgePat) -> tuple[str, str]:
+        # storage-orientation endpoint VARIABLE names
+        return ((ep.dst, ep.src) if ep.direction == "in"
+                else (ep.src, ep.dst))
+
+    def tuples_equal(pa: tuple[str, str], pb: tuple[str, str]) -> Column:
+        # shared variables make components statically true — compare
+        # names first so e.g. (ln,a1) vs (ln,a2) compiles to the single
+        # conjunct a1_id == a2_id, not a trivially-true ln_id == ln_id
+        parts = [F.col(f"{va}_id") == F.col(f"{vb}_id")
+                 for va, vb in zip(pa, pb) if va != vb]
+        if not parts:
+            return F.lit(True)  # identical variable pair: always same
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
 
     conds: list[Column] = []
     for i in range(len(pos)):
@@ -245,10 +259,10 @@ def edge_distinct_where(edge_pats: list[EdgePat]) -> Column | None:
             ta, tb = tset(a), tset(b)
             if ta is not None and tb is not None and not (ta & tb):
                 continue  # type-disjoint patterns can never share an edge
-            (sa, da), (sb, db) = stored(a), stored(b)
-            same = (sa == sb) & (da == db)
+            sa, sb = stored(a), stored(b)
+            same = tuples_equal(sa, sb)
             if "both" in (a.direction, b.direction):
-                same = same | ((sa == db) & (da == sb))
+                same = same | tuples_equal(sa, (sb[1], sb[0]))
             conds.append(~same)
     if not conds:
         return None

@@ -339,6 +339,28 @@ GOLDEN_GRAPH_MOTIF_OPTIONAL_ROWS = [
     ('737-00-1030', 'summary', '(no steps)', -1),
 ]
 
+GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_COLS = [('mode', 'VARCHAR'), ('n_bindings', 'BIGINT'), ('n_lines', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_ROWS = [
+    ('edge_distinct', 1558, 534),
+    ('homomorphism', 2724, 534),
+]
+
+GOLDEN_GRAPH_MOTIF_EDGE_VAR_COLS = [('docnbr', 'VARCHAR'), ('rel_type', 'VARCHAR'), ('n_children', 'BIGINT'), ('first_child', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS = [
+    ('737-00-1028', 'HAS_NUMBER', 2, 'number'),
+    ('737-00-1028', 'HAS_STEP', 2, 'step'),
+    ('737-00-1028', 'HAS_TEXT', 2, 'text'),
+    ('737-00-1028', 'IS_PART_OF', 6, 'description'),
+    ('737-00-1029', 'HAS_NUMBER', 3, 'number'),
+    ('737-00-1029', 'HAS_STEP', 3, 'step'),
+    ('737-00-1029', 'HAS_TEXT', 3, 'text'),
+    ('737-00-1029', 'IS_PART_OF', 8, 'description'),
+    ('737-00-1030', 'HAS_NUMBER', 2, 'number'),
+    ('737-00-1030', 'HAS_STEP', 2, 'step'),
+    ('737-00-1030', 'HAS_TEXT', 2, 'text'),
+    ('737-00-1030', 'IS_PART_OF', 6, 'description'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -372,4 +394,6 @@ ORACLE = {
     "graph_motif_varlength": _values_sql(GOLDEN_GRAPH_MOTIF_VARLENGTH_COLS, GOLDEN_GRAPH_MOTIF_VARLENGTH_ROWS),
     "graph_motif_parsed": _values_sql(GOLDEN_GRAPH_MOTIF_PARSED_COLS, GOLDEN_GRAPH_MOTIF_PARSED_ROWS),
     "graph_motif_optional": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_ROWS),
+    "graph_motif_edge_distinct": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_COLS, GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_ROWS),
+    "graph_motif_edge_var": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_VAR_COLS, GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS),
 }

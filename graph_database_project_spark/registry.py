@@ -242,7 +242,9 @@ _DRIVER_WINDOW = [
     "mutation_merge_upsert",
     "mutation_scd2_pit_join",
     "q01_pricing_summary",
-    "q19_or_of_ands",
+    # q19_or_of_ands: slot yielded to graph_motif_edge_distinct below
+    # (r07 green; tpch_ext stays repped by q01/q03/q04; inside the
+    # freshness budget until the r14 build — rotates in r13)
     "semantic_decontaminate",
     "sim_ivf_topk",
     "sim_ivfpq_topk",
@@ -260,7 +262,15 @@ _DRIVER_WINDOW = [
     # --- family reps (modules with no r06/r07-cohort key) ---
     "nl2query_demo",              # r11 green; nl2query rep
     "pipeline_training_data",     # r11 green; pipeline rep
-    "graph_motif_parsed",         # r11 green; motifq rep
+    # --- r12 NEW operators (first driver check the round they ship;
+    # they also serve as the motifq family reps — graph_motif_parsed,
+    # r11 green, yielded its rep slot) ---
+    # graph_motif_edge_distinct: Cypher relationship-uniqueness mode vs
+    # homomorphism, same pattern text — the golden pins the semantic gap
+    "graph_motif_edge_distinct",
+    # graph_motif_edge_var: untyped -[r]-> edge variable binding
+    # rel_type through the parser (label disjunction + edge var)
+    "graph_motif_edge_var",
 ]
 
 

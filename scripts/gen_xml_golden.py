@@ -12,7 +12,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          "graph_motif_chain", "graph_motif_fanout", "graph_motif_shared",
          "graph_motif_negation", "graph_motif_varlength",
          # r11: MATCH-string front-end keys (parse_match -> match_motif)
-         "graph_motif_parsed", "graph_motif_optional"]
+         "graph_motif_parsed", "graph_motif_optional",
+         # r12: edge-distinctness mode + edge variables, from text
+         "graph_motif_edge_distinct", "graph_motif_edge_var"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

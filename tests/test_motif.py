@@ -441,7 +441,11 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # unlabeled p streams by design
             # optional dropped 6 → 4 when p gained the label disjunction
             # (:summary|planning_information — the r11 `:A|B` feature)
-            "graph_motif_parsed": 6, "graph_motif_optional": 4}
+            "graph_motif_parsed": 6, "graph_motif_optional": 4,
+            # r12: edge_distinct runs the SAME pattern twice (both
+            # modes unioned — 5 exchanges per mode); edge_var is one
+            # 2-hop-ish pattern + the groupBy
+            "graph_motif_edge_distinct": 10, "graph_motif_edge_var": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -484,3 +488,65 @@ def test_optional_key_matches_elementtree_recompute(spark):
     got = [(r.docnbr, r.parent, r.step_head, r.step_len)
            for r in motifq.q_graph_motif_optional(spark, SF).collect()]
     assert sorted(got) == sorted(expect)
+
+
+def test_edge_distinct_key_set_algebra(spark):
+    """Independent oracle for the r12 edge-distinctness key: over the
+    line-number/airplane bipartite relation with per-line degree d,
+    homomorphism binds d^2 (a1, a2) pairs per line and edge_distinct
+    binds d*(d-1) — so homo = sum(d^2), dist = sum(d*(d-1)), and their
+    difference is exactly the EDGE COUNT. All three recomputed straight
+    from the store's edge relation, no motif compiler involved."""
+    from graph_database_project_spark.operators.xmlq import _store
+    from pyspark.sql import functions as F
+
+    st = _store(spark)
+    lab = st.nodes.select("id", F.explode("labels").alias("lab"))
+    ln_ids = lab.filter(F.col("lab") == "LineNumber").select("id")
+    ap_ids = lab.filter(F.col("lab") == "Airplane") \
+        .select(F.col("id").alias("aid"))
+    deg = (st.edges.filter(F.col("rel_type") == "included_in")
+           .join(ln_ids, st.edges.src == ln_ids.id)
+           .join(ap_ids, st.edges.dst == F.col("aid"))
+           .select("src", "dst").distinct()
+           .groupBy("src").agg(F.count("*").alias("d")))
+    tot = deg.agg(
+        F.sum(F.col("d") * F.col("d")).alias("homo"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("dist"),
+        F.sum("d").alias("edges"),
+        F.count("*").alias("n_lines")).collect()[0]
+    got = {r.mode: (r.n_bindings, r.n_lines)
+           for r in motifq.q_graph_motif_edge_distinct(spark, SF).collect()}
+    assert got["homomorphism"] == (tot.homo, tot.n_lines)
+    assert got["edge_distinct"] == (tot.dist, tot.n_lines)
+    assert tot.homo - tot.dist == tot.edges  # the semantic gap IS |E|
+    assert tot.dist < tot.homo  # dead-variation rule: modes differ
+
+
+def test_edge_var_key_matches_direct_join(spark):
+    """Independent oracle for the r12 edge-variable key: the same
+    (docnbr, rel_type) fanout recomputed with a plain relational join
+    (labels explode -> edges join -> groupBy), no pattern machinery."""
+    from graph_database_project_spark.operators.xmlq import _store
+    from pyspark.sql import functions as F
+
+    st = _store(spark)
+    src_side = (st.nodes.select("id", "docnbr", F.explode("labels")
+                                .alias("lab"))
+                .filter(F.col("lab").isin("description", "step"))
+                .select(F.col("id").alias("sid"), "docnbr").distinct())
+    dst_side = st.nodes.select(F.col("id").alias("did"),
+                               F.col("name").alias("child"))
+    direct = (st.edges.join(src_side, st.edges.src == F.col("sid"))
+              .join(dst_side, st.edges.dst == F.col("did"))
+              .select("sid", "did", "rel_type", "docnbr", "child")
+              .distinct()
+              .groupBy("docnbr", "rel_type")
+              .agg(F.count("*").alias("n_children"),
+                   F.min("child").alias("first_child")))
+    got = sorted(tuple(r) for r in
+                 motifq.q_graph_motif_edge_var(spark, SF).collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+    # genuine variation: fanout differs across documents and types
+    assert len({r[2] for r in got}) > 1
