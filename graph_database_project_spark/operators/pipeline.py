@@ -274,6 +274,16 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t_ms, touch_type) descending; ties beyond that are absorbed by the
     channel rollup (identical keys → identical channel).
 
+    CORPUS ASSUMPTION (ADVICE r11): purchase ``value`` must be
+    NON-NEGATIVE. ``cents div n_touch`` / ``cents % n_touch`` sit on the
+    documented signed-division divergence (Spark ``div`` truncates
+    toward zero, DuckDB ``//`` floors — they agree only for non-negative
+    operands), so refund-shaped rows (value < 0) would break bit-exact
+    parity. The testdata generator guarantees value >= 0.01 and
+    tests/test_pipeline_attribution.py asserts the corpus invariant; a
+    refund-capable variant would need the abs-then-resign discipline
+    (see ts_autocorrelation).
+
     Scale: the touch expansion is a USER-keyed equi-join with the time
     range as a residual predicate — per-user event lists are bounded,
     so the join is hash-shaped and skew-safe; one window pass per

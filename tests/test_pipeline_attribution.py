@@ -38,3 +38,15 @@ def test_attribution_planted_classes_live(spark):
                .filter(F.col("event_type") == "purchase").count())
     assert rows["click"].n_purchases + rows["view"].n_purchases \
         + rows["(organic)"].n_purchases > n_purch
+
+
+def test_attribution_corpus_values_non_negative(spark):
+    """ADVICE r11: the cents div/mod arithmetic sits on the documented
+    signed-division divergence (Spark `div` truncates toward zero,
+    DuckDB `//` floors) — the operator's docstring states a value >= 0
+    corpus assumption; this pins it. A refund-capable variant needs the
+    abs-then-resign discipline (ts_autocorrelation)."""
+    ev = load_table(spark, SF, "events")
+    n_neg = (ev.filter(F.col("event_type") == "purchase")
+             .filter(F.col("value") < 0).count())
+    assert n_neg == 0
