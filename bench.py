@@ -84,8 +84,39 @@ def _xml_ingest_e2e(spark, sf_dir):
 # perf-invisible under v2 (the r03 streaming regression had no bench
 # symptom). Timed and reported separately; v2 HEADLINE rows stay the gate.
 EXTENDED = [
+    # seam canaries — never retire (BASELINE v2.8 wall policy): the only
+    # readStream row, and the Python-codec / worker-reaper canary
     "stream_tumbling_hourly",   # real readStream → availableNow drain
     "multimodal_png_decode",    # real zlib/filter PNG codec via mapInPandas
+    # recent rows (operator changed / added within the last 3 rounds)
+    "graph_motif_varlength",    # r10: *1..3 reachability expansion (the
+                                # heaviest motif plan — 18 exchanges)
+    "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
+    "graph_pagerank_incremental",  # r10: warm-start IVM (two PR phases)
+    "dedup_weighted_mass",      # r10: duplicate-aware token mass
+    "batch_padding_audit",      # r10: geometric-bucket padding waste
+    "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
+    "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
+    "graph_scc",                # r11: repeated-squaring mutual reach
+    "attribution_linear",       # r11: multi-touch value split
+    "graph_scc_condensation",   # r11: condensation DAG topo levels
+    "ts_seasonal_decompose",    # r11: day-of-week profile + signed-ppm
+                                # residuals (row added r12 — the one r11
+                                # operator that had no bench row)
+    "graph_motif_edge_distinct",  # r12: relationship-uniqueness mode,
+                                  # both modes timed in one key
+    "graph_motif_edge_var",     # r12: untyped -[r]-> edge variable
+]
+
+# BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
+# unchanged ≥3 rounds and whose last two healthy captures sat within the
+# healthy-window spread of their pins are RETIRED from the default
+# bench — their BASELINE pins stand, they stay in the registry/parity/
+# plan gates, and SPARK_GRAFT_BENCH_FULL=1 still times them. A retired
+# row un-retires the round its operator code changes. Rationale: the
+# extended family hit 41 rows / ~87 s per rep, and long fires cost
+# healthy-window capture odds on this drifty host (see BASELINE.md).
+RETIRED = [
     "multimodal_video_frames",  # Y4M frame sampling
     "text_span_dedup",          # inverted-index span dedup
     "ts_rollup_multires",       # hypertable multi-resolution rollup
@@ -114,17 +145,6 @@ EXTENDED = [
     "graph_betweenness_sampled",    # r09: bounded-depth Brandes two-chain
     "stream_topk_continuous",   # r09: day-CMS + candidate-ledger top-k
     "graph_ktruss",             # r09: triangle-support edge peel loop
-    "graph_motif_varlength",    # r10: *1..3 reachability expansion (the
-                                # heaviest motif plan — 18 exchanges)
-    "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
-    "graph_pagerank_incremental",  # r10: warm-start IVM (two PR phases)
-    "dedup_weighted_mass",      # r10: duplicate-aware token mass
-    "batch_padding_audit",      # r10: geometric-bucket padding waste
-    "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
-    "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
-    "graph_scc",                # r11: repeated-squaring mutual reach
-    "attribution_linear",       # r11: multi-touch value split
-    "graph_scc_condensation",   # r11: condensation DAG topo levels
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
@@ -240,7 +260,12 @@ def main() -> None:
     except Exception:
         pass
 
-    suite: list[str] = HEADLINE + EXTENDED + list(CUSTOM)
+    # BASELINE v2.8 wall policy: the default suite times the ACTIVE
+    # extended set; SPARK_GRAFT_BENCH_FULL=1 adds the retired rows back
+    # (their pins stand in BASELINE.md — see the policy note there).
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    suite: list[str] = (HEADLINE + EXTENDED
+                        + (RETIRED if full else []) + list(CUSTOM))
     runs: dict[str, list[float]] = {n: [] for n in suite}
     failed: list[str] = []
     # Interleaved repetitions: one full pass over the suite per round, so a
@@ -331,6 +356,9 @@ def main() -> None:
         # references, threshold 1.3x): BASELINE.md pins come only from
         # "healthy" runs; a "degraded" contract is load-window evidence
         "sentinel_health": health,
+        # v2.8 wall policy: how many pinned rows are retired from this
+        # run's default suite (0 when SPARK_GRAFT_BENCH_FULL=1)
+        "retired_n": 0 if full else len(RETIRED),
     }
     if failed:
         out["failed"] = failed

@@ -84,10 +84,24 @@ def test_sentinel_health_verdict():
 
 
 def test_every_bench_suite_key_is_registered():
-    """A typo'd HEADLINE/EXTENDED name would silently charge
+    """A typo'd HEADLINE/EXTENDED/RETIRED name would silently charge
     FAIL_PENALTY at bench time — catch it at test time instead."""
     from graph_database_project_spark.registry import all_queries
 
     keys = set(all_queries())
-    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in keys]
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED + bench.RETIRED
+               if n not in keys]
     assert not missing, missing
+
+
+def test_retired_set_disjoint_and_policy_shape():
+    """v2.8 wall policy invariants: no row is both active and retired,
+    the seam canaries never retire, and the active extended set stays
+    small enough that a full rep sits under the 1-minute Python-worker
+    reaper (the policy's point)."""
+    overlap = set(bench.EXTENDED) & set(bench.RETIRED)
+    assert not overlap, overlap
+    for canary in ("stream_tumbling_hourly", "multimodal_png_decode"):
+        assert canary in bench.EXTENDED
+        assert canary not in bench.RETIRED
+    assert len(bench.EXTENDED) <= 22  # re-decide the policy before this
