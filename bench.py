@@ -106,6 +106,9 @@ EXTENDED = [
     "graph_motif_edge_distinct",  # r12: relationship-uniqueness mode,
                                   # both modes timed in one key
     "graph_motif_edge_var",     # r12: untyped -[r]-> edge variable
+    "graph_scc_coloring",       # r12: hub-safe FW-BW coloring SCC —
+                                # job-count-bound (~20 probe+checkpoint
+                                # flood rounds; the betweenness regime)
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

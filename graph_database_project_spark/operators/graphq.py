@@ -2634,6 +2634,148 @@ def _scc_labels(verts: DataFrame, edges: DataFrame) -> DataFrame:
             .groupBy("a").agg(F.min("b").alias("scc")))
 
 
+def _scc_labels_coloring(verts: DataFrame, edges: DataFrame,
+                         max_outer: int = 8, max_flood: int = 64
+                         ) -> DataFrame:
+    """HUB-SAFE SCC labeling — the scale-complete sibling of
+    ``_scc_labels`` (r12, verdict #6): forward/backward COLORING
+    (Orzan-style FW-BW coloring, cf. Slota/Rajamanickam/Madduri's
+    multistep SCC) instead of the repeated-squaring reach relation.
+    The squaring form materializes a |V|·reach pair set — exact but
+    quadratic on hub-dominated graphs (one popular node drags every
+    follower into its row set; the graphq.py:q_graph_scc docstring
+    boundary, SCALE.md §7g). Coloring never builds pair sets:
+
+    1. FORWARD MAX-FLOOD: color(v) := max id u with u ⇝ v (init
+       color(v)=v, relax color(dst) = max(color(dst), color(src)) to
+       fixpoint). Every shuffle is |E|-keyed; state is |V|-sized.
+    2. ROOTS: r with color(r)=r. EXTRACT: r's SCC is exactly
+       {v : color(v)=r and v ⇝ r within the color class} — found by a
+       BACKWARD flood from the roots that only crosses edges whose both
+       endpoints share the root's color (color(v)=r proves r ⇝ v; the
+       backward flood proves v ⇝ r).
+    3. PEEL the extracted SCCs, repeat on the remainder (a color class
+       may hold several SCCs; only the root's is proven per round).
+
+    Same output contract as _scc_labels: (a=node, scc=min member id) —
+    the canonical relabel makes the two machineries bit-comparable
+    (tests assert partition equality; the registry key reuses the
+    squaring key's oracle SQL verbatim).
+
+    Loop discipline (CLAUDE.md): every flood round localCheckpoints and
+    carries its changed-count probe (probes terminate these loops —
+    the CC pattern); loop-invariant edges are checkpointed once per
+    peel. Raises LOUDLY on non-convergence within the bounds instead of
+    silently mislabeling (the verdict's fail-loud requirement).
+
+    100 TB: worst case (ids anti-ordered along a long SCC chain) needs
+    O(chain) outer peels — the documented boundary of THIS form; the
+    two siblings cover each other's weak substrate (squaring: bounded
+    reach sets, any SCC nesting; coloring: any degree distribution,
+    shallow SCC nesting — pick by catalog shape)."""
+    remaining = (verts.select("v").distinct()
+                 .localCheckpoint(eager=True))
+    labels: DataFrame | None = None
+    for _outer in range(max_outer):
+        if remaining.isEmpty():
+            return labels
+        rem_s = remaining.select(F.col("v").alias("_rs"))
+        rem_d = remaining.select(F.col("v").alias("_rd"))
+        e = (edges.join(rem_s, edges.src == F.col("_rs"), "left_semi")
+             .join(rem_d, edges.dst == F.col("_rd"), "left_semi")
+             .select("src", "dst").distinct()
+             .localCheckpoint(eager=True))
+        # 1. forward max-id flood to fixpoint
+        col = remaining.select("v", F.col("v").alias("color")) \
+            .localCheckpoint(eager=True)
+        for _i in range(max_flood):
+            upd = (e.join(col.select(F.col("v").alias("src"),
+                                     F.col("color").alias("c_src")), "src")
+                   .groupBy(F.col("dst").alias("v"))
+                   .agg(F.max("c_src").alias("c_in")))
+            nxt = (col.join(upd, "v", "left")
+                   .select("v",
+                           F.greatest("color", F.coalesce("c_in",
+                                                          F.lit(-1)))
+                           .alias("ncolor"),
+                           (F.coalesce("c_in", F.lit(-1)) > F.col("color"))
+                           .cast("long").alias("chg"))
+                   .localCheckpoint(eager=True))
+            changed = nxt.agg(F.sum("chg")).first()[0] or 0
+            col = nxt.select("v", F.col("ncolor").alias("color"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc coloring: forward flood did not converge within "
+                f"{max_flood} rounds — raise max_flood (graph diameter "
+                "exceeds the bound)")
+        # 2. backward containment flood from the roots, within classes —
+        # monotone boolean mark on the SAME |V|-sized frame as the
+        # forward flood (one keyed join + one checkpoint + one probe per
+        # round, no growing set / anti-join churn)
+        mk = (col.select("v", "color",
+                         (F.col("v") == F.col("color")).cast("long")
+                         .alias("mk"))
+              .localCheckpoint(eager=True))
+        for _i in range(max_flood):
+            upd = (e.join(mk.select(F.col("v").alias("dst"),
+                                    F.col("color").alias("c_dst"),
+                                    F.col("mk").alias("mk_dst")), "dst")
+                   .filter(F.col("mk_dst") == 1)
+                   .groupBy(F.col("src").alias("v"),
+                            F.col("c_dst").alias("color"))
+                   .agg(F.lit(1).alias("hit")))
+            nxt = (mk.join(upd, ["v", "color"], "left")
+                   .select("v", "color",
+                           F.greatest("mk", F.coalesce("hit", F.lit(0)))
+                           .cast("long").alias("nmk"),
+                           ((F.col("mk") == 0)
+                            & F.col("hit").isNotNull())
+                           .cast("long").alias("chg"))
+                   .localCheckpoint(eager=True))
+            changed = nxt.agg(F.sum("chg")).first()[0] or 0
+            mk = nxt.select("v", "color", F.col("nmk").alias("mk"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc coloring: backward flood did not converge within "
+                f"{max_flood} rounds")
+        mark = mk.filter(F.col("mk") == 1).select("v", "color")
+        # canonical relabel: scc = min member id (the _scc_labels
+        # contract), then peel
+        got = (mark.groupBy("color").agg(F.min("v").alias("scc"))
+               .join(mark, "color")
+               .select(F.col("v").alias("a"), "scc")
+               .localCheckpoint(eager=True))
+        labels = got if labels is None else labels.unionByName(got)
+        remaining = (remaining.join(got.select(F.col("a").alias("v")),
+                                    "v", "left_anti")
+                     .localCheckpoint(eager=True))
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"scc coloring: {max_outer} peel rounds left nodes "
+            "unlabeled — deeply nested SCC chain; raise max_outer or "
+            "use the squaring form (_scc_labels)")
+    return labels
+
+
+def q_graph_scc_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hub-safe SCC labeling driven end-to-end on the SAME planted
+    substrate and through the SAME output contract as q_graph_scc — the
+    oracle SQL is reused VERBATIM (Q_GRAPH_SCC_SQL), so the driver
+    value-checks that two entirely different machineries (repeated
+    squaring vs FW-BW coloring) produce the identical SCC partition."""
+    verts, edges = _scc_graph(spark, sf_dir)
+    lab = _scc_labels_coloring(verts, edges)
+    sizes = lab.groupBy("scc").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("scc_size"))
+            .agg(F.count(F.lit(1)).alias("n_sccs"),
+                 F.sum("scc").alias("label_checksum"))
+            .orderBy("scc_size"))
+
+
 def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRONGLY connected components — the directed sibling of
     graph_connected_components (which would dissolve the planted cycles
@@ -2831,6 +2973,7 @@ QUERIES = {
     "graph_densest_subgraph": q_graph_densest_subgraph,
     "graph_betweenness_sampled": q_graph_betweenness_sampled,
     "graph_scc": q_graph_scc,
+    "graph_scc_coloring": q_graph_scc_coloring,
     "graph_scc_condensation": q_graph_scc_condensation,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
@@ -2862,6 +3005,9 @@ ORACLE = {
     "graph_hyperball": _hyperball_oracle_sql(),  # HLL ball-merge rounds unrolled
     "graph_hits": _hits_oracle_sql(),  # exact-integer mutual reinforcement
     "graph_scc": Q_GRAPH_SCC_SQL,  # mutual reach via unrolled squarings
+    # hub-safe FW-BW coloring, SAME oracle verbatim: the driver checks
+    # two machineries produce the identical SCC partition
+    "graph_scc_coloring": Q_GRAPH_SCC_SQL,
     "graph_scc_condensation": Q_GRAPH_SCC_CONDENSATION_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

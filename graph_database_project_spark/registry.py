@@ -241,7 +241,9 @@ _DRIVER_WINDOW = [
     "multimodal_png_decode",
     "mutation_merge_upsert",
     "mutation_scd2_pit_join",
-    "q01_pricing_summary",
+    # q01_pricing_summary: slot yielded to graph_scc_coloring below
+    # (r07 green + benched every round as a headline row; tpch_ext
+    # stays repped by q03/q04; rotates in r13)
     # q19_or_of_ands: slot yielded to graph_motif_edge_distinct below
     # (r07 green; tpch_ext stays repped by q01/q03/q04; inside the
     # freshness budget until the r14 build — rotates in r13)
@@ -271,6 +273,10 @@ _DRIVER_WINDOW = [
     # graph_motif_edge_var: untyped -[r]-> edge variable binding
     # rel_type through the parser (label disjunction + edge var)
     "graph_motif_edge_var",
+    # graph_scc_coloring: hub-safe FW-BW coloring SCC — SAME oracle SQL
+    # as graph_scc, so the driver value-checks that two machineries
+    # produce the identical partition
+    "graph_scc_coloring",
 ]
 
 

@@ -639,3 +639,70 @@ def test_scc_condensation_levels_match_planted_structure(spark):
         assert rows[lv] == (5, 5)
     # level 0 holds every unbridged closed block + chain heads
     assert rows[0][1] > rows[0][0]         # multi-node SCCs present
+
+
+def test_scc_coloring_matches_squaring_partition(spark):
+    """r12 (verdict #6): the hub-safe FW-BW coloring and the
+    repeated-squaring labeling must produce the IDENTICAL partition
+    (node -> min-member label), not just equal histograms."""
+    from graph_database_project_spark.operators.graphq import (
+        _scc_graph, _scc_labels, _scc_labels_coloring)
+
+    sf = "/root/testdata/sf0.001"
+    verts, edges = _scc_graph(spark, sf)
+    a = {r.a: r.scc for r in _scc_labels(verts, edges).collect()}
+    b = {r.a: r.scc for r in _scc_labels_coloring(verts, edges).collect()}
+    assert a == b
+    assert len(a) == verts.count()
+
+
+def test_scc_coloring_planted_hub(spark):
+    """The substrate the squaring form is documented WRONG-SHAPED for
+    (SCALE.md §7g): one hub mutually linked to every spoke makes the
+    reach relation |V|^2-sized, while coloring stays |E|-shaped. Plant
+    hub+spokes (one giant SCC) plus a one-way ring of singletons
+    hanging off it; assert exact sizes and that the one-way tail is NOT
+    merged. At this test scale the squaring form can still grind
+    through the quadratic relation, so it cross-checks the partition."""
+    from pyspark.sql import functions as F
+    from graph_database_project_spark.operators.graphq import (
+        _scc_labels, _scc_labels_coloring)
+
+    n_spokes = 200
+    hub = 0
+    rows = []
+    for s in range(1, n_spokes + 1):
+        rows.append((hub, s))
+        rows.append((s, hub))
+    # one-way tail: hub -> t1 -> t2 -> t3 (never back) — singletons
+    rows += [(hub, 1001), (1001, 1002), (1002, 1003)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    verts = (edges.select(F.col("src").alias("v"))
+             .unionByName(edges.select(F.col("dst").alias("v")))
+             .distinct())
+    lab = {r.a: r.scc for r in
+           _scc_labels_coloring(verts, edges).collect()}
+    # hub + all spokes share one SCC labeled by the min member (hub=0)
+    assert lab[hub] == 0
+    assert all(lab[s] == 0 for s in range(1, n_spokes + 1))
+    # the one-way tail stays singleton
+    assert lab[1001] == 1001 and lab[1002] == 1002 and lab[1003] == 1003
+    ref = {r.a: r.scc for r in _scc_labels(verts, edges).collect()}
+    assert lab == ref
+
+
+def test_scc_coloring_fails_loud_on_bound_exhaustion(spark):
+    """Non-convergence raises instead of silently mislabeling (the
+    verdict's fail-loud requirement): a 12-node one-way ring (one SCC,
+    diameter 11) cannot finish its forward flood in 3 rounds."""
+    import pytest
+    from pyspark.sql import functions as F
+    from graph_database_project_spark.operators.graphq import (
+        _scc_labels_coloring)
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _scc_labels_coloring(verts, edges, max_flood=3)
