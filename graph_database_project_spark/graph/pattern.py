@@ -618,8 +618,54 @@ def parse_match(text: str) -> ParsedPattern:
     return _Parser(text).parse()
 
 
+def inject_labels(node_pats: list[NodePat], edge_pats: list[EdgePat],
+                  rel_signatures: dict[str, tuple[str, str]]
+                  ) -> tuple[list[NodePat], int]:
+    """Write catalog labels onto UNLABELED pattern variables (r12,
+    verdict #8): GPT-shaped terse patterns omit labels, but an unlabeled
+    side cannot ride the label_counts broadcast (it must be assumed
+    fact-sized — SCALE.md §7g measured 12 → 6 exchanges when the parsed
+    key gained labels), so the planner hint is free performance whenever
+    the catalog can prove the label.
+
+    ``rel_signatures`` maps rel_type → its UNIQUE (src_label, dst_label)
+    signature in storage orientation — callers must pre-filter to
+    rel_types with exactly one signature (``GraphStore
+    .catalog_relationships()`` has the counts). Injection is
+    SEMANTICS-PRESERVING under that uniqueness: any node bound through a
+    single-signature edge type necessarily carries the signature's label
+    (the signature is derived from the same data). Skipped: already-
+    labeled variables, untyped / disjunctive / variable-length edges,
+    and undirected edges (storage orientation unknown).
+
+    Returns the (possibly rewritten) node_pats and how many labels were
+    injected."""
+    new = {p.var: p for p in node_pats}
+    injected = 0
+    for ep in edge_pats:
+        if not isinstance(ep.rel_type, str):
+            continue  # untyped or disjunction: no unique signature
+        if (ep.min_hops, ep.max_hops) != (1, 1) or ep.direction == "both":
+            continue
+        sig = rel_signatures.get(ep.rel_type)
+        if sig is None:
+            continue
+        s_lab, d_lab = sig
+        stor_src, stor_dst = ((ep.dst, ep.src) if ep.direction == "in"
+                              else (ep.src, ep.dst))
+        for var, lab in ((stor_src, s_lab), (stor_dst, d_lab)):
+            p = new.get(var)
+            if p is not None and p.label is None:
+                new[var] = NodePat(p.var, label=lab, name=p.name,
+                                   docnbr=p.docnbr, prop=p.prop)
+                injected += 1
+    return list(new.values()), injected
+
+
 def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
-                  edge_distinct: bool = False, **motif_kwargs) -> DataFrame:
+                  edge_distinct: bool = False,
+                  rel_signatures: dict[str, tuple[str, str]] | None = None,
+                  **motif_kwargs) -> DataFrame:
     """Text → bindings: parse ``text`` and compile it with
     ``match_motif`` (all of whose kwargs — label_counts,
     broadcast_node_sides, … — pass through). A RETURN clause projects
@@ -630,15 +676,24 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
     uniqueness with Cypher's own scoping: the pairwise edge-tuple
     inequality predicate (``motif.edge_distinct_where``) is built PER
     MATCH CLAUSE, so edges in different MATCH / OPTIONAL MATCH clauses
-    may still bind the same stored edge — exactly as in Cypher."""
+    may still bind the same stored edge — exactly as in Cypher.
+
+    ``rel_signatures`` (r12, with ``label_counts``): unique per-rel_type
+    (src_label, dst_label) catalog signatures — unlabeled variables get
+    their provable labels injected before compilation (``inject_labels``)
+    so terse GPT-shaped patterns ride the broadcast hints by default."""
     spec = parse_match(text)
+    node_pats = spec.node_pats
+    if rel_signatures:
+        node_pats, _ = inject_labels(node_pats, spec.edge_pats,
+                                     rel_signatures)
     where = spec.where_column()
     if edge_distinct:
         for group in spec.clauses:
             ed = edge_distinct_where([spec.edge_pats[i] for i in group])
             if ed is not None:
                 where = ed if where is None else (where & ed)
-    out = match_motif(nodes, edges, spec.node_pats, spec.edge_pats,
+    out = match_motif(nodes, edges, node_pats, spec.edge_pats,
                       where=where, **motif_kwargs)
     if spec.returns is not None:
         cols = []

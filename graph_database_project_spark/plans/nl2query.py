@@ -349,6 +349,25 @@ _MOTIF_SUBJECT_RULE = re.compile(
 )
 
 
+def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
+    """rel_type → its UNIQUE (src_label, dst_label) signature, from the
+    store's own derived catalog (GraphStore.catalog_relationships —
+    the first-graph.py:102-136 schema block, machine-derived). Types
+    with more than one signature are omitted (injection must stay
+    semantics-preserving). Session-memoized like the motif label stats
+    (one catalog-sized collect per session)."""
+    from ..io import session_memo
+
+    def build():
+        sigs: dict[str, set] = {}
+        for r in store.catalog_relationships().collect():
+            sigs.setdefault(r.rel_type, set()).add(
+                (r.src_label, r.dst_label))
+        return {t: next(iter(s)) for t, s in sigs.items() if len(s) == 1}
+
+    return session_memo(spark, "_sg_nl2query_rel_sigs", "xml", build)
+
+
 def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
     """The reference's flagship chat lifecycle (first-graph.py:141,168-176)
     against the graph store: NL question → plan → execute. Two rule
@@ -359,28 +378,43 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
     questions compile to (seed, depth) k-hop expansion. Rule-based
     translation with the same pluggable-translator contract as
     ``answer``; an LLM translator would emit the same pattern text.
-    """
+
+    r12 (verdict #8): every pattern compiles with the CATALOG attached —
+    ``rel_signatures`` injects provable labels onto unlabeled variables
+    and ``label_counts`` turns those labels into broadcast hints — so
+    terse GPT-shaped pattern text gets the good plans by default
+    (SCALE.md §7g: labels are the broadcast lever; 12 → 6 exchanges on
+    the parsed key)."""
     from pyspark.sql import functions as F
 
     from ..graph.pattern import match_pattern
+    from ..operators.motifq import _label_stats
+
+    def compile_pattern(pattern: str) -> DataFrame:
+        return match_pattern(
+            store.nodes, store.edges, pattern,
+            rel_signatures=_catalog_rel_signatures(spark, store),
+            label_counts=_label_stats(spark))
 
     q = question.strip().rstrip("?")
     m = _MOTIF_AFFECTED_RULE.search(q)
     if m:
+        # terse GPT-shaped text: only the seed carries a predicate; the
+        # catalog proves every other label (injected at compile time)
         pattern = (
-            f"MATCH (sb:ServiceBulletin {{docnbr: '{m.group(1)}'}})"
-            "-[:HAS_PLANNING_INFORMATION]->(pi:planning_information)"
-            "-[:HAS_EFFECTIVITY]->(eff:effectivity)"
-            "-[:HAS_AIRPLANES]->(ap:airplanes) "
+            f"MATCH (sb {{docnbr: '{m.group(1)}'}})"
+            "-[:HAS_PLANNING_INFORMATION]->(pi)"
+            "-[:HAS_EFFECTIVITY]->(eff)"
+            "-[:HAS_AIRPLANES]->(ap) "
             "RETURN sb.docnbr AS docnbr, ap.content AS airplanes")
-        return match_pattern(store.nodes, store.edges, pattern)
+        return compile_pattern(pattern)
     m = _MOTIF_SUBJECT_RULE.search(q)
     if m:
         pattern = (
-            f"MATCH (sb:ServiceBulletin {{docnbr: '{m.group(1)}'}})"
-            "-[:HAS_HEADER]->(h:header)-[:HAS_SUBJECT]->(subj:subject) "
+            f"MATCH (sb {{docnbr: '{m.group(1)}'}})"
+            "-[:HAS_HEADER]->(h)-[:HAS_SUBJECT]->(subj) "
             "RETURN sb.docnbr AS docnbr, subj.content AS subject")
-        return match_pattern(store.nodes, store.edges, pattern)
+        return compile_pattern(pattern)
     m = _GRAPH_RULE.search(q)
     if not m:
         raise ValueError(f"no graph rule matches question: {question!r}")

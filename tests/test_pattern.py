@@ -586,3 +586,60 @@ def test_render_parse_roundtrip(spec):
     parsed = parse_match(text)
     assert set(parsed.node_pats) == set(nodes), text
     assert parsed.edge_pats == edges, text
+
+
+def test_catalog_label_injection_on_terse_patterns(spark, store, stats):
+    """r12 (verdict #8): unlabeled GPT-shaped pattern text gets provable
+    catalog labels injected (inject_labels via rel_signatures), turning
+    the label_counts broadcast hints on by default — measured as an
+    exchange-count drop vs the same terse text compiled bare, with
+    identical answers."""
+    import re
+    from graph_database_project_spark.graph.pattern import inject_labels
+    from graph_database_project_spark.plans.nl2query import (
+        _catalog_rel_signatures)
+
+    sigs = _catalog_rel_signatures(spark, store)
+    terse = ("MATCH (sb)-[:HAS_HEADER]->(h)-[:HAS_SUBJECT]->(s) "
+             "RETURN sb.docnbr AS docnbr, s.content AS subject")
+    spec = parse_match(terse)
+    pats, n = inject_labels(spec.node_pats, spec.edge_pats, sigs)
+    assert n == 3
+    assert {p.var: p.label for p in pats} == {
+        "sb": "ServiceBulletin", "h": "header", "s": "subject"}
+    bare = match_pattern(store.nodes, store.edges, terse)
+    good = match_pattern(store.nodes, store.edges, terse,
+                         rel_signatures=sigs, label_counts=stats)
+
+    def n_exchanges(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", p))
+
+    nb, ng = n_exchanges(bare), n_exchanges(good)
+    assert ng < nb, (nb, ng)  # the injected labels ARE the plan lever
+    assert _bindings(good) == _bindings(bare)  # semantics preserved
+
+
+def test_injection_skips_ambiguous_and_labeled(spark, store):
+    """Injection must stay semantics-preserving: already-labeled
+    variables keep their labels; rel_types without a UNIQUE signature
+    are pre-filtered out of the signature dict entirely."""
+    from graph_database_project_spark.graph.motif import EdgePat, NodePat
+    from graph_database_project_spark.graph.pattern import inject_labels
+    from graph_database_project_spark.plans.nl2query import (
+        _catalog_rel_signatures)
+
+    sigs = _catalog_rel_signatures(spark, store)
+    # IS_PART_OF / included_in span many label pairs in the corpus —
+    # they must not appear in the unique-signature dict
+    multi = {r.rel_type for r in
+             store.catalog_relationships().groupBy("rel_type").count()
+             .filter("count > 1").collect()}
+    assert not (multi & set(sigs))
+    pats, n = inject_labels(
+        [NodePat("a", label="Airplane"), NodePat("b")],
+        [EdgePat("a", "b", "HAS_HEADER")], sigs)
+    # a keeps its (even "wrong") explicit label — never overwritten
+    assert next(p for p in pats if p.var == "a").label == "Airplane"
+    assert next(p for p in pats if p.var == "b").label == "header"
+    assert n == 1
