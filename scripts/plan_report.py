@@ -69,6 +69,9 @@ def main() -> None:
              "batch_padding_audit", "dedup_weighted_mass",
              # r11 additions: the MATCH-string front-end keys + SCC
              "graph_motif_parsed", "graph_motif_optional", "graph_scc",
+             # r12 additions
+             "graph_motif_edge_distinct", "graph_motif_edge_var",
+             "graph_scc_coloring", "ts_seasonal_decompose",
              "attribution_linear", "ts_seasonal_decompose",
              "graph_scc_condensation"]
     for name in bench.HEADLINE + extra:
