@@ -109,6 +109,8 @@ EXTENDED = [
     "graph_scc_coloring",       # r12: hub-safe FW-BW coloring SCC —
                                 # job-count-bound (~20 probe+checkpoint
                                 # flood rounds; the betweenness regime)
+    "graph_motif_aggregate",    # r12: RETURN aggregates (implicit
+                                # grouping) compiled from pattern text
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

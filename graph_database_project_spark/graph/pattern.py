@@ -32,7 +32,13 @@ Supported subset — exactly what the compiler supports, nothing more:
   ``a.field OP b.field`` / ``a.field OP 'literal'`` over the carried
   fields (id/name/content/docnbr) with OP in = <> != < <= > >=;
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
-  ``match_pattern``; a bare variable expands to its carried columns.
+  ``match_pattern``; a bare variable expands to its carried columns;
+* RETURN aggregates with Cypher's IMPLICIT GROUPING (r12):
+  ``count(*)``, ``count([DISTINCT] var[.field])``, and
+  ``min/max/sum/avg(var.field)`` — non-aggregate RETURN items become
+  the grouping keys, exactly Cypher's semantics (``RETURN a.docnbr,
+  count(DISTINCT ln.name)`` groups by docnbr). A pattern whose RETURN
+  is all-aggregates produces the global 1-row aggregate.
 
 Rejected with explicit errors (parse-time, not plan-time): OR in
 WHERE, unbounded ``*``, shortest-path functions, any trailing clause
@@ -93,6 +99,7 @@ _TOKEN_RE = re.compile(
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
              "DISTINCT", "AS"}
+_AGG_FNS = {"count", "min", "max", "sum", "avg"}
 
 
 class PatternSyntaxError(ValueError):
@@ -141,6 +148,10 @@ class ParsedPattern:
     # uses; defaults keep older call sites/tests equality-compatible
     clauses: list[tuple[int, ...]] = field(default_factory=list)
     edge_vars: tuple[str, ...] = ()
+    # RETURN aggregates (r12): (fn, var, field, distinct, alias); var is
+    # None for count(*). Non-empty => implicit grouping by `returns`.
+    aggregates: list[tuple[str, str | None, str | None, bool, str]] = \
+        field(default_factory=list)
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -163,6 +174,7 @@ class _Parser:
         self.clauses: list[tuple[int, ...]] = []
         self.where_fn: list = []
         self.returns: list[tuple[str, str | None, str]] | None = None
+        self.aggregates: list[tuple] = []  # (fn, var, fld, distinct, alias)
         self.distinct = False
         self._anon = 0
 
@@ -229,7 +241,8 @@ class _Parser:
                 "scan, not a motif; use the store API directly")
         return ParsedPattern(list(self.nodes.values()), self.edges,
                              self.where_fn, self.returns, self.distinct,
-                             self.clauses, tuple(self.edge_vars))
+                             self.clauses, tuple(self.edge_vars),
+                             self.aggregates)
 
     def _clause_group(self, optional: bool) -> None:
         start = len(self.edges)
@@ -516,6 +529,15 @@ class _Parser:
             self.distinct = True
         self.returns = []
         while True:
+            k, v, _ = self.peek()
+            k1, v1, _ = self.peek(1)
+            if (k == "ident" and v.lower() in _AGG_FNS
+                    and (k1, v1) == ("punct", "(")):
+                self._agg_item()
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
             var = self.expect("ident")
             is_edge = var in self.edge_vars
             if not is_edge and var not in self.nodes:
@@ -554,6 +576,67 @@ class _Parser:
                 self.next()
                 continue
             break
+
+    def _agg_item(self) -> None:
+        """``count(*)`` / ``count([DISTINCT] var[.field])`` /
+        ``min|max|sum|avg(var.field)`` — Cypher aggregates with implicit
+        grouping (the non-aggregate RETURN items become the keys)."""
+        fn = self.next()[1].lower()
+        self.expect("punct", "(")
+        dist = False
+        if self.at("kw", "DISTINCT"):
+            _, _, p = self.next()
+            if fn != "count":
+                raise PatternSyntaxError(
+                    f"DISTINCT inside {fn}() at position {p} is not "
+                    "supported (count only — min/max are DISTINCT-"
+                    "invariant anyway)")
+            dist = True
+        var: str | None = None
+        fld: str | None = None
+        if self.at("punct", "*"):
+            _, _, p = self.next()
+            if fn != "count" or dist:
+                raise PatternSyntaxError(
+                    f"'*' at position {p} is only valid as count(*)")
+        else:
+            k, var, p = self.next()
+            if k != "ident":
+                raise PatternSyntaxError(
+                    f"expected a variable inside {fn}() at position {p}, "
+                    f"got {var!r}")
+            is_edge = var in self.edge_vars
+            if not is_edge and var not in self.nodes:
+                raise PatternSyntaxError(
+                    f"aggregate references unknown variable {var!r}")
+            if var in self.neg_only:
+                raise PatternSyntaxError(
+                    f"variable {var!r} exists only inside a NOT pattern "
+                    "and binds no output columns")
+            if self.at("punct", "."):
+                self.next()
+                fld = self.expect("ident")
+                if is_edge and fld != "rel_type":
+                    raise PatternSyntaxError(
+                        f"edge variable field {fld!r} is not carried — "
+                        "the data model's whole edge payload is rel_type")
+                if not is_edge and fld not in _CARRY:
+                    raise PatternSyntaxError(
+                        f"field {fld!r} is not carried "
+                        f"(have: {', '.join(_CARRY)})")
+            else:
+                # count(v): non-null bindings of the variable itself
+                fld = "rel_type" if is_edge else "id"
+            if fn in ("sum", "avg") and fld != "id":
+                raise PatternSyntaxError(
+                    f"{fn}() needs a numeric field and only 'id' is "
+                    "numeric among the carried fields")
+        self.expect("punct", ")")
+        alias = "count_star" if var is None else f"{fn}_{var}_{fld}"
+        if self.at("kw", "AS"):
+            self.next()
+            alias = self.expect("ident")
+        self.aggregates.append((fn, var, fld, dist, alias))
 
 
 def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
@@ -695,7 +778,27 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
                 where = ed if where is None else (where & ed)
     out = match_motif(nodes, edges, node_pats, spec.edge_pats,
                       where=where, **motif_kwargs)
-    if spec.returns is not None:
+    if spec.returns is not None and spec.aggregates:
+        # Cypher implicit grouping: non-aggregate items are the keys
+        keys = []
+        for var, fld, alias in spec.returns:
+            if fld is None:
+                keys.extend(F.col(f"{var}_{c}") for c in _CARRY)
+            else:
+                keys.append(F.col(f"{var}_{fld}").alias(alias))
+        aggs = []
+        for fn, var, fld, dist, alias in spec.aggregates:
+            if var is None:
+                aggs.append(F.count(F.lit(1)).alias(alias))
+                continue
+            c = F.col(f"{var}_{fld}")
+            if fn == "count":
+                aggs.append((F.countDistinct(c) if dist
+                             else F.count(c)).alias(alias))
+            else:
+                aggs.append(getattr(F, fn)(c).alias(alias))
+        out = out.groupBy(*keys).agg(*aggs) if keys else out.agg(*aggs)
+    elif spec.returns is not None:
         cols = []
         for var, fld, alias in spec.returns:
             if fld is None:

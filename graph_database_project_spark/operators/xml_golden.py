@@ -361,6 +361,13 @@ GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS = [
     ('737-00-1030', 'IS_PART_OF', 6, 'description'),
 ]
 
+GOLDEN_GRAPH_MOTIF_AGGREGATE_COLS = [('docnbr', 'VARCHAR'), ('n_lines', 'BIGINT'), ('n_bindings', 'BIGINT'), ('first_line', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS = [
+    ('737-00-1028', 327, 654, '5602'),
+    ('737-00-1029', 128, 256, '5603'),
+    ('737-00-1030', 128, 256, '5604'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -396,4 +403,5 @@ ORACLE = {
     "graph_motif_optional": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_ROWS),
     "graph_motif_edge_distinct": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_COLS, GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_ROWS),
     "graph_motif_edge_var": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_VAR_COLS, GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS),
+    "graph_motif_aggregate": _values_sql(GOLDEN_GRAPH_MOTIF_AGGREGATE_COLS, GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS),
 }

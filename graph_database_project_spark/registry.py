@@ -256,7 +256,8 @@ _DRIVER_WINDOW = [
     "text_span_dedup",
     "ts_markov_transitions",
     "udf_embedding_norm",
-    "window_range_frame",
+    # window_range_frame: slot yielded to graph_motif_aggregate below
+    # (r07 green; relational keeps 7 window reps; rotates in r13)
     "xml_khop_flagship",
     "xml_label_counts",
     "xml_title_hierarchy",
@@ -277,6 +278,9 @@ _DRIVER_WINDOW = [
     # as graph_scc, so the driver value-checks that two machineries
     # produce the identical partition
     "graph_scc_coloring",
+    # graph_motif_aggregate: Cypher RETURN aggregates with implicit
+    # grouping, parsed from text (count(DISTINCT)/count(*)/min)
+    "graph_motif_aggregate",
 ]
 
 

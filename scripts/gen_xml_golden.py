@@ -14,7 +14,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r11: MATCH-string front-end keys (parse_match -> match_motif)
          "graph_motif_parsed", "graph_motif_optional",
          # r12: edge-distinctness mode + edge variables, from text
-         "graph_motif_edge_distinct", "graph_motif_edge_var"]
+         "graph_motif_edge_distinct", "graph_motif_edge_var",
+         # r12: RETURN aggregates (implicit grouping) from text
+         "graph_motif_aggregate"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

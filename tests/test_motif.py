@@ -445,7 +445,9 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # r12: edge_distinct runs the SAME pattern twice (both
             # modes unioned — 5 exchanges per mode); edge_var is one
             # 2-hop-ish pattern + the groupBy
-            "graph_motif_edge_distinct": 10, "graph_motif_edge_var": 4}
+            "graph_motif_edge_distinct": 10, "graph_motif_edge_var": 4,
+            # r12: one pattern + implicit-grouping agg
+            "graph_motif_aggregate": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

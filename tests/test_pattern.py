@@ -643,3 +643,57 @@ def test_injection_skips_ambiguous_and_labeled(spark, store):
     assert next(p for p in pats if p.var == "a").label == "Airplane"
     assert next(p for p in pats if p.var == "b").label == "header"
     assert n == 1
+
+
+# --- r12: RETURN aggregates (implicit grouping) -----------------------------
+
+def test_return_aggregates_parse_shapes():
+    p = parse_match(
+        "MATCH (ln:L)-[:T]->(a:M) RETURN a.docnbr AS d, "
+        "count(DISTINCT ln.name) AS n, count(*) AS nb, min(ln.name)")
+    assert p.returns == [("ln", None, "ln")] or True  # see below
+    # precise: one key item + three aggregates
+    assert p.returns == [("a", "docnbr", "d")]
+    assert p.aggregates == [
+        ("count", "ln", "name", True, "n"),
+        ("count", None, None, False, "nb"),
+        ("min", "ln", "name", False, "min_ln_name")]
+    # count(v) defaults to the id field; edge var to rel_type
+    p2 = parse_match("MATCH (a)-[r]->(b) RETURN count(b), count(r)")
+    assert p2.aggregates == [
+        ("count", "b", "id", False, "count_b_id"),
+        ("count", "r", "rel_type", False, "count_r_rel_type")]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a)-[:T]->(b) RETURN sum(a.name)", "numeric"),
+    ("MATCH (a)-[:T]->(b) RETURN min(DISTINCT a.name)", "count only"),
+    ("MATCH (a)-[:T]->(b) RETURN count(z)", "unknown"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(c) RETURN count(c)",
+     "only inside a NOT"),
+    ("MATCH (a)-[:T]->(b) RETURN avg(*)", "count"),
+])
+def test_return_aggregate_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match(bad)
+    assert hint.lower().split()[0] in str(ei.value).lower()
+
+
+def test_return_aggregates_implicit_grouping_semantics(tiny):
+    """The text form's groupBy must equal the hand-built one."""
+    nodes, edges = tiny
+    via_text = match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "RETURN b.docnbr AS d, count(*) AS n, min(a.name) AS mn")
+    via_obj = (match_motif(
+        nodes, edges, [NodePat("a", "A"), NodePat("b", "B")],
+        [EdgePat("a", "b", "R")])
+        .groupBy(F.col("b_docnbr").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("a_name").alias("mn")))
+    assert _bindings(via_text) == _bindings(via_obj)
+    # all-aggregate RETURN: the global 1-row aggregate
+    rows = _bindings(match_pattern(
+        nodes, edges, "MATCH (a)-[:S]->(b) RETURN count(*) AS n, "
+        "count(DISTINCT b.name) AS nb"))
+    assert rows == [(2, 1)]  # edges 3->5 and 4->5, one distinct dst
