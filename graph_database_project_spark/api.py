@@ -291,13 +291,23 @@ def create_server(spark: SparkSession, sf_dir: str,
                         self._send(400, {"error":
                                          "body needs a 'pattern' string"})
                         return
+                    # r12: optional Cypher relationship-uniqueness mode
+                    # (per MATCH clause) + catalog label injection for
+                    # terse unlabeled text — both levers of the pattern
+                    # surface reachable over HTTP
+                    edge_distinct = bool(data.get("edge_distinct", False))
                     from .graph.pattern import match_pattern
                     from .operators.motifq import _label_stats
                     from .operators.xmlq import _store
+                    from .plans.nl2query import _catalog_rel_signatures
                     st = _store(spark)
-                    df = match_pattern(st.nodes, st.edges, pattern,
-                                       label_counts=_label_stats(spark))
+                    df = match_pattern(
+                        st.nodes, st.edges, pattern,
+                        edge_distinct=edge_distinct,
+                        rel_signatures=_catalog_rel_signatures(spark, st),
+                        label_counts=_label_stats(spark))
                     self._send(200, {"pattern": pattern,
+                                     "edge_distinct": edge_distinct,
                                      "rows": _rows(df)})
                 elif self.path == "/query":
                     name = data.get("name")

@@ -401,3 +401,25 @@ def test_pattern_endpoint_malformed_is_422(server):
 def test_pattern_endpoint_missing_body_is_400(server):
     code, body = _post(f"{server}/pattern", {})
     assert code == 400
+
+
+def test_pattern_endpoint_edge_distinct_and_injection(server):
+    """r12: the two pattern levers over HTTP — edge_distinct toggles
+    Cypher relationship-uniqueness (fewer bindings on the shared-line
+    shape), and a TERSE unlabeled pattern compiles via catalog label
+    injection (it would otherwise still answer, just unbroadcast)."""
+    shared = ("MATCH (a1:Airplane)<-[:included_in]-(ln:LineNumber)"
+              "-[:included_in]->(a2:Airplane) "
+              "RETURN count(*) AS n")
+    code, homo = _post(f"{server}/pattern", {"pattern": shared})
+    code2, dist = _post(f"{server}/pattern",
+                        {"pattern": shared, "edge_distinct": True})
+    assert code == 200 and code2 == 200
+    assert dist["edge_distinct"] is True
+    assert dist["rows"][0]["n"] < homo["rows"][0]["n"]
+    # terse text: no labels anywhere — the catalog proves them
+    code3, body = _post(f"{server}/pattern", {"pattern":
+        "MATCH (sb {docnbr: '737-00-1029'})-[:HAS_HEADER]->(h)"
+        "-[:HAS_SUBJECT]->(subj) RETURN subj.content AS subject"})
+    assert code3 == 200
+    assert "ENGINE FUEL" in body["rows"][0]["subject"]
