@@ -38,7 +38,14 @@ Supported subset — exactly what the compiler supports, nothing more:
   ``min/max/sum/avg(var.field)`` — non-aggregate RETURN items become
   the grouping keys, exactly Cypher's semantics (``RETURN a.docnbr,
   count(DISTINCT ln.name)`` groups by docnbr). A pattern whose RETURN
-  is all-aggregates produces the global 1-row aggregate.
+  is all-aggregates produces the global 1-row aggregate;
+* trailing result modifiers after RETURN (r12): ``ORDER BY item
+  [ASC|DESC], …``, ``SKIP n``, ``LIMIT n`` — items are output columns
+  (aliases, or var.field mapped through its alias); compiled to
+  orderBy/offset/limit. Without RETURN they stay rejected (Cypher's
+  own rule). LIMIT without a total ORDER BY is nondeterministic under
+  ties, exactly as in Cypher — oracle-checked callers must order by a
+  unique key.
 
 Rejected with explicit errors (parse-time, not plan-time): OR in
 WHERE, unbounded ``*``, shortest-path functions, any trailing clause
@@ -98,7 +105,8 @@ _TOKEN_RE = re.compile(
 
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
-             "DISTINCT", "AS"}
+             "DISTINCT", "AS", "ORDER", "BY", "SKIP", "LIMIT", "ASC",
+             "DESC"}
 _AGG_FNS = {"count", "min", "max", "sum", "avg"}
 
 
@@ -152,6 +160,11 @@ class ParsedPattern:
     # None for count(*). Non-empty => implicit grouping by `returns`.
     aggregates: list[tuple[str, str | None, str | None, bool, str]] = \
         field(default_factory=list)
+    # trailing modifiers (r12): ORDER BY (output column, ascending)
+    # pairs, SKIP and LIMIT — applied after projection/aggregation
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -175,6 +188,9 @@ class _Parser:
         self.where_fn: list = []
         self.returns: list[tuple[str, str | None, str]] | None = None
         self.aggregates: list[tuple] = []  # (fn, var, fld, distinct, alias)
+        self.order_by: list[tuple[str, bool]] = []
+        self.skip: int | None = None
+        self.limit: int | None = None
         self.distinct = False
         self._anon = 0
 
@@ -229,12 +245,14 @@ class _Parser:
         if self.at("kw", "RETURN"):
             self.next()
             self._returns()
+            self._modifiers()
         k, v, p = self.peek()
         if k != "eof":
             raise PatternSyntaxError(
-                f"unexpected {v!r} at position {p} (ORDER BY / LIMIT / "
-                "extra clauses are not part of the pattern language — "
-                "apply them on the returned DataFrame)")
+                f"unexpected {v!r} at position {p} (ORDER BY / SKIP / "
+                "LIMIT are only valid after RETURN; other trailing "
+                "clauses are not part of the pattern language — apply "
+                "them on the returned DataFrame)")
         if not self.edges:
             raise PatternSyntaxError(
                 "pattern has no edge — a single-node MATCH is a table "
@@ -242,7 +260,70 @@ class _Parser:
         return ParsedPattern(list(self.nodes.values()), self.edges,
                              self.where_fn, self.returns, self.distinct,
                              self.clauses, tuple(self.edge_vars),
-                             self.aggregates)
+                             self.aggregates, self.order_by, self.skip,
+                             self.limit)
+
+    def _modifiers(self) -> None:
+        """Trailing ``ORDER BY item [ASC|DESC], … SKIP n LIMIT n`` (r12)
+        — Cypher's result modifiers, valid only after RETURN. Items
+        resolve to OUTPUT columns (an alias, or var.field which maps
+        through its RETURN alias when the item was aliased)."""
+        outs = self._output_columns()
+        if self.at("kw", "ORDER"):
+            self.next()
+            self.expect("kw", "BY")
+            while True:
+                col = self._order_item(outs)
+                asc = True
+                if self.at("kw", "ASC"):
+                    self.next()
+                elif self.at("kw", "DESC"):
+                    self.next()
+                    asc = False
+                self.order_by.append((col, asc))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        if self.at("kw", "SKIP"):
+            self.next()
+            self.skip = int(self.expect("num"))
+        if self.at("kw", "LIMIT"):
+            self.next()
+            self.limit = int(self.expect("num"))
+
+    def _output_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for var, fld, alias in self.returns or []:
+            if fld is None:
+                cols.update(f"{var}_{c}" for c in _CARRY)
+            else:
+                cols.add(alias)
+        cols.update(item[-1] for item in self.aggregates)
+        return cols
+
+    def _order_item(self, outs: set[str]) -> str:
+        k, v, p = self.next()
+        if k != "ident":
+            raise PatternSyntaxError(
+                f"expected a column in ORDER BY at position {p}, "
+                f"got {v!r}")
+        if self.at("punct", "."):
+            self.next()
+            fld = self.expect("ident")
+            # an aliased RETURN item is ordered through its alias
+            col = f"{v}_{fld}"
+            for rvar, rfld, ralias in self.returns or []:
+                if rvar == v and rfld == fld:
+                    col = ralias
+                    break
+        else:
+            col = v
+        if col not in outs:
+            raise PatternSyntaxError(
+                f"ORDER BY references {col!r}, which is not an output "
+                f"column (have: {', '.join(sorted(outs))})")
+        return col
 
     def _clause_group(self, optional: bool) -> None:
         start = len(self.edges)
@@ -808,4 +889,11 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
         out = out.select(*cols)
     if spec.distinct:
         out = out.distinct()
+    if spec.order_by:
+        out = out.orderBy(*[F.col(c) if asc else F.col(c).desc()
+                            for c, asc in spec.order_by])
+    if spec.skip:
+        out = out.offset(spec.skip)
+    if spec.limit is not None:
+        out = out.limit(spec.limit)
     return out

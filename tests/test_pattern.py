@@ -90,7 +90,6 @@ def test_parse_where_comparisons_build_columns(spark):
     ("MATCH (a)-[:T*]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T*2..]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T]->(b) WHERE a.id = 1 OR b.id = 2 RETURN a.id", "OR"),
-    ("MATCH (a)-[:T]->(b) RETURN a.id ORDER BY a.id", "unexpected"),
     ("MATCH (A)-[:T]->(b) RETURN b.id", "variable"),
     ("MATCH (a {x: 'p', y: 'q'})-[:T]->(b) RETURN a.id", "one non-name"),
     ("MATCH (a)-[:T]->(b) RETURN c.id", "unknown variable"),
@@ -100,6 +99,13 @@ def test_parse_where_comparisons_build_columns(spark):
     ("MATCH (a {k: 1})-[:T]->(b) RETURN a.id", "quoted"),
     ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(c)-[:V]->(d) "
      "RETURN a.id", "single-edge"),
+    # --- r12: result modifiers only valid after RETURN ---
+    ("MATCH (a)-[:T]->(b) LIMIT 5", "only valid after RETURN"),
+    ("MATCH (a)-[:T]->(b) ORDER BY a.id RETURN a.id",
+     "only valid after RETURN"),
+    ("MATCH (a)-[:T]->(b) RETURN a.id ORDER BY z.name", "output column"),
+    ("MATCH (a)-[:T]->(b) RETURN a.name AS an ORDER BY a.id",
+     "output column"),
     # --- r12: edge-variable boundaries, all parse-time ---
     ("MATCH (a)-[r:T*1..3]->(b) RETURN a.id", "variable-length"),
     ("MATCH (a)-[r:T]->(b)-[r:U]->(c) RETURN a.id", "collides"),
@@ -697,3 +703,34 @@ def test_return_aggregates_implicit_grouping_semantics(tiny):
         nodes, edges, "MATCH (a)-[:S]->(b) RETURN count(*) AS n, "
         "count(DISTINCT b.name) AS nb"))
     assert rows == [(2, 1)]  # edges 3->5 and 4->5, one distinct dst
+
+
+# --- r12: ORDER BY / SKIP / LIMIT -------------------------------------------
+
+def test_parse_result_modifiers():
+    p = parse_match(
+        "MATCH (a:L)-[:T]->(b) RETURN a.docnbr AS d, b.name "
+        "ORDER BY a.docnbr DESC, b_name SKIP 2 LIMIT 3")
+    # a.docnbr maps through its alias; b.name has the default alias
+    assert p.order_by == [("d", False), ("b_name", True)]
+    assert (p.skip, p.limit) == (2, 3)
+    # aggregates order by their alias
+    p2 = parse_match("MATCH (a)-[:T]->(b) RETURN b.docnbr AS d, "
+                     "count(*) AS n ORDER BY n DESC LIMIT 1")
+    assert p2.order_by == [("n", False)] and p2.limit == 1
+
+
+def test_result_modifiers_semantics(tiny):
+    nodes, edges = tiny
+    got = [tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (a:A|B|C) MATCH (a)-[:R|S|T]->(x) "
+        "RETURN a.name AS an, x.name AS xn "
+        "ORDER BY an DESC, xn SKIP 1 LIMIT 2").collect()]
+    twin = (match_pattern(
+        nodes, edges,
+        "MATCH (a:A|B|C) MATCH (a)-[:R|S|T]->(x) "
+        "RETURN a.name AS an, x.name AS xn")
+        .orderBy(F.col("an").desc(), "xn").offset(1).limit(2))
+    assert got == [tuple(r) for r in twin.collect()]
+    assert len(got) == 2
