@@ -111,6 +111,8 @@ EXTENDED = [
                                 # flood rounds; the betweenness regime)
     "graph_motif_aggregate",    # r12: RETURN aggregates (implicit
                                 # grouping) compiled from pattern text
+    "graph_random_walks",       # r12: hash-seeded DeepWalk sampling
+                                # (8 keyed frontier joins + rank)
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

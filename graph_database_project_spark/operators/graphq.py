@@ -2946,6 +2946,149 @@ GROUP BY lv ORDER BY level""")
 Q_GRAPH_SCC_CONDENSATION_SQL = _scc_condensation_oracle_sql()
 
 
+# --- deterministic random walks (r12) ---------------------------------------
+
+WALK_STEPS = 8
+WALK_SEED_MOD = 50      # one walk per customer with custkey % 50 == 0
+WALK_DEADEND_MOD = 97   # nodes with custkey % 97 == 0 have NO out-edges
+# hash constants: two mixing rounds; operands stay < ~2^21 and the
+# largest multiplier is < 2^32, so every BIGINT product is < 2^53 and
+# ANSI arithmetic can never overflow (profiling.py HLL discipline); the
+# additive offsets kill the zero fixed point
+_WALK_H1 = "((walk * 2654435761 + step * 40503 + dst * 1597334677 + 12345) % 2147483647)"
+_WALK_HASH = f"(({_WALK_H1} * 48271 + 11) % 2147483647)"
+
+
+def _walk_graph(spark: SparkSession, sf_dir: str):
+    """Walk substrate over customer keys — out-degree VARIES (1–3: chain
+    u→u+1, doubling u→2u when in range, halving u→u div 2) so the
+    hash-ranked choice is genuinely exercised, and every 97th node is a
+    planted DEAD END (no out-edges) so early-terminated walks exist
+    (dead-variation rule: walk lengths must vary)."""
+    cust = load_table(spark, sf_dir, "customer")
+    verts = cust.select(F.col("c_custkey").cast("long").alias("v"))
+    k = F.col("c_custkey").cast("long")
+    nmax = verts.agg(F.max("v").alias("nmax"))
+    base = cust.crossJoin(F.broadcast(nmax)).filter(
+        k % WALK_DEADEND_MOD != 0)
+    chain = (base.filter(k + 1 <= F.col("nmax"))
+             .select(k.alias("src"), (k + 1).alias("dst")))
+    dbl = (base.filter(k * 2 <= F.col("nmax"))
+           .select(k.alias("src"), (k * 2).alias("dst")))
+    half = (base.filter(k >= 2)
+            .select(k.alias("src"), F.expr(
+                "CAST(c_custkey AS BIGINT) div 2").alias("dst")))
+    edges = (chain.unionByName(dbl).unionByName(half).distinct()
+             .localCheckpoint(eager=True))
+    return verts, edges
+
+
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-walk sampling — the distributed
+    DeepWalk/node2vec corpus generator (walks feed skip-gram training
+    downstream; the reference's graph has no analytics layer at all, so
+    this extends the engine the direction the LLM-pipeline operators
+    do). True randomness would break the bit-exact oracle AND
+    reproducible training, so each step is chosen by a seeded HASH: from
+    node u, walk w at step t moves to the out-neighbor v minimizing
+    (h(w, t, v), v) — a uniform-looking, replayable choice (p=q=1
+    node2vec; biased variants change only the ranking expression).
+
+    Shape: L=8 synchronous rounds; each round is ONE equi-join of the
+    frontier (walk, cur) against edges keyed on src, then a
+    row_number=1 rank within (walk) over ≤out-degree candidates.
+    Dead-end nodes terminate their walks early (inner join drops them).
+    100 TB: frontier and edges both shuffle on 64-bit keys; per-round
+    frontier is |walks|-sized — a billion walks is a billion-row keyed
+    join per step, embarrassingly partitionable; the per-(walk,step)
+    rank window is over ≤3 rows. The trail accumulates via unions of
+    checkpointed per-step frames (lineage O(1) per round).
+
+    Output: per walk — end node, steps completed, Σ(t+1)·node_t
+    checksum (the whole path pinned by one BIGINT), all exactly
+    mirrored by the oracle's unrolled per-step CTEs."""
+    verts, edges = _walk_graph(spark, sf_dir)
+    seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
+             .select(F.col("v").alias("walk"), F.col("v").alias("cur")))
+    state = seeds.localCheckpoint(eager=True)
+    trail = state.select("walk", F.lit(0).cast("long").alias("step"),
+                         F.col("cur").alias("node"))
+    trail = trail.localCheckpoint(eager=True)
+    w = W.partitionBy("walk")
+    for t in range(1, WALK_STEPS + 1):
+        cand = (state.join(edges, state.cur == edges.src)
+                .select("walk", "dst")
+                .withColumn("step", F.lit(t).cast("long")))
+        ranked = cand.withColumn(
+            "rn", F.row_number().over(
+                w.orderBy(F.expr(_WALK_HASH), F.col("dst"))))
+        state = (ranked.filter(F.col("rn") == 1)
+                 .select("walk", F.col("dst").alias("cur"))
+                 .localCheckpoint(eager=True))
+        if state.isEmpty():
+            break
+        trail = trail.unionByName(
+            state.select("walk", F.lit(t).cast("long").alias("step"),
+                         F.col("cur").alias("node"))
+        ).localCheckpoint(eager=True)
+    return (trail.groupBy("walk")
+            .agg(F.max("step").alias("n_steps"),
+                 F.max_by("node", "step").alias("end_node"),
+                 F.sum((F.col("step") + 1) * F.col("node"))
+                 .alias("path_checksum"))
+            .orderBy("walk"))
+
+
+def _walk_oracle_sql() -> str:
+    """Unrolled per-step CTEs with the IDENTICAL hash/rank — DuckDB's
+    ROW_NUMBER over (hash, dst) reproduces the argmin exactly."""
+    parts = [f"""
+WITH verts AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+nmx AS (SELECT max(v) AS nmax FROM verts),
+e AS MATERIALIZED (
+  SELECT v AS src, v + 1 AS dst FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v + 1 <= (SELECT nmax FROM nmx)
+  UNION
+  SELECT v, v * 2 FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v * 2 <= (SELECT nmax FROM nmx)
+  UNION
+  SELECT v, v // 2 FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v >= 2
+),
+s0 AS MATERIALIZED (
+  SELECT v AS walk, v AS cur FROM verts WHERE v % {WALK_SEED_MOD} = 0
+)"""]
+    for t in range(1, WALK_STEPS + 1):
+        h1 = (f"((walk * 2654435761 + {t} * 40503 + dst * 1597334677 "
+              "+ 12345) % 2147483647)")
+        h = f"(({h1} * 48271 + 11) % 2147483647)"
+        parts.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT walk, dst AS cur FROM (
+    SELECT s.walk, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY s.walk
+                              ORDER BY {h}, e.dst) AS rn
+    FROM s{t-1} s JOIN e ON e.src = s.cur
+  ) WHERE rn = 1
+)""")
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS node FROM s{t}"
+        for t in range(0, WALK_STEPS + 1))
+    parts.append(f""",
+trail AS MATERIALIZED (
+  {unions}
+)
+SELECT walk,
+       CAST(max(step) AS BIGINT) AS n_steps,
+       CAST(max_by(node, step) AS BIGINT) AS end_node,
+       CAST(sum((step + 1) * node) AS BIGINT) AS path_checksum
+FROM trail GROUP BY walk ORDER BY walk""")
+    return "".join(parts)
+
+
+Q_GRAPH_RANDOM_WALKS_SQL = _walk_oracle_sql()
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -2974,6 +3117,7 @@ QUERIES = {
     "graph_betweenness_sampled": q_graph_betweenness_sampled,
     "graph_scc": q_graph_scc,
     "graph_scc_coloring": q_graph_scc_coloring,
+    "graph_random_walks": q_graph_random_walks,
     "graph_scc_condensation": q_graph_scc_condensation,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
@@ -3008,6 +3152,8 @@ ORACLE = {
     # hub-safe FW-BW coloring, SAME oracle verbatim: the driver checks
     # two machineries produce the identical SCC partition
     "graph_scc_coloring": Q_GRAPH_SCC_SQL,
+    # hash-seeded walk steps unrolled per round, identical rank both sides
+    "graph_random_walks": Q_GRAPH_RANDOM_WALKS_SQL,
     "graph_scc_condensation": Q_GRAPH_SCC_CONDENSATION_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

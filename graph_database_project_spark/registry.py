@@ -260,7 +260,9 @@ _DRIVER_WINDOW = [
     # (r07 green; relational keeps 7 window reps; rotates in r13)
     "xml_khop_flagship",
     "xml_label_counts",
-    "xml_title_hierarchy",
+    # xml_title_hierarchy: slot yielded to graph_random_walks below
+    # (r07 green; xmlq stays repped by khop_flagship + label_counts;
+    # rotates in r13)
     "zorder_layout",
     # --- family reps (modules with no r06/r07-cohort key) ---
     "nl2query_demo",              # r11 green; nl2query rep
@@ -281,6 +283,9 @@ _DRIVER_WINDOW = [
     # graph_motif_aggregate: Cypher RETURN aggregates with implicit
     # grouping, parsed from text (count(DISTINCT)/count(*)/min)
     "graph_motif_aggregate",
+    # graph_random_walks: deterministic hash-seeded DeepWalk sampling
+    # (replayable training-corpus generation; 3-machinery checked)
+    "graph_random_walks",
 ]
 
 

@@ -706,3 +706,51 @@ def test_scc_coloring_fails_loud_on_bound_exhaustion(spark):
     verts = edges.select(F.col("src").alias("v")).distinct()
     with pytest.raises(RuntimeError, match="did not converge"):
         _scc_labels_coloring(verts, edges, max_flood=3)
+
+
+def test_random_walks_match_pure_python_replay(spark):
+    """Third machinery for the r12 walk sampler: rebuild the substrate
+    and replay every walk in pure Python (dict adjacency + the same
+    hash), then compare (n_steps, end_node, path_checksum) per walk."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        WALK_DEADEND_MOD, WALK_SEED_MOD, WALK_STEPS, q_graph_random_walks)
+
+    sf = "/root/testdata/sf0.001"
+    keys = [r[0] for r in load_table(spark, sf, "customer")
+            .select("c_custkey").collect()]
+    nmax = max(keys)
+    adj: dict[int, list[int]] = {}
+    for v in keys:
+        if v % WALK_DEADEND_MOD == 0:
+            continue
+        outs = set()
+        if v + 1 <= nmax:
+            outs.add(v + 1)
+        if v * 2 <= nmax:
+            outs.add(v * 2)
+        if v >= 2:
+            outs.add(v // 2)
+        adj[v] = sorted(outs)
+
+    def h(walk, step, dst):
+        x = (walk * 2654435761 + step * 40503 + dst * 1597334677
+             + 12345) % 2147483647
+        return (x * 48271 + 11) % 2147483647
+
+    expect = {}
+    for seed in (v for v in keys if v % WALK_SEED_MOD == 0):
+        cur, checksum, steps = seed, seed, 0
+        for t in range(1, WALK_STEPS + 1):
+            outs = adj.get(cur, [])
+            if not outs:
+                break
+            cur = min(outs, key=lambda d: (h(seed, t, d), d))
+            steps, checksum = t, checksum + (t + 1) * cur
+        expect[seed] = (steps, cur, checksum)
+
+    got = {r.walk: (r.n_steps, r.end_node, r.path_checksum)
+           for r in q_graph_random_walks(spark, sf).collect()}
+    assert got == expect
+    # dead-variation rule: lengths vary (dead-ends are live)
+    assert len({v[0] for v in got.values()}) > 1
