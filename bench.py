@@ -113,6 +113,8 @@ EXTENDED = [
                                 # grouping) compiled from pattern text
     "graph_random_walks",       # r12: hash-seeded DeepWalk sampling
                                 # (8 keyed frontier joins + rank)
+    "graph_walk_skipgrams",     # r12: skip-gram pairs + hash negatives
+                                # over the walk trail
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

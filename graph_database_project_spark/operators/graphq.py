@@ -2983,30 +2983,10 @@ def _walk_graph(spark: SparkSession, sf_dir: str):
     return verts, edges
 
 
-def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DETERMINISTIC random-walk sampling — the distributed
-    DeepWalk/node2vec corpus generator (walks feed skip-gram training
-    downstream; the reference's graph has no analytics layer at all, so
-    this extends the engine the direction the LLM-pipeline operators
-    do). True randomness would break the bit-exact oracle AND
-    reproducible training, so each step is chosen by a seeded HASH: from
-    node u, walk w at step t moves to the out-neighbor v minimizing
-    (h(w, t, v), v) — a uniform-looking, replayable choice (p=q=1
-    node2vec; biased variants change only the ranking expression).
-
-    Shape: L=8 synchronous rounds; each round is ONE equi-join of the
-    frontier (walk, cur) against edges keyed on src, then a
-    row_number=1 rank within (walk) over ≤out-degree candidates.
-    Dead-end nodes terminate their walks early (inner join drops them).
-    100 TB: frontier and edges both shuffle on 64-bit keys; per-round
-    frontier is |walks|-sized — a billion walks is a billion-row keyed
-    join per step, embarrassingly partitionable; the per-(walk,step)
-    rank window is over ≤3 rows. The trail accumulates via unions of
-    checkpointed per-step frames (lineage O(1) per round).
-
-    Output: per walk — end node, steps completed, Σ(t+1)·node_t
-    checksum (the whole path pinned by one BIGINT), all exactly
-    mirrored by the oracle's unrolled per-step CTEs."""
+def _walk_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (walk, step, node) trail relation — the L-round frontier loop
+    shared by the walk summary and the skip-gram pair keys (each caller
+    re-runs the build; the loop is the operator, not a cache read)."""
     verts, edges = _walk_graph(spark, sf_dir)
     seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
              .select(F.col("v").alias("walk"), F.col("v").alias("cur")))
@@ -3031,6 +3011,34 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.select("walk", F.lit(t).cast("long").alias("step"),
                          F.col("cur").alias("node"))
         ).localCheckpoint(eager=True)
+    return trail
+
+
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-walk sampling — the distributed
+    DeepWalk/node2vec corpus generator (walks feed skip-gram training
+    downstream; the reference's graph has no analytics layer at all, so
+    this extends the engine the direction the LLM-pipeline operators
+    do). True randomness would break the bit-exact oracle AND
+    reproducible training, so each step is chosen by a seeded HASH: from
+    node u, walk w at step t moves to the out-neighbor v minimizing
+    (h(w, t, v), v) — a uniform-looking, replayable choice (p=q=1
+    node2vec; biased variants change only the ranking expression).
+
+    Shape: L=8 synchronous rounds; each round is ONE equi-join of the
+    frontier (walk, cur) against edges keyed on src, then a
+    row_number=1 rank within (walk) over ≤out-degree candidates.
+    Dead-end nodes terminate their walks early (inner join drops them).
+    100 TB: frontier and edges both shuffle on 64-bit keys; per-round
+    frontier is |walks|-sized — a billion walks is a billion-row keyed
+    join per step, embarrassingly partitionable; the per-(walk,step)
+    rank window is over ≤3 rows. The trail accumulates via unions of
+    checkpointed per-step frames (lineage O(1) per round).
+
+    Output: per walk — end node, steps completed, Σ(t+1)·node_t
+    checksum (the whole path pinned by one BIGINT), all exactly
+    mirrored by the oracle's unrolled per-step CTEs."""
+    trail = _walk_trail(spark, sf_dir)
     return (trail.groupBy("walk")
             .agg(F.max("step").alias("n_steps"),
                  F.max_by("node", "step").alias("end_node"),
@@ -3039,9 +3047,11 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("walk"))
 
 
-def _walk_oracle_sql() -> str:
-    """Unrolled per-step CTEs with the IDENTICAL hash/rank — DuckDB's
-    ROW_NUMBER over (hash, dst) reproduces the argmin exactly."""
+def _walk_trail_cte_sql() -> str:
+    """The WITH-fragment ending at ``trail(walk, step, node)`` — unrolled
+    per-step CTEs with the IDENTICAL hash/rank (DuckDB's ROW_NUMBER over
+    (hash, dst) reproduces the argmin exactly); shared by the walk
+    summary and skip-gram oracles."""
     parts = [f"""
 WITH verts AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
 nmx AS (SELECT max(v) AS nmax FROM verts),
@@ -3077,16 +3087,102 @@ s{t} AS MATERIALIZED (
     parts.append(f""",
 trail AS MATERIALIZED (
   {unions}
-)
+)""")
+    return "".join(parts)
+
+
+Q_GRAPH_RANDOM_WALKS_SQL = _walk_trail_cte_sql() + """
 SELECT walk,
        CAST(max(step) AS BIGINT) AS n_steps,
        CAST(max_by(node, step) AS BIGINT) AS end_node,
        CAST(sum((step + 1) * node) AS BIGINT) AS path_checksum
-FROM trail GROUP BY walk ORDER BY walk""")
-    return "".join(parts)
+FROM trail GROUP BY walk ORDER BY walk"""
 
 
-Q_GRAPH_RANDOM_WALKS_SQL = _walk_oracle_sql()
+# --- skip-gram pairs + hash negative sampling over the walk trail -----------
+
+WALK_WINDOW = 2        # skip-gram context window over walk positions
+_PAIR_KEY = 4_000_000_000  # > any node id: center*KEY+other is injective
+_NEG_H1 = ("((center * 2654435761 + context * 1597334677 + dist * 40503 "
+           "+ 999331) % 2147483647)")
+_NEG_HASH = f"(({_NEG_H1} * 48271 + 11) % 2147483647)"
+
+
+def q_graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus — the downstream
+    half of the DeepWalk/node2vec pipeline (walks → (center, context)
+    pairs within a window → negative samples; the pairs ARE the
+    embedding-training dataset). Positives: ordered pairs within
+    WALK_WINDOW positions on the same walk. Negatives: one per positive,
+    drawn by the same seeded-hash discipline as the walk steps (uniform
+    over the vertex universe, replayable — the training set is
+    bit-reproducible end to end).
+
+    Shape: the trail self-joins ON WALK (keyed, ≤L+1 rows per key — no
+    blow-up), negatives are a pure per-row expression + one broadcast
+    1-row max. 100 TB: pairs = |walks|·O(L·window) rows generated by one
+    keyed self-join — the standard corpus-expansion job before
+    embedding training. Output: one audit row per (kind, dist) with
+    count / injective-key distinct count / checksum, pinning the exact
+    pair multiset either side of the negative sampler."""
+    trail = _walk_trail(spark, sf_dir)
+    t1 = trail.select("walk", F.col("step").alias("s1"),
+                      F.col("node").alias("center"))
+    t2 = trail.select("walk", F.col("step").alias("s2"),
+                      F.col("node").alias("context"))
+    dist = F.abs(F.col("s2") - F.col("s1"))
+    pairs = (t1.join(t2, "walk")
+             .filter((dist >= 1) & (dist <= WALK_WINDOW))
+             .select("center", "context", dist.cast("long").alias("dist"))
+             .localCheckpoint(eager=True))
+    pos = (pairs.groupBy("dist")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct(F.col("center") * F.lit(_PAIR_KEY)
+                                + F.col("context")).alias("n_distinct"),
+                F.sum(F.col("center") + 131 * F.col("context"))
+                .alias("checksum"))
+           .select(F.lit("pos").alias("kind"), "dist", "n_pairs",
+                   "n_distinct", "checksum"))
+    nmax = (load_table(spark, sf_dir, "customer")
+            .agg(F.max(F.col("c_custkey").cast("long")).alias("nmax")))
+    negs = (pairs.crossJoin(F.broadcast(nmax))
+            .withColumn("neg", F.expr(_NEG_HASH) % F.col("nmax") + 1))
+    neg = (negs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.countDistinct(F.col("center") * F.lit(_PAIR_KEY)
+                                    + F.col("neg")).alias("n_distinct"),
+                    F.sum(F.col("center") + 131 * F.col("neg"))
+                    .alias("checksum"))
+           .select(F.lit("neg").alias("kind"),
+                   F.lit(0).cast("long").alias("dist"), "n_pairs",
+                   "n_distinct", "checksum"))
+    return pos.unionByName(neg).orderBy("kind", "dist")
+
+
+Q_GRAPH_WALK_SKIPGRAMS_SQL = _walk_trail_cte_sql() + f""",
+pairs AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS context,
+         CAST(abs(b.step - a.step) AS BIGINT) AS dist
+  FROM trail a JOIN trail b ON a.walk = b.walk
+  WHERE abs(b.step - a.step) BETWEEN 1 AND {WALK_WINDOW}
+),
+negs AS MATERIALIZED (
+  SELECT center,
+         {_NEG_HASH} % (SELECT nmax FROM nmx) + 1 AS neg
+  FROM pairs
+)
+SELECT 'pos' AS kind, dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT center * {_PAIR_KEY} + context) AS BIGINT)
+         AS n_distinct,
+       CAST(sum(center + 131 * context) AS BIGINT) AS checksum
+FROM pairs GROUP BY dist
+UNION ALL
+SELECT 'neg', CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT center * {_PAIR_KEY} + neg) AS BIGINT),
+       CAST(sum(center + 131 * neg) AS BIGINT)
+FROM negs
+ORDER BY kind, dist"""
 
 
 QUERIES = {
@@ -3118,6 +3214,7 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "graph_scc_coloring": q_graph_scc_coloring,
     "graph_random_walks": q_graph_random_walks,
+    "graph_walk_skipgrams": q_graph_walk_skipgrams,
     "graph_scc_condensation": q_graph_scc_condensation,
     "sql_recursive_khop": q_sql_recursive_khop,
 }
@@ -3154,6 +3251,7 @@ ORACLE = {
     "graph_scc_coloring": Q_GRAPH_SCC_SQL,
     # hash-seeded walk steps unrolled per round, identical rank both sides
     "graph_random_walks": Q_GRAPH_RANDOM_WALKS_SQL,
+    "graph_walk_skipgrams": Q_GRAPH_WALK_SKIPGRAMS_SQL,
     "graph_scc_condensation": Q_GRAPH_SCC_CONDENSATION_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines
 }

@@ -251,7 +251,8 @@ _DRIVER_WINDOW = [
     "sim_ivf_topk",
     "sim_ivfpq_topk",
     "text_bm25_search",
-    "text_chunk_windows",
+    # text_chunk_windows: slot yielded to graph_walk_skipgrams below
+    # (r07 green; textops keeps 5+ window reps; rotates in r13)
     "text_cooccur_pmi",
     "text_span_dedup",
     "ts_markov_transitions",
@@ -286,6 +287,10 @@ _DRIVER_WINDOW = [
     # graph_random_walks: deterministic hash-seeded DeepWalk sampling
     # (replayable training-corpus generation; 3-machinery checked)
     "graph_random_walks",
+    # graph_walk_skipgrams: (center, context) skip-gram pairs + hash
+    # negative sampling over the walk trail — the embedding-training
+    # dataset generator
+    "graph_walk_skipgrams",
 ]
 
 

@@ -754,3 +754,67 @@ def test_random_walks_match_pure_python_replay(spark):
     assert got == expect
     # dead-variation rule: lengths vary (dead-ends are live)
     assert len({v[0] for v in got.values()}) > 1
+
+
+def test_walk_skipgrams_match_pure_python_replay(spark):
+    """Replay the skip-gram expansion + negative sampler in pure Python
+    over the replayed trails (shares the walk-replay machinery above)."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        WALK_DEADEND_MOD, WALK_SEED_MOD, WALK_STEPS, WALK_WINDOW,
+        q_graph_walk_skipgrams)
+
+    sf = "/root/testdata/sf0.001"
+    keys = [r[0] for r in load_table(spark, sf, "customer")
+            .select("c_custkey").collect()]
+    nmax = max(keys)
+    adj = {}
+    for v in keys:
+        if v % WALK_DEADEND_MOD == 0:
+            continue
+        outs = {x for x in (v + 1, v * 2, v // 2)
+                if 1 <= x <= nmax and x != v}
+        adj[v] = sorted(outs)
+
+    def h(walk, step, dst):
+        x = (walk * 2654435761 + step * 40503 + dst * 1597334677
+             + 12345) % 2147483647
+        return (x * 48271 + 11) % 2147483647
+
+    trails = []
+    for seed in (v for v in keys if v % WALK_SEED_MOD == 0):
+        path, cur = [seed], seed
+        for t in range(1, WALK_STEPS + 1):
+            outs = adj.get(cur, [])
+            if not outs:
+                break
+            cur = min(outs, key=lambda d: (h(seed, t, d), d))
+            path.append(cur)
+        trails.append(path)
+
+    import collections
+    pos = collections.defaultdict(lambda: [0, set(), 0])
+    neg_stats = [0, set(), 0]
+    for path in trails:
+        for i, c in enumerate(path):
+            for j, x in enumerate(path):
+                d = abs(j - i)
+                if not (1 <= d <= WALK_WINDOW):
+                    continue
+                st = pos[d]
+                st[0] += 1
+                st[1].add(c * 4_000_000_000 + x)
+                st[2] += c + 131 * x
+                hn = (c * 2654435761 + x * 1597334677 + d * 40503
+                      + 999331) % 2147483647
+                neg = ((hn * 48271 + 11) % 2147483647) % nmax + 1
+                neg_stats[0] += 1
+                neg_stats[1].add(c * 4_000_000_000 + neg)
+                neg_stats[2] += c + 131 * neg
+
+    got = {(r.kind, r.dist): (r.n_pairs, r.n_distinct, r.checksum)
+           for r in q_graph_walk_skipgrams(spark, sf).collect()}
+    for d, st in pos.items():
+        assert got[("pos", d)] == (st[0], len(st[1]), st[2])
+    assert got[("neg", 0)] == (neg_stats[0], len(neg_stats[1]),
+                               neg_stats[2])
