@@ -115,6 +115,8 @@ EXTENDED = [
                                 # (8 keyed frontier joins + rank)
     "graph_walk_skipgrams",     # r12: skip-gram pairs + hash negatives
                                 # over the walk trail
+    "graph_motif_pipeline",     # r12b: Cypher WITH stages (aggregate ->
+                                # HAVING -> re-anchored MATCH) from text
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

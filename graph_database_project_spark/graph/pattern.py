@@ -45,15 +45,36 @@ Supported subset — exactly what the compiler supports, nothing more:
   orderBy/offset/limit. Without RETURN they stay rejected (Cypher's
   own rule). LIMIT without a total ORDER BY is nondeterministic under
   ties, exactly as in Cypher — oracle-checked callers must order by a
-  unique key.
+  unique key;
+* ``WITH`` pipeline stages (r12b) — Cypher's staged queries:
+  ``MATCH … WITH [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n]
+  [WHERE …] [MATCH …] … RETURN …``. A WITH boundary projects (same
+  item/aggregate grammar as RETURN, implicit grouping included), then
+  applies its modifiers, then its trailing WHERE (the HAVING shape:
+  ``WITH a, count(b) AS c WHERE c > 2``), evaluated in exactly that
+  clause order. Cypher's scoping rule applies: only items carried
+  through the WITH remain visible — a variable carried BARE (``WITH
+  a``) stays a variable (its carried columns survive and later MATCH
+  clauses may re-anchor on it, compiled as an id-equality join), an
+  aliased field or aggregate becomes a plain COLUMN referenced by its
+  alias (in later WHERE, RETURN, aggregates, and ORDER BY). A MATCH
+  after WITH must mention at least one carried variable (else it would
+  be a cartesian product — rejected at parse time). A query containing
+  WITH must end with RETURN.
 
 Rejected with explicit errors (parse-time, not plan-time): OR in
 WHERE, unbounded ``*``, shortest-path functions, any trailing clause
 (ORDER BY/LIMIT belong to the DataFrame, not the pattern language),
 RETURN/WHERE references to a negation-only auxiliary variable (it
 binds no output columns), multi-hop OPTIONAL MATCH paths (each hop
-must be its own OPTIONAL MATCH clause — the compiler's leaf rule), and
-edge variables on negated or variable-length patterns.
+must be its own OPTIONAL MATCH clause — the compiler's leaf rule),
+edge variables on negated or variable-length patterns, ``WITH *``
+(list the carried items explicitly), new predicates on a carried
+variable's re-mention (filter before carrying), NOT patterns in a
+WITH's trailing WHERE or in a post-WITH stage without a positive
+MATCH of its own, and references to anything NOT carried through the
+last WITH (Cypher's own out-of-scope rule, surfaced as a positioned
+error).
 
 Re-mentioning a variable: a bare re-mention of a predicated variable
 re-uses its binding (``(a:L)… (a)``); a PREDICATED re-mention of a
@@ -106,7 +127,7 @@ _TOKEN_RE = re.compile(
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
              "DISTINCT", "AS", "ORDER", "BY", "SKIP", "LIMIT", "ASC",
-             "DESC"}
+             "DESC", "WITH"}
 _AGG_FNS = {"count", "min", "max", "sum", "avg"}
 
 
@@ -142,9 +163,40 @@ def _tokenize(text: str) -> list[tuple[str, str, int]]:
 
 
 @dataclass
+class WithStage:
+    """One ``WITH`` boundary (r12b) plus the reading clauses that follow
+    it. The boundary projects/aggregates the rows produced so far —
+    ``items``/``aggregates`` use the same shapes as
+    ``ParsedPattern.returns``/``aggregates``, with ``var=None`` marking
+    a carried-COLUMN reference ``(None, colname, alias)`` — then applies
+    its modifiers and its trailing WHERE (``post_where``: thunks over
+    the boundary's output columns, evaluated after SKIP/LIMIT, the
+    grammar's clause order). The follow-on MATCH clauses (possibly
+    none) re-anchor on ``join_vars`` — carried bare variables whose
+    ``<var>_id`` columns key the equi-join between the carried rows and
+    the stage's independently-compiled motif."""
+
+    items: list[tuple[str | None, str | None, str]]
+    aggregates: list[tuple]
+    distinct: bool
+    order_by: list[tuple[str, bool]]
+    skip: int | None
+    limit: int | None
+    post_where: list
+    node_pats: list[NodePat]
+    edge_pats: list[EdgePat]
+    clauses: list[tuple[int, ...]]
+    where_fn: list
+    join_vars: tuple[str, ...]
+
+
+@dataclass
 class ParsedPattern:
     """The compiled-from-text spec: feed node_pats/edge_pats/where to
-    ``match_motif`` (``match_pattern`` does, then applies ``returns``)."""
+    ``match_motif`` (``match_pattern`` does, then applies ``returns``).
+    For a staged (WITH) query the flat pattern fields describe the
+    FIRST stage and ``returns``/modifiers the final RETURN; the WITH
+    boundaries and their follow-on patterns live in ``stages``."""
 
     node_pats: list[NodePat]
     edge_pats: list[EdgePat]
@@ -165,6 +217,8 @@ class ParsedPattern:
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    # WITH pipeline stages (r12b) — empty for single-stage patterns
+    stages: list[WithStage] = field(default_factory=list)
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -183,6 +237,10 @@ class _Parser:
         self.nodes: dict[str, NodePat] = {}
         self.edges: list[EdgePat] = []
         self.edge_vars: dict[str, int] = {}  # var -> declaration position
+        # edge vars declared in the CURRENT stage (self.edge_vars stays
+        # the whole-query collision space; out-of-scope vars must not
+        # RESOLVE but may not be redeclared either)
+        self.stage_edge_vars: set[str] = set()
         self.neg_only: set[str] = set()  # vars living only in NOT patterns
         self.clauses: list[tuple[int, ...]] = []
         self.where_fn: list = []
@@ -193,6 +251,12 @@ class _Parser:
         self.limit: int | None = None
         self.distinct = False
         self._anon = 0
+        # WITH environment (r12b): what the last boundary carried
+        self.stages: list[WithStage] = []
+        self.carried_nodes: set[str] = set()  # vars carried bare
+        self.carried_edges: set[str] = set()  # edge vars carried bare
+        self.carried_cols: set[str] = set()   # ALL carried output columns
+        self.join_vars: list[str] = []  # carried vars re-anchored this stage
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0):
@@ -242,10 +306,29 @@ class _Parser:
         if self.at("kw", "WHERE"):
             self.next()
             self._where_terms()
+        if not self.edges:
+            raise PatternSyntaxError(
+                "pattern has no edge — a single-node MATCH is a table "
+                "scan, not a motif; use the store API directly")
+        # stage 0 is complete: snapshot its pattern fields (the WITH loop
+        # re-binds the containers per stage)
+        s0_nodes = list(self.nodes.values())
+        s0_edges = self.edges
+        s0_where = self.where_fn
+        s0_clauses = self.clauses
+        while self.at("kw", "WITH"):
+            self.next()
+            self._with_stage()
+        if self.stages and not self.at("kw", "RETURN"):
+            k, v, p = self.peek()
+            raise PatternSyntaxError(
+                f"a WITH query must end with RETURN (got {v or 'end'!r} "
+                f"at position {p})")
         if self.at("kw", "RETURN"):
             self.next()
             self._returns()
-            self._modifiers()
+            self.order_by, self.skip, self.limit = \
+                self._parse_modifiers(self.returns, self.aggregates)
         k, v, p = self.peek()
         if k != "eof":
             raise PatternSyntaxError(
@@ -253,67 +336,150 @@ class _Parser:
                 "LIMIT are only valid after RETURN; other trailing "
                 "clauses are not part of the pattern language — apply "
                 "them on the returned DataFrame)")
-        if not self.edges:
-            raise PatternSyntaxError(
-                "pattern has no edge — a single-node MATCH is a table "
-                "scan, not a motif; use the store API directly")
-        return ParsedPattern(list(self.nodes.values()), self.edges,
-                             self.where_fn, self.returns, self.distinct,
-                             self.clauses, tuple(self.edge_vars),
+        return ParsedPattern(s0_nodes, s0_edges,
+                             s0_where, self.returns, self.distinct,
+                             s0_clauses, tuple(self.edge_vars),
                              self.aggregates, self.order_by, self.skip,
-                             self.limit)
+                             self.limit, self.stages)
 
-    def _modifiers(self) -> None:
+    def _with_stage(self) -> None:
+        """One ``WITH`` boundary + its follow-on reading clauses (r12b).
+        Grammar: ``WITH [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n]
+        [WHERE …]`` then optional ``MATCH``/``OPTIONAL MATCH`` clauses
+        and an optional stage WHERE — closed by the next WITH, or by
+        RETURN."""
+        if self.at("punct", "*"):
+            _, _, p = self.next()
+            raise PatternSyntaxError(
+                f"'WITH *' at position {p} is not supported — list the "
+                "carried items explicitly")
+        dist = False
+        if self.at("kw", "DISTINCT"):
+            self.next()
+            dist = True
+        items, aggs, _ = self._projection()
+        order_by, skip, limit = self._parse_modifiers(items, aggs)
+        outs = self._output_columns(items, aggs)
+        post_where: list = []
+        if self.at("kw", "WHERE"):
+            self.next()
+            post_where = self._post_where_terms(outs, items)
+        # Cypher scoping: ONLY the carried items survive the boundary.
+        # An edge variable stays a variable only while its column keeps
+        # the canonical name (``WITH r`` / ``WITH r.rel_type``) — an
+        # aliased carry (``WITH r AS u``) is a plain column downstream.
+        self.carried_nodes = {var for var, fld, _ in items if fld is None}
+        self.carried_edges = {var for var, fld, alias in items
+                              if var is not None and fld == "rel_type"
+                              and alias == f"{var}_rel_type"}
+        self.carried_cols = set(outs)
+        # follow-on reading clauses form the new stage's pattern
+        self._begin_stage()
+        while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
+            optional = self.at("kw", "OPTIONAL")
+            if optional:
+                self.next()
+            self.expect("kw", "MATCH")
+            self._clause_group(optional=optional)
+        if self.at("kw", "WHERE"):
+            self.next()
+            self._where_terms()
+        # stage-shape guards (after the stage WHERE — its NOT patterns
+        # append edges too): the stage motif compiles independently and
+        # joins back on the re-anchored variables, so it needs positive
+        # edges, at least one of them touching a carried variable, and
+        # every negation anchored through them
+        pos_vars = {v for ep in self.edges if not ep.negated
+                    for v in (ep.src, ep.dst)}
+        if self.edges and not pos_vars:
+            raise PatternSyntaxError(
+                "a WHERE NOT pattern after WITH needs a positive MATCH "
+                "edge in the same stage to anchor on — apply the "
+                "negation before the WITH boundary instead")
+        if self.edges and not any(v in pos_vars for v in self.join_vars):
+            raise PatternSyntaxError(
+                "a MATCH after WITH must re-anchor on a variable carried "
+                "bare through the WITH (else the stage is a cartesian "
+                "product over unrelated rows)")
+        for ep in self.edges:
+            if ep.negated and ep.src not in pos_vars:
+                raise PatternSyntaxError(
+                    f"NOT pattern anchor {ep.src!r} must be bound by a "
+                    "positive MATCH edge in the same stage (after WITH, "
+                    "the negation runs inside the stage's own motif)")
+        self.stages.append(WithStage(
+            items, aggs, dist, order_by, skip, limit, post_where,
+            list(self.nodes.values()), self.edges, self.clauses,
+            self.where_fn, tuple(self.join_vars)))
+
+    def _begin_stage(self) -> None:
+        self.nodes = {}
+        self.edges = []
+        self.stage_edge_vars = set()
+        self.neg_only = set()
+        self.clauses = []
+        self.where_fn = []
+        self.join_vars = []
+
+    def _parse_modifiers(self, items, aggregates
+                         ) -> tuple[list[tuple[str, bool]],
+                                    int | None, int | None]:
         """Trailing ``ORDER BY item [ASC|DESC], … SKIP n LIMIT n`` (r12)
-        — Cypher's result modifiers, valid only after RETURN. Items
-        resolve to OUTPUT columns (an alias, or var.field which maps
-        through its RETURN alias when the item was aliased)."""
-        outs = self._output_columns()
+        — Cypher's result modifiers, valid after RETURN or a WITH
+        projection. Items resolve to OUTPUT columns (an alias, or
+        var.field which maps through its alias when the item was
+        aliased)."""
+        outs = self._output_columns(items, aggregates)
+        order_by: list[tuple[str, bool]] = []
+        skip = limit = None
         if self.at("kw", "ORDER"):
             self.next()
             self.expect("kw", "BY")
             while True:
-                col = self._order_item(outs)
+                col = self._out_ref(outs, items, "ORDER BY")
                 asc = True
                 if self.at("kw", "ASC"):
                     self.next()
                 elif self.at("kw", "DESC"):
                     self.next()
                     asc = False
-                self.order_by.append((col, asc))
+                order_by.append((col, asc))
                 if self.at("punct", ","):
                     self.next()
                     continue
                 break
         if self.at("kw", "SKIP"):
             self.next()
-            self.skip = int(self.expect("num"))
+            skip = int(self.expect("num"))
         if self.at("kw", "LIMIT"):
             self.next()
-            self.limit = int(self.expect("num"))
+            limit = int(self.expect("num"))
+        return order_by, skip, limit
 
-    def _output_columns(self) -> set[str]:
+    def _output_columns(self, items, aggregates) -> set[str]:
         cols: set[str] = set()
-        for var, fld, alias in self.returns or []:
+        for var, fld, alias in items or []:
             if fld is None:
                 cols.update(f"{var}_{c}" for c in _CARRY)
             else:
                 cols.add(alias)
-        cols.update(item[-1] for item in self.aggregates)
+        cols.update(item[-1] for item in aggregates)
         return cols
 
-    def _order_item(self, outs: set[str]) -> str:
+    def _out_ref(self, outs: set[str], items, ctx: str) -> str:
+        """An OUTPUT-column reference (in ORDER BY, or a WITH's trailing
+        WHERE): a bare alias, or var.field mapped through its alias."""
         k, v, p = self.next()
         if k != "ident":
             raise PatternSyntaxError(
-                f"expected a column in ORDER BY at position {p}, "
+                f"expected a column in {ctx} at position {p}, "
                 f"got {v!r}")
         if self.at("punct", "."):
             self.next()
             fld = self.expect("ident")
-            # an aliased RETURN item is ordered through its alias
+            # an aliased projection item is referenced through its alias
             col = f"{v}_{fld}"
-            for rvar, rfld, ralias in self.returns or []:
+            for rvar, rfld, ralias in items or []:
                 if rvar == v and rfld == fld:
                     col = ralias
                     break
@@ -321,9 +487,54 @@ class _Parser:
             col = v
         if col not in outs:
             raise PatternSyntaxError(
-                f"ORDER BY references {col!r}, which is not an output "
+                f"{ctx} references {col!r}, which is not an output "
                 f"column (have: {', '.join(sorted(outs))})")
         return col
+
+    def _post_where_terms(self, outs: set[str], items) -> list:
+        """A WITH boundary's trailing WHERE (r12b): AND-ed comparisons
+        over the boundary's OUTPUT columns — the HAVING shape. Pattern
+        predicates (NOT …) are parse-time rejected here; they belong
+        before the boundary."""
+        terms: list = []
+        while True:
+            if self.at("kw", "NOT"):
+                _, _, p = self.peek()
+                raise PatternSyntaxError(
+                    f"NOT pattern at position {p} is not allowed in a "
+                    "WITH's trailing WHERE — apply pattern predicates "
+                    "before the WITH boundary")
+            lhs = self._out_ref(outs, items, "WHERE after WITH")
+            k, op, p = self.next()
+            if k != "punct" or op not in _COMPARE_OPS:
+                raise PatternSyntaxError(
+                    f"expected comparison operator at position {p}, "
+                    f"got {op!r}")
+            if self.at("str"):
+                lit = _unescape(self.next()[1][1:-1])
+                rhs = lambda lit=lit: F.lit(lit)  # noqa: E731
+            elif self.at("num"):
+                litn = int(self.next()[1])
+                rhs = lambda litn=litn: F.lit(litn)  # noqa: E731
+            else:
+                rcol = self._out_ref(outs, items, "WHERE after WITH")
+                rhs = lambda rcol=rcol: F.col(rcol)  # noqa: E731
+            ops = {"=": lambda a, b: a == b,
+                   "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
+                   "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
+            terms.append(
+                lambda lhs=lhs, ops=ops, rhs=rhs: ops(F.col(lhs), rhs()))
+            if self.at("kw", "AND"):
+                self.next()
+                continue
+            if self.at("kw", "OR"):
+                _, _, p = self.next()
+                raise PatternSyntaxError(
+                    f"OR at position {p} is not supported — the compiler "
+                    "ANDs all predicates; run two patterns and union")
+            break
+        return terms
 
     def _clause_group(self, optional: bool) -> None:
         start = len(self.edges)
@@ -413,6 +624,24 @@ class _Parser:
             raise PatternSyntaxError(
                 f"variable {var!r} is already an edge variable "
                 f"(declared at position {self.edge_vars[var]})")
+        if var in self.carried_nodes:
+            # re-mention of a variable carried bare through WITH (r12b):
+            # it is already bound — a MATCH here re-anchors on it (the
+            # compile joins on its id); new predicates are rejected
+            # (filter BEFORE carrying, or compare in WHERE)
+            if (label, name, docnbr, prop) != (None, None, None, None):
+                raise PatternSyntaxError(
+                    f"carried variable {var!r} cannot take new "
+                    "predicates after WITH — filter before carrying it, "
+                    "or use a WHERE comparison")
+            if var not in self.nodes:
+                self.nodes[var] = NodePat(var)
+                self.join_vars.append(var)
+            return var
+        if var in self.carried_cols:
+            raise PatternSyntaxError(
+                f"variable {var!r} collides with a column carried "
+                "through WITH — rename one of them")
         pat = NodePat(var, label=label, name=name, docnbr=docnbr, prop=prop)
         prev = self.nodes.get(var)
         if prev is not None:
@@ -447,13 +676,16 @@ class _Parser:
                         f"edge variable {v!r} at position {p}: want "
                         "[a-z][a-z0-9]* (the compiler's column-prefix "
                         "contract)")
-                if v in self.nodes or v in self.edge_vars:
+                if (v in self.nodes or v in self.edge_vars
+                        or v in self.carried_nodes
+                        or v in self.carried_cols):
                     raise PatternSyntaxError(
                         f"edge variable {v!r} at position {p} collides "
                         "with an existing variable (each edge variable "
                         "binds one edge)")
                 var = v
                 self.edge_vars[v] = p
+                self.stage_edge_vars.add(v)
             if self.at("punct", ":"):
                 self.next()
                 rel_type = self._alt_idents()
@@ -561,6 +793,7 @@ class _Parser:
                 max_hops=ep.max_hops, negated=True))
             return
         var, fld = self._field_ref()
+        lcol = fld if var is None else f"{var}_{fld}"
         k, op, p = self.next()
         if k != "punct" or op not in _COMPARE_OPS:
             raise PatternSyntaxError(
@@ -573,25 +806,47 @@ class _Parser:
             rhs = lambda: F.lit(litn)  # noqa: E731
         else:
             v2, f2 = self._field_ref()
-            rhs = lambda: F.col(f"{v2}_{f2}")  # noqa: E731
-        lhs = lambda: F.col(f"{var}_{fld}")  # noqa: E731
+            rcol = f2 if v2 is None else f"{v2}_{f2}"
+            rhs = lambda: F.col(rcol)  # noqa: E731
+        lhs = lambda: F.col(lcol)  # noqa: E731
         ops = {"=": lambda a, b: a == b,
                "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
         self.where_fn.append(lambda: ops(lhs(), rhs()))
 
-    def _field_ref(self) -> tuple[str, str]:
-        var = self.expect("ident")
-        self.expect("punct", ".")
+    def _is_edge_var(self, var: str) -> bool:
+        """In scope as an edge variable: declared in the CURRENT stage,
+        or carried bare through the last WITH."""
+        return var in self.stage_edge_vars or var in self.carried_edges
+
+    def _is_node_var(self, var: str) -> bool:
+        return var in self.nodes or var in self.carried_nodes
+
+    def _field_ref(self) -> tuple[str | None, str]:
+        """``var.field`` → (var, field); a bare identifier naming a
+        column carried through WITH (r12b) → (None, colname)."""
+        k, var, p = self.next()
+        if k != "ident":
+            raise PatternSyntaxError(
+                f"expected a variable at position {p}, got {var!r}")
+        if not self.at("punct", "."):
+            if var in self.carried_cols:
+                return None, var
+            _, v, p2 = self.peek()
+            raise PatternSyntaxError(
+                f"expected '.' at position {p2}, got {v!r} (bare "
+                "identifiers in WHERE must be columns carried through "
+                "WITH)")
+        self.next()
         fld = self.expect("ident")
-        if var in self.edge_vars:
+        if self._is_edge_var(var):
             if fld != "rel_type":
                 raise PatternSyntaxError(
                     f"edge variable field {fld!r} is not carried — the "
                     "data model's whole edge payload is rel_type")
             return var, fld
-        if var not in self.nodes:
+        if not self._is_node_var(var):
             raise PatternSyntaxError(
                 f"WHERE references unknown variable {var!r}")
         if var in self.neg_only:
@@ -603,25 +858,47 @@ class _Parser:
                 f"field {fld!r} is not carried (have: {', '.join(_CARRY)})")
         return var, fld
 
-    # -- RETURN -----------------------------------------------------------
+    # -- RETURN / WITH projection ------------------------------------------
     def _returns(self) -> None:
         if self.at("kw", "DISTINCT"):
             self.next()
             self.distinct = True
-        self.returns = []
+        self.returns, self.aggregates, _ = self._projection()
+
+    def _projection(self) -> tuple[list, list, set[str]]:
+        """The shared RETURN / WITH item list: field refs, bare
+        variables, aggregates, and (after a WITH, r12b) carried-column
+        references ``(None, colname, alias)``. Returns (items,
+        aggregates, edge vars carried bare)."""
+        items: list[tuple[str | None, str | None, str]] = []
+        aggs: list[tuple] = []
+        bare_edges: set[str] = set()
         while True:
             k, v, _ = self.peek()
             k1, v1, _ = self.peek(1)
             if (k == "ident" and v.lower() in _AGG_FNS
                     and (k1, v1) == ("punct", "(")):
-                self._agg_item()
+                aggs.append(self._agg_item())
                 if self.at("punct", ","):
                     self.next()
                     continue
                 break
             var = self.expect("ident")
-            is_edge = var in self.edge_vars
-            if not is_edge and var not in self.nodes:
+            is_edge = self._is_edge_var(var)
+            if (not is_edge and not self._is_node_var(var)
+                    and var in self.carried_cols
+                    and not self.at("punct", ".")):
+                # a column carried through WITH, referenced by its alias
+                alias = var
+                if self.at("kw", "AS"):
+                    self.next()
+                    alias = self.expect("ident")
+                items.append((None, var, alias))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            if not is_edge and not self._is_node_var(var):
                 raise PatternSyntaxError(
                     f"RETURN references unknown variable {var!r}")
             if var in self.neg_only:
@@ -643,6 +920,7 @@ class _Parser:
             elif is_edge:
                 # bare edge variable expands to its one carried field
                 fld = "rel_type"
+                bare_edges.add(var)
             alias = f"{var}_{fld}" if fld else var
             if self.at("kw", "AS"):
                 _, _, p = self.next()
@@ -652,16 +930,21 @@ class _Parser:
                         "its carried columns and cannot be aliased — "
                         "alias a field (var.field AS name)")
                 alias = self.expect("ident")
-            self.returns.append((var, fld, alias))
+            items.append((var, fld, alias))
             if self.at("punct", ","):
                 self.next()
                 continue
             break
+        return items, aggs, bare_edges
 
-    def _agg_item(self) -> None:
+    def _agg_item(self) -> tuple:
         """``count(*)`` / ``count([DISTINCT] var[.field])`` /
         ``min|max|sum|avg(var.field)`` — Cypher aggregates with implicit
-        grouping (the non-aggregate RETURN items become the keys)."""
+        grouping (the non-aggregate items become the keys). After a
+        WITH (r12b) the argument may also be a carried column,
+        ``(fn, None, colname, dist, alias)`` — its numeric-ness for
+        sum/avg is the carried value's own (checked at plan time, like
+        Cypher's runtime typing)."""
         fn = self.next()[1].lower()
         self.expect("punct", "(")
         dist = False
@@ -686,8 +969,19 @@ class _Parser:
                 raise PatternSyntaxError(
                     f"expected a variable inside {fn}() at position {p}, "
                     f"got {var!r}")
-            is_edge = var in self.edge_vars
-            if not is_edge and var not in self.nodes:
+            is_edge = self._is_edge_var(var)
+            is_node = self._is_node_var(var)
+            if (not is_edge and not is_node and var in self.carried_cols
+                    and not self.at("punct", ".")):
+                # aggregate over a carried column (r12b)
+                fld, var = var, None
+                self.expect("punct", ")")
+                alias = f"{fn}_{fld}"
+                if self.at("kw", "AS"):
+                    self.next()
+                    alias = self.expect("ident")
+                return (fn, None, fld, dist, alias)
+            if not is_edge and not is_node:
                 raise PatternSyntaxError(
                     f"aggregate references unknown variable {var!r}")
             if var in self.neg_only:
@@ -717,7 +1011,7 @@ class _Parser:
         if self.at("kw", "AS"):
             self.next()
             alias = self.expect("ident")
-        self.aggregates.append((fn, var, fld, dist, alias))
+        return (fn, var, fld, dist, alias)
 
 
 def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
@@ -845,55 +1139,108 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
     ``rel_signatures`` (r12, with ``label_counts``): unique per-rel_type
     (src_label, dst_label) catalog signatures — unlabeled variables get
     their provable labels injected before compilation (``inject_labels``)
-    so terse GPT-shaped patterns ride the broadcast hints by default."""
+    so terse GPT-shaped patterns ride the broadcast hints by default.
+
+    WITH stages (r12b) compile left-to-right: each boundary applies its
+    projection/aggregation, modifiers and trailing WHERE, and a stage's
+    follow-on MATCH compiles as its OWN motif joined back to the carried
+    rows on the re-anchored variables' ``<var>_id`` columns (an
+    equi-join — the carried side is typically post-aggregation-small and
+    AQE picks the broadcast; the motif side keeps the catalog's
+    label_counts hints)."""
     spec = parse_match(text)
-    node_pats = spec.node_pats
-    if rel_signatures:
-        node_pats, _ = inject_labels(node_pats, spec.edge_pats,
-                                     rel_signatures)
-    where = spec.where_column()
-    if edge_distinct:
-        for group in spec.clauses:
-            ed = edge_distinct_where([spec.edge_pats[i] for i in group])
-            if ed is not None:
-                where = ed if where is None else (where & ed)
-    out = match_motif(nodes, edges, node_pats, spec.edge_pats,
-                      where=where, **motif_kwargs)
-    if spec.returns is not None and spec.aggregates:
+
+    def compile_motif(node_pats: list[NodePat], edge_pats: list[EdgePat],
+                      clauses: list[tuple[int, ...]],
+                      where: Column | None) -> DataFrame:
+        nps = node_pats
+        if rel_signatures:
+            nps, _ = inject_labels(nps, edge_pats, rel_signatures)
+        w = where
+        if edge_distinct:
+            for group in clauses:
+                ed = edge_distinct_where([edge_pats[i] for i in group])
+                if ed is not None:
+                    w = ed if w is None else (w & ed)
+        return match_motif(nodes, edges, nps, edge_pats,
+                           where=w, **motif_kwargs)
+
+    out = compile_motif(spec.node_pats, spec.edge_pats, spec.clauses,
+                        spec.where_column())
+    for st in spec.stages:
+        out = _apply_projection(out, st.items, st.aggregates, st.distinct)
+        out = _apply_modifiers(out, st.order_by, st.skip, st.limit)
+        for th in st.post_where:
+            out = out.filter(th())
+        if st.edge_pats:
+            m = compile_motif(st.node_pats, st.edge_pats, st.clauses, None)
+            keys = [f"{v}_id" for v in st.join_vars]
+            # the re-anchored variables' non-id carry columns exist on
+            # both sides with identical values (functionally dependent
+            # on the id) — keep the carried side's copies
+            dup = (set(out.columns) & set(m.columns)) - set(keys)
+            out = out.join(m.drop(*dup), on=keys)
+            stage_where = None
+            for th in st.where_fn:
+                c = th()
+                stage_where = c if stage_where is None else (stage_where & c)
+            if stage_where is not None:
+                out = out.filter(stage_where)
+    out = _apply_projection(out, spec.returns, spec.aggregates,
+                            spec.distinct)
+    out = _apply_modifiers(out, spec.order_by, spec.skip, spec.limit)
+    return out
+
+
+def _apply_projection(out: DataFrame, items, aggregates,
+                      distinct: bool) -> DataFrame:
+    """One RETURN / WITH boundary's projection: implicit-grouping
+    aggregation when aggregates are present, plain select otherwise;
+    ``items is None`` (RETURN-less pattern) keeps all binding columns.
+    Item/aggregate ``var=None`` references a carried column by name."""
+
+    def col_of(var, fld):
+        return F.col(fld if var is None else f"{var}_{fld}")
+
+    if items is not None and aggregates:
         # Cypher implicit grouping: non-aggregate items are the keys
         keys = []
-        for var, fld, alias in spec.returns:
+        for var, fld, alias in items:
             if fld is None:
                 keys.extend(F.col(f"{var}_{c}") for c in _CARRY)
             else:
-                keys.append(F.col(f"{var}_{fld}").alias(alias))
+                keys.append(col_of(var, fld).alias(alias))
         aggs = []
-        for fn, var, fld, dist, alias in spec.aggregates:
-            if var is None:
+        for fn, var, fld, dist, alias in aggregates:
+            if var is None and fld is None:
                 aggs.append(F.count(F.lit(1)).alias(alias))
                 continue
-            c = F.col(f"{var}_{fld}")
+            c = col_of(var, fld)
             if fn == "count":
                 aggs.append((F.countDistinct(c) if dist
                              else F.count(c)).alias(alias))
             else:
                 aggs.append(getattr(F, fn)(c).alias(alias))
         out = out.groupBy(*keys).agg(*aggs) if keys else out.agg(*aggs)
-    elif spec.returns is not None:
+    elif items is not None:
         cols = []
-        for var, fld, alias in spec.returns:
+        for var, fld, alias in items:
             if fld is None:
                 cols.extend(F.col(f"{var}_{c}") for c in _CARRY)
             else:
-                cols.append(F.col(f"{var}_{fld}").alias(alias))
+                cols.append(col_of(var, fld).alias(alias))
         out = out.select(*cols)
-    if spec.distinct:
+    if distinct:
         out = out.distinct()
-    if spec.order_by:
+    return out
+
+
+def _apply_modifiers(out: DataFrame, order_by, skip, limit) -> DataFrame:
+    if order_by:
         out = out.orderBy(*[F.col(c) if asc else F.col(c).desc()
-                            for c, asc in spec.order_by])
-    if spec.skip:
-        out = out.offset(spec.skip)
-    if spec.limit is not None:
-        out = out.limit(spec.limit)
+                            for c, asc in order_by])
+    if skip:
+        out = out.offset(skip)
+    if limit is not None:
+        out = out.limit(limit)
     return out

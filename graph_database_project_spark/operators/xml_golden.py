@@ -368,6 +368,13 @@ GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS = [
     ('737-00-1030', 128, 256, '5604'),
 ]
 
+GOLDEN_GRAPH_MOTIF_PIPELINE_COLS = [('docnbr', 'VARCHAR'), ('parent', 'VARCHAR'), ('out_deg', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS = [
+    ('737-00-1028', 'planning_information', 3),
+    ('737-00-1029', 'planning_information', 4),
+    ('737-00-1030', 'planning_information', 3),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -404,4 +411,5 @@ ORACLE = {
     "graph_motif_edge_distinct": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_COLS, GOLDEN_GRAPH_MOTIF_EDGE_DISTINCT_ROWS),
     "graph_motif_edge_var": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_VAR_COLS, GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS),
     "graph_motif_aggregate": _values_sql(GOLDEN_GRAPH_MOTIF_AGGREGATE_COLS, GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS),
+    "graph_motif_pipeline": _values_sql(GOLDEN_GRAPH_MOTIF_PIPELINE_COLS, GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS),
 }

@@ -253,7 +253,8 @@ _DRIVER_WINDOW = [
     "text_bm25_search",
     # text_chunk_windows: slot yielded to graph_walk_skipgrams below
     # (r07 green; textops keeps 5+ window reps; rotates in r13)
-    "text_cooccur_pmi",
+    # text_cooccur_pmi: slot yielded to graph_motif_pipeline below
+    # (r07 green; textops keeps 5 window reps; rotates in r13)
     "text_span_dedup",
     "ts_markov_transitions",
     "udf_embedding_norm",
@@ -291,6 +292,10 @@ _DRIVER_WINDOW = [
     # negative sampling over the walk trail — the embedding-training
     # dataset generator
     "graph_walk_skipgrams",
+    # graph_motif_pipeline (r12b): Cypher WITH stages from text —
+    # aggregate at the boundary, HAVING-filter on the aggregate,
+    # re-anchor a second MATCH on the carried variable
+    "graph_motif_pipeline",
 ]
 
 

@@ -16,7 +16,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r12: edge-distinctness mode + edge variables, from text
          "graph_motif_edge_distinct", "graph_motif_edge_var",
          # r12: RETURN aggregates (implicit grouping) from text
-         "graph_motif_aggregate"]
+         "graph_motif_aggregate",
+         # r12b: WITH pipeline stages (aggregate -> HAVING -> re-anchor)
+         "graph_motif_pipeline"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

@@ -388,6 +388,24 @@ def test_pattern_endpoint_optional_and_where(server):
     assert all(a < b for a, b in pairs) and pairs
 
 
+def test_pattern_endpoint_with_pipeline(server):
+    """r12b: a WITH pipeline (aggregate -> HAVING -> re-anchored MATCH)
+    served over HTTP — the registry key's exact pattern text."""
+    from graph_database_project_spark.operators.motifq import (
+        _PIPELINE_PATTERN)
+
+    code, body = _post(f"{server}/pattern", {"pattern": _PIPELINE_PATTERN})
+    assert code == 200
+    rows = [(r["docnbr"], r["parent"], r["out_deg"]) for r in body["rows"]]
+    assert rows == [("737-00-1028", "planning_information", 3),
+                    ("737-00-1029", "planning_information", 4),
+                    ("737-00-1030", "planning_information", 3)]
+    # a WITH query not ending in RETURN keeps the positioned-422 contract
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": "MATCH (a)-[:T]->(b) WITH a"})
+    assert code == 422 and "must end with RETURN" in body["error"]
+
+
 def test_pattern_endpoint_malformed_is_422(server):
     code, body = _post(f"{server}/pattern",
                        {"pattern": "MATCH (a)-[r:T*]->(b) RETURN r"})

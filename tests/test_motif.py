@@ -447,7 +447,11 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # 2-hop-ish pattern + the groupBy
             "graph_motif_edge_distinct": 10, "graph_motif_edge_var": 4,
             # r12: one pattern + implicit-grouping agg
-            "graph_motif_aggregate": 4}
+            "graph_motif_aggregate": 4,
+            # r12b: two motifs (untyped fanout + HAS_DESCRIPTION), the
+            # boundary's implicit-grouping agg, and the stage join back
+            # on d_id — measured 8
+            "graph_motif_pipeline": 8}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -552,3 +556,26 @@ def test_edge_var_key_matches_direct_join(spark):
     assert got == want
     # genuine variation: fanout differs across documents and types
     assert len({r[2] for r in got}) > 1
+
+
+def test_pipeline_key_matches_elementtree_recompute(spark):
+    """Independent oracle for the r12b WITH-pipeline key: a
+    description's out-degree is its element children (steps) plus the
+    one stored IS_PART_OF up-link; the boundary's WHERE >= 2 keeps
+    exactly the planning descriptions (summary ones have no steps)."""
+    expect = []
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        sd = root.find("./summary/description")
+        assert sd is not None and len(list(sd)) == 0  # filtered out
+        pd_ = root.find("./planning_information/description")
+        out_deg = len(list(pd_)) + 1  # children + IS_PART_OF up-link
+        if out_deg >= 2:
+            expect.append((docnbr, "planning_information", out_deg))
+    got = [(r.docnbr, r.parent, r.out_deg)
+           for r in motifq.q_graph_motif_pipeline(spark, SF).collect()]
+    assert got == sorted(expect)  # the key's ORDER BY is total
+    # the dead-variation rule, both halves: the filter excluded rows
+    # (3 summary descriptions), and the survivors still vary (3 vs 4)
+    assert len(got) == 3 and len({d for _, _, d in got}) >= 2

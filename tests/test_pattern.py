@@ -734,3 +734,133 @@ def test_result_modifiers_semantics(tiny):
         .orderBy(F.col("an").desc(), "xn").offset(1).limit(2))
     assert got == [tuple(r) for r in twin.collect()]
     assert len(got) == 2
+
+
+# --- r12b: WITH pipeline stages ---------------------------------------------
+
+def test_parse_with_stage_structure():
+    p = parse_match(
+        "MATCH (ln:L)-[:T]->(a:M) "
+        "WITH ln, count(DISTINCT a.docnbr) AS nd WHERE nd >= 2 "
+        "MATCH (ln)-[:T]->(b:M) "
+        "RETURN ln.name AS line, nd, count(*) AS nb ORDER BY line")
+    assert len(p.stages) == 1
+    st = p.stages[0]
+    assert st.items == [("ln", None, "ln")]
+    assert st.aggregates == [("count", "a", "docnbr", True, "nd")]
+    assert len(st.post_where) == 1 and st.join_vars == ("ln",)
+    assert st.edge_pats == [EdgePat("ln", "b", "T")]
+    # the flat fields stay stage-0's pattern + the FINAL projection
+    assert p.edge_pats == [EdgePat("ln", "a", "T")]
+    assert p.returns == [("ln", "name", "line"), (None, "nd", "nd")]
+    assert p.aggregates == [("count", None, None, False, "nb")]
+    assert p.order_by == [("line", True)]
+
+
+def test_parse_with_multi_stage_and_carried_cols():
+    p = parse_match(
+        "MATCH (a:A)-[:T]->(b) WITH a, count(b) AS c "
+        "WITH a.name AS nm, c WHERE c > 1 RETURN nm, sum(c) AS tot")
+    assert len(p.stages) == 2
+    assert p.stages[1].items == [("a", "name", "nm"), (None, "c", "c")]
+    assert p.stages[1].edge_pats == []
+    # aggregate over a carried column in the final RETURN
+    assert p.aggregates == [("sum", None, "c", False, "tot")]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    # out-of-scope after WITH (Cypher's scoping rule, positioned)
+    ("MATCH (a)-[:T]->(b) WITH a RETURN b.name", "unknown variable"),
+    ("MATCH (a)-[:T]->(b) WITH a.name AS n WHERE a.id = 1 RETURN n",
+     "output column"),
+    # WITH grammar boundaries
+    ("MATCH (a)-[:T]->(b) WITH * RETURN a.name", "not supported"),
+    ("MATCH (a)-[:T]->(b) WITH a, count(b) AS c", "must end with RETURN"),
+    ("MATCH (a)-[:T]->(b) WITH a MATCH (c)-[:U]->(d) RETURN a.name",
+     "re-anchor"),
+    ("MATCH (a)-[:T]->(b) WITH a MATCH (a:L)-[:U]->(c) RETURN c.name",
+     "carried variable"),
+    ("MATCH (a)-[:T]->(b) WITH a, count(b) AS c "
+     "WHERE NOT (a)-[:U]->(x) RETURN c", "not allowed"),
+    ("MATCH (a)-[:T]->(b) WITH a WHERE q > 1 RETURN a.name",
+     "output column"),
+    ("MATCH (a)-[:T]->(b) WITH a "
+     "WHERE NOT (a)-[:U]->(x) RETURN a.name", "not allowed"),
+    # a stage WHERE may carry a NOT only when the stage has its own
+    # positive MATCH edge to anchor on
+    ("MATCH (a)-[:T]->(b) WITH a MATCH (a) "
+     "WHERE NOT (a)-[:U]->(x) RETURN a.name", "positive MATCH"),
+    # ... and a NOT whose anchor was never re-mentioned in the stage is
+    # flagged as negation-only (it binds nothing in the stage's motif)
+    ("MATCH (a)-[:T]->(b) WITH a WHERE a_id > 0 "
+     "WHERE NOT (a)-[:U]->(x) RETURN a.name", "anchor"),
+    # a variable name may not collide with a carried column
+    ("MATCH (a)-[:T]->(b) WITH b.name AS c MATCH (b)-[:U]->(d) "
+     "RETURN c", "re-anchor"),
+    ("MATCH (a)-[:T]->(b) WITH a, b.name AS c MATCH (a)-[:U]->(c) "
+     "RETURN c.name", "collides"),
+])
+def test_parse_with_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match(bad)
+    assert hint.lower().split()[0] in str(ei.value).lower()
+
+
+def test_with_having_equals_hand_built(tiny):
+    """WITH + trailing WHERE + re-anchored MATCH ≡ the groupBy/filter/
+    join twin built by hand on the same motif output."""
+    nodes, edges = tiny
+    via_text = match_pattern(
+        nodes, edges,
+        "MATCH (x)-[:S]->(c:C) WITH c, count(x) AS nin WHERE nin >= 2 "
+        "MATCH (c)-[:T]->(y) RETURN c.name AS cn, nin, y.name AS yn")
+    base = match_motif(nodes, edges, [NodePat("x"), NodePat("c", "C")],
+                       [EdgePat("x", "c", "S")])
+    agg = (base.groupBy("c_id", "c_name", "c_content", "c_docnbr")
+           .agg(F.count("x_id").alias("nin")).filter("nin >= 2"))
+    hop = match_motif(nodes, edges, [NodePat("c", "C"), NodePat("y")],
+                      [EdgePat("c", "y", "T")])
+    twin = (agg.join(hop.drop("c_name", "c_content", "c_docnbr"), "c_id")
+            .select(F.col("c_name").alias("cn"), "nin",
+                    F.col("y_name").alias("yn")))
+    assert _bindings(via_text) == _bindings(twin)
+    assert _bindings(via_text) == [("c1", 2, "a1")]
+
+
+def test_with_projection_only_and_second_aggregation(tiny):
+    """A WITH with no follow-on MATCH + a second aggregation level over
+    the carried column (count-of-counts shape)."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A|B)-[:R|S]->(b) WITH b.docnbr AS d, count(*) AS n "
+        "RETURN min(d) AS mind, sum(n) AS total"))
+    # R: 1->3, 2->4; S: 3->5, 4->5 -> groups d1:3 rows, d2:1 row
+    assert got == [("d1", 4)]
+
+
+def test_with_boundary_modifiers_clause_order(tiny):
+    """ORDER BY/SKIP/LIMIT at the boundary run BEFORE its trailing
+    WHERE (the grammar's clause order)."""
+    nodes, edges = tiny
+    # all 5 edges -> DISTINCT src names, order desc, limit 3 keeps
+    # c1,b2,b1; the trailing WHERE then drops c1
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (s)-[]->(t) WITH DISTINCT s.name AS sn "
+        "ORDER BY sn DESC LIMIT 3 WHERE sn <> 'c1' RETURN sn"))
+    assert got == [("b1",), ("b2",)]
+
+
+def test_with_carried_edge_var_and_alias_scoping(tiny):
+    nodes, edges = tiny
+    # bare-carried edge var stays usable as r.rel_type downstream
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[r]->(b) WITH r, count(*) AS n "
+        "RETURN r.rel_type AS t, n ORDER BY t"))
+    assert got == [("R", 2), ("S", 2), ("T", 1)]
+    # aliased carry is a plain column; the old name is out of scope
+    with pytest.raises(PatternSyntaxError):
+        parse_match("MATCH (a)-[r]->(b) WITH r AS u, count(*) AS n "
+                    "RETURN r.rel_type, n")
