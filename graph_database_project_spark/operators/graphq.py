@@ -2990,6 +2990,14 @@ def _walk_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts, edges = _walk_graph(spark, sf_dir)
     seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
              .select(F.col("v").alias("walk"), F.col("v").alias("cur")))
+    return _walk_trail_over(edges, seeds)
+
+
+def _walk_trail_over(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """The frontier loop over an INJECTED (edges, seeds) substrate — the
+    sf1-proxy scale probe (scripts/sf_scale_probe_r12b.py) runs this
+    exact code over a 10x-replicated substrate, so the measured scaling
+    row covers the shipped loop, not a re-implementation."""
     state = seeds.localCheckpoint(eager=True)
     trail = state.select("walk", F.lit(0).cast("long").alias("step"),
                          F.col("cur").alias("node"))

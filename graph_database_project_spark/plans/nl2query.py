@@ -347,6 +347,13 @@ _MOTIF_SUBJECT_RULE = re.compile(
     r"(?:what is the )?subject of (?:bulletin\s+)?'?([\w.-]+)'?",
     re.I,
 )
+# r12b: aggregate-threshold questions emit a WITH pipeline (Cypher's
+# aggregate -> HAVING shape) — the third query family the reference's
+# GPT seam produces ("which X have at least N ...")
+_MOTIF_THRESHOLD_RULE = re.compile(
+    r"which (\w+) nodes have at least (\d+) outgoing links",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -414,6 +421,18 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             f"MATCH (sb {{docnbr: '{m.group(1)}'}})"
             "-[:HAS_HEADER]->(h)-[:HAS_SUBJECT]->(subj) "
             "RETURN sb.docnbr AS docnbr, subj.content AS subject")
+        return compile_pattern(pattern)
+    m = _MOTIF_THRESHOLD_RULE.search(q)
+    if m:
+        # WITH pipeline (r12b): aggregate at the boundary, HAVING-filter
+        # on the carried aggregate — the Cypher text GPT emits for
+        # "which X have at least N ..." questions
+        label, n = m.group(1), int(m.group(2))
+        pattern = (
+            f"MATCH (d:{label})-[]->(c) "
+            f"WITH d, count(c) AS out_deg WHERE out_deg >= {n} "
+            "RETURN d.docnbr AS docnbr, d.name AS name, out_deg "
+            "ORDER BY docnbr, name")
         return compile_pattern(pattern)
     m = _GRAPH_RULE.search(q)
     if not m:

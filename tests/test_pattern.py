@@ -521,6 +521,14 @@ def test_nl_graph_rules_emit_text_patterns(spark, store):
     assert len(rows) == 1 and rows[0].docnbr == "737-00-1029"
     df2 = answer_graph(spark, store, "subject of '737-00-1028'")
     assert "Angle of Attack" in df2.collect()[0].subject
+    # r12b: the aggregate-threshold question emits a WITH pipeline
+    df3 = answer_graph(
+        spark, store, "which description nodes have at least 2 "
+        "outgoing links?")
+    rows = [(r.docnbr, r.name, r.out_deg) for r in df3.collect()]
+    assert rows == [("737-00-1028", "description", 3),
+                    ("737-00-1029", "description", 4),
+                    ("737-00-1030", "description", 3)]
 
 
 # --- property-based round-trip: render → parse → identical spec -----------
