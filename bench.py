@@ -117,6 +117,8 @@ EXTENDED = [
                                 # over the walk trail
     "graph_motif_pipeline",     # r12b: Cypher WITH stages (aggregate ->
                                 # HAVING -> re-anchored MATCH) from text
+    "graph_motif_shortestpath",  # r12b: shortestPath distance histogram
+                                 # (per-h exact sets + min fold, k<=4)
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

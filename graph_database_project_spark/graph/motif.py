@@ -114,7 +114,18 @@ class EdgePat:
     a pair — exactly Cypher's per-relationship multiplicity. Not allowed
     on negated edges (nothing binds) or variable-length edges (a path
     binds a LIST of relationships — out of scope; use the k_hop
-    traversal)."""
+    traversal).
+
+    ``path_var`` is Cypher's ``p = shortestPath((a)-[:T*1..k]->(b))``
+    (r12b) with DISTANCE semantics: the variable-length pair relation
+    additionally carries ``<path_var>_len`` — the MINIMUM hop count
+    (within min_hops..max_hops) connecting each bound pair, i.e. the
+    BFS distance when min_hops is 1. The engine binds the distance, not
+    a path object: the reference's data model has no edge identity to
+    enumerate a path with, and Cypher callers overwhelmingly consume
+    ``length(p)``. Mutually exclusive with ``var``/``negated``/
+    ``optional``; requires max_hops ≥ min_hops ≥ 1 (same ≤8 cap as the
+    reachability form — beyond that use graph/traverse.k_hop)."""
 
     src: str
     dst: str
@@ -125,6 +136,7 @@ class EdgePat:
     max_hops: int = 1
     optional: bool = False
     var: str | None = None
+    path_var: str | None = None
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -170,6 +182,28 @@ def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
     elif pat.direction != "out":
         raise ValueError(f"bad direction {pat.direction!r}")
     er = er.distinct()
+    if pat.path_var is not None:
+        if not (1 <= pat.min_hops <= pat.max_hops <= 8):
+            raise ValueError(
+                f"bad hop range {pat.min_hops}..{pat.max_hops} (want 1<=min"
+                "<=max<=8; use graph/traverse.k_hop beyond that)")
+        # shortest-path DISTANCE relation: each exact-h pair set stamped
+        # with h, folded to the per-pair minimum — min over {h : a path
+        # of exactly h edges exists} IS the BFS distance (min_hops=1);
+        # with a higher lower bound it is the shortest admissible length
+        cur = er
+        acc = (er.withColumn("len", F.lit(1).cast("long"))
+               if pat.min_hops <= 1 else None)
+        for h in range(2, pat.max_hops + 1):
+            cur = (cur.alias("a")
+                   .join(er.alias("b"), F.col("a.dst") == F.col("b.src"))
+                   .select(F.col("a.src").alias("src"),
+                           F.col("b.dst").alias("dst"))
+                   .distinct())
+            if h >= pat.min_hops:
+                step = cur.withColumn("len", F.lit(h).cast("long"))
+                acc = step if acc is None else acc.unionByName(step)
+        return acc.groupBy("src", "dst").agg(F.min("len").alias("len"))
     if (pat.min_hops, pat.max_hops) == (1, 1):
         return er
     if pat.var is not None:
@@ -345,6 +379,20 @@ def match_motif(
                     f"edge variable {ep.var!r} on a negated pattern binds "
                     "nothing (NOT asserts non-existence)")
             evars.add(ep.var)
+        if ep.path_var is not None:
+            if not _VAR_RE.match(ep.path_var):
+                raise ValueError(f"bad path variable name {ep.path_var!r} "
+                                 "(want [a-z][a-z0-9]*)")
+            if ep.path_var in pats or ep.path_var in evars:
+                raise ValueError(
+                    f"path variable {ep.path_var!r} collides with another "
+                    "variable")
+            if ep.var is not None or ep.negated or ep.optional:
+                raise ValueError(
+                    f"path variable {ep.path_var!r} cannot combine with "
+                    "an edge variable, negation, or OPTIONAL (shortest-"
+                    "path binds a positive distance)")
+            evars.add(ep.path_var)
 
     def _dim_sized(p: NodePat) -> bool:
         if broadcast_node_sides:
@@ -456,12 +504,15 @@ def match_motif(
             aux.add(avar)
             continue
         ecarry = ([F.col("rel_type").alias(f"{ep.var}_rel_type")]
-                  if ep.var else [])
+                  if ep.var else
+                  [F.col("len").alias(f"{ep.path_var}_len")]
+                  if ep.path_var else [])
         if ep.src in bound and ep.dst in bound:
-            if ep.var:
+            if ep.var or ep.path_var:
                 # closing edge WITH a variable: inner join carrying the
                 # bound type (one row per distinct type on the pair —
-                # Cypher's per-relationship multiplicity)
+                # Cypher's per-relationship multiplicity) or the path
+                # length (shortest-path distance on the closing pair)
                 e = er.select(F.col("src").alias(f"_e{i}_src"),
                               F.col("dst").alias(f"_e{i}_dst"), *ecarry)
                 result = (result.join(

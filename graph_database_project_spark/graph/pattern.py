@@ -46,6 +46,13 @@ Supported subset — exactly what the compiler supports, nothing more:
   own rule). LIMIT without a total ORDER BY is nondeterministic under
   ties, exactly as in Cypher — oracle-checked callers must order by a
   unique key;
+* ``p = shortestPath((a)-[:T*1..k]->(b))`` (r12b) — DISTANCE
+  semantics: the binding carries the minimum hop count per (a, b)
+  pair, read back as ``length(p)`` in RETURN/WITH items, WHERE
+  comparisons, and aggregate arguments (``min(length(p))``). The
+  engine binds the distance, not a path object (the data model has no
+  edge identity to enumerate one); single edge only, bounds required,
+  not inside NOT/OPTIONAL, no edge variable inside;
 * ``WITH`` pipeline stages (r12b) — Cypher's staged queries:
   ``MATCH … WITH [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n]
   [WHERE …] [MATCH …] … RETURN …``. A WITH boundary projects (same
@@ -63,7 +70,8 @@ Supported subset — exactly what the compiler supports, nothing more:
   WITH must end with RETURN.
 
 Rejected with explicit errors (parse-time, not plan-time): OR in
-WHERE, unbounded ``*``, shortest-path functions, any trailing clause
+WHERE, unbounded ``*`` (also inside shortestPath — bounds required),
+unbound/bare shortestPath, any trailing clause
 (ORDER BY/LIMIT belong to the DataFrame, not the pattern language),
 RETURN/WHERE references to a negation-only auxiliary variable (it
 binds no output columns), multi-hop OPTIONAL MATCH paths (each hop
@@ -257,6 +265,10 @@ class _Parser:
         self.carried_edges: set[str] = set()  # edge vars carried bare
         self.carried_cols: set[str] = set()   # ALL carried output columns
         self.join_vars: list[str] = []  # carried vars re-anchored this stage
+        # shortest-path variables (r12b): global collision space + the
+        # ones in scope for the current stage
+        self.path_vars: dict[str, int] = {}
+        self.stage_path_vars: set[str] = set()
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0):
@@ -416,6 +428,7 @@ class _Parser:
         self.nodes = {}
         self.edges = []
         self.stage_edge_vars = set()
+        self.stage_path_vars = set()
         self.neg_only = set()
         self.clauses = []
         self.where_fn = []
@@ -552,6 +565,19 @@ class _Parser:
                 return v
 
     def _path(self, optional: bool, collect: list | None = None) -> None:
+        k0, v0, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        k2, v2, _ = self.peek(2)
+        if (k0 == "ident" and (k1, v1) == ("punct", "=")
+                and k2 == "ident" and v2.lower() == "shortestpath"):
+            self._shortest_path(optional, collect)
+            return
+        if k0 == "ident" and v0.lower() == "shortestpath" \
+                and (k1, v1) == ("punct", "("):
+            raise PatternSyntaxError(
+                "shortestPath must be bound to a path variable "
+                "(p = shortestPath(...)) — its result is the distance, "
+                "reachable as length(p)")
         var = self._node()
         n_hops = 0
         while self.at("punct", "-") or self.at("punct", "<-"):
@@ -573,6 +599,78 @@ class _Parser:
             else:
                 self.edges.append(ep)
             var = dst
+
+    def _shortest_path(self, optional: bool, collect: list | None) -> None:
+        """``p = shortestPath((a)-[:T*1..k]->(b))`` (r12b) — distance
+        semantics: the binding carries ``length(p)``, the minimum hop
+        count connecting each (a, b) pair (see motif.EdgePat.path_var).
+        Single edge only; not inside NOT or OPTIONAL MATCH."""
+        k, pvar, p = self.next()
+        if not re.match(r"^[a-z][a-z0-9]*$", pvar):
+            raise PatternSyntaxError(
+                f"path variable {pvar!r} at position {p}: want "
+                "[a-z][a-z0-9]* (the compiler's column-prefix contract)")
+        if (pvar in self.nodes or pvar in self.edge_vars
+                or pvar in self.path_vars or pvar in self.carried_nodes
+                or pvar in self.carried_cols):
+            raise PatternSyntaxError(
+                f"path variable {pvar!r} at position {p} collides with "
+                "an existing variable")
+        self.next()  # '='
+        _, _, sp_pos = self.next()  # the shortestPath ident
+        if optional:
+            raise PatternSyntaxError(
+                f"OPTIONAL MATCH shortestPath at position {sp_pos} is "
+                "not supported — match the pair optionally and compute "
+                "the distance in a separate MATCH")
+        if collect is not None:
+            raise PatternSyntaxError(
+                f"shortestPath inside NOT at position {sp_pos} binds "
+                "nothing — negate the pattern itself instead")
+        self.expect("punct", "(")
+        src = self._node()
+        if not (self.at("punct", "-") or self.at("punct", "<-")):
+            k2, v2, p2 = self.peek()
+            raise PatternSyntaxError(
+                f"expected an edge inside shortestPath at position {p2}, "
+                f"got {v2!r}")
+        ep_kw = self._edge_spec()
+        dst = self._node()
+        if self.at("punct", "-") or self.at("punct", "<-"):
+            _, _, p2 = self.peek()
+            raise PatternSyntaxError(
+                f"shortestPath takes a single (variable-length) edge — "
+                f"chain at position {p2} is not supported")
+        self.expect("punct", ")")
+        if ep_kw["var"] is not None:
+            raise PatternSyntaxError(
+                f"edge variable {ep_kw['var']!r} inside shortestPath is "
+                "not supported — the binding carries length(p), not a "
+                "relationship")
+        del ep_kw["var"]
+        self.path_vars[pvar] = p
+        self.stage_path_vars.add(pvar)
+        self.edges.append(EdgePat(src=src, dst=dst, optional=False,
+                                  path_var=pvar, **ep_kw))
+
+    def _maybe_length_ref(self) -> str | None:
+        """If the cursor sits on ``length(p)`` with ``p`` an in-scope
+        path variable, consume it and return ``p``; else None."""
+        k0, v0, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        if not (k0 == "ident" and v0.lower() == "length"
+                and (k1, v1) == ("punct", "(")):
+            return None
+        self.next()
+        self.next()
+        k, pvar, p = self.next()
+        if k != "ident" or pvar not in self.stage_path_vars:
+            have = ", ".join(sorted(self.stage_path_vars)) or "none"
+            raise PatternSyntaxError(
+                f"length() at position {p} takes an in-scope path "
+                f"variable (have: {have})")
+        self.expect("punct", ")")
+        return pvar
 
     def _node(self) -> str:
         self.expect("punct", "(")
@@ -624,6 +722,10 @@ class _Parser:
             raise PatternSyntaxError(
                 f"variable {var!r} is already an edge variable "
                 f"(declared at position {self.edge_vars[var]})")
+        if var in self.path_vars:
+            raise PatternSyntaxError(
+                f"variable {var!r} is already a path variable "
+                f"(declared at position {self.path_vars[var]})")
         if var in self.carried_nodes:
             # re-mention of a variable carried bare through WITH (r12b):
             # it is already bound — a MATCH here re-anchors on it (the
@@ -677,6 +779,7 @@ class _Parser:
                         "[a-z][a-z0-9]* (the compiler's column-prefix "
                         "contract)")
                 if (v in self.nodes or v in self.edge_vars
+                        or v in self.path_vars
                         or v in self.carried_nodes
                         or v in self.carried_cols):
                     raise PatternSyntaxError(
@@ -825,7 +928,11 @@ class _Parser:
 
     def _field_ref(self) -> tuple[str | None, str]:
         """``var.field`` → (var, field); a bare identifier naming a
-        column carried through WITH (r12b) → (None, colname)."""
+        column carried through WITH (r12b) → (None, colname);
+        ``length(p)`` over a path variable → (p, "len")."""
+        pv = self._maybe_length_ref()
+        if pv is not None:
+            return pv, "len"
         k, var, p = self.next()
         if k != "ident":
             raise PatternSyntaxError(
@@ -883,7 +990,23 @@ class _Parser:
                     self.next()
                     continue
                 break
+            pv = self._maybe_length_ref()
+            if pv is not None:
+                alias = f"length_{pv}"
+                if self.at("kw", "AS"):
+                    self.next()
+                    alias = self.expect("ident")
+                items.append((pv, "len", alias))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
             var = self.expect("ident")
+            if var in self.stage_path_vars:
+                raise PatternSyntaxError(
+                    f"path variable {var!r} has no bare projection — the "
+                    "engine binds the DISTANCE; return length({0})"
+                    .format(var))
             is_edge = self._is_edge_var(var)
             if (not is_edge and not self._is_node_var(var)
                     and var in self.carried_cols
@@ -963,6 +1086,15 @@ class _Parser:
             if fn != "count" or dist:
                 raise PatternSyntaxError(
                     f"'*' at position {p} is only valid as count(*)")
+        elif (pv := self._maybe_length_ref()) is not None:
+            # aggregate over a path distance: min/max/avg(length(p))
+            var, fld = pv, "len"
+            self.expect("punct", ")")
+            alias = f"{fn}_length_{pv}"
+            if self.at("kw", "AS"):
+                self.next()
+                alias = self.expect("ident")
+            return (fn, var, fld, dist, alias)
         else:
             k, var, p = self.next()
             if k != "ident":

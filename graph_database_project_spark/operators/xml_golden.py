@@ -375,6 +375,22 @@ GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS = [
     ('737-00-1030', 'planning_information', 3),
 ]
 
+GOLDEN_GRAPH_MOTIF_SHORTESTPATH_COLS = [('docnbr', 'VARCHAR'), ('hops', 'BIGINT'), ('n_nodes', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS = [
+    ('737-00-1028', 1, 6),
+    ('737-00-1028', 2, 19),
+    ('737-00-1028', 3, 15),
+    ('737-00-1028', 4, 341),
+    ('737-00-1029', 1, 6),
+    ('737-00-1029', 2, 18),
+    ('737-00-1029', 3, 14),
+    ('737-00-1029', 4, 140),
+    ('737-00-1030', 1, 6),
+    ('737-00-1030', 2, 18),
+    ('737-00-1030', 3, 12),
+    ('737-00-1030', 4, 138),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -412,4 +428,5 @@ ORACLE = {
     "graph_motif_edge_var": _values_sql(GOLDEN_GRAPH_MOTIF_EDGE_VAR_COLS, GOLDEN_GRAPH_MOTIF_EDGE_VAR_ROWS),
     "graph_motif_aggregate": _values_sql(GOLDEN_GRAPH_MOTIF_AGGREGATE_COLS, GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS),
     "graph_motif_pipeline": _values_sql(GOLDEN_GRAPH_MOTIF_PIPELINE_COLS, GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS),
+    "graph_motif_shortestpath": _values_sql(GOLDEN_GRAPH_MOTIF_SHORTESTPATH_COLS, GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS),
 }

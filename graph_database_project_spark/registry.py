@@ -240,7 +240,9 @@ _DRIVER_WINDOW = [
     "join_size_estimate",
     "multimodal_png_decode",
     "mutation_merge_upsert",
-    "mutation_scd2_pit_join",
+    # mutation_scd2_pit_join: slot yielded to graph_motif_shortestpath
+    # below (r07 green; mutation stays repped by scd2_build +
+    # merge_upsert; rotates in r13)
     # q01_pricing_summary: slot yielded to graph_scc_coloring below
     # (r07 green + benched every round as a headline row; tpch_ext
     # stays repped by q03/q04; rotates in r13)
@@ -296,6 +298,9 @@ _DRIVER_WINDOW = [
     # aggregate at the boundary, HAVING-filter on the aggregate,
     # re-anchor a second MATCH on the carried variable
     "graph_motif_pipeline",
+    # graph_motif_shortestpath (r12b): shortestPath distance semantics —
+    # length(p) depth histogram, k_hop-cross-checked
+    "graph_motif_shortestpath",
 ]
 
 

@@ -18,7 +18,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r12: RETURN aggregates (implicit grouping) from text
          "graph_motif_aggregate",
          # r12b: WITH pipeline stages (aggregate -> HAVING -> re-anchor)
-         "graph_motif_pipeline"]
+         "graph_motif_pipeline",
+         # r12b: shortestPath distance semantics (length(p) histogram)
+         "graph_motif_shortestpath"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

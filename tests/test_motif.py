@@ -451,7 +451,12 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # r12b: two motifs (untyped fanout + HAS_DESCRIPTION), the
             # boundary's implicit-grouping agg, and the stage join back
             # on d_id — measured 8
-            "graph_motif_pipeline": 8}
+            "graph_motif_pipeline": 8,
+            # r12b: shortestPath 1..4 — per-h exact sets chain+union
+            # (the same per-reference re-expansion family as varlength,
+            # bounded by the k<=8 cap), min-fold, and the final
+            # implicit-grouping agg — measured 31
+            "graph_motif_shortestpath": 32}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -579,3 +584,30 @@ def test_pipeline_key_matches_elementtree_recompute(spark):
     # the dead-variation rule, both halves: the filter excluded rows
     # (3 summary descriptions), and the survivors still vary (3 vs 4)
     assert len(got) == 3 and len({d for _, _, d in got}) >= 2
+
+
+def test_shortestpath_key_matches_khop_depths(spark):
+    """Two independent machineries, one answer (r12b): under k_hop's
+    visited-set semantics the first-reached depth IS the BFS distance,
+    so its per-(seed, depth) counts must equal the shortestPath key's
+    length(p) histogram exactly."""
+    from graph_database_project_spark.graph.traverse import k_hop
+    from graph_database_project_spark.operators.xmlq import _store
+
+    st = _store(spark)
+    seeds = (st.nodes.filter(F.array_contains("labels", "ServiceBulletin"))
+             .select(F.col("docnbr").alias("seed"),
+                     F.col("id").alias("node")))
+    kh = (k_hop(seeds, st.edges.select("src", "dst"), depth=4,
+                direction="out")
+          .filter(F.col("depth") >= 1)
+          .groupBy("seed", "depth").agg(F.count(F.lit(1)).alias("n")))
+    expect = {(r.seed, r.depth): r.n for r in kh.collect()}
+    got = {(r.docnbr, r.hops): r.n_nodes
+           for r in motifq.q_graph_motif_shortestpath(spark, SF).collect()}
+    assert got == expect
+    # live variation at every level: counts differ across depths per doc
+    per_doc = {}
+    for (doc, hops), n in got.items():
+        per_doc.setdefault(doc, set()).add(n)
+    assert all(len(ns) >= 3 for ns in per_doc.values())

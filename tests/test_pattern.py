@@ -872,3 +872,71 @@ def test_with_carried_edge_var_and_alias_scoping(tiny):
     with pytest.raises(PatternSyntaxError):
         parse_match("MATCH (a)-[r]->(b) WITH r AS u, count(*) AS n "
                     "RETURN r.rel_type, n")
+
+
+# --- r12b: shortestPath distance semantics ----------------------------------
+
+def test_parse_shortestpath_shapes():
+    p = parse_match("MATCH p = shortestPath((a:A)-[:T*1..4]->(b:B)) "
+                    "RETURN a.name, length(p) AS hops")
+    ep = p.edge_pats[0]
+    assert (ep.path_var, ep.min_hops, ep.max_hops, ep.rel_type) == \
+        ("p", 1, 4, "T")
+    assert ("p", "len", "hops") in p.returns
+    # default alias + aggregate over length + WHERE on length
+    p2 = parse_match("MATCH q = shortestPath((a)-[*2]->(b)) "
+                     "WHERE length(q) >= 2 "
+                     "RETURN length(q), min(length(q)) AS m")
+    assert ("q", "len", "length_q") in p2.returns
+    assert ("min", "q", "len", False, "m") in p2.aggregates
+    assert len(p2.where_fn) == 1
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH p = shortestPath((a)-[*]->(b)) RETURN length(p)",
+     "unbounded"),
+    ("MATCH shortestPath((a)-[*1..2]->(b)) RETURN a.id",
+     "path variable"),
+    ("MATCH p = shortestPath((a)-[*1..2]->(b)-[:T]->(c)) "
+     "RETURN length(p)", "single"),
+    ("MATCH p = shortestPath((a)-[r*1..2]->(b)) RETURN length(p)",
+     "variable-length"),
+    ("MATCH (a)-[:T]->(b) RETURN length(q)", "in-scope"),
+    ("MATCH p = shortestPath((a)-[*1..2]->(b)) RETURN p",
+     "no bare projection"),
+    ("OPTIONAL MATCH p = shortestPath((a)-[*1..2]->(b)) "
+     "RETURN length(p)", "OPTIONAL"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT p = shortestPath((a)-[*1..2]->(c)) "
+     "RETURN a.id", "NOT"),
+    ("MATCH p = shortestPath((a)-[*1..2]->(b)), (p)-[:T]->(c) "
+     "RETURN length(p)", "already a path"),
+])
+def test_parse_shortestpath_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match(bad)
+    assert hint.lower().split()[0] in str(ei.value).lower()
+
+
+def test_shortestpath_distances(tiny):
+    """BFS distances on the known tiny graph, including the cycle back
+    to the seed; WHERE length + WITH carry compose."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH p = shortestPath((a:A {name: 'a1'})-[*1..4]->(x)) "
+        "RETURN x.name AS xn, length(p) AS hops ORDER BY hops, xn"))
+    assert got == [("a1", 3), ("b1", 1), ("c1", 2)]
+    # min_hops=2 floor: the direct neighbor's admissible length is the
+    # shortest path of >= 2 edges
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH p = shortestPath((a:A {name: 'a1'})-[*2..4]->(x)) "
+        "RETURN x.name AS xn, length(p) AS hops"))
+    assert ("c1", 2) in got2 and all(h >= 2 for _, h in got2)
+    # WITH carries length(p) as a plain column
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH p = shortestPath((a:A {name: 'a1'})-[*1..4]->(x)) "
+        "WITH x, length(p) AS d WHERE d <= 2 "
+        "MATCH (x)-[]->(y) RETURN x.name AS xn, d, y.name AS yn"))
+    assert got3 == [("b1", 1, "c1"), ("c1", 2, "a1")]
