@@ -1181,12 +1181,18 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
         rt = (ep.rel_type if isinstance(ep.rel_type, (str, type(None)))
               else "|".join(ep.rel_type))
         inner = (ep.var or "") + (f":{rt}" if rt else "")
-        if (ep.min_hops, ep.max_hops) != (1, 1):
+        if (ep.min_hops, ep.max_hops) != (1, 1) or ep.path_var:
             inner += f"*{ep.min_hops}..{ep.max_hops}"
         if ep.direction == "in":
-            return f"{node(ep.src)}<-[{inner}]-{node(ep.dst)}"
-        arrow = "->" if ep.direction == "out" else "-"
-        return f"{node(ep.src)}-[{inner}]{arrow}{node(ep.dst)}"
+            txt = f"{node(ep.src)}<-[{inner}]-{node(ep.dst)}"
+        else:
+            arrow = "->" if ep.direction == "out" else "-"
+            txt = f"{node(ep.src)}-[{inner}]{arrow}{node(ep.dst)}"
+        if ep.path_var:
+            # distance-bound edge renders as its shortestPath form so
+            # the round-trip re-parses to the same spec
+            txt = f"{ep.path_var} = shortestPath({txt})"
+        return txt
 
     clauses, negs = [], []
     for ep in edge_pats:

@@ -406,6 +406,23 @@ def test_pattern_endpoint_with_pipeline(server):
     assert code == 422 and "must end with RETURN" in body["error"]
 
 
+def test_pattern_endpoint_shortestpath(server):
+    """r12b: shortestPath distance semantics over HTTP — the registry
+    key's exact pattern text, plus the positioned-422 contract for a
+    bare (unbound) shortestPath."""
+    from graph_database_project_spark.operators.motifq import (
+        _SHORTESTPATH_PATTERN)
+
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": _SHORTESTPATH_PATTERN})
+    assert code == 200
+    rows = {(r["docnbr"], r["hops"]): r["n_nodes"] for r in body["rows"]}
+    assert rows[("737-00-1029", 1)] == 6 and rows[("737-00-1028", 4)] == 341
+    code, body = _post(f"{server}/pattern", {
+        "pattern": "MATCH shortestPath((a)-[*1..2]->(b)) RETURN a.id"})
+    assert code == 422 and "path variable" in body["error"]
+
+
 def test_pattern_endpoint_malformed_is_422(server):
     code, body = _post(f"{server}/pattern",
                        {"pattern": "MATCH (a)-[r:T*]->(b) RETURN r"})

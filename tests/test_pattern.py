@@ -940,3 +940,13 @@ def test_shortestpath_distances(tiny):
         "WITH x, length(p) AS d WHERE d <= 2 "
         "MATCH (x)-[]->(y) RETURN x.name AS xn, d, y.name AS yn"))
     assert got3 == [("b1", 1, "c1"), ("c1", 2, "a1")]
+
+
+def test_render_shortestpath_round_trip():
+    from graph_database_project_spark.graph.pattern import render_match
+    nodes = [NodePat("a", label="L"), NodePat("b")]
+    edges = [EdgePat("a", "b", "T", min_hops=1, max_hops=3, path_var="p")]
+    txt = render_match(nodes, edges)
+    assert "p = shortestPath(" in txt
+    p = parse_match(txt + " RETURN length(p)")
+    assert p.edge_pats == edges and set(p.node_pats) == set(nodes)
