@@ -306,9 +306,23 @@ def create_server(spark: SparkSession, sf_dir: str,
                         edge_distinct=edge_distinct,
                         rel_signatures=_catalog_rel_signatures(spark, st),
                         label_counts=_label_stats(spark))
-                    self._send(200, {"pattern": pattern,
-                                     "edge_distinct": edge_distinct,
-                                     "rows": _rows(df)})
+                    payload = {"pattern": pattern,
+                               "edge_distinct": edge_distinct}
+                    if data.get("explain"):
+                        # r12b: plan introspection without execution —
+                        # the §7g/§7h scale levers (broadcasts, exchange
+                        # count) reviewable over HTTP for any pattern
+                        import re as _re
+                        plan = (df._jdf.queryExecution().executedPlan()
+                                .toString())
+                        payload["plan"] = plan[:20000]
+                        payload["n_exchanges"] = len(_re.findall(
+                            r"Exchange hashpartitioning", plan))
+                        payload["n_broadcasts"] = plan.count(
+                            "BroadcastHashJoin")
+                    else:
+                        payload["rows"] = _rows(df)
+                    self._send(200, payload)
                 elif self.path == "/query":
                     name = data.get("name")
                     if name not in queries:

@@ -423,6 +423,18 @@ def test_pattern_endpoint_shortestpath(server):
     assert code == 422 and "path variable" in body["error"]
 
 
+def test_pattern_endpoint_explain(server):
+    """r12b: explain=true returns the physical plan + scale levers
+    (exchange/broadcast counts) WITHOUT executing the pattern."""
+    code, body = _post(f"{server}/pattern", {
+        "pattern": "MATCH (sb:ServiceBulletin)-[:HAS_HEADER]->(h:header) "
+                   "RETURN sb.docnbr AS docnbr",
+        "explain": True})
+    assert code == 200 and "rows" not in body
+    assert "BroadcastHashJoin" in body["plan"]
+    assert body["n_broadcasts"] >= 1 and body["n_exchanges"] >= 0
+
+
 def test_pattern_endpoint_malformed_is_422(server):
     code, body = _post(f"{server}/pattern",
                        {"pattern": "MATCH (a)-[r:T*]->(b) RETURN r"})
