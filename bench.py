@@ -119,6 +119,8 @@ EXTENDED = [
                                 # HAVING -> re-anchored MATCH) from text
     "graph_motif_shortestpath",  # r12b: shortestPath distance histogram
                                  # (per-h exact sets + min fold, k<=4)
+    "graph_node2vec_walks",     # r12b: second-order biased walks (adds
+                                # an adjacency probe join per round)
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is

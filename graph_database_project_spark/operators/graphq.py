@@ -3193,6 +3193,162 @@ FROM negs
 ORDER BY kind, dist"""
 
 
+# --- node2vec biased (second-order) walks -----------------------------------
+
+# integer penalty analogs of node2vec's 1/p (return) and 1/q
+# (exploration) weights: the hash-argmin choice scales each candidate's
+# hash by its class penalty, so higher-penalty classes win less often —
+# a deterministic, replayable stand-in for weighted sampling. Penalties
+# stay tiny so hash * pen < 2^33 and BIGINT arithmetic can never
+# overflow in either engine (profiling.py discipline).
+N2V_RETURN_PEN = 4   # p-analog: discourage immediate backtracking
+N2V_FAR_PEN = 2      # q-analog: mildly discourage leaving prev's hood
+
+
+def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks — the random_walks docstring
+    promises "biased variants change only the ranking expression"; this
+    key makes that real. The frontier carries (walk, prev, cur); each
+    candidate dst is classed node2vec-style against prev — 0: return
+    (dst = prev), 1: common (a prev→dst edge exists — dst stays in
+    prev's neighborhood), 2: exploration — and the seeded hash is
+    scaled by the class penalty before the argmin, so returns are
+    discouraged 4× and exploration 2× without losing determinism.
+
+    Shape: vs the unbiased walk, each round adds ONE extra keyed
+    left join (candidates × distinct edge set on (prev, dst) — the
+    adjacency probe). Still |walks|-sized frontier per round; the
+    first step has prev = -1 so every candidate is class 2 and the
+    choice equals the unbiased walk's (uniform), after which the paths
+    diverge (pinned by test).
+
+    Output adds per-walk class counts (n_return/n_common/n_far) so the
+    bias is LIVE in the checked values, not just in the plan."""
+    verts, edges = _walk_graph(spark, sf_dir)
+    adj = edges.select(F.col("src").alias("p_adj"),
+                       F.col("dst").alias("d_adj"),
+                       F.lit(1).alias("is_adj"))
+    seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
+             .select(F.col("v").alias("walk"),
+                     F.lit(-1).cast("long").alias("prev"),
+                     F.col("v").alias("cur")))
+    state = seeds.localCheckpoint(eager=True)
+    trail = state.select("walk", F.lit(0).cast("long").alias("step"),
+                         F.col("cur").alias("node"),
+                         F.lit(-1).cast("long").alias("cls"))
+    trail = trail.localCheckpoint(eager=True)
+    w = W.partitionBy("walk")
+    for t in range(1, WALK_STEPS + 1):
+        cand = (state.join(edges, state.cur == edges.src)
+                .select("walk", "prev", "cur", "dst"))
+        cand = (cand.join(
+            adj, (F.col("prev") == F.col("p_adj"))
+            & (F.col("dst") == F.col("d_adj")), "left")
+            .select("walk", "prev", "cur", "dst", "is_adj"))
+        cls = (F.when(F.col("dst") == F.col("prev"), F.lit(0))
+               .when(F.col("is_adj") == 1, F.lit(1))
+               .otherwise(F.lit(2)))
+        pen = (F.when(cls == 0, F.lit(N2V_RETURN_PEN))
+               .when(cls == 1, F.lit(1))
+               .otherwise(F.lit(N2V_FAR_PEN)))
+        cand = (cand.withColumn("step", F.lit(t).cast("long"))
+                .withColumn("cls", cls.cast("long"))
+                .withColumn("pen", pen.cast("long")))
+        ranked = cand.withColumn(
+            "rn", F.row_number().over(
+                w.orderBy(F.expr(_WALK_HASH) * F.col("pen"),
+                          F.col("dst"))))
+        chosen = (ranked.filter(F.col("rn") == 1)
+                  .select("walk", F.col("cur").alias("prev"),
+                          F.col("dst").alias("cur"), "cls")
+                  .localCheckpoint(eager=True))
+        if chosen.isEmpty():
+            break
+        state = chosen
+        trail = trail.unionByName(
+            chosen.select("walk", F.lit(t).cast("long").alias("step"),
+                          F.col("cur").alias("node"), "cls")
+        ).localCheckpoint(eager=True)
+    return (trail.groupBy("walk")
+            .agg(F.max("step").alias("n_steps"),
+                 F.max_by("node", "step").alias("end_node"),
+                 F.sum((F.col("step") + 1) * F.col("node"))
+                 .alias("path_checksum"),
+                 F.sum(F.when(F.col("cls") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_return"),
+                 F.sum(F.when(F.col("cls") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_common"),
+                 F.sum(F.when(F.col("cls") == 2, 1).otherwise(0))
+                 .cast("long").alias("n_far"))
+            .orderBy("walk"))
+
+
+def _node2vec_cte_sql() -> str:
+    """Unrolled per-step CTEs mirroring the biased walk exactly: the
+    adjacency LEFT JOIN, the class CASE, and the penalty-scaled hash in
+    the window ORDER BY (same constants, same tie-break)."""
+    parts = [f"""
+WITH verts AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+nmx AS (SELECT max(v) AS nmax FROM verts),
+e AS MATERIALIZED (
+  SELECT v AS src, v + 1 AS dst FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v + 1 <= (SELECT nmax FROM nmx)
+  UNION
+  SELECT v, v * 2 FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v * 2 <= (SELECT nmax FROM nmx)
+  UNION
+  SELECT v, v // 2 FROM verts
+  WHERE v % {WALK_DEADEND_MOD} <> 0 AND v >= 2
+),
+n0 AS MATERIALIZED (
+  SELECT v AS walk, CAST(-1 AS BIGINT) AS prev, v AS cur
+  FROM verts WHERE v % {WALK_SEED_MOD} = 0
+)"""]
+    cls_case = ("CASE WHEN e.dst = s.prev THEN 0 "
+                "WHEN a.p_adj IS NOT NULL THEN 1 ELSE 2 END")
+    pen_case = (f"CASE WHEN e.dst = s.prev THEN {N2V_RETURN_PEN} "
+                f"WHEN a.p_adj IS NOT NULL THEN 1 ELSE {N2V_FAR_PEN} END")
+    for t in range(1, WALK_STEPS + 1):
+        h1 = (f"((walk * 2654435761 + {t} * 40503 + dst * 1597334677 "
+              "+ 12345) % 2147483647)")
+        h = f"(({h1} * 48271 + 11) % 2147483647)"
+        parts.append(f""",
+n{t} AS MATERIALIZED (
+  SELECT walk, cur AS prev, dst AS cur, cls FROM (
+    SELECT s.walk, s.cur, e.dst, {cls_case} AS cls,
+           ROW_NUMBER() OVER (PARTITION BY s.walk
+                              ORDER BY {h} * ({pen_case}), e.dst) AS rn
+    FROM n{t-1} s
+    JOIN e ON e.src = s.cur
+    LEFT JOIN (SELECT DISTINCT src AS p_adj, dst AS d_adj FROM e) a
+      ON a.p_adj = s.prev AND a.d_adj = e.dst
+  ) WHERE rn = 1
+)""")
+    unions = "\n  UNION ALL\n  ".join(
+        [f"SELECT walk, CAST(0 AS BIGINT) AS step, cur AS node, "
+         "CAST(-1 AS BIGINT) AS cls FROM n0"]
+        + [f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS node, cls "
+           f"FROM n{t}" for t in range(1, WALK_STEPS + 1)])
+    parts.append(f""",
+ntrail AS MATERIALIZED (
+  {unions}
+)""")
+    return "".join(parts)
+
+
+Q_GRAPH_NODE2VEC_WALKS_SQL = _node2vec_cte_sql() + """
+SELECT walk,
+       CAST(max(step) AS BIGINT) AS n_steps,
+       CAST(max_by(node, step) AS BIGINT) AS end_node,
+       CAST(sum((step + 1) * node) AS BIGINT) AS path_checksum,
+       CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_return,
+       CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+FROM ntrail GROUP BY walk ORDER BY walk"""
+
+
 QUERIES = {
     "graph_khop_hierarchy": q_khop_hierarchy,
     "graph_khop_seeded": q_khop_seeded,
@@ -3222,6 +3378,7 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "graph_scc_coloring": q_graph_scc_coloring,
     "graph_random_walks": q_graph_random_walks,
+    "graph_node2vec_walks": q_graph_node2vec_walks,
     "graph_walk_skipgrams": q_graph_walk_skipgrams,
     "graph_scc_condensation": q_graph_scc_condensation,
     "sql_recursive_khop": q_sql_recursive_khop,
@@ -3259,6 +3416,7 @@ ORACLE = {
     "graph_scc_coloring": Q_GRAPH_SCC_SQL,
     # hash-seeded walk steps unrolled per round, identical rank both sides
     "graph_random_walks": Q_GRAPH_RANDOM_WALKS_SQL,
+    "graph_node2vec_walks": Q_GRAPH_NODE2VEC_WALKS_SQL,
     "graph_walk_skipgrams": Q_GRAPH_WALK_SKIPGRAMS_SQL,
     "graph_scc_condensation": Q_GRAPH_SCC_CONDENSATION_SQL,
     "sql_recursive_khop": RECURSIVE_KHOP_SQL,  # same text both engines

@@ -229,7 +229,9 @@ _DRIVER_WINDOW = [
     # --- r07 cohort (29 keys, last driver check r07 — prepaying the
     # r13 freshness obligation) ---
     "embedding_pca_power",
-    "embedding_quantize_int8",
+    # embedding_quantize_int8: slot yielded to graph_node2vec_walks
+    # below (r07 green; embeddings stay repped by embedding_pca_power +
+    # udf_embedding_norm + the sim_* keys; rotates in r13)
     "graph_connected_components",
     "graph_kcore",
     "graph_khop_seeded",
@@ -301,6 +303,9 @@ _DRIVER_WINDOW = [
     # graph_motif_shortestpath (r12b): shortestPath distance semantics —
     # length(p) depth histogram, k_hop-cross-checked
     "graph_motif_shortestpath",
+    # graph_node2vec_walks (r12b): second-order biased walk sampling —
+    # class-penalty hash argmin, per-walk class counts value-checked
+    "graph_node2vec_walks",
 ]
 
 

@@ -818,3 +818,75 @@ def test_walk_skipgrams_match_pure_python_replay(spark):
         assert got[("pos", d)] == (st[0], len(st[1]), st[2])
     assert got[("neg", 0)] == (neg_stats[0], len(neg_stats[1]),
                                neg_stats[2])
+
+
+def test_node2vec_walks_match_pure_python_replay(spark):
+    """Third machinery for the r12b biased sampler: replay the
+    second-order walk in pure Python (adjacency dict + class penalties
+    + the same hash) and compare the full per-walk summary including
+    the class counts; also pin that the bias actually diverges from the
+    unbiased walk and that every class is chosen somewhere."""
+    from graph_database_project_spark.io import load_table
+    from graph_database_project_spark.operators.graphq import (
+        N2V_FAR_PEN, N2V_RETURN_PEN, WALK_DEADEND_MOD, WALK_SEED_MOD,
+        WALK_STEPS, q_graph_node2vec_walks, q_graph_random_walks)
+
+    sf = "/root/testdata/sf0.001"
+    keys = [r[0] for r in load_table(spark, sf, "customer")
+            .select("c_custkey").collect()]
+    nmax = max(keys)
+    adj: dict[int, list[int]] = {}
+    for v in keys:
+        if v % WALK_DEADEND_MOD == 0:
+            continue
+        outs = set()
+        if v + 1 <= nmax:
+            outs.add(v + 1)
+        if v * 2 <= nmax:
+            outs.add(v * 2)
+        if v >= 2:
+            outs.add(v // 2)
+        adj[v] = sorted(outs)
+
+    def h(walk, step, dst):
+        x = (walk * 2654435761 + step * 40503 + dst * 1597334677
+             + 12345) % 2147483647
+        return (x * 48271 + 11) % 2147483647
+
+    def cls_of(prev, dst):
+        if dst == prev:
+            return 0
+        if dst in adj.get(prev, []):
+            return 1
+        return 2
+
+    pen = {0: N2V_RETURN_PEN, 1: 1, 2: N2V_FAR_PEN}
+    expect = {}
+    for seed in (v for v in keys if v % WALK_SEED_MOD == 0):
+        prev, cur, checksum, steps = -1, seed, seed, 0
+        counts = [0, 0, 0]
+        for t in range(1, WALK_STEPS + 1):
+            outs = adj.get(cur, [])
+            if not outs:
+                break
+            best = min(outs, key=lambda d: (
+                h(seed, t, d) * pen[cls_of(prev, d)], d))
+            counts[cls_of(prev, best)] += 1
+            prev, cur = cur, best
+            steps, checksum = t, checksum + (t + 1) * cur
+        expect[seed] = (steps, cur, checksum,
+                        counts[0], counts[1], counts[2])
+
+    got = {r.walk: (r.n_steps, r.end_node, r.path_checksum,
+                    r.n_return, r.n_common, r.n_far)
+           for r in q_graph_node2vec_walks(spark, sf).collect()}
+    assert got == expect
+    # every bias class is chosen somewhere (live variation)
+    totals = [sum(v[3] for v in got.values()),
+              sum(v[4] for v in got.values()),
+              sum(v[5] for v in got.values())]
+    assert all(t > 0 for t in totals), totals
+    # the bias changes real choices vs the unbiased sampler
+    un = {r.walk: r.path_checksum
+          for r in q_graph_random_walks(spark, sf).collect()}
+    assert any(un[wk] != v[2] for wk, v in got.items())
