@@ -3205,33 +3205,13 @@ N2V_RETURN_PEN = 4   # p-analog: discourage immediate backtracking
 N2V_FAR_PEN = 2      # q-analog: mildly discourage leaving prev's hood
 
 
-def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """node2vec SECOND-ORDER biased walks — the random_walks docstring
-    promises "biased variants change only the ranking expression"; this
-    key makes that real. The frontier carries (walk, prev, cur); each
-    candidate dst is classed node2vec-style against prev — 0: return
-    (dst = prev), 1: common (a prev→dst edge exists — dst stays in
-    prev's neighborhood), 2: exploration — and the seeded hash is
-    scaled by the class penalty before the argmin, so returns are
-    discouraged 4× and exploration 2× without losing determinism.
-
-    Shape: vs the unbiased walk, each round adds ONE extra keyed
-    left join (candidates × distinct edge set on (prev, dst) — the
-    adjacency probe). Still |walks|-sized frontier per round; the
-    first step has prev = -1 so every candidate is class 2 and the
-    choice equals the unbiased walk's (uniform), after which the paths
-    diverge (pinned by test).
-
-    Output adds per-walk class counts (n_return/n_common/n_far) so the
-    bias is LIVE in the checked values, not just in the plan."""
-    verts, edges = _walk_graph(spark, sf_dir)
+def _n2v_trail_over(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """The biased (walk, step, node, cls) trail over an INJECTED
+    substrate — seeds carry (walk, prev, cur); the sf1-proxy scale
+    probe runs this exact loop over a 10x-replicated substrate."""
     adj = edges.select(F.col("src").alias("p_adj"),
                        F.col("dst").alias("d_adj"),
                        F.lit(1).alias("is_adj"))
-    seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
-             .select(F.col("v").alias("walk"),
-                     F.lit(-1).cast("long").alias("prev"),
-                     F.col("v").alias("cur")))
     state = seeds.localCheckpoint(eager=True)
     trail = state.select("walk", F.lit(0).cast("long").alias("step"),
                          F.col("cur").alias("node"),
@@ -3269,6 +3249,34 @@ def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             chosen.select("walk", F.lit(t).cast("long").alias("step"),
                           F.col("cur").alias("node"), "cls")
         ).localCheckpoint(eager=True)
+    return trail
+
+
+def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks — the random_walks docstring
+    promises "biased variants change only the ranking expression"; this
+    key makes that real. The frontier carries (walk, prev, cur); each
+    candidate dst is classed node2vec-style against prev — 0: return
+    (dst = prev), 1: common (a prev→dst edge exists — dst stays in
+    prev's neighborhood), 2: exploration — and the seeded hash is
+    scaled by the class penalty before the argmin, so returns are
+    discouraged 4× and exploration 2× without losing determinism.
+
+    Shape: vs the unbiased walk, each round adds ONE extra keyed
+    left join (candidates × distinct edge set on (prev, dst) — the
+    adjacency probe). Still |walks|-sized frontier per round; the
+    first step has prev = -1 so every candidate is class 2 and the
+    choice equals the unbiased walk's (uniform), after which the paths
+    diverge (pinned by test).
+
+    Output adds per-walk class counts (n_return/n_common/n_far) so the
+    bias is LIVE in the checked values, not just in the plan."""
+    verts, edges = _walk_graph(spark, sf_dir)
+    seeds = (verts.filter(F.col("v") % WALK_SEED_MOD == 0)
+             .select(F.col("v").alias("walk"),
+                     F.lit(-1).cast("long").alias("prev"),
+                     F.col("v").alias("cur")))
+    trail = _n2v_trail_over(edges, seeds)
     return (trail.groupBy("walk")
             .agg(F.max("step").alias("n_steps"),
                  F.max_by("node", "step").alias("end_node"),

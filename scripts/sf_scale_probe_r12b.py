@@ -78,7 +78,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from graph_database_project_spark.operators.graphq import (
-        _NEG_HASH, _PAIR_KEY, WALK_WINDOW, _walk_trail_over)
+        _NEG_HASH, _PAIR_KEY, WALK_WINDOW, _n2v_trail_over,
+        _walk_trail_over)
     from graph_database_project_spark.session import get_spark
 
     spark = get_spark("sf-scale-probe-r12b")
@@ -121,8 +122,18 @@ def main() -> int:
                        F.sum(F.col("center") + 131 * F.col("neg")))
         return pos.collect(), neg.collect()
 
+    def node2vec_trail(edges, seeds, n):
+        s2 = seeds.select("walk", F.lit(-1).cast("long").alias("prev"),
+                          "cur")
+        trail = _n2v_trail_over(edges, s2)
+        return (trail.groupBy("walk")
+                .agg(F.max("step"), F.sum((F.col("step") + 1)
+                                          * F.col("node")))
+                .agg(F.count(F.lit(1))).collect())
+
     jobs = {"scan": scan_baseline, "walk_trail": walk_trail,
-            "skipgram_pairs": skipgram_pairs}
+            "skipgram_pairs": skipgram_pairs,
+            "node2vec_trail": node2vec_trail}
     results: dict[str, dict] = {}
 
     def flush():
