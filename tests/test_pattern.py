@@ -950,3 +950,85 @@ def test_render_shortestpath_round_trip():
     assert "p = shortestPath(" in txt
     p = parse_match(txt + " RETURN length(p)")
     assert p.edge_pats == edges and set(p.node_pats) == set(nodes)
+
+
+# --- property-based: WITH pipelines vs a pure-Python evaluator -------------
+
+from hypothesis import HealthCheck
+
+_wp_label = st.sampled_from([None, "A", "B"])
+_wp_type = st.sampled_from(["R", "S"])
+
+
+@st.composite
+def _with_cases(draw):
+    n = draw(st.integers(3, 7))
+    edges = draw(st.sets(st.tuples(st.integers(1, n), st.integers(1, n),
+                                   _wp_type), min_size=2, max_size=14))
+    return dict(
+        n=n, edges=sorted(edges),
+        l1=draw(_wp_label), l2=draw(_wp_label),
+        t1=draw(_wp_type),
+        dist=draw(st.booleans()),      # count(DISTINCT y.docnbr) vs count(y)
+        k=draw(st.sampled_from([None, 1, 2])),     # post-WHERE threshold
+        t2=draw(st.sampled_from([None, "R", "S"])),  # second-stage MATCH
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_with_cases())
+def test_with_pipeline_matches_python_evaluator(spark, case):
+    """Random graph + random staged query: the WITH compile must equal
+    a direct set-semantics evaluation (pair-dedup per edge pattern,
+    implicit grouping, post-WHERE, re-anchored join, final count)."""
+    n, edges = case["n"], case["edges"]
+    lab = {i: ("A" if i % 2 else "B") for i in range(1, n + 1)}
+    nodes_df = spark.createDataFrame(
+        [(i, [lab[i]], f"n{i}", None, f"d{i % 3}", {})
+         for i in range(1, n + 1)],
+        "id long, labels array<string>, name string, content string, "
+        "docnbr string, props map<string,string>")
+    edges_df = spark.createDataFrame(
+        edges, "src long, dst long, rel_type string")
+
+    def ok(i, want):
+        return want is None or lab[i] == want
+
+    # stage 0: distinct (x, y) pairs of type t1 with label predicates
+    pairs = sorted({(s, d) for s, d, t in edges
+                    if t == case["t1"] and ok(s, case["l1"])
+                    and ok(d, case["l2"])})
+    agg: dict[int, int] = {}
+    for s, d in pairs:
+        agg.setdefault(s, set()).add(d)
+    c_of = {s: (len({f"d{d % 3}" for d in ds}) if case["dist"]
+                else len(ds))
+            for s, ds in agg.items()}
+    if case["k"] is not None:
+        c_of = {s: c for s, c in c_of.items() if c >= case["k"]}
+    if case["t2"] is None:
+        expect = sorted((f"n{s}", c) for s, c in c_of.items())
+    else:
+        expect = []
+        for s, c in c_of.items():
+            zs = {d for s2, d, t in edges if s2 == s and t == case["t2"]}
+            if zs:
+                expect.append((f"n{s}", c, len(zs)))
+        expect.sort()
+
+    l1 = f":{case['l1']}" if case["l1"] else ""
+    l2 = f":{case['l2']}" if case["l2"] else ""
+    cnt = "count(DISTINCT y.docnbr)" if case["dist"] else "count(y)"
+    q = (f"MATCH (x{l1})-[:{case['t1']}]->(y{l2}) "
+         f"WITH x, {cnt} AS c ")
+    if case["k"] is not None:
+        q += f"WHERE c >= {case['k']} "
+    if case["t2"] is None:
+        q += "RETURN x.name AS xn, c ORDER BY xn"
+    else:
+        q += (f"MATCH (x)-[:{case['t2']}]->(z) "
+              "RETURN x.name AS xn, c, count(z) AS nz ORDER BY xn")
+    got = [tuple(r) for r in
+           match_pattern(nodes_df, edges_df, q).collect()]
+    assert got == expect, (q, got, expect)
