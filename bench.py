@@ -93,8 +93,6 @@ EXTENDED = [
                                 # heaviest motif plan — 18 exchanges)
     "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
     "graph_pagerank_incremental",  # r10: warm-start IVM (two PR phases)
-    "dedup_weighted_mass",      # r10: duplicate-aware token mass
-    "batch_padding_audit",      # r10: geometric-bucket padding waste
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
     "graph_scc",                # r11: repeated-squaring mutual reach
@@ -121,6 +119,8 @@ EXTENDED = [
                                  # (per-h exact sets + min fold, k<=4)
     "graph_node2vec_walks",     # r12b: second-order biased walks (adds
                                 # an adjacency probe join per round)
+    "graph_mis_luby",           # r12b: Luby MIS — job-count-bound
+                                # priority rounds over the union graph
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
@@ -132,6 +132,11 @@ EXTENDED = [
 # extended family hit 41 rows / ~87 s per rep, and long fires cost
 # healthy-window capture odds on this drifty host (see BASELINE.md).
 RETIRED = [
+    # r12b retirements (wall policy): operators unchanged since r10,
+    # pins stamped (weighted_mass 1.442, padding_audit 0.41) and both
+    # cross-checked within spread on the last two healthy captures
+    "dedup_weighted_mass",
+    "batch_padding_audit",
     "multimodal_video_frames",  # Y4M frame sampling
     "text_span_dedup",          # inverted-index span dedup
     "ts_rollup_multires",       # hypertable multi-resolution rollup

@@ -3193,6 +3193,149 @@ FROM negs
 ORDER BY kind, dist"""
 
 
+# --- Luby maximal independent set --------------------------------------------
+
+MIS_ROUNDS = 8
+
+# strict total-order priority: two xorshift/multiply rounds over the
+# node id (profiling.py hash discipline), packed with the id itself so
+# no two nodes ever tie — pri < 2^31 * 2^31 + 2^31 < 2^63, BIGINT-safe
+# in both engines
+def _mis_pri(col: str) -> str:
+    h1 = f"(({col} * 2654435761 + 777) % 2147483647)"
+    return f"((({h1}) * 48271 + 11) % 2147483647) * 2147483648 + {col}"
+
+
+def q_graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set via Luby's algorithm, the deterministic
+    PRIORITY variant: in each round an undecided node joins the MIS iff
+    its hash-priority beats every undecided neighbor's; its neighbors
+    become excluded; repeat. The classic O(log n)-round distributed
+    symmetry-breaking primitive (Luby 1986) — the building block under
+    distributed coloring/scheduling — on the clustering-coeff union
+    substrate (cliques + chain fringe: cliques give one winner per
+    round per block, the sparse chain fringe decides in parallel).
+
+    Determinism: true Luby samples priorities per round; here the
+    priority is a seeded hash of the node id (round-invariant), which
+    keeps the oracle bit-exact and the output replayable while
+    preserving the independence/maximality guarantees (any strict total
+    order works; round-invariant order costs rounds only in adversarial
+    orders, and the round count is CAPPED anyway).
+
+    Both engines run the same FIXED ``MIS_ROUNDS`` rounds (the Spark
+    loop early-exits once nothing is undecided — identical result, the
+    oracle's extra rounds operate on an empty set), and the output
+    carries ``n_undecided`` so an unconverged cap is VISIBLE in the
+    checked values, plus ``n_conflict`` (edges inside the MIS — the
+    independence invariant, pinned at 0 by the golden compare).
+
+    Shape per round: one keyed min-aggregation over the live edge set +
+    two anti-joins, all on 64-bit ids; the live edge set shrinks
+    geometrically. 100 TB: every step is a keyed shuffle over the
+    current undecided subgraph — no all-pairs, no broadcast of
+    anything unbounded."""
+    edges = _lcc_union_edges(spark, sf_dir)
+    sym = (edges.union(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    und = (sym.select(F.col("u").alias("node")).distinct()
+           .localCheckpoint(eager=True))
+    mis = und.filter(F.lit(False)).localCheckpoint(eager=True)
+    pri_node = F.expr(_mis_pri("node"))
+    for _ in range(MIS_ROUNDS):
+        live = (sym.join(und.select(F.col("node").alias("u")), "u")
+                .join(und.select(F.col("node").alias("v")), "v"))
+        nbmin = (live.groupBy(F.col("u").alias("node"))
+                 .agg(F.min(F.expr(_mis_pri("v"))).alias("mn")))
+        winners = (und.join(nbmin, "node", "left")
+                   .filter(F.col("mn").isNull() | (pri_node < F.col("mn")))
+                   .select("node").localCheckpoint(eager=True))
+        excl = (sym.join(winners.select(F.col("node").alias("u")), "u")
+                .select(F.col("v").alias("node")).distinct())
+        und = (und.join(winners, "node", "left_anti")
+               .join(excl, "node", "left_anti")
+               .localCheckpoint(eager=True))
+        # mis is a union of ALREADY-checkpointed winner frames — its
+        # lineage is O(rounds) flat, no per-round checkpoint needed
+        mis = mis.unionByName(winners)
+        if und.isEmpty():
+            break
+    conflict = (edges
+                .join(mis.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(mis.select(F.col("node").alias("v")), "v", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_conflict")))
+    summary = mis.agg(F.count(F.lit(1)).alias("n_mis"),
+                      F.sum("node").alias("mis_checksum"),
+                      F.min("node").alias("min_mis"),
+                      F.max("node").alias("max_mis"))
+    undec = und.agg(F.count(F.lit(1)).alias("n_undecided"))
+    return summary.crossJoin(F.broadcast(undec))         .crossJoin(F.broadcast(conflict))
+
+
+def _mis_sql() -> str:
+    """Unrolled Luby rounds with the identical packed-hash priority —
+    the edges CTE is the Q_LCC_SQL substrate verbatim."""
+    parts = ["""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT CAST(a.c_custkey AS BIGINT) AS u, CAST(b.c_custkey AS BIGINT) AS v
+    FROM customer a JOIN customer b
+      ON b.c_custkey > a.c_custkey
+     AND b.c_custkey - b.c_custkey % 10 = a.c_custkey - a.c_custkey % 10
+    UNION ALL
+    SELECT CAST(a.c_custkey AS BIGINT), CAST(b.c_custkey AS BIGINT)
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 10
+    WHERE a.c_custkey % 70 = 0
+    UNION ALL
+    SELECT CAST(a.c_custkey AS BIGINT), CAST(b.c_custkey AS BIGINT)
+    FROM customer a JOIN customer b
+      ON (b.c_custkey = a.c_custkey + 1 OR b.c_custkey = a.c_custkey + 2)
+     AND a.c_nationkey = b.c_nationkey
+  )
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+und0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""]
+    for r in range(1, MIS_ROUNDS + 1):
+        parts.append(f""",
+m{r} AS MATERIALIZED (
+  SELECT d.node FROM und{r-1} d
+  LEFT JOIN (
+    SELECT s.u AS node, min({_mis_pri('s.v')}) AS mn
+    FROM sym s
+    JOIN und{r-1} a ON a.node = s.u
+    JOIN und{r-1} b ON b.node = s.v
+    GROUP BY s.u) nb ON nb.node = d.node
+  WHERE nb.mn IS NULL OR {_mis_pri('d.node')} < nb.mn
+),
+und{r} AS MATERIALIZED (
+  SELECT node FROM und{r-1}
+  WHERE node NOT IN (SELECT node FROM m{r})
+    AND node NOT IN (SELECT s.v FROM sym s
+                     JOIN m{r} w ON w.node = s.u)
+)""")
+    unions = " UNION ALL ".join(f"SELECT node FROM m{r}"
+                                for r in range(1, MIS_ROUNDS + 1))
+    parts.append(f""",
+mis AS MATERIALIZED ({unions})""")
+    return "".join(parts)
+
+
+Q_GRAPH_MIS_LUBY_SQL = _mis_sql() + f"""
+SELECT CAST((SELECT count(*) FROM mis) AS BIGINT) AS n_mis,
+       CAST((SELECT sum(node) FROM mis) AS BIGINT) AS mis_checksum,
+       CAST((SELECT min(node) FROM mis) AS BIGINT) AS min_mis,
+       CAST((SELECT max(node) FROM mis) AS BIGINT) AS max_mis,
+       CAST((SELECT count(*) FROM und{MIS_ROUNDS}) AS BIGINT)
+         AS n_undecided,
+       CAST((SELECT count(*) FROM edges e
+             WHERE e.u IN (SELECT node FROM mis)
+               AND e.v IN (SELECT node FROM mis)) AS BIGINT) AS n_conflict
+"""
+
+
 # --- node2vec biased (second-order) walks -----------------------------------
 
 # integer penalty analogs of node2vec's 1/p (return) and 1/q
@@ -3385,6 +3528,7 @@ QUERIES = {
     "graph_betweenness_sampled": q_graph_betweenness_sampled,
     "graph_scc": q_graph_scc,
     "graph_scc_coloring": q_graph_scc_coloring,
+    "graph_mis_luby": q_graph_mis_luby,
     "graph_random_walks": q_graph_random_walks,
     "graph_node2vec_walks": q_graph_node2vec_walks,
     "graph_walk_skipgrams": q_graph_walk_skipgrams,
@@ -3423,6 +3567,7 @@ ORACLE = {
     # two machineries produce the identical SCC partition
     "graph_scc_coloring": Q_GRAPH_SCC_SQL,
     # hash-seeded walk steps unrolled per round, identical rank both sides
+    "graph_mis_luby": Q_GRAPH_MIS_LUBY_SQL,
     "graph_random_walks": Q_GRAPH_RANDOM_WALKS_SQL,
     "graph_node2vec_walks": Q_GRAPH_NODE2VEC_WALKS_SQL,
     "graph_walk_skipgrams": Q_GRAPH_WALK_SKIPGRAMS_SQL,

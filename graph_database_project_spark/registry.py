@@ -239,7 +239,9 @@ _DRIVER_WINDOW = [
     "graph_weighted_sssp",
     "heavy_hitters_cms",
     "join_bloom_prune",
-    "join_size_estimate",
+    # join_size_estimate: slot yielded to graph_mis_luby below (r07
+    # green; joins stay repped by join_range_follow + join_bloom_prune;
+    # rotates in r13)
     "multimodal_png_decode",
     "mutation_merge_upsert",
     # mutation_scd2_pit_join: slot yielded to graph_motif_shortestpath
@@ -306,6 +308,9 @@ _DRIVER_WINDOW = [
     # graph_node2vec_walks (r12b): second-order biased walk sampling —
     # class-penalty hash argmin, per-walk class counts value-checked
     "graph_node2vec_walks",
+    # graph_mis_luby (r12b): Luby maximal independent set —
+    # deterministic-priority rounds, independence pinned in the values
+    "graph_mis_luby",
 ]
 
 

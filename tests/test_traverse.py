@@ -890,3 +890,45 @@ def test_node2vec_walks_match_pure_python_replay(spark):
     un = {r.walk: r.path_checksum
           for r in q_graph_random_walks(spark, sf).collect()}
     assert any(un[wk] != v[2] for wk, v in got.items())
+
+
+def test_mis_luby_matches_pure_python_replay(spark):
+    """Third machinery for the r12b MIS: replay Luby's priority rounds
+    in pure Python over the same substrate, verify independence AND
+    maximality structurally, and compare the full summary row."""
+    from graph_database_project_spark.operators.graphq import (
+        MIS_ROUNDS, _lcc_union_edges, q_graph_mis_luby)
+
+    sf = "/root/testdata/sf0.001"
+    und_edges = {(r.u, r.v) for r in
+                 _lcc_union_edges(spark, sf).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in und_edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def pri(v):
+        h = (((v * 2654435761 + 777) % 2147483647) * 48271 + 11) \
+            % 2147483647
+        return h * 2147483648 + v
+
+    und = set(adj)
+    mis: set[int] = set()
+    for _ in range(MIS_ROUNDS):
+        winners = {v for v in und
+                   if all(pri(v) < pri(u) for u in adj[v] if u in und)}
+        mis |= winners
+        excl = {u for w in winners for u in adj[w]}
+        und -= winners | excl
+        if not und:
+            break
+
+    # structural invariants, independently of the engine
+    assert all(not (mis & adj[v]) for v in mis)          # independence
+    assert all(v in mis or (mis & adj[v]) or v in und
+               for v in adj)                              # maximality
+    row = q_graph_mis_luby(spark, sf).collect()[0]
+    assert (row.n_mis, row.mis_checksum, row.min_mis, row.max_mis,
+            row.n_undecided, row.n_conflict) == \
+        (len(mis), sum(mis), min(mis), max(mis), len(und), 0)
+    assert len(mis) > 10  # the substrate actually exercises the rounds
