@@ -354,6 +354,11 @@ _MOTIF_THRESHOLD_RULE = re.compile(
     r"which (\w+) nodes have at least (\d+) outgoing links",
     re.I,
 )
+# r12b: distance questions emit shortestPath text (length(p) semantics)
+_MOTIF_DISTANCE_RULE = re.compile(
+    r"how far is (?:bulletin\s+)?'?([\w.-]+)'? from (?:its |the )?(\w+)",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -421,6 +426,20 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             f"MATCH (sb {{docnbr: '{m.group(1)}'}})"
             "-[:HAS_HEADER]->(h)-[:HAS_SUBJECT]->(subj) "
             "RETURN sb.docnbr AS docnbr, subj.content AS subject")
+        return compile_pattern(pattern)
+    m = _MOTIF_DISTANCE_RULE.search(q)
+    if m:
+        # shortestPath text (r12b): BFS distance from the named bulletin
+        # to every node of the asked label, via length(p)
+        docnbr, label = m.group(1), m.group(2)
+        # the ServiceBulletin label anchors the seed to the doc ROOT —
+        # every node of a doc carries its docnbr, so the bare property
+        # map alone would bind all of them
+        pattern = (
+            f"MATCH p = shortestPath((sb:ServiceBulletin "
+            f"{{docnbr: '{docnbr}'}})-[*1..6]->(x:{label})) "
+            "RETURN x.name AS name, length(p) AS hops "
+            "ORDER BY hops, name LIMIT 20")
         return compile_pattern(pattern)
     m = _MOTIF_THRESHOLD_RULE.search(q)
     if m:

@@ -72,8 +72,14 @@ def main() -> None:
              # r12 additions
              "graph_motif_edge_distinct", "graph_motif_edge_var",
              "graph_scc_coloring", "ts_seasonal_decompose",
-             "attribution_linear", "ts_seasonal_decompose",
-             "graph_scc_condensation"]
+             "attribution_linear",
+             "graph_scc_condensation",
+             # r12 late + r12b additions: walk family, pattern surface,
+             # Luby MIS
+             "graph_random_walks", "graph_walk_skipgrams",
+             "graph_node2vec_walks", "graph_motif_aggregate",
+             "graph_motif_pipeline", "graph_motif_shortestpath",
+             "graph_mis_luby"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

@@ -529,6 +529,12 @@ def test_nl_graph_rules_emit_text_patterns(spark, store):
     assert rows == [("737-00-1028", "description", 3),
                     ("737-00-1029", "description", 4),
                     ("737-00-1030", "description", 3)]
+    # r12b: the distance question emits shortestPath text
+    df4 = answer_graph(
+        spark, store, "how far is '737-00-1029' from its effectivity?")
+    rows4 = [(r.name, r.hops) for r in df4.collect()]
+    assert rows4 and all(n == "effectivity" for n, _ in rows4)
+    assert min(h for _, h in rows4) >= 2  # root -> planning -> eff
 
 
 # --- property-based round-trip: render → parse → identical spec -----------
