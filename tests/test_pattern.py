@@ -1038,3 +1038,39 @@ def test_with_pipeline_matches_python_evaluator(spark, case):
     got = [tuple(r) for r in
            match_pattern(nodes_df, edges_df, q).collect()]
     assert got == expect, (q, got, expect)
+
+
+def test_edge_distinct_scoped_per_stage_clause(tiny):
+    """Cypher scopes relationship-uniqueness PER MATCH clause: two
+    same-type edges in ONE clause may not bind the same stored edge,
+    but the same pattern split across a WITH boundary may."""
+    nodes, edges = tiny
+    one_clause = match_pattern(
+        nodes, edges,
+        "MATCH (x)-[:S]->(c), (y)-[:S]->(c) "
+        "RETURN x.name AS xn, y.name AS yn", edge_distinct=True)
+    # edges 3->5 and 4->5: uniqueness forbids x=y, keeps the two
+    # ordered cross pairs
+    assert _bindings(one_clause) == [("b1", "b2"), ("b2", "b1")]
+    split = match_pattern(
+        nodes, edges,
+        "MATCH (x)-[:S]->(c) WITH x, c MATCH (y)-[:S]->(c) "
+        "RETURN x.name AS xn, y.name AS yn", edge_distinct=True)
+    # across stages the same stored edge may bind both patterns —
+    # the x=y diagonal comes back (Cypher's own scoping)
+    assert _bindings(split) == [("b1", "b1"), ("b1", "b2"),
+                                ("b2", "b1"), ("b2", "b2")]
+
+
+def test_with_global_aggregate_stage(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WITH count(*) AS total "
+        "RETURN total"))
+    assert got == [(5,)]
+    # a MATCH after an all-aggregate WITH has nothing to re-anchor on
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match("MATCH (a)-[:R]->(b) WITH count(*) AS total "
+                    "MATCH (c)-[:S]->(d) RETURN total")
+    assert "re-anchor" in str(ei.value)
