@@ -92,7 +92,6 @@ EXTENDED = [
     "graph_motif_varlength",    # r10: *1..3 reachability expansion (the
                                 # heaviest motif plan — 18 exchanges)
     "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
-    "graph_pagerank_incremental",  # r10: warm-start IVM (two PR phases)
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
     "graph_scc",                # r11: repeated-squaring mutual reach
@@ -121,6 +120,8 @@ EXTENDED = [
                                 # an adjacency probe join per round)
     "graph_mis_luby",           # r12b: Luby MIS — job-count-bound
                                 # priority rounds over the union graph
+    "graph_motif_textpred",     # r12b: WHERE string predicates (JVM
+                                # Column.contains/startswith filter)
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
@@ -132,11 +133,13 @@ EXTENDED = [
 # extended family hit 41 rows / ~87 s per rep, and long fires cost
 # healthy-window capture odds on this drifty host (see BASELINE.md).
 RETIRED = [
-    # r12b retirements (wall policy): operators unchanged since r10,
-    # pins stamped (weighted_mass 1.442, padding_audit 0.41) and both
-    # cross-checked within spread on the last two healthy captures
+    # r12b retirements (wall policy): operators unchanged since r10/r11,
+    # pins stamped (weighted_mass 1.442, padding_audit 0.41,
+    # pagerank_incremental 3.886) and cross-checked within spread on
+    # the last two healthy captures
     "dedup_weighted_mass",
     "batch_padding_audit",
+    "graph_pagerank_incremental",
     "multimodal_video_frames",  # Y4M frame sampling
     "text_span_dedup",          # inverted-index span dedup
     "ts_rollup_multires",       # hypertable multi-resolution rollup

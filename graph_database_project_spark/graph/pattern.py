@@ -28,9 +28,12 @@ Supported subset — exactly what the compiler supports, nothing more:
   (every edge in an OPTIONAL MATCH clause is left-outer);
 * ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
   (the ``negated`` anti-join form; the right node may be anonymous with
-  predicates — NOT-EXISTS-a-node-matching-P) and comparisons
+  predicates — NOT-EXISTS-a-node-matching-P), comparisons
   ``a.field OP b.field`` / ``a.field OP 'literal'`` over the carried
-  fields (id/name/content/docnbr) with OP in = <> != < <= > >=;
+  fields (id/name/content/docnbr) with OP in = <> != < <= > >=, and —
+  r12b — Cypher's string/null predicates ``a.field CONTAINS 'x'``,
+  ``STARTS WITH 'x'``, ``ENDS WITH 'x'``, ``IS [NOT] NULL`` (the null
+  forms are the post-filter idiom over OPTIONAL MATCH columns);
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
   ``match_pattern``; a bare variable expands to its carried columns;
 * RETURN aggregates with Cypher's IMPLICIT GROUPING (r12):
@@ -518,6 +521,13 @@ class _Parser:
                     "WITH's trailing WHERE — apply pattern predicates "
                     "before the WITH boundary")
             lhs = self._out_ref(outs, items, "WHERE after WITH")
+            sp = self._string_pred(lhs)
+            if sp is not None:
+                terms.append(sp)
+                if self.at("kw", "AND"):
+                    self.next()
+                    continue
+                break
             k, op, p = self.next()
             if k != "punct" or op not in _COMPARE_OPS:
                 raise PatternSyntaxError(
@@ -897,6 +907,10 @@ class _Parser:
             return
         var, fld = self._field_ref()
         lcol = fld if var is None else f"{var}_{fld}"
+        sp = self._string_pred(lcol)
+        if sp is not None:
+            self.where_fn.append(sp)
+            return
         k, op, p = self.next()
         if k != "punct" or op not in _COMPARE_OPS:
             raise PatternSyntaxError(
@@ -917,6 +931,47 @@ class _Parser:
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
         self.where_fn.append(lambda: ops(lhs(), rhs()))
+
+    def _string_pred(self, lcol: str):
+        """Cypher's string/null predicates (r12b): ``CONTAINS 'x'``,
+        ``STARTS WITH 'x'``, ``ENDS WITH 'x'``, ``IS [NOT] NULL`` — the
+        four the reference's GPT seam emits constantly. Returns a
+        Column thunk, or None when the cursor holds a comparison
+        operator instead. (``IS NULL`` over an OPTIONAL MATCH column is
+        the post-filter idiom — Cypher's ``WITH … WHERE s IS NULL`` —
+        not the match-time OPTIONAL WHERE, which this language does not
+        have.)"""
+        k, v, _ = self.peek()
+        if k != "ident":
+            return None
+        vu = v.upper()
+        if vu == "IS":
+            self.next()
+            neg = self.at("kw", "NOT")
+            if neg:
+                self.next()
+            k2, v2, p2 = self.next()
+            if k2 != "ident" or v2.upper() != "NULL":
+                raise PatternSyntaxError(
+                    f"expected NULL at position {p2}, got {v2!r}")
+            if neg:
+                return lambda: F.col(lcol).isNotNull()
+            return lambda: F.col(lcol).isNull()
+        if vu in ("STARTS", "ENDS", "CONTAINS"):
+            self.next()
+            if vu != "CONTAINS":
+                self.expect("kw", "WITH")
+            k2, v2, p2 = self.next()
+            if k2 != "str":
+                shape = "CONTAINS" if vu == "CONTAINS" else f"{vu} WITH"
+                raise PatternSyntaxError(
+                    f"{shape} needs a quoted string literal at position "
+                    f"{p2}, got {v2!r}")
+            lit = _unescape(v2[1:-1])
+            fn = {"STARTS": "startswith", "ENDS": "endswith",
+                  "CONTAINS": "contains"}[vu]
+            return lambda: getattr(F.col(lcol), fn)(lit)
+        return None
 
     def _is_edge_var(self, var: str) -> bool:
         """In scope as an edge variable: declared in the CURRENT stage,

@@ -391,6 +391,11 @@ GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS = [
     ('737-00-1030', 4, 138),
 ]
 
+GOLDEN_GRAPH_MOTIF_TEXTPRED_COLS = [('docnbr', 'VARCHAR'), ('subject', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_TEXTPRED_ROWS = [
+    ('737-00-1029', 'ENGINE FUEL AND CONTROL - Engine Fuel Pump Replacement'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -429,4 +434,5 @@ ORACLE = {
     "graph_motif_aggregate": _values_sql(GOLDEN_GRAPH_MOTIF_AGGREGATE_COLS, GOLDEN_GRAPH_MOTIF_AGGREGATE_ROWS),
     "graph_motif_pipeline": _values_sql(GOLDEN_GRAPH_MOTIF_PIPELINE_COLS, GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS),
     "graph_motif_shortestpath": _values_sql(GOLDEN_GRAPH_MOTIF_SHORTESTPATH_COLS, GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS),
+    "graph_motif_textpred": _values_sql(GOLDEN_GRAPH_MOTIF_TEXTPRED_COLS, GOLDEN_GRAPH_MOTIF_TEXTPRED_ROWS),
 }

@@ -255,7 +255,9 @@ _DRIVER_WINDOW = [
     # freshness budget until the r14 build — rotates in r13)
     "semantic_decontaminate",
     "sim_ivf_topk",
-    "sim_ivfpq_topk",
+    # sim_ivfpq_topk: slot yielded to graph_motif_textpred below (r07
+    # green; similarity stays repped by sim_topk_bruteforce +
+    # sim_ivf_topk; rotates in r13)
     "text_bm25_search",
     # text_chunk_windows: slot yielded to graph_walk_skipgrams below
     # (r07 green; textops keeps 5+ window reps; rotates in r13)
@@ -311,6 +313,9 @@ _DRIVER_WINDOW = [
     # graph_mis_luby (r12b): Luby maximal independent set —
     # deterministic-priority rounds, independence pinned in the values
     "graph_mis_luby",
+    # graph_motif_textpred (r12b): Cypher string predicates (CONTAINS /
+    # STARTS WITH) compiled to JVM Column string ops
+    "graph_motif_textpred",
 ]
 
 

@@ -20,7 +20,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r12b: WITH pipeline stages (aggregate -> HAVING -> re-anchor)
          "graph_motif_pipeline",
          # r12b: shortestPath distance semantics (length(p) histogram)
-         "graph_motif_shortestpath"]
+         "graph_motif_shortestpath",
+         # r12b: string predicates (CONTAINS / STARTS WITH)
+         "graph_motif_textpred"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

@@ -456,7 +456,9 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # (the same per-reference re-expansion family as varlength,
             # bounded by the k<=8 cap), min-fold, and the final
             # implicit-grouping agg — measured 31
-            "graph_motif_shortestpath": 32}
+            "graph_motif_shortestpath": 32,
+            # r12b: 2-hop chain + JVM string-predicate filter — measured 4
+            "graph_motif_textpred": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

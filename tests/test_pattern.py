@@ -1074,3 +1074,49 @@ def test_with_global_aggregate_stage(tiny):
         parse_match("MATCH (a)-[:R]->(b) WITH count(*) AS total "
                     "MATCH (c)-[:S]->(d) RETURN total")
     assert "re-anchor" in str(ei.value)
+
+
+# --- r12b: string / null predicates ----------------------------------------
+
+def test_string_predicates_semantics(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE a.name STARTS WITH 'a' "
+        "AND b.name CONTAINS '1' RETURN a.name AS an, b.name AS bn"))
+    assert got == [("a1", "b1")]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R]->(b) WHERE b.name ENDS WITH '2' "
+        "RETURN b.name AS bn"))
+    assert got2 == [("b2",)]
+    # IS NULL / IS NOT NULL over an OPTIONAL MATCH column — the
+    # post-filter idiom (keep only rows WITHOUT the optional edge)
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b) OPTIONAL MATCH (b)-[:T]->(c) "
+        "WHERE c.name IS NULL RETURN a.name AS an"))
+    assert got3 == [("a1",), ("a2",)]  # no B has a T edge
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:B)-[:S]->(b) OPTIONAL MATCH (b)-[:T]->(c) "
+        "WHERE c.name IS NOT NULL RETURN DISTINCT c.name AS cn"))
+    assert got4 == [("a1",)]  # c1's T edge goes to a1
+    # in a WITH's trailing WHERE over an output column
+    got5 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WITH a.name AS an, count(*) AS n "
+        "WHERE an STARTS WITH 'b' RETURN an, n ORDER BY an"))
+    assert got5 == [("b1", 1), ("b2", 1)]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a)-[:T]->(b) WHERE a.name STARTS 'x' RETURN a.id", "WITH"),
+    ("MATCH (a)-[:T]->(b) WHERE a.name CONTAINS b.name RETURN a.id",
+     "quoted string"),
+    ("MATCH (a)-[:T]->(b) WHERE a.name IS 'x' RETURN a.id", "NULL"),
+])
+def test_string_predicate_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match(bad)
+    assert hint.lower().split()[0] in str(ei.value).lower()
