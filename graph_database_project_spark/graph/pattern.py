@@ -31,9 +31,10 @@ Supported subset — exactly what the compiler supports, nothing more:
   predicates — NOT-EXISTS-a-node-matching-P), comparisons
   ``a.field OP b.field`` / ``a.field OP 'literal'`` over the carried
   fields (id/name/content/docnbr) with OP in = <> != < <= > >=, and —
-  r12b — Cypher's string/null predicates ``a.field CONTAINS 'x'``,
-  ``STARTS WITH 'x'``, ``ENDS WITH 'x'``, ``IS [NOT] NULL`` (the null
-  forms are the post-filter idiom over OPTIONAL MATCH columns);
+  r12b — Cypher's string/null/membership predicates ``a.field
+  CONTAINS 'x'``, ``STARTS WITH 'x'``, ``ENDS WITH 'x'``,
+  ``IS [NOT] NULL`` (the null forms are the post-filter idiom over
+  OPTIONAL MATCH columns), and ``IN ['a', 'b']`` literal lists;
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
   ``match_pattern``; a bare variable expands to its carried columns;
 * RETURN aggregates with Cypher's IMPLICIT GROUPING (r12):
@@ -971,6 +972,28 @@ class _Parser:
             fn = {"STARTS": "startswith", "ENDS": "endswith",
                   "CONTAINS": "contains"}[vu]
             return lambda: getattr(F.col(lcol), fn)(lit)
+        if vu == "IN":
+            # list membership over a literal list: x IN ['a', 'b'] /
+            # x IN [1, 2] — compiled to Column.isin
+            self.next()
+            self.expect("punct", "[")
+            lits: list = []
+            while True:
+                k2, v2, p2 = self.next()
+                if k2 == "str":
+                    lits.append(_unescape(v2[1:-1]))
+                elif k2 == "num":
+                    lits.append(int(v2))
+                else:
+                    raise PatternSyntaxError(
+                        f"IN list takes string/number literals "
+                        f"(position {p2}, got {v2!r})")
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", "]")
+            return lambda: F.col(lcol).isin(*lits)
         return None
 
     def _is_edge_var(self, var: str) -> bool:

@@ -1120,3 +1120,22 @@ def test_string_predicate_rejects(bad, hint):
     with pytest.raises(PatternSyntaxError) as ei:
         parse_match(bad)
     assert hint.lower().split()[0] in str(ei.value).lower()
+
+
+def test_in_list_predicate(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE a.name IN ['a1', 'c1'] "
+        "RETURN a.name AS an, b.name AS bn ORDER BY an, bn"))
+    assert got == [("a1", "b1"), ("c1", "a1")]
+    # numeric list over ids; also valid after a WITH boundary
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WITH a.id AS i, count(*) AS n "
+        "WHERE i IN [1, 5] RETURN i, n ORDER BY i"))
+    assert got2 == [(1, 1), (5, 1)]
+    with pytest.raises(PatternSyntaxError) as ei:
+        parse_match("MATCH (a)-[:T]->(b) WHERE a.name IN [c.name] "
+                    "RETURN a.id")
+    assert "literal" in str(ei.value)
