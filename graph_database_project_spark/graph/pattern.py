@@ -34,7 +34,11 @@ Supported subset — exactly what the compiler supports, nothing more:
   r12b — Cypher's string/null/membership predicates ``a.field
   CONTAINS 'x'``, ``STARTS WITH 'x'``, ``ENDS WITH 'x'``,
   ``IS [NOT] NULL`` (the null forms are the post-filter idiom over
-  OPTIONAL MATCH columns), and ``IN ['a', 'b']`` literal lists;
+  OPTIONAL MATCH columns), and ``IN ['a', 'b']`` literal lists.
+  Predicates compose with ``OR`` and parenthesized groups (r12b) at
+  Cypher's precedence (AND binds tighter); NOT patterns are the one
+  non-composable form — they compile to anti-joins, so they may appear
+  only as top-level AND-ed conjuncts (positioned reject elsewhere);
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
   ``match_pattern``; a bare variable expands to its carried columns;
 * RETURN aggregates with Cypher's IMPLICIT GROUPING (r12):
@@ -73,8 +77,9 @@ Supported subset — exactly what the compiler supports, nothing more:
   be a cartesian product — rejected at parse time). A query containing
   WITH must end with RETURN.
 
-Rejected with explicit errors (parse-time, not plan-time): OR in
-WHERE, unbounded ``*`` (also inside shortestPath — bounds required),
+Rejected with explicit errors (parse-time, not plan-time): NOT
+patterns under OR / inside groups / after a WITH boundary,
+unbounded ``*`` (also inside shortestPath — bounds required),
 unbound/bare shortestPath, any trailing clause
 (ORDER BY/LIMIT belong to the DataFrame, not the pattern language),
 RETURN/WHERE references to a negation-only auxiliary variable (it
@@ -509,26 +514,17 @@ class _Parser:
         return col
 
     def _post_where_terms(self, outs: set[str], items) -> list:
-        """A WITH boundary's trailing WHERE (r12b): AND-ed comparisons
+        """A WITH boundary's trailing WHERE (r12b): the same boolean
+        grammar as the main WHERE (AND/OR/parens, string predicates)
         over the boundary's OUTPUT columns — the HAVING shape. Pattern
-        predicates (NOT …) are parse-time rejected here; they belong
-        before the boundary."""
-        terms: list = []
-        while True:
-            if self.at("kw", "NOT"):
-                _, _, p = self.peek()
-                raise PatternSyntaxError(
-                    f"NOT pattern at position {p} is not allowed in a "
-                    "WITH's trailing WHERE — apply pattern predicates "
-                    "before the WITH boundary")
+        predicates (NOT …) are parse-time rejected; they belong before
+        the boundary."""
+
+        def pred():
             lhs = self._out_ref(outs, items, "WHERE after WITH")
             sp = self._string_pred(lhs)
             if sp is not None:
-                terms.append(sp)
-                if self.at("kw", "AND"):
-                    self.next()
-                    continue
-                break
+                return sp
             k, op, p = self.next()
             if k != "punct" or op not in _COMPARE_OPS:
                 raise PatternSyntaxError(
@@ -547,18 +543,13 @@ class _Parser:
                    "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
-            terms.append(
-                lambda lhs=lhs, ops=ops, rhs=rhs: ops(F.col(lhs), rhs()))
-            if self.at("kw", "AND"):
-                self.next()
-                continue
-            if self.at("kw", "OR"):
-                _, _, p = self.next()
-                raise PatternSyntaxError(
-                    f"OR at position {p} is not supported — the compiler "
-                    "ANDs all predicates; run two patterns and union")
-            break
-        return terms
+            return lambda lhs=lhs, ops=ops, rhs=rhs: ops(F.col(lhs), rhs())
+
+        thunk, _ = self._bool_or(
+            pred, allow_negpat=False,
+            neg_ctx="in a WITH's trailing WHERE — apply pattern "
+                    "predicates before the WITH boundary")
+        return [thunk] if thunk is not None else []
 
     def _clause_group(self, optional: bool) -> None:
         start = len(self.edges)
@@ -861,57 +852,112 @@ class _Parser:
 
     # -- WHERE ------------------------------------------------------------
     def _where_terms(self) -> None:
-        self._where_term()
+        """The full WHERE boolean expression (r12b: OR + parenthesized
+        groups, Cypher precedence — AND binds tighter). NOT patterns
+        compile to anti-joins, not predicates, so they may appear only
+        as TOP-LEVEL conjuncts (never under OR / inside parens) — the
+        one structural restriction, rejected with position."""
+        thunk, _ = self._bool_or(self._predicate, allow_negpat=True)
+        if thunk is not None:
+            self.where_fn.append(thunk)
+
+    _NEG_CTX = ("under OR / inside a group — it compiles to an "
+                "anti-join; AND it at the top level")
+
+    def _bool_or(self, pred, allow_negpat: bool,
+                 neg_ctx: str = _NEG_CTX):
+        """``or := and (OR and)*`` — returns (thunk|None, saw_negpat);
+        the thunk is None when every conjunct was a NOT pattern."""
+        left, has_neg = self._bool_and(pred, allow_negpat, neg_ctx)
+        while self.at("kw", "OR"):
+            _, _, p = self.next()
+            if has_neg or left is None:
+                raise PatternSyntaxError(
+                    f"OR at position {p}: a NOT pattern compiles to an "
+                    "anti-join, not a boolean predicate — it can only "
+                    "be AND-ed at the top level")
+            right, hn = self._bool_and(pred, False, neg_ctx)
+            if hn or right is None:
+                raise PatternSyntaxError(
+                    f"OR at position {p}: a NOT pattern compiles to an "
+                    "anti-join, not a boolean predicate — it can only "
+                    "be AND-ed at the top level")
+            left = (lambda a=left, b=right: a() | b())  # noqa: E731
+        return left, has_neg
+
+    def _bool_and(self, pred, allow_negpat: bool, neg_ctx: str):
+        """``and := unary (AND unary)*``; a unary is a NOT pattern
+        (side-effect, top-level only), a parenthesized sub-expression,
+        or one predicate."""
+        acc = None
+        has_neg = False
         while True:
+            if self.at("kw", "NOT"):
+                if not allow_negpat:
+                    _, _, p = self.peek()
+                    raise PatternSyntaxError(
+                        f"NOT pattern at position {p} is not allowed "
+                        f"{neg_ctx}")
+                self._not_pattern()
+                has_neg = True
+            elif self.at("punct", "("):
+                # a grouped boolean sub-expression — in WHERE, '(' opens
+                # a pattern only after NOT, so this is unambiguous
+                self.next()
+                sub, _ = self._bool_or(pred, False, neg_ctx)
+                self.expect("punct", ")")
+                acc = (sub if acc is None
+                       else (lambda a=acc, b=sub: a() & b()))  # noqa: E731
+            else:
+                t = pred()
+                acc = (t if acc is None
+                       else (lambda a=acc, b=t: a() & b()))  # noqa: E731
             if self.at("kw", "AND"):
                 self.next()
-                self._where_term()
                 continue
-            if self.at("kw", "OR"):
-                _, _, p = self.next()
-                raise PatternSyntaxError(
-                    f"OR at position {p} is not supported — the motif "
-                    "compiler ANDs all predicates; run two patterns and "
-                    "union the results")
             break
+        return acc, has_neg
 
-    def _where_term(self) -> None:
-        if self.at("kw", "NOT"):
-            _, _, not_pos = self.next()
-            known = set(self.nodes)
-            negs: list[EdgePat] = []
-            self._path(optional=False, collect=negs)
-            if len(negs) != 1:
-                raise PatternSyntaxError(
-                    "NOT takes a single-edge pattern (chain negation "
-                    "is not supported — negate the final hop)")
-            ep = negs[0]
-            if ep.var is not None:
-                raise PatternSyntaxError(
-                    f"edge variable {ep.var!r} on a negated pattern "
-                    "binds nothing (NOT asserts non-existence)")
-            new_vars = set(self.nodes) - known
-            if ep.src in new_vars:
-                raise PatternSyntaxError(
-                    f"NOT pattern at position {not_pos} must anchor on "
-                    f"an already-bound variable ({ep.src!r} appears only "
-                    "inside the negation)")
-            # a variable introduced ONLY inside the NOT binds no output
-            # columns — RETURN/WHERE references to it are rejected at
-            # parse time (ADVICE r11), preserving the positioned-422
-            # contract on POST /pattern
-            self.neg_only |= new_vars
-            self.edges.append(EdgePat(
-                src=ep.src, dst=ep.dst, rel_type=ep.rel_type,
-                direction=ep.direction, min_hops=ep.min_hops,
-                max_hops=ep.max_hops, negated=True))
-            return
+    def _not_pattern(self) -> None:
+        """``NOT (a)-[:T]->(b)`` — the anti-join pattern negation
+        (side-effect: appends a negated EdgePat)."""
+        _, _, not_pos = self.next()
+        known = set(self.nodes)
+        negs: list[EdgePat] = []
+        self._path(optional=False, collect=negs)
+        if len(negs) != 1:
+            raise PatternSyntaxError(
+                "NOT takes a single-edge pattern (chain negation "
+                "is not supported — negate the final hop)")
+        ep = negs[0]
+        if ep.var is not None:
+            raise PatternSyntaxError(
+                f"edge variable {ep.var!r} on a negated pattern "
+                "binds nothing (NOT asserts non-existence)")
+        new_vars = set(self.nodes) - known
+        if ep.src in new_vars:
+            raise PatternSyntaxError(
+                f"NOT pattern at position {not_pos} must anchor on "
+                f"an already-bound variable ({ep.src!r} appears only "
+                "inside the negation)")
+        # a variable introduced ONLY inside the NOT binds no output
+        # columns — RETURN/WHERE references to it are rejected at
+        # parse time (ADVICE r11), preserving the positioned-422
+        # contract on POST /pattern
+        self.neg_only |= new_vars
+        self.edges.append(EdgePat(
+            src=ep.src, dst=ep.dst, rel_type=ep.rel_type,
+            direction=ep.direction, min_hops=ep.min_hops,
+            max_hops=ep.max_hops, negated=True))
+
+    def _predicate(self):
+        """One comparison / string / null / membership predicate —
+        returns a Column thunk."""
         var, fld = self._field_ref()
         lcol = fld if var is None else f"{var}_{fld}"
         sp = self._string_pred(lcol)
         if sp is not None:
-            self.where_fn.append(sp)
-            return
+            return sp
         k, op, p = self.next()
         if k != "punct" or op not in _COMPARE_OPS:
             raise PatternSyntaxError(
@@ -931,7 +977,7 @@ class _Parser:
                "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
-        self.where_fn.append(lambda: ops(lhs(), rhs()))
+        return lambda: ops(lhs(), rhs())
 
     def _string_pred(self, lcol: str):
         """Cypher's string/null predicates (r12b): ``CONTAINS 'x'``,

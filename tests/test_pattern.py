@@ -89,7 +89,10 @@ def test_parse_where_comparisons_build_columns(spark):
     ("MATCH (a)", "no edge"),
     ("MATCH (a)-[:T*]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T*2..]->(b) RETURN a.id", "unbounded"),
-    ("MATCH (a)-[:T]->(b) WHERE a.id = 1 OR b.id = 2 RETURN a.id", "OR"),
+    ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(x) OR a.id = 1 "
+     "RETURN a.id", "anti-join"),
+    ("MATCH (a)-[:T]->(b) WHERE a.id = 1 OR NOT (a)-[:U]->(x) "
+     "RETURN a.id", "not allowed"),
     ("MATCH (A)-[:T]->(b) RETURN b.id", "variable"),
     ("MATCH (a {x: 'p', y: 'q'})-[:T]->(b) RETURN a.id", "one non-name"),
     ("MATCH (a)-[:T]->(b) RETURN c.id", "unknown variable"),
@@ -1139,3 +1142,43 @@ def test_in_list_predicate(tiny):
         parse_match("MATCH (a)-[:T]->(b) WHERE a.name IN [c.name] "
                     "RETURN a.id")
     assert "literal" in str(ei.value)
+
+
+# --- r12b: OR + grouped predicates ------------------------------------------
+
+def test_where_or_and_precedence(tiny):
+    nodes, edges = tiny
+    # plain OR
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE a.name = 'a1' OR a.name = 'c1' "
+        "RETURN a.name AS an, b.name AS bn ORDER BY an"))
+    assert got == [("a1", "b1"), ("c1", "a1")]
+    # AND binds tighter: x OR (y AND z)
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE a.name = 'c1' "
+        "OR a.name STARTS WITH 'b' AND b.name = 'c1' "
+        "RETURN a.name AS an, b.name AS bn ORDER BY an, bn"))
+    assert got2 == [("b1", "c1"), ("b2", "c1"), ("c1", "a1")]
+    # parens flip it: (x OR starts-b) AND b=c1
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE (a.name = 'c1' "
+        "OR a.name STARTS WITH 'b') AND b.name = 'c1' "
+        "RETURN a.name AS an ORDER BY an"))
+    assert got3 == [("b1",), ("b2",)]
+    # NOT pattern still composes as a top-level conjunct next to an OR
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S]->(b) WHERE NOT (b)-[:T]->(x) "
+        "AND (a.name = 'a1' OR a.name = 'a2') "
+        "RETURN a.name AS an, b.name AS bn ORDER BY an"))
+    # T edges: 5->1 only, so b=5 (c1) is excluded; R edges keep b1/b2
+    assert got4 == [("a1", "b1"), ("a2", "b2")]
+    # OR in a WITH's trailing WHERE
+    got5 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WITH a.name AS an, count(*) AS n "
+        "WHERE an = 'a1' OR an = 'c1' RETURN an, n ORDER BY an"))
+    assert got5 == [("a1", 1), ("c1", 1)]
