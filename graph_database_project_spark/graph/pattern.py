@@ -36,7 +36,9 @@ Supported subset — exactly what the compiler supports, nothing more:
   ``IS [NOT] NULL`` (the null forms are the post-filter idiom over
   OPTIONAL MATCH columns), and ``IN ['a', 'b']`` literal lists.
   Predicates compose with ``OR`` and parenthesized groups (r12b) at
-  Cypher's precedence (AND binds tighter); NOT patterns are the one
+  Cypher's precedence (AND binds tighter); value positions accept the
+  ``toLower(…)`` / ``toUpper(…)`` case-folding wrappers (the idiom
+  behind case-insensitive CONTAINS). NOT patterns are the one
   non-composable form — they compile to anti-joins, so they may appear
   only as top-level AND-ed conjuncts (positioned reject elsewhere);
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
@@ -522,7 +524,7 @@ class _Parser:
 
         def pred():
             lhs = self._out_ref(outs, items, "WHERE after WITH")
-            sp = self._string_pred(lhs)
+            sp = self._string_pred(lambda lhs=lhs: F.col(lhs))
             if sp is not None:
                 return sp
             k, op, p = self.next()
@@ -950,12 +952,31 @@ class _Parser:
             direction=ep.direction, min_hops=ep.min_hops,
             max_hops=ep.max_hops, negated=True))
 
+    def _value_ref(self):
+        """A WHERE value position: ``var.field`` / carried column /
+        ``length(p)``, optionally wrapped in ``toLower(…)`` /
+        ``toUpper(…)`` (r12b — the case-folding every GPT-emitted
+        CONTAINS uses). Returns a Column thunk."""
+        k, v, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        if (k == "ident" and v.lower() in ("tolower", "toupper")
+                and (k1, v1) == ("punct", "(")):
+            fn = "lower" if v.lower() == "tolower" else "upper"
+            self.next()
+            self.next()
+            var, fld = self._field_ref()
+            self.expect("punct", ")")
+            col = fld if var is None else f"{var}_{fld}"
+            return lambda: getattr(F, fn)(F.col(col))
+        var, fld = self._field_ref()
+        col = fld if var is None else f"{var}_{fld}"
+        return lambda: F.col(col)
+
     def _predicate(self):
         """One comparison / string / null / membership predicate —
         returns a Column thunk."""
-        var, fld = self._field_ref()
-        lcol = fld if var is None else f"{var}_{fld}"
-        sp = self._string_pred(lcol)
+        lhs = self._value_ref()
+        sp = self._string_pred(lhs)
         if sp is not None:
             return sp
         k, op, p = self.next()
@@ -969,20 +990,18 @@ class _Parser:
             litn = int(self.next()[1])
             rhs = lambda: F.lit(litn)  # noqa: E731
         else:
-            v2, f2 = self._field_ref()
-            rcol = f2 if v2 is None else f"{v2}_{f2}"
-            rhs = lambda: F.col(rcol)  # noqa: E731
-        lhs = lambda: F.col(lcol)  # noqa: E731
+            rhs = self._value_ref()
         ops = {"=": lambda a, b: a == b,
                "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
         return lambda: ops(lhs(), rhs())
 
-    def _string_pred(self, lcol: str):
+    def _string_pred(self, col_fn):
         """Cypher's string/null predicates (r12b): ``CONTAINS 'x'``,
         ``STARTS WITH 'x'``, ``ENDS WITH 'x'``, ``IS [NOT] NULL`` — the
-        four the reference's GPT seam emits constantly. Returns a
+        four the reference's GPT seam emits constantly — over a Column
+        THUNK (so ``toLower(x.f) CONTAINS …`` composes). Returns a
         Column thunk, or None when the cursor holds a comparison
         operator instead. (``IS NULL`` over an OPTIONAL MATCH column is
         the post-filter idiom — Cypher's ``WITH … WHERE s IS NULL`` —
@@ -1002,8 +1021,8 @@ class _Parser:
                 raise PatternSyntaxError(
                     f"expected NULL at position {p2}, got {v2!r}")
             if neg:
-                return lambda: F.col(lcol).isNotNull()
-            return lambda: F.col(lcol).isNull()
+                return lambda: col_fn().isNotNull()
+            return lambda: col_fn().isNull()
         if vu in ("STARTS", "ENDS", "CONTAINS"):
             self.next()
             if vu != "CONTAINS":
@@ -1017,7 +1036,7 @@ class _Parser:
             lit = _unescape(v2[1:-1])
             fn = {"STARTS": "startswith", "ENDS": "endswith",
                   "CONTAINS": "contains"}[vu]
-            return lambda: getattr(F.col(lcol), fn)(lit)
+            return lambda: getattr(col_fn(), fn)(lit)
         if vu == "IN":
             # list membership over a literal list: x IN ['a', 'b'] /
             # x IN [1, 2] — compiled to Column.isin
@@ -1039,7 +1058,7 @@ class _Parser:
                     continue
                 break
             self.expect("punct", "]")
-            return lambda: F.col(lcol).isin(*lits)
+            return lambda: col_fn().isin(*lits)
         return None
 
     def _is_edge_var(self, var: str) -> bool:

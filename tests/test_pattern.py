@@ -1182,3 +1182,23 @@ def test_where_or_and_precedence(tiny):
         "MATCH (a)-[:R|S|T]->(b) WITH a.name AS an, count(*) AS n "
         "WHERE an = 'a1' OR an = 'c1' RETURN an, n ORDER BY an"))
     assert got5 == [("a1", 1), ("c1", 1)]
+
+
+def test_case_folding_wrappers(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WHERE toUpper(a.name) STARTS WITH 'A' "
+        "RETURN a.name AS an, b.name AS bn ORDER BY an"))
+    assert got == [("a1", "b1"), ("a2", "b2")]
+    # on both sides of a comparison
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) "
+        "WHERE toLower(a.name) = toLower(b.name) RETURN a.name AS an"))
+    assert got2 == []  # no self-named pairs in the tiny graph
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:C)-[:T]->(b) WHERE toUpper(b.name) = 'A1' "
+        "RETURN b.name AS bn"))
+    assert got3 == [("a1",)]
