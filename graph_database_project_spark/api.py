@@ -320,6 +320,16 @@ def create_server(spark: SparkSession, sf_dir: str,
                             r"Exchange hashpartitioning", plan))
                         payload["n_broadcasts"] = plan.count(
                             "BroadcastHashJoin")
+                        # the counts come from the PRE-EXECUTION plan
+                        # (AQE isFinalPlan=false) — at runtime AQE may
+                        # convert shuffle joins to broadcast or coalesce
+                        # exchanges, so treat them as upper bounds
+                        # (ADVICE r12; the repo's own plan-reading rule)
+                        payload["plan_stage"] = (
+                            "initial (pre-execution; AQE may re-plan — "
+                            "n_exchanges/n_broadcasts are the static "
+                            "plan's counts, not necessarily the "
+                            "executed ones)")
                     else:
                         payload["rows"] = _rows(df)
                     self._send(200, payload)

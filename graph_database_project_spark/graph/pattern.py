@@ -398,15 +398,31 @@ class _Parser:
         self.carried_cols = set(outs)
         # follow-on reading clauses form the new stage's pattern
         self._begin_stage()
+        stage_pos = None
         while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
+            _, _, mpos = self.peek()
+            if stage_pos is None:
+                stage_pos = mpos
             optional = self.at("kw", "OPTIONAL")
             if optional:
                 self.next()
             self.expect("kw", "MATCH")
             self._clause_group(optional=optional)
         if self.at("kw", "WHERE"):
-            self.next()
+            _, _, wpos = self.next()
+            if stage_pos is None:
+                stage_pos = wpos
             self._where_terms()
+        if not self.edges and stage_pos is not None:
+            # an edge-less stage would be silently skipped at compile
+            # time, discarding its node predicates / WHERE terms — the
+            # stage-0 'pattern has no edge' guard, mirrored (ADVICE r12)
+            raise PatternSyntaxError(
+                f"the stage starting at position {stage_pos} has no "
+                "edge — a single-node MATCH after WITH is a table scan, "
+                "not a motif, and its predicates would be discarded; "
+                "filter before the WITH boundary (or in its trailing "
+                "WHERE) instead")
         # stage-shape guards (after the stage WHERE — its NOT patterns
         # append edges too): the stage motif compiles independently and
         # joins back on the re-anchored variables, so it needs positive
@@ -620,6 +636,12 @@ class _Parser:
             raise PatternSyntaxError(
                 f"path variable {pvar!r} at position {p} collides with "
                 "an existing variable")
+        if f"{pvar}_len" in self.carried_cols:
+            raise PatternSyntaxError(
+                f"path variable {pvar!r} at position {p}: its distance "
+                f"column {pvar}_len collides with a column carried "
+                "through WITH — the stage join would silently keep the "
+                "carried copy; rename one of them")
         self.next()  # '='
         _, _, sp_pos = self.next()  # the shortestPath ident
         if optional:
@@ -748,6 +770,22 @@ class _Parser:
             raise PatternSyntaxError(
                 f"variable {var!r} collides with a column carried "
                 "through WITH — rename one of them")
+        if self.carried_cols:
+            # a NEW stage variable's derived carry columns must not
+            # collide with carried columns either: the stage join keeps
+            # the carried side's copy of every duplicate (it is
+            # functionally dependent ONLY for re-anchored join
+            # variables), so a collision here would silently return the
+            # carried value instead of the motif's (ADVICE r12)
+            clash = sorted(c for c in (f"{var}_{f}" for f in _CARRY)
+                           if c in self.carried_cols)
+            if clash:
+                raise PatternSyntaxError(
+                    f"variable {var!r}: its carry column(s) "
+                    f"{', '.join(clash)} collide with column(s) carried "
+                    "through WITH — the stage join would silently keep "
+                    "the carried copy; rename the carried alias or the "
+                    "variable")
         pat = NodePat(var, label=label, name=name, docnbr=docnbr, prop=prop)
         prev = self.nodes.get(var)
         if prev is not None:
@@ -790,6 +828,13 @@ class _Parser:
                         f"edge variable {v!r} at position {p} collides "
                         "with an existing variable (each edge variable "
                         "binds one edge)")
+                if f"{v}_rel_type" in self.carried_cols:
+                    raise PatternSyntaxError(
+                        f"edge variable {v!r} at position {p}: its "
+                        f"carry column {v}_rel_type collides with a "
+                        "column carried through WITH — the stage join "
+                        "would silently keep the carried copy; rename "
+                        "one of them")
                 var = v
                 self.edge_vars[v] = p
                 self.stage_edge_vars.add(v)
@@ -1123,12 +1168,28 @@ class _Parser:
         items: list[tuple[str | None, str | None, str]] = []
         aggs: list[tuple] = []
         bare_edges: set[str] = set()
+        seen: dict[str, int] = {}  # output column -> first position
+
+        def claim(cols: list[str], pos: int) -> None:
+            # duplicate output columns at a projection boundary would
+            # only surface later as an unpositioned Spark ambiguous-
+            # reference error — reject here instead (ADVICE r12)
+            for c in cols:
+                if c in seen:
+                    raise PatternSyntaxError(
+                        f"duplicate output column {c!r} at position "
+                        f"{pos} — already produced by the item at "
+                        f"position {seen[c]}; alias one of them")
+                seen[c] = pos
+
         while True:
-            k, v, _ = self.peek()
+            k, v, item_pos = self.peek()
             k1, v1, _ = self.peek(1)
             if (k == "ident" and v.lower() in _AGG_FNS
                     and (k1, v1) == ("punct", "(")):
-                aggs.append(self._agg_item())
+                ag = self._agg_item()
+                claim([ag[-1]], item_pos)
+                aggs.append(ag)
                 if self.at("punct", ","):
                     self.next()
                     continue
@@ -1139,6 +1200,7 @@ class _Parser:
                 if self.at("kw", "AS"):
                     self.next()
                     alias = self.expect("ident")
+                claim([alias], item_pos)
                 items.append((pv, "len", alias))
                 if self.at("punct", ","):
                     self.next()
@@ -1159,6 +1221,7 @@ class _Parser:
                 if self.at("kw", "AS"):
                     self.next()
                     alias = self.expect("ident")
+                claim([alias], item_pos)
                 items.append((None, var, alias))
                 if self.at("punct", ","):
                     self.next()
@@ -1196,6 +1259,8 @@ class _Parser:
                         "its carried columns and cannot be aliased — "
                         "alias a field (var.field AS name)")
                 alias = self.expect("ident")
+            claim([f"{var}_{c}" for c in _CARRY] if fld is None
+                  else [alias], item_pos)
             items.append((var, fld, alias))
             if self.at("punct", ","):
                 self.next()

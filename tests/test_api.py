@@ -433,6 +433,9 @@ def test_pattern_endpoint_explain(server):
     assert code == 200 and "rows" not in body
     assert "BroadcastHashJoin" in body["plan"]
     assert body["n_broadcasts"] >= 1 and body["n_exchanges"] >= 0
+    # ADVICE r12: the payload must say the counts come from the
+    # PRE-execution plan (AQE may re-plan joins/exchanges at runtime)
+    assert "pre-execution" in body["plan_stage"]
 
 
 def test_pattern_endpoint_malformed_is_422(server):

@@ -1202,3 +1202,75 @@ def test_case_folding_wrappers(tiny):
         "MATCH (a:C)-[:T]->(b) WHERE toUpper(b.name) = 'A1' "
         "RETURN b.name AS bn"))
     assert got3 == [("a1",)]
+
+
+# --- r13 ADVICE fixes: parse-time guards ---------------------------------
+
+@pytest.mark.parametrize("bad,hint", [
+    # a NEW stage variable whose derived carry column collides with a
+    # carried alias — the stage join would silently keep the carried copy
+    ("MATCH (a:A)-[:R]->(b) WITH a, b.name AS p_name "
+     "MATCH (a)-[:R]->(p) RETURN p_name",
+     "carry column"),
+    # same trap through an edge variable's <var>_rel_type column
+    ("MATCH (a:A)-[:R]->(b) WITH a, b.name AS r_rel_type "
+     "MATCH (a)-[r:R]->(p) RETURN r_rel_type",
+     "r_rel_type collides"),
+    # and through a path variable's <var>_len distance column
+    ("MATCH (a:A)-[:R]->(b) WITH a, b.name AS q_len "
+     "MATCH q = shortestPath((a)-[:R*1..2]->(z)) RETURN q_len",
+     "q_len collides"),
+], ids=["node-carry-col", "edge-var-col", "path-var-col"])
+def test_stage_carry_column_collisions_rejected(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_stage_carry_collision_would_have_been_wrong(tiny):
+    """The semantic differentiator behind the parse reject: before the
+    guard, the carried alias shadowed the motif's column — the query ran
+    and returned the CARRIED value under the new variable's name."""
+    nodes, edges = tiny
+    # the non-colliding spelling works and returns the motif-side name
+    ok = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b) WITH a, b.name AS bname "
+        "MATCH (a)-[:R]->(p) RETURN a.name AS an, bname, p.name AS pn"))
+    assert ok == [("a1", "b1", "b1"), ("a2", "b2", "b2")]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    # single-node MATCH after WITH: predicate would be silently discarded
+    ("MATCH (a:A)-[:R]->(b) WITH a MATCH (c:B) RETURN a.name",
+     "has no edge"),
+    # bare re-anchor with no edge is equally dead
+    ("MATCH (a:A)-[:R]->(b) WITH a MATCH (a) RETURN a.name",
+     "has no edge"),
+    # a second WHERE after the boundary's own trailing WHERE, with no
+    # MATCH — the stage where_fn would be silently dropped
+    ("MATCH (a:A)-[:R]->(b) WITH a, count(b) AS c WHERE c > 0 "
+     "WHERE c > 1 RETURN c",
+     "has no edge"),
+], ids=["single-node", "bare-reanchor", "dangling-where"])
+def test_edgeless_stage_rejected(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a:A)-[:R]->(b) RETURN a.name AS x, b.name AS x",
+     "duplicate output column 'x'"),
+    # a bare variable's expanded carry columns collide with an alias
+    ("MATCH (a:A)-[:R]->(b) RETURN a, b.name AS a_name",
+     "duplicate output column 'a_name'"),
+    # at a WITH boundary: bare-carried a expands to a_id + the aggregate
+    ("MATCH (a:A)-[:R]->(b) WITH a, count(b) AS a_id "
+     "MATCH (a)-[:R]->(p) RETURN a_id",
+     "duplicate output column 'a_id'"),
+    # two bare mentions of the same variable
+    ("MATCH (a:A)-[:R]->(b) RETURN a, a",
+     "duplicate output column 'a_id'"),
+], ids=["alias-alias", "bare-vs-alias", "with-boundary", "bare-bare"])
+def test_duplicate_output_columns_rejected(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
