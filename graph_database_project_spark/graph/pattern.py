@@ -48,7 +48,15 @@ Supported subset — exactly what the compiler supports, nothing more:
   ``min/max/sum/avg(var.field)`` — non-aggregate RETURN items become
   the grouping keys, exactly Cypher's semantics (``RETURN a.docnbr,
   count(DISTINCT ln.name)`` groups by docnbr). A pattern whose RETURN
-  is all-aggregates produces the global 1-row aggregate;
+  is all-aggregates produces the global 1-row aggregate. r13 adds
+  ``collect([DISTINCT] var.field)`` — Cypher's list aggregate, the
+  reference's flagship result shape (first-graph.py:168-176 groups
+  connected-node names per match) — compiled to ``sort_array`` over
+  ``collect_list``/``collect_set`` and flattened to ONE
+  ';'-joined string cell (the driver canonicalizer forbids array
+  outputs; sorting makes the cell deterministic). collect skips NULLs
+  (Cypher's rule; an all-NULL group yields the empty string, Cypher's
+  ``[]``);
 * trailing result modifiers after RETURN (r12): ``ORDER BY item
   [ASC|DESC], …``, ``SKIP n``, ``LIMIT n`` — items are output columns
   (aliases, or var.field mapped through its alias); compiled to
@@ -147,7 +155,7 @@ _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
              "DISTINCT", "AS", "ORDER", "BY", "SKIP", "LIMIT", "ASC",
              "DESC", "WITH"}
-_AGG_FNS = {"count", "min", "max", "sum", "avg"}
+_AGG_FNS = {"count", "min", "max", "sum", "avg", "collect"}
 
 
 class PatternSyntaxError(ValueError):
@@ -1281,11 +1289,11 @@ class _Parser:
         dist = False
         if self.at("kw", "DISTINCT"):
             _, _, p = self.next()
-            if fn != "count":
+            if fn not in ("count", "collect"):
                 raise PatternSyntaxError(
                     f"DISTINCT inside {fn}() at position {p} is not "
-                    "supported (count only — min/max are DISTINCT-"
-                    "invariant anyway)")
+                    "supported (count/collect only — min/max are "
+                    "DISTINCT-invariant anyway)")
             dist = True
         var: str | None = None
         fld: str | None = None
@@ -1565,6 +1573,21 @@ def _apply_projection(out: DataFrame, items, aggregates,
             if fn == "count":
                 aggs.append((F.countDistinct(c) if dist
                              else F.count(c)).alias(alias))
+            elif fn == "collect":
+                # Cypher's collect() list aggregate (r13) — the
+                # reference's flagship result shape (first-graph.py:
+                # 168-176 groups connected-node names per match). The
+                # driver canonicalizer forbids array outputs, so the
+                # list is flattened DETERMINISTICALLY: sort_array over
+                # the collected values (numeric order for numeric
+                # fields), then ';'-joined as one string cell. collect
+                # skips NULLs (Cypher's rule; an all-NULL group yields
+                # the empty string — Cypher's []).
+                coll = F.sort_array(F.collect_set(c) if dist
+                                    else F.collect_list(c))
+                aggs.append(F.concat_ws(
+                    ";", F.transform(coll, lambda x: x.cast("string"))
+                ).alias(alias))
             else:
                 aggs.append(getattr(F, fn)(c).alias(alias))
         out = out.groupBy(*keys).agg(*aggs) if keys else out.agg(*aggs)

@@ -396,6 +396,59 @@ GOLDEN_GRAPH_MOTIF_TEXTPRED_ROWS = [
     ('737-00-1029', 'ENGINE FUEL AND CONTROL - Engine Fuel Pump Replacement'),
 ]
 
+GOLDEN_GRAPH_MOTIF_COLLECT_COLS = [('line_number', 'VARCHAR'), ('docs', 'VARCHAR'), ('all_docs', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_COLLECT_ROWS = [
+    ('6542', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6562', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6582', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6612', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6630', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6652', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6672', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6690', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6722', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6740', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6762', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6780', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6792', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6810', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6830', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6850', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6852', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6872', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6890', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6920', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6922', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6940', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6942', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('6960', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6970', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('6980', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7000', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7010', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7020', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7030', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7040', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7050', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7060', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7062', '737-00-1028;737-00-1030', '737-00-1028;737-00-1028;737-00-1030;737-00-1030'),
+    ('7070', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7090', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7100', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7120', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7130', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7140', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7150', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7160', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7170', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7190', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7220', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7250', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7350', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7370', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+    ('7430', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -435,4 +488,5 @@ ORACLE = {
     "graph_motif_pipeline": _values_sql(GOLDEN_GRAPH_MOTIF_PIPELINE_COLS, GOLDEN_GRAPH_MOTIF_PIPELINE_ROWS),
     "graph_motif_shortestpath": _values_sql(GOLDEN_GRAPH_MOTIF_SHORTESTPATH_COLS, GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS),
     "graph_motif_textpred": _values_sql(GOLDEN_GRAPH_MOTIF_TEXTPRED_COLS, GOLDEN_GRAPH_MOTIF_TEXTPRED_ROWS),
+    "graph_motif_collect": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_ROWS),
 }

@@ -206,116 +206,75 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # keeps ≥1 window rep (asserted by tests/test_registry.py); every
 # evicted key stays in the local bit-exact parity gate.
 _DRIVER_WINDOW = [
-    # --- r06 cohort (18 keys, last driver check r06 — at the freshness
-    # boundary; MUST re-confirm this round) ---
-    "catalog_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "graph_label_propagation",
-    "graph_shortest_paths",
-    "join_range_follow",
-    "json_funcs",
-    "mutation_scd2_build",
-    "q03_shipping_priority",
-    "q04_priority_exists",
-    "quantile_sketch_merge",
-    "scalar_funcs",
-    "setop_ops",
-    "sim_topk_bruteforce",
-    "stream_tumbling_hourly",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "ts_rollup_incremental",
-    # --- r07 cohort (29 keys, last driver check r07 — prepaying the
-    # r13 freshness obligation) ---
-    "embedding_pca_power",
-    # embedding_quantize_int8: slot yielded to graph_node2vec_walks
-    # below (r07 green; embeddings stay repped by embedding_pca_power +
-    # udf_embedding_norm + the sim_* keys; rotates in r13)
-    "graph_connected_components",
-    "graph_kcore",
-    "graph_khop_seeded",
-    "graph_modularity",
-    "graph_weighted_sssp",
-    "heavy_hitters_cms",
-    "join_bloom_prune",
-    # join_size_estimate: slot yielded to graph_mis_luby below (r07
-    # green; joins stay repped by join_range_follow + join_bloom_prune;
-    # rotates in r13)
-    "multimodal_png_decode",
-    "mutation_merge_upsert",
-    # mutation_scd2_pit_join: slot yielded to graph_motif_shortestpath
-    # below (r07 green; mutation stays repped by scd2_build +
-    # merge_upsert; rotates in r13)
-    # q01_pricing_summary: slot yielded to graph_scc_coloring below
-    # (r07 green + benched every round as a headline row; tpch_ext
-    # stays repped by q03/q04; rotates in r13)
-    # q19_or_of_ands: slot yielded to graph_motif_edge_distinct below
-    # (r07 green; tpch_ext stays repped by q01/q03/q04; inside the
-    # freshness budget until the r14 build — rotates in r13)
-    "semantic_decontaminate",
-    "sim_ivf_topk",
-    # sim_ivfpq_topk: slot yielded to graph_motif_textpred below (r07
-    # green; similarity stays repped by sim_topk_bruteforce +
-    # sim_ivf_topk; rotates in r13)
-    "text_bm25_search",
-    # text_chunk_windows: slot yielded to graph_walk_skipgrams below
-    # (r07 green; textops keeps 5+ window reps; rotates in r13)
-    # text_cooccur_pmi: slot yielded to graph_motif_pipeline below
-    # (r07 green; textops keeps 5 window reps; rotates in r13)
-    "text_span_dedup",
-    "ts_markov_transitions",
-    "udf_embedding_norm",
-    # window_range_frame: slot yielded to graph_motif_aggregate below
-    # (r07 green; relational keeps 7 window reps; rotates in r13)
-    "xml_khop_flagship",
-    "xml_label_counts",
-    # xml_title_hierarchy: slot yielded to graph_random_walks below
-    # (r07 green; xmlq stays repped by khop_flagship + label_counts;
-    # rotates in r13)
-    "zorder_layout",
-    # --- family reps (modules with no r06/r07-cohort key) ---
-    "nl2query_demo",              # r11 green; nl2query rep
-    "pipeline_training_data",     # r11 green; pipeline rep
-    # --- r12 NEW operators (first driver check the round they ship;
-    # they also serve as the motifq family reps — graph_motif_parsed,
-    # r11 green, yielded its rep slot) ---
-    # graph_motif_edge_distinct: Cypher relationship-uniqueness mode vs
-    # homomorphism, same pattern text — the golden pins the semantic gap
-    "graph_motif_edge_distinct",
-    # graph_motif_edge_var: untyped -[r]-> edge variable binding
-    # rel_type through the parser (label disjunction + edge var)
-    "graph_motif_edge_var",
-    # graph_scc_coloring: hub-safe FW-BW coloring SCC — SAME oracle SQL
-    # as graph_scc, so the driver value-checks that two machineries
-    # produce the identical partition
-    "graph_scc_coloring",
-    # graph_motif_aggregate: Cypher RETURN aggregates with implicit
-    # grouping, parsed from text (count(DISTINCT)/count(*)/min)
-    "graph_motif_aggregate",
-    # graph_random_walks: deterministic hash-seeded DeepWalk sampling
-    # (replayable training-corpus generation; 3-machinery checked)
-    "graph_random_walks",
-    # graph_walk_skipgrams: (center, context) skip-gram pairs + hash
-    # negative sampling over the walk trail — the embedding-training
-    # dataset generator
-    "graph_walk_skipgrams",
-    # graph_motif_pipeline (r12b): Cypher WITH stages from text —
-    # aggregate at the boundary, HAVING-filter on the aggregate,
-    # re-anchor a second MATCH on the carried variable
-    "graph_motif_pipeline",
-    # graph_motif_shortestpath (r12b): shortestPath distance semantics —
-    # length(p) depth histogram, k_hop-cross-checked
-    "graph_motif_shortestpath",
-    # graph_node2vec_walks (r12b): second-order biased walk sampling —
-    # class-penalty hash argmin, per-walk class counts value-checked
-    "graph_node2vec_walks",
-    # graph_mis_luby (r12b): Luby maximal independent set —
-    # deterministic-priority rounds, independence pinned in the values
-    "graph_mis_luby",
-    # graph_motif_textpred (r12b): Cypher string predicates (CONTAINS /
-    # STARTS WITH) compiled to JVM Column string ops
-    "graph_motif_textpred",
+    # ================= r13 rotation =================
+    # The ENTIRE r12 window (r06+r07 cohorts + r12 new keys) was
+    # re-confirmed green in CORRECTNESS_r12 — fresh until the r18 build
+    # — so it rotates OUT wholesale. In: (a) the ten-key r07 straggler
+    # cohort (last driver check r07 — exactly at the MAX_AGE_ROUNDS=6
+    # boundary when r14 builds; verdict r12 #2), (b) the FULL 30-key r08
+    # cohort (prepaying r14's obligation, the same wholesale-prepay move
+    # r12 made for r07), (c) this round's NEW pattern-surface keys
+    # (first driver check the round they ship), (d) nl2query_followup as
+    # the nl2query family rep (r10; nl2query_demo is r12-fresh), and
+    # (e) six r09-cohort picks filling the remaining slots (partial
+    # prepay of r15). Every family keeps >= 1 window rep (asserted by
+    # tests/test_registry.py); every evicted key stays in the local
+    # bit-exact parity gate.
+    # --- r07 straggler cohort (10 keys, MUST re-confirm this round) ---
+    "embedding_quantize_int8",
+    "join_size_estimate",
+    "mutation_scd2_pit_join",
+    "q01_pricing_summary",
+    "q19_or_of_ands",
+    "sim_ivfpq_topk",
+    "text_chunk_windows",
+    "text_cooccur_pmi",
+    "window_range_frame",
+    "xml_title_hierarchy",
+    # --- r13 NEW keys (never driver-checked; also the motifq reps) ---
+    # graph_motif_collect: Cypher collect() list aggregate from text,
+    # WITH-composed, lists flattened to sorted ';'-joined cells
+    "graph_motif_collect",
+    # --- r08 cohort (30 keys, prepaying the r14 freshness obligation) ---
+    "bpe_token_count",
+    "dedup_prefix_filter",
+    "dedup_simhash",
+    "drift_histogram_tv",
+    "funnel_conversion",
+    "graph_cc_incremental",
+    "graph_clustering_coeff",
+    "graph_degree_histogram",
+    "graph_hits",
+    "graph_hyperball",
+    "graph_link_prediction",
+    "graph_temporal_reachability",
+    "heavy_hitters_cms_grouped",
+    "join_interval_overlap",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "profile_columns",
+    "q22_idle_customers",
+    "quantile_sketch_grouped",
+    "sample_stratified",
+    "sql_recursive_khop",
+    "stream_sliding_window",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "text_repetition",
+    "text_unigram_logprob",
+    "theta_sketch_setops",
+    "ts_ewma",
+    "ts_gapfill_locf",
+    "ts_lttb_downsample",
+    # --- family rep (module with no r07/r08-cohort key) ---
+    "nl2query_followup",          # r10 green; nl2query rep
+    # --- r09-cohort picks (partial prepay of the r15 obligation) ---
+    "multimodal_decode",
+    "xml_connected_components",
+    "xml_rel_signatures",
+    "graph_triangle_count",
+    "dedup_chunk_level",
+    "stream_dedup",
 ]
 
 

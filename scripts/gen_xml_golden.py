@@ -22,7 +22,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r12b: shortestPath distance semantics (length(p) histogram)
          "graph_motif_shortestpath",
          # r12b: string predicates (CONTAINS / STARTS WITH)
-         "graph_motif_textpred"]
+         "graph_motif_textpred",
+         # r13: collect() list aggregate (WITH-composed, flattened cells)
+         "graph_motif_collect"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

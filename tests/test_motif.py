@@ -613,3 +613,23 @@ def test_shortestpath_key_matches_khop_depths(spark):
     for (doc, hops), n in got.items():
         per_doc.setdefault(doc, set()).add(n)
     assert all(len(ns) >= 3 for ns in per_doc.values())
+
+
+def test_collect_consistent_with_shared_key(spark):
+    """Cross-operator consistency (r13): graph_motif_collect's line set
+    must equal graph_motif_shared's distinct line numbers (both derive
+    the cross-bulletin lines — one via WITH+HAVING+collect, one via the
+    two-edge inequality join), and each collected docs cell must contain
+    exactly the bulletins that line pairs with in the shared result."""
+    shared = motifq.q_graph_motif_shared(spark, SF).collect()
+    pair_docs: dict[str, set] = {}
+    for r in shared:
+        pair_docs.setdefault(r.line_number, set()).update([r.doc_a, r.doc_b])
+    got = motifq.q_graph_motif_collect(spark, SF).collect()
+    assert {r.line_number for r in got} == set(pair_docs)
+    for r in got:
+        assert r.docs == ";".join(sorted(pair_docs[r.line_number]))
+        # plain collect keeps the per-airplane duplicates the DISTINCT
+        # form folds — every bulletin contributes 2 airplane bindings
+        assert r.all_docs.split(";") == sorted(
+            d for d in pair_docs[r.line_number] for _ in range(2))

@@ -1274,3 +1274,69 @@ def test_edgeless_stage_rejected(bad, hint):
 def test_duplicate_output_columns_rejected(bad, hint):
     with pytest.raises(PatternSyntaxError, match=hint):
         parse_match(bad)
+
+
+# --- r13: collect() list aggregate ---------------------------------------
+
+def test_parse_collect_shapes():
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "RETURN a.name AS an, collect(b.name) AS bs, "
+        "collect(DISTINCT b.docnbr) AS docs")
+    assert ("collect", "b", "name", False, "bs") in p.aggregates
+    assert ("collect", "b", "docnbr", True, "docs") in p.aggregates
+    # default alias + bare-variable default field (id, like count(v))
+    p2 = parse_match("MATCH (a:A)-[:R]->(b) RETURN collect(b)")
+    assert p2.aggregates == [("collect", "b", "id", False, "collect_b_id")]
+    # collect over an edge variable's rel_type and a path distance
+    p3 = parse_match("MATCH (a)-[r]->(b) RETURN a.name, collect(r)")
+    assert p3.aggregates == [
+        ("collect", "r", "rel_type", False, "collect_r_rel_type")]
+    p4 = parse_match(
+        "MATCH q = shortestPath((a:A)-[:R*1..2]->(b)) "
+        "RETURN a.name, collect(length(q)) AS ls")
+    assert p4.aggregates == [("collect", "q", "len", False, "ls")]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a:A)-[:R]->(b) RETURN collect(*)", "only valid as count"),
+    ("MATCH (a:A)-[:R]->(b) RETURN min(DISTINCT b.name)",
+     "count/collect only"),
+], ids=["collect-star", "distinct-min"])
+def test_collect_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_collect_semantics(tiny):
+    """List vs set, numeric sort, NULL skipping, implicit grouping."""
+    nodes, edges = tiny
+    # tiny graph: a1-R->b1, a2-R->b2; b1/b2-S->c1 — group by c, collect
+    # the b names (each once) and the a docnbrs through a 2-hop pattern
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B)-[:S]->(c:C) "
+        "RETURN c.name AS cn, collect(b.name) AS bs, "
+        "collect(DISTINCT a.docnbr) AS docs"))
+    assert got == [("c1", "b1;b2", "d1;d2")]
+    # numeric fields sort numerically before stringifying
+    ids = _bindings(match_pattern(
+        nodes, edges, "MATCH (a:A)-[:R]->(b:B) RETURN collect(a.id) AS i"))
+    assert ids == [("1;2",)]
+    # collect skips NULLs (content is NULL everywhere in the tiny graph)
+    nul = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) RETURN collect(b.content) AS c"))
+    assert nul == [("",)]
+
+
+def test_collect_at_with_boundary(tiny):
+    """collect() at a WITH boundary becomes a carried string column the
+    rest of the pipeline can project and order by."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WITH b, collect(a.name) AS asrc "
+        "MATCH (b)-[:S]->(c:C) "
+        "RETURN b.name AS bn, asrc, c.name AS cn ORDER BY bn"))
+    assert got == [("b1", "a1", "c1"), ("b2", "a2", "c1")]
