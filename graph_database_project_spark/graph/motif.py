@@ -105,6 +105,21 @@ class EdgePat:
     (not referenced by any later edge), because a later inner join
     through a NULL would silently re-drop the preserved rows.
 
+    ``chain_id`` (r13) groups consecutive optional edges into ONE
+    multi-hop ``OPTIONAL MATCH (a)-[:T]->(b)-[:U]->(c)`` clause with
+    Cypher's ALL-OR-NOTHING null semantics: the chain's inner motif
+    (edges + node patterns) is compiled as inner joins and the whole
+    thing left-joins the anchor ONCE — a binding either matches the
+    entire path or carries NULLs for every chain variable. Splitting
+    per hop is NOT equivalent (per-hop left-outer can bind hop 1 and
+    NULL hop 2; Cypher then discards the partial binding). Chain edges
+    must be consecutive in ``edge_pats``, head-to-tail (each edge's src
+    is the previous edge's dst), start at a bound anchor, and bind only
+    fresh leaf variables (intermediates referenced by exactly their two
+    chain edges). Two optional edges in SEPARATE clauses keep
+    ``chain_id=None`` and retain the per-clause (per-hop) semantics —
+    which is Cypher's behavior for separate OPTIONAL MATCH clauses.
+
     ``var`` is Cypher's edge variable ``-[r:T]->`` (r12): the binding
     carries the bound edge's relationship type as ``<var>_rel_type``
     (the reference's data model has no edge properties — SURVEY §1.1 —
@@ -137,6 +152,7 @@ class EdgePat:
     optional: bool = False
     var: str | None = None
     path_var: str | None = None
+    chain_id: int | None = None
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -438,11 +454,82 @@ def match_motif(
         return result.join(rel, on_edge_col == F.col(f"{var}_id"))
 
     result = bind(None, ep0.src, None)
+    consumed: set[int] = set()
     for i, ep in enumerate(edge_pats):
+        if i in consumed:
+            continue
         if ep.src not in bound and ep.dst not in bound:
             raise ValueError(
                 f"disconnected pattern at edge {i} ({ep.src}->{ep.dst}): "
                 "every edge must touch an already-bound variable")
+        if ep.optional and ep.chain_id is not None:
+            # multi-hop OPTIONAL MATCH chain (r13): compile the chain's
+            # inner motif (edge ⋈ node per hop, inner joins) and
+            # left-join it onto the anchor ONCE — all-or-nothing null
+            # semantics; a per-hop split would keep partial bindings
+            # Cypher discards
+            chain = [ep]
+            j = i + 1
+            while (j < len(edge_pats)
+                   and edge_pats[j].chain_id == ep.chain_id):
+                chain.append(edge_pats[j])
+                consumed.add(j)
+                j += 1
+            if len(chain) < 2:
+                raise ValueError(
+                    f"optional chain {ep.chain_id} has a single edge — "
+                    "use a plain optional edge (chain_id=None)")
+            anchor = chain[0].src
+            if anchor not in bound:
+                raise ValueError(
+                    f"optional chain must start at its bound anchor "
+                    f"({anchor!r} is not bound) — re-orient the chain")
+            sub = None
+            prev = anchor
+            for k, cep in enumerate(chain):
+                if cep.negated or cep.path_var is not None \
+                        or not cep.optional:
+                    raise ValueError(
+                        "optional-chain edges must be plain optional "
+                        "patterns (no negation / shortestPath)")
+                if cep.src != prev:
+                    raise ValueError(
+                        f"optional chain must be head-to-tail: edge {k} "
+                        f"starts at {cep.src!r}, expected {prev!r}")
+                vnext = cep.dst
+                if vnext in bound:
+                    raise ValueError(
+                        f"optional-chain variable {vnext!r} is already "
+                        "bound — chain variables must be fresh leaves")
+                want = 2 if k + 1 < len(chain) else 1
+                if refs[vnext] != want:
+                    raise ValueError(
+                        f"optional-chain variable {vnext!r} must be a "
+                        f"leaf of the chain (referenced by exactly its "
+                        f"chain edge{'s' if want == 2 else ''}) — a "
+                        "later inner join through a NULL would re-drop "
+                        "the preserved rows")
+                cer = _edge_rel(edges, cep)
+                ecarry = ([cer["rel_type"].alias(f"{cep.var}_rel_type")]
+                          if cep.var else [])
+                orel, osel = sides[vnext]
+                if osel:
+                    orel = F.broadcast(orel)
+                step = (cer.join(orel, cer["dst"] == F.col(f"{vnext}_id"))
+                        .select(cer["src"].alias("_ck"), *ecarry,
+                                *[f"{vnext}_{c}" for c in _CARRY]))
+                if sub is None:
+                    sub = step.withColumnRenamed("_ck", "_opt_key")
+                else:
+                    sub = (sub.join(step,
+                                    F.col(f"{prev}_id") == F.col("_ck"))
+                           .drop("_ck"))
+                bound.add(vnext)
+                prev = vnext
+            result = (result.join(
+                sub, F.col(f"{anchor}_id") == F.col("_opt_key"), "left")
+                .drop("_opt_key"))
+            continue
         er = _edge_rel(edges, ep)
         if ep.optional:
             # OPTIONAL MATCH: left-outer binding of a leaf variable

@@ -24,8 +24,15 @@ Supported subset — exactly what the compiler supports, nothing more:
   ``RETURN r`` expands to it); an untyped ``-[r]->`` binds one row per
   distinct type connecting a pair (Cypher's per-relationship
   multiplicity). Not allowed on negated or variable-length edges;
-* clauses: ``MATCH p1, p2``, additional ``MATCH`` / ``OPTIONAL MATCH``
-  (every edge in an OPTIONAL MATCH clause is left-outer);
+* clauses: ``MATCH p1, p2``, additional ``MATCH`` / ``OPTIONAL MATCH``.
+  A single-hop OPTIONAL MATCH is a left-outer edge; a MULTI-HOP
+  ``OPTIONAL MATCH (a)-[:T]->(b)-[:U]->(c)`` (r13) compiles as ONE
+  all-or-nothing unit — the chain's inner motif left-joins the bound
+  anchor once, so a binding either matches the whole path or carries
+  NULLs for every chain variable (Cypher's semantics; per-hop
+  splitting is NOT equivalent). The chain must start at an
+  already-bound variable and bind only fresh simple-path variables;
+  separate OPTIONAL MATCH clauses keep their per-clause semantics;
 * ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
   (the ``negated`` anti-join form; the right node may be anonymous with
   predicates — NOT-EXISTS-a-node-matching-P), comparisons
@@ -85,7 +92,16 @@ Supported subset — exactly what the compiler supports, nothing more:
   alias (in later WHERE, RETURN, aggregates, and ORDER BY). A MATCH
   after WITH must mention at least one carried variable (else it would
   be a cartesian product — rejected at parse time). A query containing
-  WITH must end with RETURN.
+  WITH must end with RETURN;
+* ``UNION [ALL]`` between full MATCH queries (r13) — each branch is an
+  independent query (its own variables, WITH environment and RETURN);
+  branches combine by column name, and bare UNION de-duplicates the
+  whole result (SQL/Cypher semantics). Cypher's rules are enforced at
+  parse time: no mixing UNION with UNION ALL, every branch has an
+  explicit RETURN with the SAME column-name set, and no per-branch
+  ORDER BY / SKIP / LIMIT (apply them on the returned DataFrame).
+  ``union`` and ``all`` are reserved words and no longer usable as
+  variable names.
 
 Rejected with explicit errors (parse-time, not plan-time): NOT
 patterns under OR / inside groups / after a WITH boundary,
@@ -93,8 +109,8 @@ unbounded ``*`` (also inside shortestPath — bounds required),
 unbound/bare shortestPath, any trailing clause
 (ORDER BY/LIMIT belong to the DataFrame, not the pattern language),
 RETURN/WHERE references to a negation-only auxiliary variable (it
-binds no output columns), multi-hop OPTIONAL MATCH paths (each hop
-must be its own OPTIONAL MATCH clause — the compiler's leaf rule),
+binds no output columns), multi-hop OPTIONAL MATCH chains that do not
+start at a bound variable or that re-bind / revisit a variable,
 edge variables on negated or variable-length patterns, ``WITH *``
 (list the carried items explicitly), new predicates on a carried
 variable's re-mention (filter before carrying), NOT patterns in a
@@ -121,7 +137,7 @@ still bind the same stored edge — that is Cypher's behavior too).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -154,7 +170,7 @@ _TOKEN_RE = re.compile(
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
              "DISTINCT", "AS", "ORDER", "BY", "SKIP", "LIMIT", "ASC",
-             "DESC", "WITH"}
+             "DESC", "WITH", "UNION", "ALL"}
 _AGG_FNS = {"count", "min", "max", "sum", "avg", "collect"}
 
 
@@ -246,6 +262,11 @@ class ParsedPattern:
     limit: int | None = None
     # WITH pipeline stages (r12b) — empty for single-stage patterns
     stages: list[WithStage] = field(default_factory=list)
+    # UNION branches (r13): (all_flag, branch) per UNION [ALL] clause —
+    # each branch is a full independent query; homogeneous all_flags
+    # (Cypher forbids mixing UNION and UNION ALL) and identical RETURN
+    # column sets are enforced at parse time
+    unions: list[tuple[bool, "ParsedPattern"]] = field(default_factory=list)
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -261,6 +282,16 @@ class _Parser:
         self.text = text
         self.toks = _tokenize(text)
         self.i = 0
+        # per-branch counters survive _reset_query_state (uniqueness is
+        # cheap and keeps chain/anon ids distinct across UNION branches)
+        self._anon = 0
+        self._chain_seq = 0
+        self._reset_query_state()
+
+    def _reset_query_state(self) -> None:
+        """Re-initialize all per-QUERY state — called between UNION
+        branches (r13): each branch is a full independent query with its
+        own variables, WITH environment, and RETURN."""
         self.nodes: dict[str, NodePat] = {}
         self.edges: list[EdgePat] = []
         self.edge_vars: dict[str, int] = {}  # var -> declaration position
@@ -277,7 +308,6 @@ class _Parser:
         self.skip: int | None = None
         self.limit: int | None = None
         self.distinct = False
-        self._anon = 0
         # WITH environment (r12b): what the last boundary carried
         self.stages: list[WithStage] = []
         self.carried_nodes: set[str] = set()  # vars carried bare
@@ -323,6 +353,58 @@ class _Parser:
 
     # -- grammar ----------------------------------------------------------
     def parse(self) -> ParsedPattern:
+        pp = self._parse_query()
+        while self.at("kw", "UNION"):
+            # UNION [ALL] between full MATCH queries (r13, verdict #5)
+            self.next()
+            all_flag = self.at("kw", "ALL")
+            if all_flag:
+                self.next()
+            self._reset_query_state()
+            pp.unions.append((all_flag, self._parse_query()))
+        if pp.unions:
+            self._validate_union(pp)
+        k, v, p = self.peek()
+        if k != "eof":
+            raise PatternSyntaxError(
+                f"unexpected {v!r} at position {p} (ORDER BY / SKIP / "
+                "LIMIT are only valid after RETURN; other trailing "
+                "clauses are not part of the pattern language — apply "
+                "them on the returned DataFrame)")
+        return pp
+
+    def _validate_union(self, pp: ParsedPattern) -> None:
+        """Cypher's UNION rules, parse-time: no mixing UNION with UNION
+        ALL, every branch has an explicit RETURN producing the SAME
+        column-name set, and no per-branch result modifiers (apply
+        ordering/limits on the returned DataFrame — attaching them to
+        one branch of a union is ambiguous, and Neo4j rejects it too)."""
+        flags = {f for f, _ in pp.unions}
+        if len(flags) > 1:
+            raise PatternSyntaxError(
+                "cannot mix UNION and UNION ALL in one query "
+                "(Cypher's rule)")
+        branches = [pp] + [b for _, b in pp.unions]
+        cols0: set[str] | None = None
+        for b in branches:
+            if b.returns is None:
+                raise PatternSyntaxError(
+                    "every UNION branch needs an explicit RETURN with "
+                    "the same column names")
+            if b.order_by or b.skip is not None or b.limit is not None:
+                raise PatternSyntaxError(
+                    "ORDER BY / SKIP / LIMIT are not allowed inside "
+                    "UNION branches — apply them on the returned "
+                    "DataFrame")
+            cols = self._output_columns(b.returns, b.aggregates)
+            if cols0 is None:
+                cols0 = cols
+            elif cols != cols0:
+                raise PatternSyntaxError(
+                    "UNION branches must RETURN the same columns — got "
+                    f"{sorted(cols0)} vs {sorted(cols)}")
+
+    def _parse_query(self) -> ParsedPattern:
         first_optional = self.at("kw", "OPTIONAL")
         if first_optional:
             self.next()
@@ -360,13 +442,8 @@ class _Parser:
             self._returns()
             self.order_by, self.skip, self.limit = \
                 self._parse_modifiers(self.returns, self.aggregates)
-        k, v, p = self.peek()
-        if k != "eof":
-            raise PatternSyntaxError(
-                f"unexpected {v!r} at position {p} (ORDER BY / SKIP / "
-                "LIMIT are only valid after RETURN; other trailing "
-                "clauses are not part of the pattern language — apply "
-                "them on the returned DataFrame)")
+        # trailing-token validation happens in parse() — the query may
+        # legitimately stop at a UNION boundary here (r13)
         return ParsedPattern(s0_nodes, s0_edges,
                              s0_where, self.returns, self.distinct,
                              s0_clauses, tuple(self.edge_vars),
@@ -606,27 +683,60 @@ class _Parser:
                 "shortestPath must be bound to a path variable "
                 "(p = shortestPath(...)) — its result is the distance, "
                 "reachable as length(p)")
+        # snapshot of the binding environment BEFORE this path — a
+        # multi-hop OPTIONAL MATCH chain (r13) must anchor on a known
+        # variable and bind only fresh ones
+        known = set(self.nodes) | self.carried_nodes
+        start_idx = len(self.edges)
         var = self._node()
+        path_nodes = [var]
         n_hops = 0
+        chain_pos = None
         while self.at("punct", "-") or self.at("punct", "<-"):
             _, _, hop_pos = self.peek()
             ep_kw = self._edge_spec()
             dst = self._node()
             ep = EdgePat(src=var, dst=dst, optional=optional, **ep_kw)
             n_hops += 1
-            if optional and n_hops > 1:
-                # plan-time the compiler requires the optional variable
-                # to be a leaf — a chained optional hop ALWAYS violates
-                # that; reject here with position instead (ADVICE r11)
-                raise PatternSyntaxError(
-                    f"multi-hop OPTIONAL MATCH path at position {hop_pos} "
-                    "— the optional variable must be a leaf; split each "
-                    "hop into its own OPTIONAL MATCH clause")
+            if n_hops == 2:
+                chain_pos = hop_pos
             if collect is not None:
                 collect.append(ep)
             else:
                 self.edges.append(ep)
             var = dst
+            path_nodes.append(dst)
+        if optional and n_hops > 1 and collect is None:
+            # multi-hop OPTIONAL MATCH (r13, verdict #4): the whole
+            # chain is ONE all-or-nothing left-outer unit (Cypher's
+            # semantics — per-hop splitting would keep partial bindings
+            # Cypher discards). Validate the chain shape here with
+            # positions, then stamp a shared chain_id for the compiler.
+            if path_nodes[0] not in known:
+                raise PatternSyntaxError(
+                    f"multi-hop OPTIONAL MATCH at position {chain_pos} "
+                    f"must start at an already-bound variable "
+                    f"({path_nodes[0]!r} is new) — re-orient the path "
+                    "to begin at the bound anchor")
+            seen = {path_nodes[0]}
+            for v in path_nodes[1:]:
+                if v in known:
+                    raise PatternSyntaxError(
+                        f"multi-hop OPTIONAL MATCH at position "
+                        f"{chain_pos}: chain variable {v!r} is already "
+                        "bound — the all-or-nothing chain binds fresh "
+                        "variables only; put the edge to a bound "
+                        "variable in its own OPTIONAL MATCH clause")
+                if v in seen:
+                    raise PatternSyntaxError(
+                        f"multi-hop OPTIONAL MATCH at position "
+                        f"{chain_pos} revisits {v!r} — the chain must "
+                        "be a simple path")
+                seen.add(v)
+            cid = self._chain_seq
+            self._chain_seq += 1
+            for idx in range(start_idx, len(self.edges)):
+                self.edges[idx] = replace(self.edges[idx], chain_id=cid)
 
     def _shortest_path(self, optional: bool, collect: list | None) -> None:
         """``p = shortestPath((a)-[:T*1..k]->(b))`` (r12b) — distance
@@ -1393,17 +1503,19 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
             parts.append(" {" + ", ".join(props) + "}")
         return "(" + "".join(parts) + ")"
 
-    def edge(ep: EdgePat) -> str:
+    def connector(ep: EdgePat) -> str:
         rt = (ep.rel_type if isinstance(ep.rel_type, (str, type(None)))
               else "|".join(ep.rel_type))
         inner = (ep.var or "") + (f":{rt}" if rt else "")
         if (ep.min_hops, ep.max_hops) != (1, 1) or ep.path_var:
             inner += f"*{ep.min_hops}..{ep.max_hops}"
         if ep.direction == "in":
-            txt = f"{node(ep.src)}<-[{inner}]-{node(ep.dst)}"
-        else:
-            arrow = "->" if ep.direction == "out" else "-"
-            txt = f"{node(ep.src)}-[{inner}]{arrow}{node(ep.dst)}"
+            return f"<-[{inner}]-"
+        arrow = "->" if ep.direction == "out" else "-"
+        return f"-[{inner}]{arrow}"
+
+    def edge(ep: EdgePat) -> str:
+        txt = f"{node(ep.src)}{connector(ep)}{node(ep.dst)}"
         if ep.path_var:
             # distance-bound edge renders as its shortestPath form so
             # the round-trip re-parses to the same spec
@@ -1411,12 +1523,35 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
         return txt
 
     clauses, negs = [], []
-    for ep in edge_pats:
+    i = 0
+    while i < len(edge_pats):
+        ep = edge_pats[i]
         if ep.negated:
             negs.append(ep)
-        else:
-            kw = "OPTIONAL MATCH" if ep.optional else "MATCH"
-            clauses.append(f"{kw} {edge(ep)}")
+            i += 1
+            continue
+        if ep.optional and ep.chain_id is not None:
+            # a multi-hop optional chain renders as ONE clause so the
+            # round-trip re-parses to the same all-or-nothing spec
+            grp = [ep]
+            i += 1
+            while i < len(edge_pats) and edge_pats[i].chain_id == ep.chain_id:
+                grp.append(edge_pats[i])
+                i += 1
+            txt = node(grp[0].src)
+            prev = grp[0].src
+            for g in grp:
+                if g.src != prev:
+                    raise ValueError(
+                        f"optional chain {ep.chain_id} is not "
+                        "head-to-tail — cannot render")
+                txt += connector(g) + node(g.dst)
+                prev = g.dst
+            clauses.append(f"OPTIONAL MATCH {txt}")
+            continue
+        kw = "OPTIONAL MATCH" if ep.optional else "MATCH"
+        clauses.append(f"{kw} {edge(ep)}")
+        i += 1
     out = " ".join(clauses)
     if negs:
         out += " WHERE " + " AND ".join(f"NOT {edge(ep)}" for ep in negs)
@@ -1519,30 +1654,46 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
         return match_motif(nodes, edges, nps, edge_pats,
                            where=w, **motif_kwargs)
 
-    out = compile_motif(spec.node_pats, spec.edge_pats, spec.clauses,
-                        spec.where_column())
-    for st in spec.stages:
-        out = _apply_projection(out, st.items, st.aggregates, st.distinct)
-        out = _apply_modifiers(out, st.order_by, st.skip, st.limit)
-        for th in st.post_where:
-            out = out.filter(th())
-        if st.edge_pats:
-            m = compile_motif(st.node_pats, st.edge_pats, st.clauses, None)
-            keys = [f"{v}_id" for v in st.join_vars]
-            # the re-anchored variables' non-id carry columns exist on
-            # both sides with identical values (functionally dependent
-            # on the id) — keep the carried side's copies
-            dup = (set(out.columns) & set(m.columns)) - set(keys)
-            out = out.join(m.drop(*dup), on=keys)
-            stage_where = None
-            for th in st.where_fn:
-                c = th()
-                stage_where = c if stage_where is None else (stage_where & c)
-            if stage_where is not None:
-                out = out.filter(stage_where)
-    out = _apply_projection(out, spec.returns, spec.aggregates,
-                            spec.distinct)
-    out = _apply_modifiers(out, spec.order_by, spec.skip, spec.limit)
+    def compile_query(sp: ParsedPattern) -> DataFrame:
+        out = compile_motif(sp.node_pats, sp.edge_pats, sp.clauses,
+                            sp.where_column())
+        for st in sp.stages:
+            out = _apply_projection(out, st.items, st.aggregates,
+                                    st.distinct)
+            out = _apply_modifiers(out, st.order_by, st.skip, st.limit)
+            for th in st.post_where:
+                out = out.filter(th())
+            if st.edge_pats:
+                m = compile_motif(st.node_pats, st.edge_pats, st.clauses,
+                                  None)
+                keys = [f"{v}_id" for v in st.join_vars]
+                # the re-anchored variables' non-id carry columns exist
+                # on both sides with identical values (functionally
+                # dependent on the id) — keep the carried side's copies
+                dup = (set(out.columns) & set(m.columns)) - set(keys)
+                out = out.join(m.drop(*dup), on=keys)
+                stage_where = None
+                for th in st.where_fn:
+                    c = th()
+                    stage_where = (c if stage_where is None
+                                   else (stage_where & c))
+                if stage_where is not None:
+                    out = out.filter(stage_where)
+        out = _apply_projection(out, sp.returns, sp.aggregates,
+                                sp.distinct)
+        out = _apply_modifiers(out, sp.order_by, sp.skip, sp.limit)
+        return out
+
+    out = compile_query(spec)
+    if spec.unions:
+        # UNION [ALL] between full queries (r13): branches compile
+        # independently and combine by column NAME (the parser enforced
+        # identical column sets); bare UNION de-duplicates across the
+        # WHOLE result, SQL/Cypher semantics (flags are homogeneous)
+        for _, br in spec.unions:
+            out = out.unionByName(compile_query(br))
+        if not spec.unions[0][0]:
+            out = out.distinct()
     return out
 
 

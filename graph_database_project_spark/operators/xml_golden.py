@@ -449,6 +449,21 @@ GOLDEN_GRAPH_MOTIF_COLLECT_ROWS = [
     ('7430', '737-00-1028;737-00-1029', '737-00-1028;737-00-1028;737-00-1029;737-00-1029'),
 ]
 
+GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_COLS = [('docnbr', 'VARCHAR'), ('wi', 'VARCHAR'), ('step', 'VARCHAR'), ('step_num', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_ROWS = [
+    ('737-00-1028', '(no wi)', '(no step)', '(none)'),
+    ('737-00-1029', 'work_instructions', 'step', '1'),
+    ('737-00-1029', 'work_instructions', 'step', '2'),
+    ('737-00-1029', 'work_instructions', 'step', '3'),
+    ('737-00-1030', '(no wi)', '(no step)', '(none)'),
+]
+
+GOLDEN_GRAPH_MOTIF_UNION_COLS = [('docnbr', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_UNION_ROWS = [
+    ('737-00-1028',),
+    ('737-00-1029',),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -489,4 +504,6 @@ ORACLE = {
     "graph_motif_shortestpath": _values_sql(GOLDEN_GRAPH_MOTIF_SHORTESTPATH_COLS, GOLDEN_GRAPH_MOTIF_SHORTESTPATH_ROWS),
     "graph_motif_textpred": _values_sql(GOLDEN_GRAPH_MOTIF_TEXTPRED_COLS, GOLDEN_GRAPH_MOTIF_TEXTPRED_ROWS),
     "graph_motif_collect": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_ROWS),
+    "graph_motif_optional_chain": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_ROWS),
+    "graph_motif_union": _values_sql(GOLDEN_GRAPH_MOTIF_UNION_COLS, GOLDEN_GRAPH_MOTIF_UNION_ROWS),
 }

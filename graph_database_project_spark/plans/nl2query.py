@@ -359,6 +359,19 @@ _MOTIF_DISTANCE_RULE = re.compile(
     r"how far is (?:bulletin\s+)?'?([\w.-]+)'? from (?:its |the )?(\w+)",
     re.I,
 )
+# r13: grouped-list questions emit collect() text — the reference's
+# flagship result shape (first-graph.py:168-176 groups connected-node
+# names per matched node)
+_MOTIF_COLLECT_RULE = re.compile(
+    r"list the (\w+) nodes (?:of|under) each (\w+)",
+    re.I,
+)
+# r13: disjunctive questions spanning two DIFFERENT pattern shapes emit
+# UNION text (bare UNION — whole-result dedup)
+_MOTIF_UNION_RULE = re.compile(
+    r"which bulletins mention '?([\w ]+?)'? or include line '?([\w-]+)'?$",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -452,6 +465,34 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             f"WITH d, count(c) AS out_deg WHERE out_deg >= {n} "
             "RETURN d.docnbr AS docnbr, d.name AS name, out_deg "
             "ORDER BY docnbr, name")
+        return compile_pattern(pattern)
+    m = _MOTIF_COLLECT_RULE.search(q)
+    if m:
+        # collect() text (r13): group the connected nodes' names per
+        # parent — the reference's own result-shaping idiom; the list
+        # flattens to one sorted ';'-joined cell (scalar-output rule)
+        child, parent = m.group(1), m.group(2)
+        pattern = (
+            f"MATCH (p:{parent})-[]->(c:{child}) "
+            "RETURN p.docnbr AS docnbr, p.name AS parent, "
+            "collect(c.name) AS children "
+            "ORDER BY docnbr, parent")
+        return compile_pattern(pattern)
+    m = _MOTIF_UNION_RULE.search(q)
+    if m:
+        # UNION text (r13): two unrelated pattern shapes combined by
+        # column name, whole-result dedup; terse branches — the catalog
+        # injects h/subj/a labels (HAS_HEADER / HAS_SUBJECT /
+        # included_in have unique signatures)
+        term, line = m.group(1), m.group(2)
+        pattern = (
+            "MATCH (sb:ServiceBulletin)-[:HAS_HEADER]->(h)"
+            "-[:HAS_SUBJECT]->(subj) "
+            f"WHERE subj.content CONTAINS '{term}' "
+            "RETURN sb.docnbr AS docnbr "
+            "UNION "
+            f"MATCH (ln {{name: '{line}'}})-[:included_in]->(a) "
+            "RETURN a.docnbr AS docnbr")
         return compile_pattern(pattern)
     m = _GRAPH_RULE.search(q)
     if not m:

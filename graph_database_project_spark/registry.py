@@ -235,6 +235,13 @@ _DRIVER_WINDOW = [
     # graph_motif_collect: Cypher collect() list aggregate from text,
     # WITH-composed, lists flattened to sorted ';'-joined cells
     "graph_motif_collect",
+    # graph_motif_optional_chain: multi-hop OPTIONAL MATCH with Cypher's
+    # all-or-nothing null semantics (one left-outer of the chain motif)
+    "graph_motif_optional_chain",
+    # graph_motif_union: UNION [ALL] between full MATCH queries from
+    # text (independent branches, column-name alignment, bare-UNION
+    # whole-result dedup pinned live by overlapping branches)
+    "graph_motif_union",
     # --- r08 cohort (30 keys, prepaying the r14 freshness obligation) ---
     "bpe_token_count",
     "dedup_prefix_filter",

@@ -24,7 +24,11 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r12b: string predicates (CONTAINS / STARTS WITH)
          "graph_motif_textpred",
          # r13: collect() list aggregate (WITH-composed, flattened cells)
-         "graph_motif_collect"]
+         "graph_motif_collect",
+         # r13: multi-hop OPTIONAL MATCH chain (all-or-nothing nulls)
+         "graph_motif_optional_chain",
+         # r13: UNION between MATCH queries (whole-result dedup)
+         "graph_motif_union"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

@@ -458,7 +458,16 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # implicit-grouping agg — measured 31
             "graph_motif_shortestpath": 32,
             # r12b: 2-hop chain + JVM string-predicate filter — measured 4
-            "graph_motif_textpred": 4}
+            "graph_motif_textpred": 4,
+            # r13: WITH boundary agg + re-anchor join + final
+            # collect-agg — measured 8
+            "graph_motif_collect": 8,
+            # r13: anchor motif + 3-hop optional-chain inner motif
+            # (per-hop dedup distincts) + the left join — measured 10
+            "graph_motif_optional_chain": 10,
+            # r13: two independent branch motifs + the union distinct —
+            # measured 6
+            "graph_motif_union": 6}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -633,3 +642,23 @@ def test_collect_consistent_with_shared_key(spark):
         # form folds — every bulletin contributes 2 airplane bindings
         assert r.all_docs.split(";") == sorted(
             d for d in pair_docs[r.line_number] for _ in range(2))
+
+
+def test_union_key_dedup_is_live(spark):
+    """The union key's branches OVERLAP on 737-00-1029 (fuel subject AND
+    line 6630), so bare UNION's whole-result dedup is exercised: the
+    UNION ALL variant of the same text must return strictly more rows,
+    with the same distinct set."""
+    from graph_database_project_spark.graph.pattern import match_pattern
+    from graph_database_project_spark.operators.motifq import (
+        _UNION_PATTERN, _label_stats, _store)
+    st = _store(spark)
+    union_rows = [tuple(r) for r in
+                  motifq.q_graph_motif_union(spark, SF).collect()]
+    all_txt = _UNION_PATTERN.replace("UNION", "UNION ALL")
+    all_rows = [tuple(r) for r in match_pattern(
+        st.nodes, st.edges, all_txt,
+        label_counts=_label_stats(spark)).collect()]
+    assert sorted(set(all_rows)) == sorted(union_rows)
+    assert len(all_rows) > len(union_rows)
+    assert ("737-00-1029",) in union_rows  # the overlapping doc

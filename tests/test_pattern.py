@@ -124,9 +124,11 @@ def test_parse_where_comparisons_build_columns(spark):
      "RETURN a.id", "only inside a NOT"),
     ("MATCH (a)-[:T]->(b) WHERE NOT (q)-[:U]->(w) RETURN a.id",
      "anchor"),
-    # --- r12: multi-hop OPTIONAL chain rejected at parse time (ADVICE)
-    ("MATCH (a)-[:T]->(b) OPTIONAL MATCH (b)-[:U]->(c)-[:V]->(d) "
-     "RETURN a.id", "multi-hop"),
+    # --- r13: multi-hop OPTIONAL chains are now compiled (all-or-
+    # nothing, see test_optional_chain_*); only malformed chains reject,
+    # e.g. one anchored on a variable that is not yet bound
+    ("OPTIONAL MATCH (b)-[:U]->(c)-[:V]->(d) MATCH (a)-[:T]->(b) "
+     "RETURN a.id", "already-bound"),
 ])
 def test_parse_rejects_with_positioned_errors(bad, hint):
     with pytest.raises(PatternSyntaxError) as ei:
@@ -1340,3 +1342,201 @@ def test_collect_at_with_boundary(tiny):
         "MATCH (b)-[:S]->(c:C) "
         "RETURN b.name AS bn, asrc, c.name AS cn ORDER BY bn"))
     assert got == [("b1", "a1", "c1"), ("b2", "a2", "c1")]
+
+
+# --- r13: multi-hop OPTIONAL MATCH chains --------------------------------
+
+def test_parse_optional_chain_shapes():
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:A) RETURN a.name")
+    assert [e.chain_id for e in p.edge_pats] == [None, 0, 0]
+    assert [e.optional for e in p.edge_pats] == [False, True, True]
+    # two single-hop OPTIONAL clauses stay independent (chain_id None)
+    p2 = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) OPTIONAL MATCH (b)-[:S]->(c:C) "
+        "OPTIONAL MATCH (b)-[:T]->(e:A) RETURN a.name")
+    assert [e.chain_id for e in p2.edge_pats] == [None, None, None]
+    # two chains get distinct ids
+    p3 = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:A) "
+        "OPTIONAL MATCH (b)-[:S]->(x:C)-[:T]->(y:A) RETURN a.name")
+    assert [e.chain_id for e in p3.edge_pats] == [None, 0, 0, 1, 1]
+    # edge variables ride the chain
+    p4 = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[r:S]->(c:C)-[:T]->(d:A) RETURN r")
+    assert p4.edge_pats[1].var == "r" and p4.edge_pats[1].chain_id == 0
+
+
+@pytest.mark.parametrize("bad,hint", [
+    # chain anchored on a NEW variable
+    ("MATCH (a:A)-[:R]->(b:B) "
+     "OPTIONAL MATCH (x:B)-[:S]->(c:C)-[:T]->(d:A) RETURN a.name",
+     "already-bound variable"),
+    # chain re-binds an existing variable mid-path
+    ("MATCH (a:A)-[:R]->(b:B) "
+     "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(a) RETURN a.name",
+     "already\\s+bound"),
+    # chain revisits its own variable (not a simple path)
+    ("MATCH (a:A)-[:R]->(b:B) "
+     "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(c) RETURN a.name",
+     "revisits"),
+], ids=["new-anchor", "rebind", "revisit"])
+def test_optional_chain_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_optional_chain_all_or_nothing(tiny):
+    """The semantic differentiator (verdict r12 #4): hop 1 of the chain
+    matches (b->S->c1) but hop 2 does not (no T edge into a :B), so the
+    WHOLE chain is null — a per-hop left-outer would have kept the
+    partial c binding Cypher discards."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:B) "
+        "RETURN b.name AS bn, c.name AS cn, d.name AS dn ORDER BY bn"))
+    assert got == [("b1", None, None), ("b2", None, None)]
+    # the matching variant binds the full chain (c1-T->a1, an :A)
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:A) "
+        "RETURN b.name AS bn, c.name AS cn, d.name AS dn ORDER BY bn"))
+    assert got2 == [("b1", "c1", "a1"), ("b2", "c1", "a1")]
+
+
+def test_optional_chain_multiplicity_and_edge_var(tiny):
+    """A chain with several complete matches multiplies rows (Cypher:
+    OPTIONAL MATCH returns every match, NULL only when none), and an
+    edge variable inside the chain carries its rel_type."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (c:C)-[:T]->(a:A) "
+        "OPTIONAL MATCH (c)<-[r:S]-(b:B)<-[:R]-(e:A) "
+        "RETURN a.name AS an, r, b.name AS bn, e.name AS en"))
+    # both S edges into c1 complete the chain back to an :A
+    assert got == [("a1", "S", "b1", "a1"), ("a1", "S", "b2", "a2")]
+
+
+def test_optional_chain_render_roundtrip():
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)<-[:T]-(d:A) RETURN a.name")
+    from graph_database_project_spark.graph.pattern import render_match
+    txt = render_match(p.node_pats, p.edge_pats)
+    assert "OPTIONAL MATCH (b)-[:S]->(c:C)<-[:T]-(d:A)" in txt
+    p2 = parse_match(txt + " RETURN a.name")
+    assert p2.edge_pats == p.edge_pats
+    assert sorted(p2.node_pats, key=lambda n: n.var) == \
+        sorted(p.node_pats, key=lambda n: n.var)
+
+
+def test_optional_chain_in_with_stage(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WITH b, count(a) AS na "
+        "MATCH (b)-[:S]->(c:C) "
+        "OPTIONAL MATCH (c)-[:T]->(d:A)-[:R]->(e:B) "
+        "RETURN b.name AS bn, c.name AS cn, d.name AS dn, e.name AS en "
+        "ORDER BY bn"))
+    assert got == [("b1", "c1", "a1", "b1"), ("b2", "c1", "a1", "b1")]
+
+
+# --- r13: UNION [ALL] between MATCH queries ------------------------------
+
+def test_parse_union_shapes():
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) RETURN a.name AS n "
+        "UNION MATCH (c:C)-[:T]->(d:A) RETURN c.name AS n")
+    assert len(p.unions) == 1
+    all_flag, br = p.unions[0]
+    assert all_flag is False
+    assert br.node_pats[0].label == "C" and br.returns[0][2] == "n"
+    # three-branch UNION ALL
+    p2 = parse_match(
+        "MATCH (a:A)-[:R]->(b) RETURN a.name AS n "
+        "UNION ALL MATCH (a:B)-[:S]->(b) RETURN a.name AS n "
+        "UNION ALL MATCH (a:C)-[:T]->(b) RETURN a.name AS n")
+    assert [f for f, _ in p2.unions] == [True, True]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a:A)-[:R]->(b) RETURN a.name AS n "
+     "UNION MATCH (c:B)-[:S]->(d) RETURN d.name AS m",
+     "same columns"),
+    ("MATCH (a:A)-[:R]->(b) RETURN a.name AS n "
+     "UNION ALL MATCH (c:B)-[:S]->(d) RETURN d.name AS n "
+     "UNION MATCH (e:C)-[:T]->(f) RETURN f.name AS n",
+     "cannot mix"),
+    ("MATCH (a:A)-[:R]->(b) "
+     "UNION MATCH (c:B)-[:S]->(d) RETURN d.name AS n",
+     "explicit RETURN"),
+    ("MATCH (a:A)-[:R]->(b) RETURN a.name AS n LIMIT 1 "
+     "UNION MATCH (c:B)-[:S]->(d) RETURN d.name AS n",
+     "not allowed inside UNION"),
+], ids=["col-mismatch", "mixed-all", "no-return", "branch-limit"])
+def test_union_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_union_semantics(tiny):
+    nodes, edges = tiny
+    # bare UNION de-duplicates across the WHOLE result
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) RETURN b.name AS n "
+        "UNION MATCH (x:B)-[:S]->(c:C) RETURN x.name AS n"))
+    assert got == [("b1",), ("b2",)]
+    # UNION ALL keeps both branches' duplicates
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) RETURN b.name AS n "
+        "UNION ALL MATCH (x:B)-[:S]->(c:C) RETURN x.name AS n"))
+    assert got2 == [("b1",), ("b1",), ("b2",), ("b2",)]
+    # branch variable namespaces are independent (same names re-used
+    # with different labels), and columns align by NAME
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (v:A)-[:R]->(w:B) RETURN v.name AS n "
+        "UNION MATCH (v:C)-[:T]->(w:A) RETURN v.name AS n"))
+    assert got3 == [("a1",), ("a2",), ("c1",)]
+
+
+def test_union_with_stages_per_branch(tiny):
+    """Each branch carries its own full pipeline (WITH, aggregates)."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WITH b, count(a) AS c "
+        "MATCH (b)-[:S]->(x:C) RETURN b.name AS n "
+        "UNION MATCH (y:C)-[:T]->(z:A) RETURN y.name AS n"))
+    assert got == [("b1",), ("b2",), ("c1",)]
+
+
+def test_nl_graph_rules_collect_and_union(spark, store):
+    """r13: the NL layer emits collect() and UNION pattern text for
+    grouped-list and disjunctive questions (verdict #7) — the emitted
+    strings parse, compile and answer correctly."""
+    from graph_database_project_spark.plans.nl2query import answer_graph
+    df = answer_graph(
+        spark, store, "list the step nodes under each description")
+    rows = [(r.docnbr, r.parent, r.children) for r in df.collect()]
+    # only planning descriptions have steps; names are tag names, so the
+    # collect cell is 'step;step;...' with the per-doc step counts (2/3/2)
+    assert rows == [("737-00-1028", "description", "step;step"),
+                    ("737-00-1029", "description", "step;step;step"),
+                    ("737-00-1030", "description", "step;step")]
+    df2 = answer_graph(
+        spark, store, "which bulletins mention 'Fuel' or include line "
+        "'6630'?")
+    got = sorted(r.docnbr for r in df2.collect())
+    # fuel subject = 1029; line 6630 shared by 1028+1029; dedup'd union
+    assert got == ["737-00-1028", "737-00-1029"]
