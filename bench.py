@@ -94,12 +94,6 @@ EXTENDED = [
     "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
-    "graph_scc",                # r11: repeated-squaring mutual reach
-    "attribution_linear",       # r11: multi-touch value split
-    "graph_scc_condensation",   # r11: condensation DAG topo levels
-    "ts_seasonal_decompose",    # r11: day-of-week profile + signed-ppm
-                                # residuals (row added r12 — the one r11
-                                # operator that had no bench row)
     "graph_motif_edge_distinct",  # r12: relationship-uniqueness mode,
                                   # both modes timed in one key
     "graph_motif_edge_var",     # r12: untyped -[r]-> edge variable
@@ -122,6 +116,14 @@ EXTENDED = [
                                 # priority rounds over the union graph
     "graph_motif_textpred",     # r12b: WHERE string predicates (JVM
                                 # Column.contains/startswith filter)
+    "graph_motif_collect",      # r13: collect() list aggregate (WITH-
+                                # composed, sort_array + concat_ws fold)
+    "graph_motif_optional_chain",  # r13: 3-hop all-or-nothing optional
+                                   # chain (inner motif + one left join)
+    "graph_motif_union",        # r13: UNION of two branch motifs +
+                                # whole-result distinct
+    "graph_motif_optional_where",  # r13: match-time WHERE in the
+                                   # optional left-join condition
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
@@ -168,6 +170,15 @@ RETIRED = [
     "graph_betweenness_sampled",    # r09: bounded-depth Brandes two-chain
     "stream_topk_continuous",   # r09: day-CMS + candidate-ledger top-k
     "graph_ktruss",             # r09: triangle-support edge peel loop
+    # r13 retirements (wall policy): r11 operators unchanged r12+r13,
+    # v2.8 pins stamped and cross-checked within spread on BOTH r12
+    # healthy captures (scc 5.064/5.577 vs pin 5.155, condensation
+    # 5.430/6.147 vs 5.183, attribution 1.141/1.438 vs 1.212, seasonal
+    # — see BASELINE.md v2.8.1/v2.8.2 tables)
+    "graph_scc",                # r11: repeated-squaring mutual reach
+    "graph_scc_condensation",   # r11: condensation DAG topo levels
+    "attribution_linear",       # r11: multi-touch value split
+    "ts_seasonal_decompose",    # r11: day-of-week + signed-ppm residuals
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -332,6 +332,7 @@ def match_motif(
     label_counts: dict[str, int] | None = None,
     broadcast_max_nodes: int = 100_000,
     edge_distinct: bool = False,
+    optional_wheres: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Compile a motif to a DataFrame of variable bindings.
 
@@ -369,6 +370,18 @@ def match_motif(
     (``edge_distinct_where`` — this object-API form treats the whole
     spec as ONE MATCH clause; the text front-end scopes per clause).
     Default False: homomorphism semantics, the documented deviation.
+
+    ``optional_wheres`` (r13): Cypher's MATCH-TIME ``WHERE`` on an
+    OPTIONAL MATCH clause — edge index (the clause's first optional
+    edge) → predicate Column. The predicate joins the LEFT-JOIN
+    CONDITION: the optional pattern matches only where pattern AND
+    predicate hold, and anchor rows are preserved (NULL-filled) either
+    way — utterly different from filtering the joined result, which
+    would drop the preserved rows (the ``where`` parameter's post-filter
+    semantics). The predicate may reference any already-bound variable
+    plus the clause's own; on a chain it applies at the final anchor
+    left join (conjunction over the whole chain row — Cypher's
+    all-or-nothing unit).
     """
     pats = {p.var: p for p in node_pats}
     if len(pats) != len(node_pats):
@@ -526,9 +539,13 @@ def match_motif(
                            .drop("_ck"))
                 bound.add(vnext)
                 prev = vnext
-            result = (result.join(
-                sub, F.col(f"{anchor}_id") == F.col("_opt_key"), "left")
-                .drop("_opt_key"))
+            cond = F.col(f"{anchor}_id") == F.col("_opt_key")
+            ow = (optional_wheres or {}).get(i)
+            if ow is not None:
+                # Cypher match-time WHERE: part of the join condition,
+                # so anchor rows failing it are preserved NULL-filled
+                cond = cond & ow
+            result = result.join(sub, cond, "left").drop("_opt_key")
             continue
         er = _edge_rel(edges, ep)
         if ep.optional:
@@ -555,9 +572,13 @@ def match_motif(
             rel = (er.join(orel, er[ocol] == F.col(f"{ovar}_id"))
                    .select(er[bcol].alias("_opt_key"), *ecarry,
                            *[f"{ovar}_{c}" for c in _CARRY]))
-            result = (result.join(
-                rel, F.col(f"{bvar}_id") == F.col("_opt_key"), "left")
-                .drop("_opt_key"))
+            cond = F.col(f"{bvar}_id") == F.col("_opt_key")
+            ow = (optional_wheres or {}).get(i)
+            if ow is not None:
+                # Cypher match-time WHERE (r13): part of the join
+                # condition — anchor rows failing it stay, NULL-filled
+                cond = cond & ow
+            result = result.join(rel, cond, "left").drop("_opt_key")
             bound.add(ovar)
             continue
         if ep.negated:

@@ -33,7 +33,14 @@ Supported subset — exactly what the compiler supports, nothing more:
   splitting is NOT equivalent). The chain must start at an
   already-bound variable and bind only fresh simple-path variables;
   separate OPTIONAL MATCH clauses keep their per-clause semantics;
-* ``WHERE`` with AND-ed terms: ``NOT (a)-[:T]->(b)`` negative patterns
+* ``WHERE`` — bound to the PRECEDING clause, Cypher's rule (r13): a
+  WHERE after a positive MATCH clause ANDs into the pattern filter
+  (placement-equivalent for inner joins, so mid-query WHEREs are
+  accepted), while a WHERE after an OPTIONAL MATCH clause is
+  MATCH-TIME — it compiles into the left-join condition, so anchor
+  rows failing it are PRESERVED with NULLs (the post-filter shape is
+  ``WITH … WHERE``, which the language also has — filtering the
+  joined result would wrongly drop the preserved rows). Terms: ``NOT (a)-[:T]->(b)`` negative patterns
   (the ``negated`` anti-join form; the right node may be anonymous with
   predicates — NOT-EXISTS-a-node-matching-P), comparisons
   ``a.field OP b.field`` / ``a.field OP 'literal'`` over the carried
@@ -231,6 +238,9 @@ class WithStage:
     clauses: list[tuple[int, ...]]
     where_fn: list
     join_vars: tuple[str, ...]
+    # match-time WHERE per OPTIONAL MATCH clause (r13): first edge
+    # index -> predicate thunks
+    optional_wheres: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -267,6 +277,9 @@ class ParsedPattern:
     # (Cypher forbids mixing UNION and UNION ALL) and identical RETURN
     # column sets are enforced at parse time
     unions: list[tuple[bool, "ParsedPattern"]] = field(default_factory=list)
+    # match-time WHERE per OPTIONAL MATCH clause (r13): first edge
+    # index -> predicate thunks (compiled into the left-join condition)
+    optional_wheres: dict = field(default_factory=dict)
 
     def where_column(self) -> Column | None:
         if not self.where_fn:
@@ -302,6 +315,9 @@ class _Parser:
         self.neg_only: set[str] = set()  # vars living only in NOT patterns
         self.clauses: list[tuple[int, ...]] = []
         self.where_fn: list = []
+        # match-time WHERE on OPTIONAL MATCH clauses (r13): first edge
+        # index of the clause -> predicate thunks (Cypher's binding)
+        self.optional_wheres: dict[int, list] = {}
         self.returns: list[tuple[str, str | None, str]] | None = None
         self.aggregates: list[tuple] = []  # (fn, var, fld, distinct, alias)
         self.order_by: list[tuple[str, bool]] = []
@@ -404,21 +420,59 @@ class _Parser:
                     "UNION branches must RETURN the same columns — got "
                     f"{sorted(cols0)} vs {sorted(cols)}")
 
-    def _parse_query(self) -> ParsedPattern:
-        first_optional = self.at("kw", "OPTIONAL")
-        if first_optional:
-            self.next()
-        self.expect("kw", "MATCH")
-        self._clause_group(optional=first_optional)
+    def _match_clauses(self) -> int | None:
+        """The MATCH / OPTIONAL MATCH clause list, each clause with an
+        optional trailing WHERE bound to ITS clause — Cypher's binding
+        (r13): WHERE after a positive clause ANDs into the pattern
+        filter (placement-equivalent for inner joins), WHERE after an
+        OPTIONAL MATCH clause is MATCH-TIME (it joins the left-join
+        condition, so anchor rows failing it are preserved NULL-filled
+        — the post-filter shape is Cypher's ``WITH … WHERE``, which the
+        language also has). Returns the position of the first clause
+        keyword, or None when no clause was parsed."""
+        first_pos = None
         while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
+            _, _, mpos = self.peek()
+            if first_pos is None:
+                first_pos = mpos
             optional = self.at("kw", "OPTIONAL")
             if optional:
                 self.next()
             self.expect("kw", "MATCH")
-            self._clause_group(optional=optional)
-        if self.at("kw", "WHERE"):
-            self.next()
-            self._where_terms()
+            start, npaths = self._clause_group(optional=optional)
+            if self.at("kw", "WHERE"):
+                _, _, wpos = self.next()
+                if optional:
+                    self._optional_where(start, npaths, wpos)
+                else:
+                    self._where_terms()
+        return first_pos
+
+    def _optional_where(self, first_edge_idx: int, n_paths: int,
+                        wpos: int) -> None:
+        """A WHERE bound to an OPTIONAL MATCH clause (r13): match-time
+        predicate thunks, keyed by the clause's first edge index. NOT
+        patterns are rejected (they compile to pattern-level anti-joins,
+        not match-time predicates)."""
+        if n_paths != 1:
+            raise PatternSyntaxError(
+                f"WHERE at position {wpos} on an OPTIONAL MATCH with "
+                "multiple comma paths is not supported — each path "
+                "left-joins separately; give each its own OPTIONAL "
+                "MATCH clause")
+        thunk, _ = self._bool_or(
+            self._predicate, allow_negpat=False,
+            neg_ctx="in an OPTIONAL MATCH's WHERE — it is a match-time "
+                    "predicate; AND pattern negations in a WHERE bound "
+                    "to a positive MATCH clause")
+        if thunk is not None:
+            self.optional_wheres.setdefault(first_edge_idx,
+                                            []).append(thunk)
+
+    def _parse_query(self) -> ParsedPattern:
+        if not (self.at("kw", "MATCH") or self.at("kw", "OPTIONAL")):
+            self.expect("kw", "MATCH")  # positioned error
+        self._match_clauses()
         if not self.edges:
             raise PatternSyntaxError(
                 "pattern has no edge — a single-node MATCH is a table "
@@ -429,6 +483,7 @@ class _Parser:
         s0_edges = self.edges
         s0_where = self.where_fn
         s0_clauses = self.clauses
+        s0_optw = self.optional_wheres
         while self.at("kw", "WITH"):
             self.next()
             self._with_stage()
@@ -448,7 +503,8 @@ class _Parser:
                              s0_where, self.returns, self.distinct,
                              s0_clauses, tuple(self.edge_vars),
                              self.aggregates, self.order_by, self.skip,
-                             self.limit, self.stages)
+                             self.limit, self.stages,
+                             optional_wheres=s0_optw)
 
     def _with_stage(self) -> None:
         """One ``WITH`` boundary + its follow-on reading clauses (r12b).
@@ -483,17 +539,10 @@ class _Parser:
         self.carried_cols = set(outs)
         # follow-on reading clauses form the new stage's pattern
         self._begin_stage()
-        stage_pos = None
-        while self.at("kw", "MATCH") or self.at("kw", "OPTIONAL"):
-            _, _, mpos = self.peek()
-            if stage_pos is None:
-                stage_pos = mpos
-            optional = self.at("kw", "OPTIONAL")
-            if optional:
-                self.next()
-            self.expect("kw", "MATCH")
-            self._clause_group(optional=optional)
+        stage_pos = self._match_clauses()
         if self.at("kw", "WHERE"):
+            # a WHERE with no preceding stage MATCH (the clause-bound
+            # WHEREs were consumed inside _match_clauses)
             _, _, wpos = self.next()
             if stage_pos is None:
                 stage_pos = wpos
@@ -534,7 +583,8 @@ class _Parser:
         self.stages.append(WithStage(
             items, aggs, dist, order_by, skip, limit, post_where,
             list(self.nodes.values()), self.edges, self.clauses,
-            self.where_fn, tuple(self.join_vars)))
+            self.where_fn, tuple(self.join_vars),
+            self.optional_wheres))
 
     def _begin_stage(self) -> None:
         self.nodes = {}
@@ -544,6 +594,7 @@ class _Parser:
         self.neg_only = set()
         self.clauses = []
         self.where_fn = []
+        self.optional_wheres = {}
         self.join_vars = []
 
     def _parse_modifiers(self, items, aggregates
@@ -654,13 +705,16 @@ class _Parser:
                     "predicates before the WITH boundary")
         return [thunk] if thunk is not None else []
 
-    def _clause_group(self, optional: bool) -> None:
+    def _clause_group(self, optional: bool) -> tuple[int, int]:
         start = len(self.edges)
+        n_paths = 1
         self._path(optional)
         while self.at("punct", ","):
             self.next()
             self._path(optional)
+            n_paths += 1
         self.clauses.append(tuple(range(start, len(self.edges))))
+        return start, n_paths
 
     def _fresh_var(self) -> str:
         while True:
@@ -1166,10 +1220,10 @@ class _Parser:
         four the reference's GPT seam emits constantly — over a Column
         THUNK (so ``toLower(x.f) CONTAINS …`` composes). Returns a
         Column thunk, or None when the cursor holds a comparison
-        operator instead. (``IS NULL`` over an OPTIONAL MATCH column is
-        the post-filter idiom — Cypher's ``WITH … WHERE s IS NULL`` —
-        not the match-time OPTIONAL WHERE, which this language does not
-        have.)"""
+        operator instead. (The post-filter ``IS NULL`` idiom over an
+        OPTIONAL MATCH column lives in ``WITH … WHERE s IS NULL`` —
+        since r13 a WHERE directly after the OPTIONAL clause is the
+        MATCH-TIME predicate, Cypher's binding.)"""
         k, v, _ = self.peek()
         if k != "ident":
             return None
@@ -1522,7 +1576,7 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
             txt = f"{ep.path_var} = shortestPath({txt})"
         return txt
 
-    clauses, negs = [], []
+    clauses, opt_clauses, negs = [], [], []
     i = 0
     while i < len(edge_pats):
         ep = edge_pats[i]
@@ -1547,14 +1601,31 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
                         "head-to-tail — cannot render")
                 txt += connector(g) + node(g.dst)
                 prev = g.dst
-            clauses.append(f"OPTIONAL MATCH {txt}")
+            opt_clauses.append(f"OPTIONAL MATCH {txt}")
             continue
-        kw = "OPTIONAL MATCH" if ep.optional else "MATCH"
-        clauses.append(f"{kw} {edge(ep)}")
+        if ep.optional:
+            opt_clauses.append(f"OPTIONAL MATCH {edge(ep)}")
+        else:
+            clauses.append(f"MATCH {edge(ep)}")
         i += 1
+    # WHERE NOT terms render after the POSITIVE clauses and before any
+    # OPTIONAL clause: since r13 a WHERE directly after an OPTIONAL
+    # MATCH binds to it as a match-time predicate (where NOT patterns
+    # are rejected), so the trailing placement would not re-parse.
+    # Clause order in the re-parse therefore differs from edge_pats
+    # order when optionals precede negations — semantically harmless
+    # (join order, not meaning); the round-trip test compares multisets.
+    if negs and not clauses:
+        raise ValueError(
+            "cannot render a negation with no positive clause: the "
+            "WHERE NOT would bind to an OPTIONAL MATCH clause as its "
+            "match-time predicate (r13 Cypher binding), which rejects "
+            "pattern negations — add a positive MATCH clause")
     out = " ".join(clauses)
     if negs:
         out += " WHERE " + " AND ".join(f"NOT {edge(ep)}" for ep in negs)
+    if opt_clauses:
+        out += " " + " ".join(opt_clauses)
     return out
 
 
@@ -1641,7 +1712,8 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
 
     def compile_motif(node_pats: list[NodePat], edge_pats: list[EdgePat],
                       clauses: list[tuple[int, ...]],
-                      where: Column | None) -> DataFrame:
+                      where: Column | None,
+                      opt_wheres: dict | None = None) -> DataFrame:
         nps = node_pats
         if rel_signatures:
             nps, _ = inject_labels(nps, edge_pats, rel_signatures)
@@ -1651,12 +1723,21 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
                 ed = edge_distinct_where([edge_pats[i] for i in group])
                 if ed is not None:
                     w = ed if w is None else (w & ed)
+        ow = None
+        if opt_wheres:
+            # AND each clause's match-time thunks into one Column
+            ow = {}
+            for idx, thunks in opt_wheres.items():
+                col = thunks[0]()
+                for th in thunks[1:]:
+                    col = col & th()
+                ow[idx] = col
         return match_motif(nodes, edges, nps, edge_pats,
-                           where=w, **motif_kwargs)
+                           where=w, optional_wheres=ow, **motif_kwargs)
 
     def compile_query(sp: ParsedPattern) -> DataFrame:
         out = compile_motif(sp.node_pats, sp.edge_pats, sp.clauses,
-                            sp.where_column())
+                            sp.where_column(), sp.optional_wheres)
         for st in sp.stages:
             out = _apply_projection(out, st.items, st.aggregates,
                                     st.distinct)
@@ -1665,7 +1746,7 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
                 out = out.filter(th())
             if st.edge_pats:
                 m = compile_motif(st.node_pats, st.edge_pats, st.clauses,
-                                  None)
+                                  None, st.optional_wheres)
                 keys = [f"{v}_id" for v in st.join_vars]
                 # the re-anchored variables' non-id carry columns exist
                 # on both sides with identical values (functionally

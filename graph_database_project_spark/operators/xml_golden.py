@@ -464,6 +464,16 @@ GOLDEN_GRAPH_MOTIF_UNION_ROWS = [
     ('737-00-1029',),
 ]
 
+GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_COLS = [('docnbr', 'VARCHAR'), ('parent', 'VARCHAR'), ('n_steps', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_ROWS = [
+    ('737-00-1028', 'planning_information', 0),
+    ('737-00-1028', 'summary', 0),
+    ('737-00-1029', 'planning_information', 3),
+    ('737-00-1029', 'summary', 0),
+    ('737-00-1030', 'planning_information', 0),
+    ('737-00-1030', 'summary', 0),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -506,4 +516,5 @@ ORACLE = {
     "graph_motif_collect": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_ROWS),
     "graph_motif_optional_chain": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_ROWS),
     "graph_motif_union": _values_sql(GOLDEN_GRAPH_MOTIF_UNION_COLS, GOLDEN_GRAPH_MOTIF_UNION_ROWS),
+    "graph_motif_optional_where": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_ROWS),
 }

@@ -242,6 +242,11 @@ _DRIVER_WINDOW = [
     # text (independent branches, column-name alignment, bare-UNION
     # whole-result dedup pinned live by overlapping branches)
     "graph_motif_union",
+    # graph_motif_optional_where: Cypher's match-time WHERE on an
+    # OPTIONAL MATCH clause (predicate in the left-join condition;
+    # anchor rows preserved NULL-filled — the golden pins the gap vs
+    # the post-filter reading)
+    "graph_motif_optional_where",
     # --- r08 cohort (30 keys, prepaying the r14 freshness obligation) ---
     "bpe_token_count",
     "dedup_prefix_filter",
@@ -281,7 +286,9 @@ _DRIVER_WINDOW = [
     "xml_rel_signatures",
     "graph_triangle_count",
     "dedup_chunk_level",
-    "stream_dedup",
+    # (stream_dedup yielded its prepay slot to graph_motif_optional_where
+    # — streamq stays repped by stream_sliding_window + tumbling canary;
+    # it rotates with the rest of the r09 cohort in r14/r15)
 ]
 
 

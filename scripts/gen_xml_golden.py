@@ -28,7 +28,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r13: multi-hop OPTIONAL MATCH chain (all-or-nothing nulls)
          "graph_motif_optional_chain",
          # r13: UNION between MATCH queries (whole-result dedup)
-         "graph_motif_union"]
+         "graph_motif_union",
+         # r13: match-time WHERE on OPTIONAL MATCH (Cypher binding)
+         "graph_motif_optional_where"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

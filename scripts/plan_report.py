@@ -79,7 +79,10 @@ def main() -> None:
              "graph_random_walks", "graph_walk_skipgrams",
              "graph_node2vec_walks", "graph_motif_aggregate",
              "graph_motif_pipeline", "graph_motif_shortestpath",
-             "graph_mis_luby"]
+             "graph_mis_luby",
+             # r13 additions: collect(), optional chains, UNION
+             "graph_motif_collect", "graph_motif_optional_chain",
+             "graph_motif_union", "graph_motif_optional_where"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:

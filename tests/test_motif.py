@@ -467,7 +467,10 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             "graph_motif_optional_chain": 10,
             # r13: two independent branch motifs + the union distinct —
             # measured 6
-            "graph_motif_union": 6}
+            "graph_motif_union": 6,
+            # r13: 2-hop motif + match-time left join + implicit-
+            # grouping agg
+            "graph_motif_optional_where": 6}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

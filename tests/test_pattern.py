@@ -174,12 +174,15 @@ def test_parse_unescapes_string_literals(spark):
 
 
 def test_parse_clause_groups_tracked():
+    # r13 (Cypher WHERE binding): the NOT pattern rides the WHERE of a
+    # POSITIVE clause — a WHERE after the OPTIONAL clause would be its
+    # match-time predicate, where NOT patterns are rejected
     p = parse_match(
         "MATCH (a)-[:T]->(b), (b)-[:U]->(c) MATCH (c)-[:V]->(d) "
-        "OPTIONAL MATCH (d)-[:W]->(e) WHERE NOT (a)-[:X]->(z) "
+        "WHERE NOT (a)-[:X]->(z) OPTIONAL MATCH (d)-[:W]->(e) "
         "RETURN a.id")
-    assert p.clauses == [(0, 1), (2,), (3,)]
-    assert p.edge_pats[4].negated  # the NOT edge is in no clause
+    assert p.clauses == [(0, 1), (2,), (4,)]
+    assert p.edge_pats[3].negated  # the NOT edge is in no clause
 
 
 # --- layer 2: text ≡ object on a synthetic graph ---------------------------
@@ -591,9 +594,10 @@ def _specs(draw):
             # r12: edge variables render/parse too (single-hop only)
             var=f"r{i}" if (lo, hi) == (1, 1) and draw(st.booleans())
             else None))
-    if draw(st.booleans()):
-        # a negated edge to a fresh auxiliary variable, appended last
-        # (the parser materializes WHERE NOT terms after all clauses)
+    if draw(st.booleans()) and any(not e.optional for e in edges):
+        # a negated edge to a fresh auxiliary variable — only when a
+        # positive clause exists (r13: WHERE NOT cannot render after a
+        # lone OPTIONAL clause, whose WHERE is match-time)
         aux = "aux0"
         nodes.append(NodePat(aux, label=draw(_label)))
         edges.append(EdgePat(src="v0", dst=aux,
@@ -610,7 +614,12 @@ def test_render_parse_roundtrip(spec):
     text = render_match(nodes, edges)
     parsed = parse_match(text)
     assert set(parsed.node_pats) == set(nodes), text
-    assert parsed.edge_pats == edges, text
+    # r13: render places WHERE NOT before trailing OPTIONAL clauses (a
+    # WHERE after an OPTIONAL MATCH is its match-time predicate), so
+    # edge ORDER may differ from the spec's — compare as multisets
+    # (order affects join sequencing, never semantics)
+    assert sorted(map(repr, parsed.edge_pats)) == \
+        sorted(map(repr, edges)), text
 
 
 def test_catalog_label_injection_on_terse_patterns(spark, store, stats):
@@ -1095,18 +1104,27 @@ def test_string_predicates_semantics(tiny):
         "MATCH (a)-[:R]->(b) WHERE b.name ENDS WITH '2' "
         "RETURN b.name AS bn"))
     assert got2 == [("b2",)]
-    # IS NULL / IS NOT NULL over an OPTIONAL MATCH column — the
-    # post-filter idiom (keep only rows WITHOUT the optional edge)
+    # r13: a WHERE after the OPTIONAL clause is MATCH-TIME (Cypher's
+    # binding): no :C named-NULL node exists, so nothing matches and
+    # every anchor row is preserved NULL-filled
     got3 = _bindings(match_pattern(
         nodes, edges,
         "MATCH (a:A)-[:R]->(b) OPTIONAL MATCH (b)-[:T]->(c) "
         "WHERE c.name IS NULL RETURN a.name AS an"))
-    assert got3 == [("a1",), ("a2",)]  # no B has a T edge
+    assert got3 == [("a1",), ("a2",)]  # all anchors preserved
     got4 = _bindings(match_pattern(
         nodes, edges,
         "MATCH (a:B)-[:S]->(b) OPTIONAL MATCH (b)-[:T]->(c) "
         "WHERE c.name IS NOT NULL RETURN DISTINCT c.name AS cn"))
     assert got4 == [("a1",)]  # c1's T edge goes to a1
+    # the POST-FILTER idiom (keep only rows WITHOUT the optional edge)
+    # is Cypher's WITH ... WHERE form
+    got4b = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) OPTIONAL MATCH (b)-[:T]->(c) "
+        "WITH a, b.name AS bn, c.name AS cn WHERE cn IS NULL "
+        "MATCH (a)-[:R]->(x:B) RETURN a.name AS an, bn"))
+    assert got4b == [("a1", "b1"), ("a2", "b2")]  # no B has a T edge
     # in a WITH's trailing WHERE over an output column
     got5 = _bindings(match_pattern(
         nodes, edges,
@@ -1540,3 +1558,80 @@ def test_nl_graph_rules_collect_and_union(spark, store):
     got = sorted(r.docnbr for r in df2.collect())
     # fuel subject = 1029; line 6630 shared by 1028+1029; dedup'd union
     assert got == ["737-00-1028", "737-00-1029"]
+
+
+# --- r13: match-time WHERE on OPTIONAL MATCH (Cypher clause binding) -----
+
+def test_parse_optional_where_shapes():
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C) WHERE c.docnbr = 'd9' "
+        "RETURN a.name")
+    assert list(p.optional_wheres) == [1]  # keyed by first edge index
+    # WHERE after a positive clause mid-query ANDs into the filter
+    p2 = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) WHERE a.name = 'x' "
+        "MATCH (b)-[:S]->(c) RETURN a.name")
+    assert len(p2.where_fn) == 1 and not p2.optional_wheres
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a:A)-[:R]->(b) OPTIONAL MATCH (b)-[:S]->(c) "
+     "WHERE NOT (b)-[:T]->(z) RETURN a.name",
+     "match-time predicate"),
+    ("MATCH (a:A)-[:R]->(b) OPTIONAL MATCH (b)-[:S]->(c), (b)-[:T]->(d) "
+     "WHERE c.name = 'x' RETURN a.name",
+     "multiple comma paths"),
+], ids=["not-in-optional-where", "comma-paths"])
+def test_optional_where_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_optional_where_match_time_semantics(tiny):
+    """The Cypher differentiator: a failing match-time predicate
+    PRESERVES the anchor row NULL-filled — the old global post-filter
+    reading would have dropped it."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C) WHERE c.docnbr = 'nope' "
+        "RETURN b.name AS bn, c.name AS cn"))
+    assert got == [("b1", None), ("b2", None)]
+    # predicate over the ANCHOR side: true only for b1's row
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C) WHERE b.name = 'b1' "
+        "RETURN b.name AS bn, c.name AS cn"))
+    assert got2 == [("b1", "c1"), ("b2", None)]
+
+
+def test_optional_where_on_chain(tiny):
+    """Match-time WHERE over a multi-hop optional chain applies to the
+    WHOLE all-or-nothing unit (conjunction at the final anchor join)."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:A) WHERE d.name = 'a1' "
+        "RETURN b.name AS bn, d.name AS dn"))
+    assert got == [("b1", "a1"), ("b2", "a1")]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:S]->(c:C)-[:T]->(d:A) WHERE d.name = 'a2' "
+        "RETURN b.name AS bn, d.name AS dn"))
+    assert got2 == [("b1", None), ("b2", None)]
+
+
+def test_optional_where_in_with_stage(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WITH b, count(a) AS na "
+        "MATCH (b)-[:S]->(x:C) "
+        "OPTIONAL MATCH (x)-[:T]->(d:A) WHERE d.docnbr = 'nope' "
+        "RETURN b.name AS bn, x.name AS xn, d.name AS dn ORDER BY bn"))
+    assert got == [("b1", "c1", None), ("b2", "c1", None)]
