@@ -52,7 +52,11 @@ Supported subset — exactly what the compiler supports, nothing more:
   Predicates compose with ``OR`` and parenthesized groups (r12b) at
   Cypher's precedence (AND binds tighter); value positions accept the
   ``toLower(…)`` / ``toUpper(…)`` case-folding wrappers (the idiom
-  behind case-insensitive CONTAINS). NOT patterns are the one
+  behind case-insensitive CONTAINS); value positions, RETURN/WITH items
+  and aggregate arguments also accept Cypher's accessor functions
+  ``id(n)`` / ``type(r)`` (r13 — mapped to the carried id / rel_type
+  fields), and ``lhs =~ 'regex'`` compiles to a FULL-string
+  ``Column.rlike`` (Neo4j anchors the whole string). NOT patterns are the one
   non-composable form — they compile to anti-joins, so they may appear
   only as top-level AND-ed conjuncts (positioned reject elsewhere);
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
@@ -169,7 +173,7 @@ _TOKEN_RE = re.compile(
         (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct><=|>=|<>|!=|\.\.|<-|->|[()\[\]{}:,.\-<>=*|])
+      | (?P<punct><=|>=|<>|!=|=~|\.\.|<-|->|[()\[\]{}:,.\-<>=*|])
     )""",
     re.VERBOSE,
 )
@@ -680,6 +684,14 @@ class _Parser:
             if sp is not None:
                 return sp
             k, op, p = self.next()
+            if k == "punct" and op == "=~":
+                k2, v2, p2 = self.next()
+                if k2 != "str":
+                    raise PatternSyntaxError(
+                        f"=~ needs a quoted regex literal at position "
+                        f"{p2}, got {v2!r}")
+                rx = "^(?:" + _unescape(v2[1:-1]) + ")$"
+                return lambda lhs=lhs, rx=rx: F.col(lhs).rlike(rx)
             if k != "punct" or op not in _COMPARE_OPS:
                 raise PatternSyntaxError(
                     f"expected comparison operator at position {p}, "
@@ -869,6 +881,44 @@ class _Parser:
                 f"variable (have: {have})")
         self.expect("punct", ")")
         return pvar
+
+    def _maybe_fn_ref(self) -> tuple[str, str] | None:
+        """Cypher's accessor functions (r13): ``id(n)`` → the node
+        variable's id field, ``type(r)`` → the edge variable's
+        rel_type, plus ``length(p)`` (delegated) — consumed and mapped
+        to the same (var, field) shape as ``var.field``."""
+        pv = self._maybe_length_ref()
+        if pv is not None:
+            return pv, "len"
+        k0, v0, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        fn = v0.lower() if k0 == "ident" else None
+        if fn not in ("id", "type") or (k1, v1) != ("punct", "("):
+            return None
+        self.next()
+        self.next()
+        k, var, p = self.next()
+        if k != "ident":
+            raise PatternSyntaxError(
+                f"{fn}() at position {p} takes a variable, got {var!r}")
+        if fn == "type":
+            if not self._is_edge_var(var):
+                raise PatternSyntaxError(
+                    f"type() at position {p} takes an in-scope edge "
+                    f"variable ({var!r} is not one)")
+            fld = "rel_type"
+        else:
+            if not self._is_node_var(var):
+                raise PatternSyntaxError(
+                    f"id() at position {p} takes an in-scope node "
+                    f"variable ({var!r} is not one)")
+            if var in self.neg_only:
+                raise PatternSyntaxError(
+                    f"variable {var!r} exists only inside a NOT pattern "
+                    "and binds no output columns")
+            fld = "id"
+        self.expect("punct", ")")
+        return var, fld
 
     def _node(self) -> str:
         self.expect("punct", "(")
@@ -1197,6 +1247,17 @@ class _Parser:
         if sp is not None:
             return sp
         k, op, p = self.next()
+        if k == "punct" and op == "=~":
+            # Cypher's regex match (r13): FULL-string semantics (Neo4j
+            # anchors the whole string), so the pattern wraps in
+            # ^(?:...)$ before compiling to Column.rlike
+            k2, v2, p2 = self.next()
+            if k2 != "str":
+                raise PatternSyntaxError(
+                    f"=~ needs a quoted regex literal at position {p2}, "
+                    f"got {v2!r}")
+            rx = "^(?:" + _unescape(v2[1:-1]) + ")$"
+            return lambda: lhs().rlike(rx)
         if k != "punct" or op not in _COMPARE_OPS:
             raise PatternSyntaxError(
                 f"expected comparison operator at position {p}, got {op!r}")
@@ -1289,10 +1350,12 @@ class _Parser:
     def _field_ref(self) -> tuple[str | None, str]:
         """``var.field`` → (var, field); a bare identifier naming a
         column carried through WITH (r12b) → (None, colname);
-        ``length(p)`` over a path variable → (p, "len")."""
-        pv = self._maybe_length_ref()
-        if pv is not None:
-            return pv, "len"
+        ``length(p)`` over a path variable → (p, "len");
+        ``id(n)`` / ``type(r)`` accessor functions (r13) → the
+        corresponding carried field."""
+        fr = self._maybe_fn_ref()
+        if fr is not None:
+            return fr
         k, var, p = self.next()
         if k != "ident":
             raise PatternSyntaxError(
@@ -1366,14 +1429,16 @@ class _Parser:
                     self.next()
                     continue
                 break
-            pv = self._maybe_length_ref()
-            if pv is not None:
-                alias = f"length_{pv}"
+            fr = self._maybe_fn_ref()
+            if fr is not None:
+                fvar, ffld = fr
+                alias = (f"length_{fvar}" if ffld == "len"
+                         else f"{fvar}_{ffld}")
                 if self.at("kw", "AS"):
                     self.next()
                     alias = self.expect("ident")
                 claim([alias], item_pos)
-                items.append((pv, "len", alias))
+                items.append((fvar, ffld, alias))
                 if self.at("punct", ","):
                     self.next()
                     continue
@@ -1466,11 +1531,17 @@ class _Parser:
             if fn != "count" or dist:
                 raise PatternSyntaxError(
                     f"'*' at position {p} is only valid as count(*)")
-        elif (pv := self._maybe_length_ref()) is not None:
-            # aggregate over a path distance: min/max/avg(length(p))
-            var, fld = pv, "len"
+        elif (fr := self._maybe_fn_ref()) is not None:
+            # aggregate over an accessor function: min(length(p)),
+            # count(DISTINCT type(r)), collect(id(n)) ... (r13)
+            var, fld = fr
+            if fn in ("sum", "avg") and fld not in ("id", "len"):
+                raise PatternSyntaxError(
+                    f"{fn}() needs a numeric argument and "
+                    f"{fld!r} is not numeric")
             self.expect("punct", ")")
-            alias = f"{fn}_length_{pv}"
+            alias = (f"{fn}_length_{var}" if fld == "len"
+                     else f"{fn}_{var}_{fld}")
             if self.at("kw", "AS"):
                 self.next()
                 alias = self.expect("ident")

@@ -63,13 +63,16 @@ def test_parse_hop_ranges():
 
 
 def test_parse_optional_match_and_negation():
+    # r13 (Cypher WHERE binding): the NOT pattern rides the WHERE of
+    # the positive clause — after the OPTIONAL clause it would be a
+    # (rejected) match-time pattern predicate
     p = parse_match(
-        "MATCH (a:L)-[:T]->(b) OPTIONAL MATCH (b)-[:U]->(c) "
-        "WHERE NOT (a)-[:V]->(:M {docnbr: 'z'}) "
+        "MATCH (a:L)-[:T]->(b) WHERE NOT (a)-[:V]->(:M {docnbr: 'z'}) "
+        "OPTIONAL MATCH (b)-[:U]->(c) "
         "RETURN DISTINCT a.name")
     kinds = [(e.optional, e.negated) for e in p.edge_pats]
-    assert kinds == [(False, False), (True, False), (False, True)]
-    neg = p.edge_pats[-1]
+    assert kinds == [(False, False), (False, True), (True, False)]
+    neg = next(e for e in p.edge_pats if e.negated)
     aux = next(n for n in p.node_pats if n.var == neg.dst)
     assert aux.label == "M" and aux.docnbr == "z"
     assert p.distinct
@@ -1635,3 +1638,55 @@ def test_optional_where_in_with_stage(tiny):
         "OPTIONAL MATCH (x)-[:T]->(d:A) WHERE d.docnbr = 'nope' "
         "RETURN b.name AS bn, x.name AS xn, d.name AS dn ORDER BY bn"))
     assert got == [("b1", "c1", None), ("b2", "c1", None)]
+
+
+# --- r13: id()/type() accessors and =~ regex ------------------------------
+
+def test_accessor_functions_and_regex(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[r]->(b) WHERE id(a) >= 2 AND type(r) = 'R' "
+        "RETURN id(a), type(r) AS t, b.name AS bn"))
+    assert got == [(2, "R", "b2")]
+    # =~ is FULL-string (Neo4j semantics): 'a.' matches a1/a2 wholly,
+    # a partial-match reading would also pass 2-char prefixes of longer
+    # names — and a non-anchored pattern must not match substrings
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b) WHERE a.name =~ 'a.' "
+        "RETURN a.name AS an"))
+    assert got2 == [("a1",), ("a2",)]
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b) WHERE a.name =~ '1' RETURN a.name AS an"))
+    assert got3 == []  # '1' alone matches no WHOLE name
+    # accessors inside aggregates, incl. collect(id(n))
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[r]->(b:B) "
+        "RETURN count(DISTINCT type(r)) AS nt, collect(id(b)) AS ids"))
+    assert got4 == [(1, "3;4")]
+
+
+@pytest.mark.parametrize("bad,hint", [
+    ("MATCH (a:A)-[:R]->(b) WHERE type(a) = 'R' RETURN a.name",
+     "in-scope edge variable"),
+    ("MATCH (a:A)-[r]->(b) WHERE id(r) > 1 RETURN a.name",
+     "in-scope node variable"),
+    ("MATCH (a:A)-[r]->(b) RETURN sum(type(r))", "not numeric"),
+    ("MATCH (a:A)-[:R]->(b) WHERE a.name =~ b.name RETURN a.name",
+     "quoted regex"),
+], ids=["type-on-node", "id-on-edge", "sum-type", "regex-col"])
+def test_accessor_rejects(bad, hint):
+    with pytest.raises(PatternSyntaxError, match=hint):
+        parse_match(bad)
+
+
+def test_regex_in_with_post_where(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) WITH a.name AS an, count(*) AS n "
+        "WHERE an =~ '[ab].' RETURN an, n ORDER BY an"))
+    assert got == [("a1", 1), ("a2", 1), ("b1", 1), ("b2", 1)]
