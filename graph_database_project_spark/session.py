@@ -40,6 +40,13 @@ def get_spark(app_name: str = "graph_database_project_spark",
         # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long and convert in io.load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the generated-class cache defaults to 100 entries; a bench /
+        # test session compiles hundreds of codegen stages, and at the
+        # boundary EVERY repetition of the largest whole-stage chains
+        # (node2vec's 8-round loop ~14-19 s codegen-cold vs ~4 s warm)
+        # re-pays cold codegen — the r13 bimodal-bench adjudication
+        # (BASELINE.md). Static conf, so it must be set at build time.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
