@@ -473,3 +473,38 @@ def test_pattern_endpoint_edge_distinct_and_injection(server):
         "-[:HAS_SUBJECT]->(subj) RETURN subj.content AS subject"})
     assert code3 == 200
     assert "ENGINE FUEL" in body["rows"][0]["subject"]
+
+
+def test_pattern_endpoint_r13_surface(server):
+    """r13: collect(), UNION, multi-hop optional chains, and match-time
+    optional WHERE all reachable over HTTP — the registry keys' exact
+    pattern texts, plus the positioned-422 contract for the new
+    rejects."""
+    from graph_database_project_spark.operators.motifq import (
+        _COLLECT_PATTERN, _OPTIONAL_CHAIN_PATTERN,
+        _OPTIONAL_WHERE_PATTERN, _UNION_PATTERN)
+
+    code, body = _post(f"{server}/pattern", {"pattern": _UNION_PATTERN})
+    assert code == 200
+    assert sorted(r["docnbr"] for r in body["rows"]) == \
+        ["737-00-1028", "737-00-1029"]
+    code, body = _post(f"{server}/pattern", {"pattern": _COLLECT_PATTERN})
+    assert code == 200 and len(body["rows"]) == 49
+    assert all(";" in r["docs"] for r in body["rows"])  # flattened lists
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": _OPTIONAL_CHAIN_PATTERN})
+    assert code == 200
+    code, body = _post(f"{server}/pattern",
+                       {"pattern": _OPTIONAL_WHERE_PATTERN})
+    assert code == 200 and len(body["rows"]) == 6
+    # 422 contract: mixed UNION/UNION ALL, and a NOT in an optional
+    # match-time WHERE
+    code, body = _post(f"{server}/pattern", {
+        "pattern": "MATCH (a)-[:T]->(b) RETURN a.name AS n "
+                   "UNION ALL MATCH (c)-[:U]->(d) RETURN c.name AS n "
+                   "UNION MATCH (e)-[:V]->(f) RETURN e.name AS n"})
+    assert code == 422 and "cannot mix" in body["error"]
+    code, body = _post(f"{server}/pattern", {
+        "pattern": "MATCH (a)-[:T]->(b) OPTIONAL MATCH (b)-[:U]->(c) "
+                   "WHERE NOT (b)-[:V]->(z) RETURN a.name"})
+    assert code == 422 and "match-time" in body["error"]
