@@ -55,8 +55,12 @@ Supported subset — exactly what the compiler supports, nothing more:
   behind case-insensitive CONTAINS); value positions, RETURN/WITH items
   and aggregate arguments also accept Cypher's accessor functions
   ``id(n)`` / ``type(r)`` (r13 — mapped to the carried id / rel_type
-  fields), and ``lhs =~ 'regex'`` compiles to a FULL-string
-  ``Column.rlike`` (Neo4j anchors the whole string). NOT patterns are the one
+  fields) and — in RETURN/WITH items and aggregate arguments only —
+  ``labels(n)``, the node's label set flattened to one sorted
+  ';'-joined cell (attached by an id-keyed join at the projection
+  boundary; in WHERE use a ``(n:Label)`` predicate instead). ``lhs =~
+  'regex'`` compiles to a FULL-string ``Column.rlike`` (Neo4j anchors
+  the whole string). NOT patterns are the one
   non-composable form — they compile to anti-joins, so they may appear
   only as top-level AND-ed conjuncts (positioned reject elsewhere);
 * ``RETURN [DISTINCT] a.field [AS alias], b, …`` — projected by
@@ -322,6 +326,8 @@ class _Parser:
         # match-time WHERE on OPTIONAL MATCH clauses (r13): first edge
         # index of the clause -> predicate thunks (Cypher's binding)
         self.optional_wheres: dict[int, list] = {}
+        # node vars whose labels(v) column must be post-joined (r13)
+        self.labels_vars: set[str] = set()
         self.returns: list[tuple[str, str | None, str]] | None = None
         self.aggregates: list[tuple] = []  # (fn, var, fld, distinct, alias)
         self.order_by: list[tuple[str, bool]] = []
@@ -882,21 +888,28 @@ class _Parser:
         self.expect("punct", ")")
         return pvar
 
-    def _maybe_fn_ref(self) -> tuple[str, str] | None:
+    def _maybe_fn_ref(self, allow_labels: bool = False
+                      ) -> tuple[str, str] | None:
         """Cypher's accessor functions (r13): ``id(n)`` → the node
         variable's id field, ``type(r)`` → the edge variable's
         rel_type, plus ``length(p)`` (delegated) — consumed and mapped
-        to the same (var, field) shape as ``var.field``."""
+        to the same (var, field) shape as ``var.field``. With
+        ``allow_labels`` (projection positions only), ``labels(n)`` →
+        the node's label set as ONE sorted ';'-joined cell — the column
+        is attached by a post-compile join on the variable's id (labels
+        are not motif carry columns), so it exists only at RETURN/WITH
+        boundaries, not in pattern-time WHERE (use a ``(n:Label)``
+        predicate there)."""
         pv = self._maybe_length_ref()
         if pv is not None:
             return pv, "len"
         k0, v0, _ = self.peek()
         k1, v1, _ = self.peek(1)
         fn = v0.lower() if k0 == "ident" else None
-        if fn not in ("id", "type") or (k1, v1) != ("punct", "("):
+        if fn not in ("id", "type", "labels") or (k1, v1) != ("punct", "("):
             return None
         self.next()
-        self.next()
+        _, _, fnpos = self.next()
         k, var, p = self.next()
         if k != "ident":
             raise PatternSyntaxError(
@@ -910,13 +923,26 @@ class _Parser:
         else:
             if not self._is_node_var(var):
                 raise PatternSyntaxError(
-                    f"id() at position {p} takes an in-scope node "
+                    f"{fn}() at position {p} takes an in-scope node "
                     f"variable ({var!r} is not one)")
             if var in self.neg_only:
                 raise PatternSyntaxError(
                     f"variable {var!r} exists only inside a NOT pattern "
                     "and binds no output columns")
-            fld = "id"
+            if fn == "labels":
+                if not allow_labels:
+                    raise PatternSyntaxError(
+                        f"labels() at position {fnpos} is only valid in "
+                        "RETURN/WITH items and aggregate arguments — in "
+                        "WHERE, use a label predicate on the node "
+                        "((n:Label))")
+                if var in self.carried_nodes and self.stages:
+                    # labels join after the stage compile; fine
+                    pass
+                self.labels_vars.add(var)
+                fld = "labels"
+            else:
+                fld = "id"
         self.expect("punct", ")")
         return var, fld
 
@@ -1429,7 +1455,7 @@ class _Parser:
                     self.next()
                     continue
                 break
-            fr = self._maybe_fn_ref()
+            fr = self._maybe_fn_ref(allow_labels=True)
             if fr is not None:
                 fvar, ffld = fr
                 alias = (f"length_{fvar}" if ffld == "len"
@@ -1531,7 +1557,7 @@ class _Parser:
             if fn != "count" or dist:
                 raise PatternSyntaxError(
                     f"'*' at position {p} is only valid as count(*)")
-        elif (fr := self._maybe_fn_ref()) is not None:
+        elif (fr := self._maybe_fn_ref(allow_labels=True)) is not None:
             # aggregate over an accessor function: min(length(p)),
             # count(DISTINCT type(r)), collect(id(n)) ... (r13)
             var, fld = fr
@@ -1806,10 +1832,32 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
         return match_motif(nodes, edges, nps, edge_pats,
                            where=w, optional_wheres=ow, **motif_kwargs)
 
+    def _labels_needed(items, aggs) -> set[str]:
+        vs = {var for var, fld, _ in (items or []) if fld == "labels"}
+        vs |= {a[1] for a in (aggs or []) if a[2] == "labels"}
+        return vs
+
+    def _attach_labels(df: DataFrame, vars_: set[str]) -> DataFrame:
+        """labels(v) columns (r13): labels are not motif carry columns,
+        so each referenced variable's label set joins in by id at the
+        projection boundary — flattened to ONE sorted ';'-joined cell
+        (scalar-output rule). Left join preserves NULL-filled optional
+        rows; the join is id-keyed (no broadcast forced — nodes can be
+        fact-sized)."""
+        for v in sorted(vars_):
+            lab = nodes.select(
+                F.col("id").alias(f"{v}_id"),
+                F.concat_ws(";", F.sort_array("labels"))
+                 .alias(f"{v}_labels"))
+            df = df.join(lab, on=f"{v}_id", how="left")
+        return df
+
     def compile_query(sp: ParsedPattern) -> DataFrame:
         out = compile_motif(sp.node_pats, sp.edge_pats, sp.clauses,
                             sp.where_column(), sp.optional_wheres)
         for st in sp.stages:
+            out = _attach_labels(
+                out, _labels_needed(st.items, st.aggregates))
             out = _apply_projection(out, st.items, st.aggregates,
                                     st.distinct)
             out = _apply_modifiers(out, st.order_by, st.skip, st.limit)
@@ -1831,6 +1879,8 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, text: str,
                                    else (stage_where & c))
                 if stage_where is not None:
                     out = out.filter(stage_where)
+        out = _attach_labels(
+            out, _labels_needed(sp.returns, sp.aggregates))
         out = _apply_projection(out, sp.returns, sp.aggregates,
                                 sp.distinct)
         out = _apply_modifiers(out, sp.order_by, sp.skip, sp.limit)

@@ -1690,3 +1690,28 @@ def test_regex_in_with_post_where(tiny):
         "MATCH (a)-[:R|S|T]->(b) WITH a.name AS an, count(*) AS n "
         "WHERE an =~ '[ab].' RETURN an, n ORDER BY an"))
     assert got == [("a1", 1), ("a2", 1), ("b1", 1), ("b2", 1)]
+
+
+def test_labels_accessor(tiny):
+    """labels(n) (r13): the node's label set as one sorted ';'-joined
+    cell, attached by an id-keyed join at the projection boundary —
+    including through OPTIONAL NULL rows and WITH boundaries."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b) RETURN a.name AS an, labels(b) AS bl"))
+    assert got == [("a1", "B"), ("a2", "B")]
+    # NULL-preserved optional rows keep NULL labels
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "OPTIONAL MATCH (b)-[:T]->(c) "
+        "RETURN b.name AS bn, labels(c) AS cl"))
+    assert got2 == [("b1", None), ("b2", None)]
+    # through a WITH boundary + aggregate argument
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a)-[:R|S|T]->(b) "
+        "WITH b, count(a) AS n RETURN labels(b) AS lb, count(*) AS c "
+        "ORDER BY lb"))
+    assert got3 == [("A", 1), ("B", 2), ("C", 1)]
