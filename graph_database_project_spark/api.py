@@ -311,8 +311,17 @@ def create_server(spark: SparkSession, sf_dir: str,
                     if data.get("explain"):
                         # r12b: plan introspection without execution —
                         # the §7g/§7h scale levers (broadcasts, exchange
-                        # count) reviewable over HTTP for any pattern
+                        # count) reviewable over HTTP for any pattern.
+                        # r13 (ADVICE): explain="final" EXECUTES the
+                        # pattern (collect on the same DataFrame — a
+                        # sink write would run its own execution and
+                        # leave this frame's isFinalPlan false) and
+                        # reads the AQE-finalized plan, so the counts
+                        # reflect what actually ran.
                         import re as _re
+                        final = data.get("explain") == "final"
+                        if final:
+                            df.collect()
                         plan = (df._jdf.queryExecution().executedPlan()
                                 .toString())
                         payload["plan"] = plan[:20000]
@@ -326,6 +335,8 @@ def create_server(spark: SparkSession, sf_dir: str,
                         # exchanges, so treat them as upper bounds
                         # (ADVICE r12; the repo's own plan-reading rule)
                         payload["plan_stage"] = (
+                            "final (post-execution; AQE-finalized "
+                            "counts)" if final else
                             "initial (pre-execution; AQE may re-plan — "
                             "n_exchanges/n_broadcasts are the static "
                             "plan's counts, not necessarily the "

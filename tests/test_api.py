@@ -508,3 +508,17 @@ def test_pattern_endpoint_r13_surface(server):
         "pattern": "MATCH (a)-[:T]->(b) OPTIONAL MATCH (b)-[:U]->(c) "
                    "WHERE NOT (b)-[:V]->(z) RETURN a.name"})
     assert code == 422 and "match-time" in body["error"]
+
+
+def test_pattern_endpoint_explain_final(server):
+    """r13 (ADVICE): explain='final' executes the pattern and reads the
+    AQE-finalized plan from the same DataFrame, so the counts reflect
+    the executed plan (isFinalPlan=true), not the static one."""
+    pat = ("MATCH (sb:ServiceBulletin)-[:HAS_HEADER]->(h:header) "
+           "RETURN sb.docnbr AS docnbr")
+    code, body = _post(f"{server}/pattern", {"pattern": pat,
+                                             "explain": "final"})
+    assert code == 200 and "rows" not in body
+    assert "final" in body["plan_stage"]
+    assert "isFinalPlan=true" in body["plan"]
+    assert body["n_broadcasts"] >= 1
