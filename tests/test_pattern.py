@@ -1715,3 +1715,28 @@ def test_labels_accessor(tiny):
         "WITH b, count(a) AS n RETURN labels(b) AS lb, count(*) AS c "
         "ORDER BY lb"))
     assert got3 == [("A", 1), ("B", 2), ("C", 1)]
+
+
+def test_union_branches_isolate_optional_wheres(tiny):
+    """Each UNION branch keeps its own match-time optional WHERE (the
+    per-branch parser reset) — branch 2's predicate must not leak into
+    branch 1's left join."""
+    nodes, edges = tiny
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b:B) OPTIONAL MATCH (b)-[:S]->(c:C) "
+        "WHERE c.docnbr = 'nope' RETURN b.name AS n, c.name AS cn "
+        "UNION MATCH (x:B)-[:S]->(y:C) OPTIONAL MATCH (y)-[:T]->(z:A) "
+        "WHERE z.name = 'a1' RETURN x.name AS n, z.name AS cn")
+    assert list(p.optional_wheres) == [1]
+    assert list(p.unions[0][1].optional_wheres) == [1]
+    got = sorted((tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) OPTIONAL MATCH (b)-[:S]->(c:C) "
+        "WHERE c.docnbr = 'nope' RETURN b.name AS n, c.name AS cn "
+        "UNION MATCH (x:B)-[:S]->(y:C) OPTIONAL MATCH (y)-[:T]->(z:A) "
+        "WHERE z.name = 'a1' RETURN x.name AS n, z.name AS cn").collect()),
+        key=lambda t: (t[0], t[1] or ""))
+    # branch 1: both b rows NULL-preserved; branch 2: both x rows bind
+    # z=a1 — the union dedups nothing across branches (disjoint cells)
+    assert got == [("b1", None), ("b1", "a1"), ("b2", None),
+                   ("b2", "a1")]
