@@ -305,7 +305,8 @@ def create_server(spark: SparkSession, sf_dir: str,
                         st.nodes, st.edges, pattern,
                         edge_distinct=edge_distinct,
                         rel_signatures=_catalog_rel_signatures(spark, st),
-                        label_counts=_label_stats(spark))
+                        label_counts=_label_stats(spark),
+                        edges_deduped=True)
                     payload = {"pattern": pattern,
                                "edge_distinct": edge_distinct}
                     if data.get("explain"):

@@ -177,10 +177,24 @@ def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
     return proj, selective
 
 
-def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
+def _edge_rel(edges: DataFrame, pat: EdgePat,
+              deduped: bool = False) -> DataFrame:
     """The (src, dst) pair set for one edge pattern — de-duplicated so
     parallel edges / multi-batch re-ingest don't inflate bindings. With
-    an edge variable the set keeps ``rel_type`` (dedup per triple)."""
+    an edge variable the set keeps ``rel_type`` (dedup per triple).
+
+    ``deduped`` (r13): the caller vouches the edge relation is already
+    unique per (src, dst, rel_type) — the GraphStore ingest/MERGE
+    contract (shred.py dropDuplicates; store.merge's anti-join) — so
+    the per-pattern ``distinct()`` and its shuffle are SKIPPED whenever
+    uniqueness follows from the contract: a single rel_type (pairs
+    unique), or any typed/untyped pattern WITH an edge variable
+    (triples unique). Still de-duplicated: undirected ``both`` patterns
+    (the two orientations can collide on reciprocal edges) and
+    untyped/disjunctive patterns without an edge variable (one pair can
+    carry several types). One shuffle saved per motif hop — at 100 TB
+    the hop joins shuffle by key anyway, but the extra full-relation
+    distinct ahead of them was pure waste."""
     er = edges
     if pat.rel_type is not None:
         types = ((pat.rel_type,) if isinstance(pat.rel_type, str)
@@ -197,7 +211,11 @@ def _edge_rel(edges: DataFrame, pat: EdgePat) -> DataFrame:
                       *extra))
     elif pat.direction != "out":
         raise ValueError(f"bad direction {pat.direction!r}")
-    er = er.distinct()
+    unique_by_contract = (deduped and pat.direction != "both"
+                          and (pat.var is not None
+                               or isinstance(pat.rel_type, str)))
+    if not unique_by_contract:
+        er = er.distinct()
     if pat.path_var is not None:
         if not (1 <= pat.min_hops <= pat.max_hops <= 8):
             raise ValueError(
@@ -333,6 +351,7 @@ def match_motif(
     broadcast_max_nodes: int = 100_000,
     edge_distinct: bool = False,
     optional_wheres: dict[int, Column] | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Compile a motif to a DataFrame of variable bindings.
 
@@ -370,6 +389,13 @@ def match_motif(
     (``edge_distinct_where`` — this object-API form treats the whole
     spec as ONE MATCH clause; the text front-end scopes per clause).
     Default False: homomorphism semantics, the documented deviation.
+
+    ``edges_deduped`` (r13): the caller vouches ``edges`` is unique per
+    (src, dst, rel_type) — the GraphStore contract — letting
+    ``_edge_rel`` skip the per-pattern distinct (one shuffle per hop)
+    wherever uniqueness follows. Results are identical under the
+    contract; passing it with a non-deduped relation inflates binding
+    multiplicity (caller's responsibility).
 
     ``optional_wheres`` (r13): Cypher's MATCH-TIME ``WHERE`` on an
     OPTIONAL MATCH clause — edge index (the clause's first optional
@@ -522,7 +548,7 @@ def match_motif(
                         f"chain edge{'s' if want == 2 else ''}) — a "
                         "later inner join through a NULL would re-drop "
                         "the preserved rows")
-                cer = _edge_rel(edges, cep)
+                cer = _edge_rel(edges, cep, edges_deduped)
                 ecarry = ([cer["rel_type"].alias(f"{cep.var}_rel_type")]
                           if cep.var else [])
                 orel, osel = sides[vnext]
@@ -547,7 +573,7 @@ def match_motif(
                 cond = cond & ow
             result = result.join(sub, cond, "left").drop("_opt_key")
             continue
-        er = _edge_rel(edges, ep)
+        er = _edge_rel(edges, ep, edges_deduped)
         if ep.optional:
             # OPTIONAL MATCH: left-outer binding of a leaf variable
             if ep.negated:

@@ -419,7 +419,10 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
         return match_pattern(
             store.nodes, store.edges, pattern,
             rel_signatures=_catalog_rel_signatures(spark, store),
-            label_counts=_label_stats(spark))
+            label_counts=_label_stats(spark),
+            # the store contract: edges unique per (src,dst,rel_type) —
+            # skips the per-hop dedup shuffle (r13)
+            edges_deduped=True)
 
     q = question.strip().rstrip("?")
     m = _MOTIF_AFFECTED_RULE.search(q)
