@@ -206,89 +206,74 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # keeps ≥1 window rep (asserted by tests/test_registry.py); every
 # evicted key stays in the local bit-exact parity gate.
 _DRIVER_WINDOW = [
-    # ================= r13 rotation =================
-    # The ENTIRE r12 window (r06+r07 cohorts + r12 new keys) was
-    # re-confirmed green in CORRECTNESS_r12 — fresh until the r18 build
-    # — so it rotates OUT wholesale. In: (a) the ten-key r07 straggler
-    # cohort (last driver check r07 — exactly at the MAX_AGE_ROUNDS=6
-    # boundary when r14 builds; verdict r12 #2), (b) the FULL 30-key r08
-    # cohort (prepaying r14's obligation, the same wholesale-prepay move
-    # r12 made for r07), (c) this round's NEW pattern-surface keys
-    # (first driver check the round they ship), (d) nl2query_followup as
-    # the nl2query family rep (r10; nl2query_demo is r12-fresh), and
-    # (e) six r09-cohort picks filling the remaining slots (partial
-    # prepay of r15). Every family keeps >= 1 window rep (asserted by
+    # ================= r14 rotation =================
+    # The ENTIRE r13 window (r07 stragglers + r08 cohort + r13 NEW keys
+    # + the six r09 picks) was re-confirmed green in CORRECTNESS_r13 —
+    # fresh until the r19 build — so it rotates OUT wholesale. In:
+    # (a) the remaining 23-key r09 cohort (last driver check r09 —
+    # exactly at the MAX_AGE_ROUNDS=6 boundary when r15 builds; verdict
+    # r13 #3), (b) 25 r10-cohort picks (partial prepay of the r16
+    # obligation — the leftover 17 r10 keys rotate in r15), (c)
+    # nl2query_demo (r12) and pipeline_training_data (r12) as their
+    # modules' reps (neither module has an r09/r10 key), and (d) this
+    # round's NEW pattern-surface keys as they land (each evicting a
+    # designated relational r10 pick — relational keeps 8+ reps).
+    # Every family keeps >= 1 window rep (asserted by
     # tests/test_registry.py); every evicted key stays in the local
     # bit-exact parity gate.
-    # --- r07 straggler cohort (10 keys, MUST re-confirm this round) ---
-    "embedding_quantize_int8",
-    "join_size_estimate",
-    "mutation_scd2_pit_join",
-    "q01_pricing_summary",
-    "q19_or_of_ands",
-    "sim_ivfpq_topk",
-    "text_chunk_windows",
-    "text_cooccur_pmi",
-    "window_range_frame",
-    "xml_title_hierarchy",
-    # --- r13 NEW keys (never driver-checked; also the motifq reps) ---
-    # graph_motif_collect: Cypher collect() list aggregate from text,
-    # WITH-composed, lists flattened to sorted ';'-joined cells
-    "graph_motif_collect",
-    # graph_motif_optional_chain: multi-hop OPTIONAL MATCH with Cypher's
-    # all-or-nothing null semantics (one left-outer of the chain motif)
-    "graph_motif_optional_chain",
-    # graph_motif_union: UNION [ALL] between full MATCH queries from
-    # text (independent branches, column-name alignment, bare-UNION
-    # whole-result dedup pinned live by overlapping branches)
-    "graph_motif_union",
-    # graph_motif_optional_where: Cypher's match-time WHERE on an
-    # OPTIONAL MATCH clause (predicate in the left-join condition;
-    # anchor rows preserved NULL-filled — the golden pins the gap vs
-    # the post-filter reading)
-    "graph_motif_optional_where",
-    # --- r08 cohort (30 keys, prepaying the r14 freshness obligation) ---
-    "bpe_token_count",
-    "dedup_prefix_filter",
-    "dedup_simhash",
-    "drift_histogram_tv",
-    "funnel_conversion",
-    "graph_cc_incremental",
-    "graph_clustering_coeff",
-    "graph_degree_histogram",
-    "graph_hits",
-    "graph_hyperball",
-    "graph_link_prediction",
-    "graph_temporal_reachability",
-    "heavy_hitters_cms_grouped",
-    "join_interval_overlap",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    "profile_columns",
-    "q22_idle_customers",
-    "quantile_sketch_grouped",
-    "sample_stratified",
-    "sql_recursive_khop",
-    "stream_sliding_window",
-    "text_pii_redact",
-    "text_quality_gopher",
-    "text_repetition",
-    "text_unigram_logprob",
-    "theta_sketch_setops",
-    "ts_ewma",
-    "ts_gapfill_locf",
-    "ts_lttb_downsample",
-    # --- family rep (module with no r07/r08-cohort key) ---
-    "nl2query_followup",          # r10 green; nl2query rep
-    # --- r09-cohort picks (partial prepay of the r15 obligation) ---
-    "multimodal_decode",
-    "xml_connected_components",
-    "xml_rel_signatures",
-    "graph_triangle_count",
-    "dedup_chunk_level",
-    # (stream_dedup yielded its prepay slot to graph_motif_optional_where
-    # — streamq stays repped by stream_sliding_window + tumbling canary;
-    # it rotates with the rest of the r09 cohort in r14/r15)
+    # --- r09 cohort (23 keys, MUST re-confirm this round) ---
+    "assoc_basket_rules",
+    "bpe_learn_merges",
+    "cardinality_hll_grouped",
+    "embedding_mrl_audit",
+    "embedding_outlier",
+    "fuzzy_join_typo_linkage",
+    "graph_densest_subgraph",
+    "graph_khop_undirected",
+    "graph_temporal_multisource",
+    "multimodal_frame_sample",
+    "multimodal_phash_neardup",
+    "multimodal_resize",
+    "mutation_table_diff",
+    "sample_split",
+    "sample_systematic",
+    "shard_assign",
+    "skyline_pareto",
+    "stream_dedup",
+    "stream_dedup_gate",
+    "text_fingerprint",
+    "text_hybrid_rrf",
+    "ts_cusum_changepoint",
+    "udtf_bigram_explode",
+    # --- family reps (modules with no r09/r10-cohort key) ---
+    "nl2query_demo",
+    "pipeline_training_data",
+    "graph_motif_parsed",
+    # --- r10 cohort picks (25 of 42, prepaying the r16 obligation) ---
+    "agg_approx_distinct",
+    "agg_pivot",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_stats_moments",
+    "batch_padding_audit",
+    "cardinality_hll",
+    "dedup_ngram_jaccard",
+    "filter_project",
+    "graph_pagerank",
+    "join_anti",
+    "join_inner",
+    "join_semi",
+    "mutation_property_set",
+    "q05_local_supplier_volume",
+    "q18_large_volume",
+    "sessionize",
+    "sim_knn_per_vector",
+    "sort_topk",
+    "text_token_count",
+    "ts_anomaly_zscore",
+    "window_lag_delta",
+    "window_ntile",
+    "xml_shared_linenumbers",
 ]
 
 
