@@ -86,6 +86,17 @@ class EdgePat:
     the auxiliary variable binds nothing and contributes no output
     columns.
 
+    ``existential=True`` (r14) is the POSITIVE dual — Cypher's
+    ``WHERE (src)-[:T]->(dst)`` / ``WHERE exists(…)`` pattern
+    predicate, compiled to a left-SEMI join: bindings are FILTERED to
+    those where such an edge exists, without multiplying rows (a plain
+    positive edge with a fresh variable would bind it — one output row
+    per matching edge; the existential binds nothing). Same shape rules
+    as ``negated``: src already bound, dst either bound too (pair
+    semi) or an auxiliary appearing only here (EXISTS-a-node-matching-P
+    via semi against edges ⋈ aux-pattern); no edge variable, not
+    optional, single hop.
+
     ``rel_type`` may be a tuple — DISJUNCTION (Cypher's ``-[:A|B]->``):
     the edge matches any of the listed types (still de-duplicated to
     distinct (src, dst) pairs afterwards).
@@ -153,6 +164,7 @@ class EdgePat:
     var: str | None = None
     path_var: str | None = None
     chain_id: int | None = None
+    existential: bool = False
 
 
 def _node_side(nodes: DataFrame, pat: NodePat) -> tuple[DataFrame, bool]:
@@ -288,7 +300,8 @@ def edge_distinct_where(edge_pats: list[EdgePat]) -> Column | None:
     so uniqueness is not expressible over the output columns.
 
     Returns None when no pair needs a constraint."""
-    pos = [ep for ep in edge_pats if not ep.negated and not ep.optional]
+    pos = [ep for ep in edge_pats
+           if not ep.negated and not ep.optional and not ep.existential]
     for ep in pos:
         if (ep.min_hops, ep.max_hops) != (1, 1):
             raise ValueError(
@@ -429,10 +442,10 @@ def match_motif(
                 raise ValueError(
                     f"edge variable {ep.var!r} collides with another "
                     "variable (each edge variable binds one edge)")
-            if ep.negated:
+            if ep.negated or ep.existential:
                 raise ValueError(
-                    f"edge variable {ep.var!r} on a negated pattern binds "
-                    "nothing (NOT asserts non-existence)")
+                    f"edge variable {ep.var!r} on a NOT/exists pattern "
+                    "binds nothing (it asserts pure (non-)existence)")
             evars.add(ep.var)
         if ep.path_var is not None:
             if not _VAR_RE.match(ep.path_var):
@@ -470,9 +483,18 @@ def match_motif(
         sides[v] = (proj, selective or _dim_sized(p))
 
     ep0 = edge_pats[0]
-    if ep0.negated:
-        raise ValueError("first edge pattern cannot be negated "
-                         "(nothing is bound yet)")
+    if ep0.negated or ep0.existential:
+        raise ValueError("first edge pattern cannot be negated or "
+                         "existential (nothing is bound yet)")
+    for ep in edge_pats:
+        if ep.existential and (ep.negated or ep.optional):
+            raise ValueError("an existential edge cannot also be "
+                             "negated or optional")
+        if ep.existential and (ep.path_var is not None
+                               or ep.max_hops != 1):
+            raise ValueError("existential patterns are single-hop "
+                             "(use a positive variable-length edge "
+                             "and DISTINCT instead)")
     refs: dict[str, int] = {}
     for ep in edge_pats:
         refs[ep.src] = refs.get(ep.src, 0) + 1
@@ -526,11 +548,11 @@ def match_motif(
             sub = None
             prev = anchor
             for k, cep in enumerate(chain):
-                if cep.negated or cep.path_var is not None \
-                        or not cep.optional:
+                if cep.negated or cep.existential \
+                        or cep.path_var is not None or not cep.optional:
                     raise ValueError(
                         "optional-chain edges must be plain optional "
-                        "patterns (no negation / shortestPath)")
+                        "patterns (no negation / exists / shortestPath)")
                 if cep.src != prev:
                     raise ValueError(
                         f"optional chain must be head-to-tail: edge {k} "
@@ -606,6 +628,39 @@ def match_motif(
                 cond = cond & ow
             result = result.join(rel, cond, "left").drop("_opt_key")
             bound.add(ovar)
+            continue
+        if ep.existential:
+            # EXISTS semi-filter (r14) — the positive dual of negated:
+            # left-semi keeps each binding AT MOST ONCE (no row
+            # multiplication), which is exactly Cypher's pattern-
+            # predicate semantics
+            if ep.src in bound and ep.dst in bound:
+                result = result.join(
+                    er,
+                    (F.col(f"{ep.src}_id") == er["src"])
+                    & (F.col(f"{ep.dst}_id") == er["dst"]),
+                    "left_semi",
+                )
+                continue
+            bvar, avar, edge_col = (
+                (ep.src, ep.dst, "src") if ep.src in bound
+                else (ep.dst, ep.src, "dst"))
+            if refs[avar] != 1 or avar in bound:
+                raise ValueError(
+                    f"existential-edge auxiliary variable {avar!r} must "
+                    "appear in exactly that one edge")
+            # EXISTS an edge to ANY node matching the auxiliary
+            # pattern: semi-join against (edges ⋈ aux-node-pattern)
+            arel, asel = sides[avar]
+            if asel:
+                arel = F.broadcast(arel)
+            hit = (er.join(arel,
+                           er["dst" if edge_col == "src" else "src"]
+                           == F.col(f"{avar}_id"))
+                   .select(er[edge_col].alias("_ex_key")))
+            result = result.join(
+                hit, F.col(f"{bvar}_id") == F.col("_ex_key"), "left_semi")
+            aux.add(avar)
             continue
         if ep.negated:
             # NOT-EXISTS anti-filter (Cypher WHERE NOT pattern)

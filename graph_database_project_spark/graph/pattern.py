@@ -175,12 +175,31 @@ def _escape(val: str) -> str:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-      | (?P<num>\d+)
+      | (?P<num>\d+\.\d+|\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct><=|>=|<>|!=|=~|\.\.|<-|->|[()\[\]{}:,.\-<>=*|])
+      | (?P<punct><=|>=|<>|!=|=~|\.\.|<-|->|[()\[\]{}:,.\-<>=*|+/])
     )""",
     re.VERBOSE,
 )
+# float literals (r14) require digits on BOTH sides of the dot, so the
+# hop-range '1..3' still tokenizes as num('1') '..' num('3')
+
+
+def _num_value(tok: str) -> int | float:
+    """A numeric literal's Python value — float iff it has a dot (r14;
+    DuckDB-parity note: emit float literals as CAST(x AS DOUBLE) in
+    oracles — DuckDB parses bare decimals as DECIMAL)."""
+    return float(tok) if "." in tok else int(tok)
+
+
+def _int_tok(tok: str, pos: int, ctx: str) -> int:
+    """An integer-only literal position (SKIP/LIMIT/hop bounds) — a
+    float here is a positioned reject, not a ValueError crash."""
+    if "." in tok:
+        raise PatternSyntaxError(
+            f"{ctx} takes an integer literal, got {tok!r} at "
+            f"position {pos}")
+    return int(tok)
 
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
@@ -636,10 +655,12 @@ class _Parser:
                 break
         if self.at("kw", "SKIP"):
             self.next()
-            skip = int(self.expect("num"))
+            _, tok, pos = self.peek()
+            skip = _int_tok(self.expect("num"), pos, "SKIP")
         if self.at("kw", "LIMIT"):
             self.next()
-            limit = int(self.expect("num"))
+            _, tok, pos = self.peek()
+            limit = _int_tok(self.expect("num"), pos, "LIMIT")
         return order_by, skip, limit
 
     def _output_columns(self, items, aggregates) -> set[str]:
@@ -706,7 +727,7 @@ class _Parser:
                 lit = _unescape(self.next()[1][1:-1])
                 rhs = lambda lit=lit: F.lit(lit)  # noqa: E731
             elif self.at("num"):
-                litn = int(self.next()[1])
+                litn = _num_value(self.next()[1])
                 rhs = lambda litn=litn: F.lit(litn)  # noqa: E731
             else:
                 rcol = self._out_ref(outs, items, "WHERE after WITH")
@@ -927,7 +948,7 @@ class _Parser:
                     f"variable ({var!r} is not one)")
             if var in self.neg_only:
                 raise PatternSyntaxError(
-                    f"variable {var!r} exists only inside a NOT pattern "
+                    f"variable {var!r} exists only inside a NOT/exists() pattern "
                     "and binds no output columns")
             if fn == "labels":
                 if not allow_labels:
@@ -1127,11 +1148,13 @@ class _Parser:
 
     def _hop_range(self) -> tuple[int, int]:
         if self.at("num"):
-            lo = int(self.next()[1])
+            _, tok, pos = self.next()
+            lo = _int_tok(tok, pos, "hop range")
             if self.at("punct", ".."):
                 self.next()
                 if self.at("num"):
-                    return lo, int(self.next()[1])
+                    _, tok2, pos2 = self.next()
+                    return lo, _int_tok(tok2, pos2, "hop range")
                 raise PatternSyntaxError(
                     "unbounded '*n..' hop range — the compiler caps at 8; "
                     "give an explicit upper bound or use "
@@ -1139,7 +1162,8 @@ class _Parser:
             return lo, lo
         if self.at("punct", ".."):
             self.next()
-            return 1, int(self.expect("num"))
+            _, tok, pos = self.peek()
+            return 1, _int_tok(self.expect("num"), pos, "hop range")
         raise PatternSyntaxError(
             "unbounded '*' reachability is not supported (reachability "
             "closure is graph/traverse.k_hop's frontier loop); give "
@@ -1168,25 +1192,31 @@ class _Parser:
             _, _, p = self.next()
             if has_neg or left is None:
                 raise PatternSyntaxError(
-                    f"OR at position {p}: a NOT pattern compiles to an "
-                    "anti-join, not a boolean predicate — it can only "
-                    "be AND-ed at the top level")
+                    f"OR at position {p}: a pattern predicate (NOT / "
+                    "exists) compiles to an anti-/semi-join, not a "
+                    "boolean predicate — it can only be AND-ed at the "
+                    "top level")
             right, hn = self._bool_and(pred, False, neg_ctx)
             if hn or right is None:
                 raise PatternSyntaxError(
-                    f"OR at position {p}: a NOT pattern compiles to an "
-                    "anti-join, not a boolean predicate — it can only "
-                    "be AND-ed at the top level")
+                    f"OR at position {p}: a pattern predicate (NOT / "
+                    "exists) compiles to an anti-/semi-join, not a "
+                    "boolean predicate — it can only be AND-ed at the "
+                    "top level")
             left = (lambda a=left, b=right: a() | b())  # noqa: E731
         return left, has_neg
 
     def _bool_and(self, pred, allow_negpat: bool, neg_ctx: str):
-        """``and := unary (AND unary)*``; a unary is a NOT pattern
-        (side-effect, top-level only), a parenthesized sub-expression,
-        or one predicate."""
+        """``and := unary (AND unary)*``; a unary is a NOT pattern or a
+        positive existential pattern — ``exists((a)-[:T]->(b))`` or the
+        bare Cypher form ``(a)-[:T]->(b)`` (r14) — (side-effects,
+        top-level only: they compile to anti-/semi-joins), a
+        parenthesized sub-expression, or one predicate."""
         acc = None
         has_neg = False
         while True:
+            k0, v0, _ = self.peek()
+            k1, v1, _ = self.peek(1)
             if self.at("kw", "NOT"):
                 if not allow_negpat:
                     _, _, p = self.peek()
@@ -1195,9 +1225,28 @@ class _Parser:
                         f"{neg_ctx}")
                 self._not_pattern()
                 has_neg = True
+            elif (k0 == "ident" and v0.lower() == "exists"
+                    and (k1, v1) == ("punct", "(")):
+                if not allow_negpat:
+                    _, _, p = self.peek()
+                    raise PatternSyntaxError(
+                        f"exists() pattern at position {p} is not "
+                        f"allowed {neg_ctx}")
+                self._exists_pattern()
+                has_neg = True
+            elif self.at("punct", "(") and self._looks_like_pattern():
+                # Cypher's bare pattern predicate (r14) — positive
+                # existential, the dual of NOT (a)-[:T]->(b)
+                if not allow_negpat:
+                    _, _, p = self.peek()
+                    raise PatternSyntaxError(
+                        f"pattern predicate at position {p} is not "
+                        f"allowed {neg_ctx}")
+                self._exists_pattern()
+                has_neg = True
             elif self.at("punct", "("):
-                # a grouped boolean sub-expression — in WHERE, '(' opens
-                # a pattern only after NOT, so this is unambiguous
+                # a grouped boolean sub-expression (the lookahead above
+                # ruled out a node pattern)
                 self.next()
                 sub, _ = self._bool_or(pred, False, neg_ctx)
                 self.expect("punct", ")")
@@ -1213,13 +1262,95 @@ class _Parser:
             break
         return acc, has_neg
 
+    def _looks_like_pattern(self) -> bool:
+        """Cursor on ``(`` inside WHERE: does it open a NODE PATTERN
+        (``(a)-…``, ``(a:L)…``, ``(:L)…``, ``({k: 'v'})…``, ``()-…``)
+        rather than a parenthesized boolean group? Pure lookahead —
+        nothing is consumed. The two grammars are disjoint: a boolean
+        group's first token after ``(`` is a value/predicate start
+        (ident followed by ``.``/operator, a function call, a literal,
+        or a nested ``(``), while a node pattern's is a variable
+        followed by ``)``/``:``/``{``, an anonymous ``:label``/``{…}``,
+        or ``()`` — with the ``)`` case disambiguated by the connector
+        (``-`` / ``<-``) that must follow."""
+        k1, v1, _ = self.peek(1)
+        if (k1, v1) == ("punct", ":") or (k1, v1) == ("punct", "{"):
+            return True          # (:Label…  /  ({k: 'v'}…
+        if (k1, v1) == ("punct", ")"):
+            k2, v2, _ = self.peek(2)
+            return k2 == "punct" and v2 in ("-", "<-")   # ()-[…
+        if k1 not in ("ident", "kw"):
+            return False
+        k2, v2, _ = self.peek(2)
+        if (k2, v2) in (("punct", ":"), ("punct", "{")):
+            return True          # (a:Label…  /  (a {…
+        if (k2, v2) == ("punct", ")"):
+            k3, v3, _ = self.peek(3)
+            return k3 == "punct" and v3 in ("-", "<-")   # (a)-[…
+        return False
+
+    def _exists_pattern(self) -> None:
+        """``exists((a)-[:T]->(b))`` or the bare pattern-predicate form
+        ``WHERE (a)-[:T]->(b)`` (r14) — the POSITIVE existential dual
+        of ``NOT (a)-[:T]->(b)``, compiled to a left-SEMI join (filters
+        bindings without multiplying them — a positive MATCH edge with
+        a fresh variable would add one row per matching edge instead).
+        Same structural rules as NOT: single edge, anchored on a bound
+        variable, no edge variable, the other endpoint either bound or
+        an auxiliary (optionally predicated: EXISTS-a-node-matching-P)
+        that binds no output columns."""
+        _, _, ex_pos = self.peek()
+        wrapped = False
+        if self.at("ident"):          # the exists( form
+            self.next()
+            self.expect("punct", "(")
+            wrapped = True
+        known = set(self.nodes)
+        exs: list[EdgePat] = []
+        self._path(optional=False, collect=exs)
+        if wrapped:
+            self.expect("punct", ")")
+        if len(exs) != 1:
+            raise PatternSyntaxError(
+                "an existential pattern takes a single edge (chain "
+                "existence is not supported — test the final hop, or "
+                "MATCH the chain positively and use DISTINCT)")
+        ep = exs[0]
+        if ep.var is not None:
+            raise PatternSyntaxError(
+                f"edge variable {ep.var!r} on an existential pattern "
+                "binds nothing (exists() asserts pure existence)")
+        if ep.min_hops != 1 or ep.max_hops != 1:
+            raise PatternSyntaxError(
+                "existential patterns are single-hop — MATCH a "
+                "variable-length edge positively and use DISTINCT")
+        new_vars = set(self.nodes) - known
+        if ep.src in new_vars:
+            raise PatternSyntaxError(
+                f"existential pattern at position {ex_pos} must anchor "
+                f"on an already-bound variable ({ep.src!r} appears only "
+                "inside the exists)")
+        self.neg_only |= new_vars
+        self.edges.append(replace(ep, existential=True))
+
     def _not_pattern(self) -> None:
         """``NOT (a)-[:T]->(b)`` — the anti-join pattern negation
-        (side-effect: appends a negated EdgePat)."""
+        (side-effect: appends a negated EdgePat). ``NOT exists(…)``
+        (r14) is the same negation through Cypher's explicit
+        existential wrapper."""
         _, _, not_pos = self.next()
+        k0, v0, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        wrapped = (k0 == "ident" and v0.lower() == "exists"
+                   and (k1, v1) == ("punct", "("))
+        if wrapped:
+            self.next()
+            self.expect("punct", "(")
         known = set(self.nodes)
         negs: list[EdgePat] = []
         self._path(optional=False, collect=negs)
+        if wrapped:
+            self.expect("punct", ")")
         if len(negs) != 1:
             raise PatternSyntaxError(
                 "NOT takes a single-edge pattern (chain negation "
@@ -1265,10 +1396,67 @@ class _Parser:
         col = fld if var is None else f"{var}_{fld}"
         return lambda: F.col(col)
 
+    def _value_term(self):
+        """One term of a WHERE value expression (r14): a numeric
+        literal (int or float, optional unary minus), a
+        ``toInteger(…)`` / ``toFloat(…)`` cast (the corpus stores
+        properties as STRINGS — compiled to try_cast, so a malformed
+        value is NULL, Cypher's own rule, never an ANSI cast error),
+        or a ``_value_ref`` (field / carried column / toLower/toUpper
+        wrapper)."""
+        k, v, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        if k == "num":
+            lit = _num_value(self.next()[1])
+            return lambda: F.lit(lit)
+        if (k, v) == ("punct", "-") and k1 == "num":
+            self.next()
+            lit = -_num_value(self.next()[1])
+            return lambda: F.lit(lit)
+        if (k == "ident" and v.lower() in ("tointeger", "tofloat")
+                and (k1, v1) == ("punct", "(")):
+            typ = "bigint" if v.lower() == "tointeger" else "double"
+            self.next()
+            self.next()
+            inner = self._value_expr()
+            self.expect("punct", ")")
+            return lambda: inner().try_cast(typ)
+        return self._value_ref()
+
+    _ARITH_OPS = {
+        "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+    }
+
+    def _value_expr(self):
+        """A WHERE value expression (r14): terms composed with
+        ``+ - * /`` at arithmetic precedence (``* /`` bind tighter),
+        left-associative. Covers the GPT-emitted numeric questions
+        ("tasks over 2.5 hours", "hours per person") without a full
+        expression grammar — no parentheses (wrap the comparison
+        instead) and no string concatenation."""
+
+        def mul():
+            left = self._value_term()
+            while self.at("punct", "*") or self.at("punct", "/"):
+                op = self._ARITH_OPS[self.next()[1]]
+                right = self._value_term()
+                left = (lambda a=left, b=right, op=op: op(a(), b()))
+            return left
+
+        left = mul()
+        while self.at("punct", "+") or self.at("punct", "-"):
+            op = self._ARITH_OPS[self.next()[1]]
+            right = mul()
+            left = (lambda a=left, b=right, op=op: op(a(), b()))
+        return left
+
     def _predicate(self):
         """One comparison / string / null / membership predicate —
-        returns a Column thunk."""
-        lhs = self._value_ref()
+        returns a Column thunk. Value positions are full arithmetic
+        expressions since r14 (``toFloat(th.content) / toInteger(
+        p.content) > 8.5``)."""
+        lhs = self._value_expr()
         sp = self._string_pred(lhs)
         if sp is not None:
             return sp
@@ -1290,11 +1478,8 @@ class _Parser:
         if self.at("str"):
             lit = _unescape(self.next()[1][1:-1])
             rhs = lambda: F.lit(lit)  # noqa: E731
-        elif self.at("num"):
-            litn = int(self.next()[1])
-            rhs = lambda: F.lit(litn)  # noqa: E731
         else:
-            rhs = self._value_ref()
+            rhs = self._value_expr()
         ops = {"=": lambda a, b: a == b,
                "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
@@ -1352,7 +1537,7 @@ class _Parser:
                 if k2 == "str":
                     lits.append(_unescape(v2[1:-1]))
                 elif k2 == "num":
-                    lits.append(int(v2))
+                    lits.append(_num_value(v2))
                 else:
                     raise PatternSyntaxError(
                         f"IN list takes string/number literals "
@@ -1407,7 +1592,7 @@ class _Parser:
                 f"WHERE references unknown variable {var!r}")
         if var in self.neg_only:
             raise PatternSyntaxError(
-                f"variable {var!r} exists only inside a NOT pattern and "
+                f"variable {var!r} exists only inside a NOT/exists() pattern and "
                 "binds no output columns")
         if fld not in _CARRY:
             raise PatternSyntaxError(
@@ -1446,6 +1631,20 @@ class _Parser:
         while True:
             k, v, item_pos = self.peek()
             k1, v1, _ = self.peek(1)
+            if (k == "ident" and v.upper() == "CASE"
+                    and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
+                # searched CASE expression (r14) — items carry the
+                # sentinel var '__expr__' with the Column thunk in the
+                # fld slot; _apply_projection evaluates it (a grouping
+                # KEY when aggregates are present, Cypher's implicit-
+                # grouping rule)
+                expr, alias = self._case_item()
+                claim([alias], item_pos)
+                items.append(("__expr__", expr, alias))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
             if (k == "ident" and v.lower() in _AGG_FNS
                     and (k1, v1) == ("punct", "(")):
                 ag = self._agg_item()
@@ -1495,7 +1694,7 @@ class _Parser:
                     f"RETURN references unknown variable {var!r}")
             if var in self.neg_only:
                 raise PatternSyntaxError(
-                    f"variable {var!r} exists only inside a NOT pattern "
+                    f"variable {var!r} exists only inside a NOT/exists() pattern "
                     "and binds no output columns")
             fld: str | None = None
             if self.at("punct", "."):
@@ -1530,6 +1729,74 @@ class _Parser:
                 continue
             break
         return items, aggs, bare_edges
+
+    def _at_word(self, w: str) -> bool:
+        """Case-insensitive word check covering BOTH token kinds —
+        CASE/WHEN/THEN/ELSE/END are deliberately not reserved (they stay
+        usable as labels/property keys), so they tokenize as idents."""
+        k, v, _ = self.peek()
+        return k in ("ident", "kw") and v.upper() == w
+
+    def _case_item(self) -> tuple:
+        """``CASE WHEN <pred> THEN <value> … [ELSE <value>] END AS
+        alias`` (r14) — Cypher's searched CASE in RETURN/WITH items,
+        the GPT seam's bucketing idiom. Predicates are the full WHERE
+        boolean grammar minus pattern predicates (those compile to
+        joins, not expressions); values are string literals or numeric
+        value expressions. Compiled to an ``F.when`` chain; without
+        ELSE the non-matching rows are NULL (Cypher's rule). The alias
+        is REQUIRED — the output column needs a deterministic name."""
+        _, _, cpos = self.next()           # CASE
+        branches: list[tuple] = []
+        while self._at_word("WHEN"):
+            self.next()
+            cond, _ = self._bool_or(
+                self._predicate, allow_negpat=False,
+                neg_ctx="inside a CASE expression — pattern predicates "
+                        "compile to joins, not expressions")
+            if not self._at_word("THEN"):
+                _, v, p = self.peek()
+                raise PatternSyntaxError(
+                    f"expected THEN at position {p}, got {v!r}")
+            self.next()
+            branches.append((cond, self._case_value()))
+        if not branches:
+            raise PatternSyntaxError(
+                f"CASE at position {cpos} needs at least one WHEN "
+                "branch (only the searched form — CASE WHEN pred THEN "
+                "value — is supported)")
+        other = None
+        if self._at_word("ELSE"):
+            self.next()
+            other = self._case_value()
+        if not self._at_word("END"):
+            _, v, p = self.peek()
+            raise PatternSyntaxError(
+                f"expected END at position {p}, got {v!r}")
+        self.next()
+        if not self.at("kw", "AS"):
+            _, v, p = self.peek()
+            raise PatternSyntaxError(
+                f"CASE expression needs an explicit alias — expected AS "
+                f"at position {p}, got {v!r}")
+        self.next()
+        alias = self.expect("ident")
+
+        def thunk(branches=branches, other=other):
+            col = F.when(branches[0][0](), branches[0][1]())
+            for c, vv in branches[1:]:
+                col = col.when(c(), vv())
+            return col.otherwise(other()) if other is not None else col
+
+        return thunk, alias
+
+    def _case_value(self):
+        """A CASE branch value: string literal or numeric/field value
+        expression."""
+        if self.at("str"):
+            lit = _unescape(self.next()[1][1:-1])
+            return lambda: F.lit(lit)
+        return self._value_expr()
 
     def _agg_item(self) -> tuple:
         """``count(*)`` / ``count([DISTINCT] var[.field])`` /
@@ -1595,7 +1862,7 @@ class _Parser:
                     f"aggregate references unknown variable {var!r}")
             if var in self.neg_only:
                 raise PatternSyntaxError(
-                    f"variable {var!r} exists only inside a NOT pattern "
+                    f"variable {var!r} exists only inside a NOT/exists() pattern "
                     "and binds no output columns")
             if self.at("punct", "."):
                 self.next()
@@ -1609,14 +1876,25 @@ class _Parser:
                         f"field {fld!r} is not carried "
                         f"(have: {', '.join(_CARRY)})")
             else:
-                # count(v): non-null bindings of the variable itself
-                fld = "rel_type" if is_edge else "id"
+                # count(v): non-null bindings of the variable itself;
+                # collect(v) of a NODE variable (r14) collects the WHOLE
+                # node — rendered as one deterministic 'id:name' cell
+                # per node (Cypher returns the node map; the reference's
+                # flagship collects connected node records,
+                # first-graph.py:172). Before r14 this silently
+                # collapsed to collect(v.id) — a semantic surprise.
+                if fn == "collect" and not is_edge:
+                    fld = "__node__"
+                else:
+                    fld = "rel_type" if is_edge else "id"
             if fn in ("sum", "avg") and fld != "id":
                 raise PatternSyntaxError(
                     f"{fn}() needs a numeric field and only 'id' is "
                     "numeric among the carried fields")
         self.expect("punct", ")")
-        alias = "count_star" if var is None else f"{fn}_{var}_{fld}"
+        alias = ("count_star" if var is None
+                 else f"{fn}_{var}" if fld == "__node__"
+                 else f"{fn}_{var}_{fld}")
         if self.at("kw", "AS"):
             self.next()
             alias = self.expect("ident")
@@ -1913,7 +2191,10 @@ def _apply_projection(out: DataFrame, items, aggregates,
         # Cypher implicit grouping: non-aggregate items are the keys
         keys = []
         for var, fld, alias in items:
-            if fld is None:
+            if var == "__expr__":
+                # a CASE expression item (r14) — fld holds the thunk
+                keys.append(fld().alias(alias))
+            elif fld is None:
                 keys.extend(F.col(f"{var}_{c}") for c in _CARRY)
             else:
                 keys.append(col_of(var, fld).alias(alias))
@@ -1922,7 +2203,19 @@ def _apply_projection(out: DataFrame, items, aggregates,
             if var is None and fld is None:
                 aggs.append(F.count(F.lit(1)).alias(alias))
                 continue
-            c = col_of(var, fld)
+            if fld == "__node__":
+                # collect(v) of a whole node (r14): one deterministic
+                # 'id:name' cell per node — id is the node's identity,
+                # name the human anchor; a NULL id (optional miss)
+                # makes the whole cell NULL so collect skips it,
+                # Cypher's rule
+                c = F.when(
+                    F.col(f"{var}_id").isNotNull(),
+                    F.concat_ws(":", F.col(f"{var}_id").cast("string"),
+                                F.coalesce(F.col(f"{var}_name"),
+                                           F.lit(""))))
+            else:
+                c = col_of(var, fld)
             if fn == "count":
                 aggs.append((F.countDistinct(c) if dist
                              else F.count(c)).alias(alias))
@@ -1947,7 +2240,9 @@ def _apply_projection(out: DataFrame, items, aggregates,
     elif items is not None:
         cols = []
         for var, fld, alias in items:
-            if fld is None:
+            if var == "__expr__":
+                cols.append(fld().alias(alias))
+            elif fld is None:
                 cols.extend(F.col(f"{var}_{c}") for c in _CARRY)
             else:
                 cols.append(col_of(var, fld).alias(alias))

@@ -93,7 +93,7 @@ def test_parse_where_comparisons_build_columns(spark):
     ("MATCH (a)-[:T*]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T*2..]->(b) RETURN a.id", "unbounded"),
     ("MATCH (a)-[:T]->(b) WHERE NOT (a)-[:U]->(x) OR a.id = 1 "
-     "RETURN a.id", "anti-join"),
+     "RETURN a.id", "anti-/semi-join"),
     ("MATCH (a)-[:T]->(b) WHERE a.id = 1 OR NOT (a)-[:U]->(x) "
      "RETURN a.id", "not allowed"),
     ("MATCH (A)-[:T]->(b) RETURN b.id", "variable"),
@@ -1308,9 +1308,12 @@ def test_parse_collect_shapes():
         "collect(DISTINCT b.docnbr) AS docs")
     assert ("collect", "b", "name", False, "bs") in p.aggregates
     assert ("collect", "b", "docnbr", True, "docs") in p.aggregates
-    # default alias + bare-variable default field (id, like count(v))
+    # a bare NODE variable collects the WHOLE node (r14) — the
+    # '__node__' sentinel renders one 'id:name' cell per node (before
+    # r14 this silently collapsed to collect(b.id))
     p2 = parse_match("MATCH (a:A)-[:R]->(b) RETURN collect(b)")
-    assert p2.aggregates == [("collect", "b", "id", False, "collect_b_id")]
+    assert p2.aggregates == [("collect", "b", "__node__", False,
+                              "collect_b")]
     # collect over an edge variable's rel_type and a path distance
     p3 = parse_match("MATCH (a)-[r]->(b) RETURN a.name, collect(r)")
     assert p3.aggregates == [
@@ -1740,3 +1743,228 @@ def test_union_branches_isolate_optional_wheres(tiny):
     # z=a1 — the union dedups nothing across branches (disjoint cells)
     assert got == [("b1", None), ("b1", "a1"), ("b2", None),
                    ("b2", "a1")]
+
+
+# --- r14: numeric expressions, existential predicates, whole-node
+# collect, CASE ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tinynum(spark):
+    """Nodes whose content column carries NUMERIC STRINGS (the corpus
+    stores every property as text — task_hours etc.), plus one
+    malformed value to pin try_cast's NULL-not-crash contract."""
+    nodes = spark.createDataFrame(
+        [(1, ["Task"], "t1", None, "d1", {}),
+         (2, ["Task"], "t2", None, "d1", {}),
+         (3, ["Hours"], "h1", "40", "d1", {}),
+         (4, ["Hours"], "h2", "2.5", "d1", {}),
+         (5, ["Persons"], "p1", "5", "d1", {}),
+         (6, ["Persons"], "p2", "oops", "d1", {})],
+        "id long, labels array<string>, name string, content string, "
+        "docnbr string, props map<string,string>")
+    edges = spark.createDataFrame(
+        [(1, 3, "HAS_HOURS"), (2, 4, "HAS_HOURS"),
+         (1, 5, "HAS_PERSONS"), (2, 6, "HAS_PERSONS")],
+        "src long, dst long, rel_type string")
+    return nodes, edges
+
+
+def test_numeric_parse_shapes():
+    p = parse_match(
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE toFloat(h.content) / 2 > 8.5 AND toInteger(h.content) > 25 "
+        "RETURN t.name AS tn")
+    assert len(p.where_fn) == 1
+    # precedence: * binds tighter than +
+    p2 = parse_match(
+        "MATCH (a:A)-[:R]->(b) WHERE a.id > 1 + 2 * 3 RETURN b.name")
+    assert len(p2.where_fn) == 1
+    # unary minus literal
+    parse_match("MATCH (a:A)-[:R]->(b) WHERE a.id > -5 RETURN b.name")
+
+
+def test_numeric_where_filters(tinynum):
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE toFloat(h.content) > 2.6 RETURN t.name AS tn"))
+    assert got == [("t1",)]          # 40 > 2.6; 2.5 is not
+    # arithmetic across two bound variables (hours per person)
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours), "
+        "(t)-[:HAS_PERSONS]->(p:Persons) "
+        "WHERE toFloat(h.content) / toInteger(p.content) > 7.5 "
+        "RETURN t.name AS tn"))
+    assert got2 == [("t1",)]         # 40/5 = 8 > 7.5
+    # malformed numeric -> try_cast NULL -> row silently fails the
+    # predicate (Cypher's toInteger('oops') IS NULL), never an ANSI error
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_PERSONS]->(p:Persons) "
+        "WHERE toInteger(p.content) >= 0 RETURN t.name AS tn"))
+    assert got3 == [("t1",)]
+
+
+def test_numeric_int_only_positions_reject():
+    for bad, hint in [
+        ("MATCH (a)-[:T]->(b) RETURN a.id LIMIT 2.5", "integer"),
+        ("MATCH (a)-[:T]->(b) RETURN a.id SKIP 0.5", "integer"),
+        ("MATCH (a)-[:T*1.5..3]->(b) RETURN a.id", "integer"),
+    ]:
+        with pytest.raises(PatternSyntaxError, match=hint):
+            parse_match(bad)
+    # float literals in hop ranges never confuse '..' tokenization
+    p = parse_match("MATCH (a)-[:T*1..3]->(b) RETURN a.id")
+    assert (p.edge_pats[0].min_hops, p.edge_pats[0].max_hops) == (1, 3)
+
+
+def test_exists_bare_and_wrapped_and_not(tiny):
+    nodes, edges = tiny
+    # bare Cypher pattern predicate
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE (b)-[:S]->(:C) "
+        "RETURN b.name AS bn"))
+    assert got == [("b1",), ("b2",)]
+    # exists() wrapper, same compile
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE exists((b)-[:S]->(c)) "
+        "RETURN b.name AS bn"))
+    assert got2 == got
+    # NOT exists(...) == the r11 NOT (pattern) anti-join
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE NOT exists((b)-[:S]->(c)) "
+        "RETURN b.name AS bn"))
+    assert got3 == []
+    # exists/not-exists PARTITION the bindings (set algebra)
+    base = _bindings(match_pattern(
+        nodes, edges, "MATCH (x:B)-[:S]->(y:C) RETURN x.name AS xn"))
+    pos = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (x:B)-[:S]->(y:C) WHERE (x)<-[:R]-(:A) "
+        "RETURN x.name AS xn"))
+    neg = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (x:B)-[:S]->(y:C) WHERE NOT (x)<-[:R]-(:A) "
+        "RETURN x.name AS xn"))
+    assert sorted(pos + neg) == base
+
+
+def test_exists_does_not_multiply_rows(spark):
+    """The semi join filters; a positive MATCH edge would multiply.
+    Two parallel edge types between the same pair: exists keeps ONE
+    row, the positive form binds two."""
+    nodes = spark.createDataFrame(
+        [(1, ["A"], "a1", None, "d1", {}), (3, ["B"], "b1", None, "d1", {}),
+         (5, ["C"], "c1", None, "d1", {})],
+        "id long, labels array<string>, name string, content string, "
+        "docnbr string, props map<string,string>")
+    edges = spark.createDataFrame(
+        [(1, 3, "R"), (3, 5, "S"), (3, 5, "S2")],
+        "src long, dst long, rel_type string")
+    semi = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE (b)-[]->(:C) RETURN b.name AS bn"))
+    assert semi == [("b1",)]
+    pos = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B)-[r]->(c:C) RETURN b.name AS bn"))
+    assert pos == [("b1",), ("b1",)]
+
+
+def test_exists_aux_node_predicates(tiny):
+    """EXISTS-a-node-matching-P: the auxiliary node pattern's label and
+    property predicates restrict the semi join."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B)-[:S]->(c:C) WHERE (b)<-[:R]-(:A {k: 'v'}) "
+        "RETURN b.name AS bn"))
+    assert got == [("b1",)]          # only a1 carries {k: v}
+
+
+def test_exists_rejects():
+    for bad, hint in [
+        # unbound anchor
+        ("MATCH (a:A)-[:R]->(b) WHERE (x)-[:S]->(y) RETURN b.name",
+         "already-bound"),
+        # under OR
+        ("MATCH (a:A)-[:R]->(b) WHERE (b)-[:S]->(c) OR a.id = 1 "
+         "RETURN b.name", "AND-ed at the top level"),
+        # edge variable binds nothing
+        ("MATCH (a:A)-[:R]->(b) WHERE exists((b)-[r:S]->(c)) "
+         "RETURN b.name", "binds nothing"),
+        # chain existence
+        ("MATCH (a:A)-[:R]->(b) WHERE exists((b)-[:S]->(c)-[:T]->(d)) "
+         "RETURN b.name", "single edge"),
+        # var-length existence
+        ("MATCH (a:A)-[:R]->(b) WHERE (b)-[:S*1..2]->(c) RETURN b.name",
+         "single-hop"),
+        # RETURN of an exists-only variable
+        ("MATCH (a:A)-[:R]->(b) WHERE (b)-[:S]->(c) RETURN c.name",
+         "binds no output"),
+    ]:
+        with pytest.raises(PatternSyntaxError, match=hint):
+            parse_match(bad)
+
+
+def test_boolean_group_not_mistaken_for_pattern(tiny):
+    """The '(' lookahead: parenthesized boolean groups still parse."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) "
+        "WHERE (a.docnbr = 'd1' OR a.docnbr = 'd2') AND (b)-[:S]->(:C) "
+        "RETURN a.name AS an"))
+    assert got == [("a1",), ("a2",)]
+
+
+def test_collect_whole_node_renders_id_name(tiny):
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B)-[:S]->(c:C) RETURN c.name AS cn, collect(b) AS members"))
+    assert got == [("c1", "3:b1;4:b2")]
+    # optional misses are skipped (NULL id nulls the whole cell)
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B) OPTIONAL MATCH (b)-[:T]->(z) "
+        "RETURN b.name AS bn, collect(z) AS zs"))
+    assert got2 == [("b1", ""), ("b2", "")]
+
+
+def test_case_expression(tinynum):
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, CASE WHEN toFloat(h.content) > 10 "
+        "THEN 'big' WHEN toFloat(h.content) > 1 THEN 'small' "
+        "ELSE 'tiny' END AS bucket"))
+    assert got == [("t1", "big"), ("t2", "small")]
+    # without ELSE -> NULL; CASE as implicit-grouping KEY
+    got2 = sorted(
+        (tuple(r) for r in match_pattern(
+            nodes, edges,
+            "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+            "RETURN CASE WHEN toFloat(h.content) > 10 THEN 'big' END "
+            "AS bucket, count(*) AS n").collect()),
+        key=lambda t: (t[0] or "",))
+    assert got2 == [(None, 1), ("big", 1)]
+
+
+def test_case_rejects():
+    for bad, hint in [
+        ("MATCH (a)-[:T]->(b) RETURN CASE WHEN a.id = 1 THEN 'x' END",
+         "alias"),
+        ("MATCH (a)-[:T]->(b) RETURN CASE WHEN a.id = 1 'x' END AS c",
+         "THEN"),
+        ("MATCH (a)-[:T]->(b) RETURN CASE WHEN (a)-[:U]->(z) "
+         "THEN 'x' END AS c", "inside a CASE"),
+    ]:
+        with pytest.raises(PatternSyntaxError, match=hint):
+            parse_match(bad)
