@@ -474,6 +474,33 @@ GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_ROWS = [
     ('737-00-1030', 'summary', 0),
 ]
 
+GOLDEN_GRAPH_MOTIF_NUMERIC_COLS = [('docnbr', 'VARCHAR'), ('task', 'VARCHAR'), ('hours', 'VARCHAR'), ('persons', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_NUMERIC_ROWS = [
+    ('737-00-1028', 'Operational Readiness Flight', '50', '5'),
+    ('737-00-1029', 'Fuel Pump Replacement', '30', '3'),
+]
+
+GOLDEN_GRAPH_MOTIF_EXISTS_COLS = [('docnbr', 'VARCHAR'), ('parent', 'VARCHAR'), ('n_steps', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_EXISTS_ROWS = [
+    ('737-00-1028', 'work_instructions', 2),
+    ('737-00-1029', 'work_instructions', 3),
+    ('737-00-1030', 'work_instructions', 2),
+]
+
+GOLDEN_GRAPH_MOTIF_COLLECT_NODE_COLS = [('docnbr', 'VARCHAR'), ('children', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_COLLECT_NODE_ROWS = [
+    ('737-00-1028', '-2399337775691354451:header;-4656386351726218192:material_information;-6807463334954148719:planning_information;-944736282515524098:summary;1115388509733784207:accomplishment_instructions;2679030914527108300:appendix_a'),
+    ('737-00-1029', '-1400934535846264000:accomplishment_instructions;-3094358331736922502:header;-48210339587833783:material_information;-643067188973892853:summary;5955026338150520470:appendix_a;7768920921961480767:planning_information'),
+    ('737-00-1030', '-206320153630598367:planning_information;-3631707179577426087:accomplishment_instructions;-9152678936118456510:appendix_a;1164023641521140837:header;24666519394787463:summary;4534507130696854850:material_information'),
+]
+
+GOLDEN_GRAPH_MOTIF_CASE_COLS = [('band', 'VARCHAR'), ('n_tasks', 'BIGINT'), ('hours', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_CASE_ROWS = [
+    ('heavy', 2, '40;50'),
+    ('light', 1, '20'),
+    ('medium', 1, '30'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -517,4 +544,8 @@ ORACLE = {
     "graph_motif_optional_chain": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_CHAIN_ROWS),
     "graph_motif_union": _values_sql(GOLDEN_GRAPH_MOTIF_UNION_COLS, GOLDEN_GRAPH_MOTIF_UNION_ROWS),
     "graph_motif_optional_where": _values_sql(GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_COLS, GOLDEN_GRAPH_MOTIF_OPTIONAL_WHERE_ROWS),
+    "graph_motif_numeric": _values_sql(GOLDEN_GRAPH_MOTIF_NUMERIC_COLS, GOLDEN_GRAPH_MOTIF_NUMERIC_ROWS),
+    "graph_motif_exists": _values_sql(GOLDEN_GRAPH_MOTIF_EXISTS_COLS, GOLDEN_GRAPH_MOTIF_EXISTS_ROWS),
+    "graph_motif_collect_node": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_NODE_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_NODE_ROWS),
+    "graph_motif_case": _values_sql(GOLDEN_GRAPH_MOTIF_CASE_COLS, GOLDEN_GRAPH_MOTIF_CASE_ROWS),
 }

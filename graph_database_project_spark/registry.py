@@ -215,9 +215,10 @@ _DRIVER_WINDOW = [
     # r13 #3), (b) 25 r10-cohort picks (partial prepay of the r16
     # obligation — the leftover 17 r10 keys rotate in r15), (c)
     # nl2query_demo (r12) and pipeline_training_data (r12) as their
-    # modules' reps (neither module has an r09/r10 key), and (d) this
-    # round's NEW pattern-surface keys as they land (each evicting a
-    # designated relational r10 pick — relational keeps 8+ reps).
+    # modules' reps (neither module has an r09/r10 key), and (d) the
+    # four r14 NEW pattern-surface keys (evicting the r10 picks
+    # agg_pivot / agg_quantiles / agg_rollup / window_ntile /
+    # window_running_sum to r15 — relational keeps 7 window reps).
     # Every family keeps >= 1 window rep (asserted by
     # tests/test_registry.py); every evicted key stays in the local
     # bit-exact parity gate.
@@ -245,15 +246,24 @@ _DRIVER_WINDOW = [
     "text_hybrid_rrf",
     "ts_cusum_changepoint",
     "udtf_bigram_explode",
+    # --- r14 NEW keys (never driver-checked; the motifq reps) ---
+    # graph_motif_numeric: float literals + toInteger/toFloat casts +
+    # arithmetic in WHERE (string-typed corpus properties)
+    "graph_motif_numeric",
+    # graph_motif_exists: positive existential pattern predicate
+    # (left-semi, the dual of WHERE NOT's anti-join)
+    "graph_motif_exists",
+    # graph_motif_collect_node: collect(v) of a whole node — 'id:name'
+    # cells (was silently collect(v.id) before r14)
+    "graph_motif_collect_node",
+    # graph_motif_case: searched CASE in RETURN as implicit-group key
+    "graph_motif_case",
     # --- family reps (modules with no r09/r10-cohort key) ---
     "nl2query_demo",
     "pipeline_training_data",
     "graph_motif_parsed",
     # --- r10 cohort picks (25 of 42, prepaying the r16 obligation) ---
     "agg_approx_distinct",
-    "agg_pivot",
-    "agg_quantiles",
-    "agg_rollup",
     "agg_stats_moments",
     "batch_padding_audit",
     "cardinality_hll",
@@ -272,7 +282,6 @@ _DRIVER_WINDOW = [
     "text_token_count",
     "ts_anomaly_zscore",
     "window_lag_delta",
-    "window_ntile",
     "xml_shared_linenumbers",
 ]
 

@@ -30,7 +30,15 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r13: UNION between MATCH queries (whole-result dedup)
          "graph_motif_union",
          # r13: match-time WHERE on OPTIONAL MATCH (Cypher binding)
-         "graph_motif_optional_where"]
+         "graph_motif_optional_where",
+         # r14: numeric WHERE expressions (casts + arithmetic + floats)
+         "graph_motif_numeric",
+         # r14: positive existential pattern predicate (left-semi)
+         "graph_motif_exists",
+         # r14: whole-node collect() ('id:name' cells)
+         "graph_motif_collect_node",
+         # r14: searched CASE in RETURN (implicit-grouping key)
+         "graph_motif_case"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

@@ -470,7 +470,18 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             "graph_motif_union": 6,
             # r13: 2-hop motif + match-time left join + implicit-
             # grouping agg
-            "graph_motif_optional_where": 6}
+            "graph_motif_optional_where": 6,
+            # r14: 3-branch fanout from t (name/hours/persons), node
+            # sides broadcast off label_counts; measured 3
+            "graph_motif_numeric": 4,
+            # r14: 1-hop motif + left-semi existence filter + implicit-
+            # grouping agg; measured 3
+            "graph_motif_exists": 4,
+            # r14: untyped children side streams (unbounded label) +
+            # collect agg + total-order sort; measured 4
+            "graph_motif_collect_node": 5,
+            # r14: 1-hop motif, CASE-keyed agg; measured 1
+            "graph_motif_case": 2}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
