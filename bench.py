@@ -97,15 +97,8 @@ EXTENDED = [
     "graph_motif_edge_distinct",  # r12: relationship-uniqueness mode,
                                   # both modes timed in one key
     "graph_motif_edge_var",     # r12: untyped -[r]-> edge variable
-    "graph_scc_coloring",       # r12: hub-safe FW-BW coloring SCC —
-                                # job-count-bound (~20 probe+checkpoint
-                                # flood rounds; the betweenness regime)
     "graph_motif_aggregate",    # r12: RETURN aggregates (implicit
                                 # grouping) compiled from pattern text
-    "graph_random_walks",       # r12: hash-seeded DeepWalk sampling
-                                # (8 keyed frontier joins + rank)
-    "graph_walk_skipgrams",     # r12: skip-gram pairs + hash negatives
-                                # over the walk trail
     "graph_motif_pipeline",     # r12b: Cypher WITH stages (aggregate ->
                                 # HAVING -> re-anchored MATCH) from text
     "graph_motif_shortestpath",  # r12b: shortestPath distance histogram
@@ -124,6 +117,10 @@ EXTENDED = [
                                 # whole-result distinct
     "graph_motif_optional_where",  # r13: match-time WHERE in the
                                    # optional left-join condition
+    "graph_motif_numeric",      # r14: cast+arithmetic WHERE exprs
+    "graph_motif_exists",       # r14: left-semi pattern predicate
+    "graph_motif_collect_node",  # r14: whole-node collect cells
+    "graph_motif_case",         # r14: searched CASE group key
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
@@ -179,6 +176,14 @@ RETIRED = [
     "graph_scc_condensation",   # r11: condensation DAG topo levels
     "attribution_linear",       # r11: multi-touch value split
     "ts_seasonal_decompose",    # r11: day-of-week + signed-ppm residuals
+    # r14 retirements (wall policy): graphq loop rows unchanged
+    # r13+r14, pins cross-checked within spread on the r12 AND r14
+    # healthy captures (scc 6.073 vs pin 6.584, walks 2.253 vs
+    # 2.969, skipgrams 2.403 vs 3.209) — the three heaviest
+    # non-canary rows (~10.7 s of the 25.3 s healthy extended wall)
+    "graph_scc_coloring",       # r12: hub-safe FW-BW coloring SCC
+    "graph_random_walks",       # r12: hash-seeded DeepWalk sampling
+    "graph_walk_skipgrams",     # r12: skip-gram pair expansion
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.
