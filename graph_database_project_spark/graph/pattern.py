@@ -108,6 +108,34 @@ Supported subset — exactly what the compiler supports, nothing more:
   after WITH must mention at least one carried variable (else it would
   be a cartesian product — rejected at parse time). A query containing
   WITH must end with RETURN;
+* numeric value expressions in WHERE (r14): float literals,
+  ``toInteger(…)`` / ``toFloat(…)`` cast accessors (the corpus stores
+  properties as STRINGS; compiled to ``try_cast`` so malformed values
+  are NULL — Cypher's rule, never an ANSI cast error), and ``+ - * /``
+  arithmetic at operator precedence (``* /`` bind tighter,
+  left-associative; no parentheses — wrap the comparison instead).
+  Integer-only positions (SKIP/LIMIT/hop bounds) reject float literals
+  with positions;
+* positive existential pattern predicates in WHERE (r14): the bare
+  Cypher form ``WHERE (a)-[:T]->(b)`` and ``exists((a)-[:T]->(b))``,
+  plus ``NOT exists(…)`` — compiled to a left-SEMI join (the dual of
+  the NOT anti-join): bindings are filtered, never multiplied. Same
+  structural rules as NOT: single edge, bound anchor, top-level AND-ed
+  conjuncts only, auxiliary nodes may carry label/property predicates
+  and bind no output columns;
+* ``collect(v)`` of a whole NODE variable (r14) collects the node
+  itself, rendered as one deterministic ``id:name`` cell per node
+  (the reference's collect-connected-node-records shape,
+  first-graph.py:168-176); before r14 this silently collapsed to
+  ``collect(v.id)``. ``collect(r)`` of an edge variable still collects
+  ``rel_type`` — the data model's whole edge payload;
+* searched ``CASE WHEN pred THEN value … [ELSE value] END AS alias``
+  expressions in RETURN/WITH items (r14) — the GPT bucketing idiom,
+  compiled to an ``F.when`` chain (no ELSE → NULL). Usable as
+  implicit-grouping keys; the alias is required (the output column
+  needs a deterministic name). Predicates are the full WHERE boolean
+  grammar minus pattern predicates; values are string literals or
+  numeric value expressions;
 * ``UNION [ALL]`` between full MATCH queries (r13) — each branch is an
   independent query (its own variables, WITH environment and RETURN);
   branches combine by column name, and bare UNION de-duplicates the

@@ -372,6 +372,20 @@ _MOTIF_UNION_RULE = re.compile(
     r"which bulletins mention '?([\w ]+?)'? or include line '?([\w-]+)'?$",
     re.I,
 )
+# r14: numeric-threshold questions over string-typed properties emit
+# toFloat() cast + float-literal WHERE text ("tasks over 2.5 hours" —
+# the natural question for the corpus's task_hours, verdict r13 #4)
+_MOTIF_NUMERIC_RULE = re.compile(
+    r"which tasks (?:take|need) more than (\d+(?:\.\d+)?) "
+    r"(?:task[- ])?hours",
+    re.I,
+)
+# r14: "which X have any Y" questions emit a positive existential
+# pattern predicate (left-semi; the dual of the NOT anti-join)
+_MOTIF_EXISTS_RULE = re.compile(
+    r"which (\w+?)s? have any (\w+?)s?$",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -496,6 +510,33 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             "UNION "
             f"MATCH (ln {{name: '{line}'}})-[:included_in]->(a) "
             "RETURN a.docnbr AS docnbr")
+        return compile_pattern(pattern)
+    m = _MOTIF_NUMERIC_RULE.search(q)
+    if m:
+        # numeric text (r14): the corpus stores task_hours as STRINGS —
+        # the emitted Cypher casts with toFloat() (try_cast: malformed
+        # → NULL, never an ANSI error) and compares against the float
+        # literal, all inside the motif's JVM-side filter
+        pattern = (
+            "MATCH (t:task)-[:HAS_NAME]->(nm), "
+            "(t)-[:HAS_TASK_HOURS]->(th) "
+            f"WHERE toFloat(th.content) > {float(m.group(1))!r} "
+            "RETURN t.docnbr AS docnbr, nm.content AS task, "
+            "th.content AS hours ORDER BY docnbr, task")
+        return compile_pattern(pattern)
+    m = _MOTIF_EXISTS_RULE.search(q)
+    if m:
+        # existential text (r14): anchor the subject through its
+        # IS_PART_OF up-link (every non-root node has one), then the
+        # positive pattern predicate semi-filters — "which steps have
+        # any number" keeps the numbered work-instruction steps and
+        # never multiplies rows per number
+        child, grand = m.group(1).lower(), m.group(2).lower()
+        pattern = (
+            f"MATCH (x:{child})-[:IS_PART_OF]->(par) "
+            f"WHERE (x)-[:HAS_{grand.upper()}]->(:{grand}) "
+            "RETURN x.docnbr AS docnbr, par.name AS parent, "
+            "count(x) AS n ORDER BY docnbr, parent")
         return compile_pattern(pattern)
     m = _GRAPH_RULE.search(q)
     if not m:

@@ -304,3 +304,47 @@ def test_followup_anchors_through_earlier_marker_turn():
         "and for AFRICA?",
     ])
     assert got == "total revenue per nation in region 'AFRICA'"
+
+
+def test_numeric_question_emits_cast_pattern(spark):
+    """r14: 'tasks over N hours' routes through the numeric pattern
+    surface (toFloat cast + float literal) and must agree with the
+    directly-computed answer."""
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(spark, store,
+                      "Which tasks take more than 25.5 task hours?")
+    got = [(r.docnbr, r.task, r.hours) for r in df.collect()]
+    # corpus task_hours: 40, 50 (1028), 30 (1029), 20 (1030)
+    assert got == [
+        ("737-00-1028", "Angle of Attack (AOA) Sensor System Test", "40"),
+        ("737-00-1028", "Operational Readiness Flight", "50"),
+        ("737-00-1029", "Fuel Pump Replacement", "30"),
+    ]
+    # integer-spelled threshold works too (float regex admits both)
+    df2 = answer_graph(spark, store,
+                       "which tasks need more than 45 hours")
+    assert [(r.docnbr, r.hours) for r in df2.collect()] == [
+        ("737-00-1028", "50")]
+
+
+def test_exists_question_emits_semi_pattern(spark):
+    """r14: 'which X have any Y' routes through the positive
+    existential predicate — only the numbered (work-instruction) steps
+    survive, counted per parent without per-number multiplication."""
+    from graph_database_project_spark.operators.motifq import (
+        q_graph_motif_exists)
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(spark, store, "which steps have any numbers")
+    got = sorted((r.docnbr, r.parent, r.n) for r in df.collect())
+    golden = sorted(
+        (r.docnbr, r.parent, r.n_steps)
+        for r in q_graph_motif_exists(spark, "/root/testdata/sf0.01")
+        .collect())
+    assert got == golden
+    assert all(p == "work_instructions" for _, p, _ in got)
