@@ -1659,6 +1659,26 @@ class _Parser:
         while True:
             k, v, item_pos = self.peek()
             k1, v1, _ = self.peek(1)
+            if self._expr_item_ahead():
+                # a numeric VALUE EXPRESSION item (r14b): toInteger/
+                # toFloat casts, numeric literals, or arithmetic over
+                # field refs — ``RETURN toFloat(th.content) * 2 AS x``.
+                # The alias is required (deterministic column name).
+                expr = self._value_expr()
+                if not self.at("kw", "AS"):
+                    _, vv, p = self.peek()
+                    raise PatternSyntaxError(
+                        f"a value-expression item needs an explicit "
+                        f"alias — expected AS at position {p}, got "
+                        f"{vv!r}")
+                self.next()
+                alias = self.expect("ident")
+                claim([alias], item_pos)
+                items.append(("__expr__", expr, alias))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
             if (k == "ident" and v.upper() == "CASE"
                     and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
                 # searched CASE expression (r14) — items carry the
@@ -1758,6 +1778,30 @@ class _Parser:
             break
         return items, aggs, bare_edges
 
+    _ARITH_PUNCTS = ("+", "-", "*", "/")
+
+    def _expr_item_ahead(self) -> bool:
+        """Pure lookahead: does the cursor open a numeric VALUE
+        EXPRESSION rather than a plain item? True for numeric literals
+        (incl. unary minus), ``toInteger(`` / ``toFloat(`` casts, and
+        a field ref / carried column immediately followed by an
+        arithmetic operator (after a complete plain item the only
+        legal tokens are ``,`` / AS / modifiers, so an operator there
+        is unambiguous)."""
+        k, v, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        if k == "num" or ((k, v) == ("punct", "-") and k1 == "num"):
+            return True
+        if (k == "ident" and v.lower() in ("tointeger", "tofloat")
+                and (k1, v1) == ("punct", "(")):
+            return True
+        if k == "ident" and (k1, v1) == ("punct", "."):
+            k3, v3, _ = self.peek(3)
+            return k3 == "punct" and v3 in self._ARITH_PUNCTS
+        if k == "ident" and k1 == "punct" and v1 in self._ARITH_PUNCTS:
+            return True
+        return False
+
     def _at_word(self, w: str) -> bool:
         """Case-insensitive word check covering BOTH token kinds —
         CASE/WHEN/THEN/ELSE/END are deliberately not reserved (they stay
@@ -1852,6 +1896,19 @@ class _Parser:
             if fn != "count" or dist:
                 raise PatternSyntaxError(
                     f"'*' at position {p} is only valid as count(*)")
+        elif self._expr_item_ahead():
+            # aggregate over a numeric VALUE EXPRESSION (r14b):
+            # ``sum(toInteger(th.content))``, ``avg(toFloat(x.f) * 2)``
+            # — the "total hours per bulletin" GPT shape. The cast
+            # makes it numeric by construction, so the sum/avg guard
+            # does not apply.
+            expr = self._value_expr()
+            self.expect("punct", ")")
+            alias = f"{fn}_expr"
+            if self.at("kw", "AS"):
+                self.next()
+                alias = self.expect("ident")
+            return (fn, "__expr__", expr, dist, alias)
         elif (fr := self._maybe_fn_ref(allow_labels=True)) is not None:
             # aggregate over an accessor function: min(length(p)),
             # count(DISTINCT type(r)), collect(id(n)) ... (r13)
@@ -2230,6 +2287,22 @@ def _apply_projection(out: DataFrame, items, aggregates,
         for fn, var, fld, dist, alias in aggregates:
             if var is None and fld is None:
                 aggs.append(F.count(F.lit(1)).alias(alias))
+                continue
+            if var == "__expr__":
+                # aggregate over a value expression (r14b) — fld holds
+                # the Column thunk
+                c = fld()
+                if fn == "count":
+                    aggs.append((F.countDistinct(c) if dist
+                                 else F.count(c)).alias(alias))
+                elif fn == "collect":
+                    coll = F.sort_array(F.collect_set(c) if dist
+                                        else F.collect_list(c))
+                    aggs.append(F.concat_ws(
+                        ";", F.transform(coll, lambda x: x.cast("string"))
+                    ).alias(alias))
+                else:
+                    aggs.append(getattr(F, fn)(c).alias(alias))
                 continue
             if fld == "__node__":
                 # collect(v) of a whole node (r14): one deterministic

@@ -501,6 +501,13 @@ GOLDEN_GRAPH_MOTIF_CASE_ROWS = [
     ('medium', 1, '30'),
 ]
 
+GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_COLS = [('docnbr', 'VARCHAR'), ('n_tasks', 'BIGINT'), ('total_hours', 'BIGINT'), ('avg_hours', 'DOUBLE')]
+GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_ROWS = [
+    ('737-00-1028', 2, 90, 45.0),
+    ('737-00-1029', 1, 30, 30.0),
+    ('737-00-1030', 1, 20, 20.0),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -509,6 +516,8 @@ def _values_sql(cols, rows):
             return f"CAST(NULL AS {t})"
         if t == "BIGINT":
             return f"CAST({int(v)} AS BIGINT)"
+        if t == "DOUBLE":
+            return f"CAST({float(v)!r} AS DOUBLE)"
         return "'" + str(v).replace("'", "''") + "'"
     vals = ",\n  ".join(
         "(" + ", ".join(lit(v, t) for (_, t), v in zip(cols, row)) + ")"
@@ -548,4 +557,5 @@ ORACLE = {
     "graph_motif_exists": _values_sql(GOLDEN_GRAPH_MOTIF_EXISTS_COLS, GOLDEN_GRAPH_MOTIF_EXISTS_ROWS),
     "graph_motif_collect_node": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_NODE_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_NODE_ROWS),
     "graph_motif_case": _values_sql(GOLDEN_GRAPH_MOTIF_CASE_COLS, GOLDEN_GRAPH_MOTIF_CASE_ROWS),
+    "graph_motif_numeric_agg": _values_sql(GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_COLS, GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_ROWS),
 }

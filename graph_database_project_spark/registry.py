@@ -258,6 +258,8 @@ _DRIVER_WINDOW = [
     "graph_motif_collect_node",
     # graph_motif_case: searched CASE in RETURN as implicit-group key
     "graph_motif_case",
+    # graph_motif_numeric_agg: sum/avg over cast value expressions
+    "graph_motif_numeric_agg",
     # --- family reps (modules with no r09/r10-cohort key) ---
     "nl2query_demo",
     "pipeline_training_data",
@@ -281,7 +283,6 @@ _DRIVER_WINDOW = [
     "sort_topk",
     "text_token_count",
     "ts_anomaly_zscore",
-    "window_lag_delta",
     "xml_shared_linenumbers",
 ]
 

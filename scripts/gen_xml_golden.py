@@ -38,7 +38,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r14: whole-node collect() ('id:name' cells)
          "graph_motif_collect_node",
          # r14: searched CASE in RETURN (implicit-grouping key)
-         "graph_motif_case"]
+         "graph_motif_case",
+         # r14b: aggregates over value expressions (sum/avg of casts)
+         "graph_motif_numeric_agg"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')
@@ -60,6 +62,7 @@ out.append('')
 def sqlt(dt):
     if isinstance(dt, T.LongType): return "BIGINT"
     if isinstance(dt, T.StringType): return "VARCHAR"
+    if isinstance(dt, T.DoubleType): return "DOUBLE"
     raise ValueError(dt)
 
 for n in names:
@@ -82,6 +85,8 @@ def _values_sql(cols, rows):
             return f"CAST(NULL AS {t})"
         if t == "BIGINT":
             return f"CAST({int(v)} AS BIGINT)"
+        if t == "DOUBLE":
+            return f"CAST({float(v)!r} AS DOUBLE)"
         return "'" + str(v).replace("'", "''") + "'"
     vals = ",\\n  ".join(
         "(" + ", ".join(lit(v, t) for (_, t), v in zip(cols, row)) + ")"

@@ -481,7 +481,9 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # collect agg + total-order sort; measured 4
             "graph_motif_collect_node": 5,
             # r14: 1-hop motif, CASE-keyed agg; measured 1
-            "graph_motif_case": 2}
+            "graph_motif_case": 2,
+            # r14b: 1-hop motif, expr-arg aggregates; measured 1
+            "graph_motif_numeric_agg": 2}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

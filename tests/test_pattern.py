@@ -1968,3 +1968,34 @@ def test_case_rejects():
     ]:
         with pytest.raises(PatternSyntaxError, match=hint):
             parse_match(bad)
+
+
+def test_return_value_expressions(tinynum):
+    """r14b: value expressions as RETURN items (alias required) and as
+    aggregate arguments — the 'total hours per bulletin' GPT shape."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, toFloat(h.content) * 2 AS dbl"))
+    assert got == [("t1", 80.0), ("t2", 5.0)]
+    # sum/avg over a cast expression, implicit grouping; try_cast of
+    # '2.5' to BIGINT is NULL -> t2's sum is NULL (skipped), Cypher rule
+    got2 = sorted(
+        (tuple(r) for r in match_pattern(
+            nodes, edges,
+            "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+            "RETURN t.docnbr AS docnbr, sum(toInteger(h.content)) AS tot, "
+            "avg(toFloat(h.content)) AS avg_h").collect()))
+    assert got2 == [("d1", 40, 21.25)]
+    # collect over an expression renders the computed values
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.docnbr AS docnbr, collect(toFloat(h.content)) AS vals"))
+    assert got3 == [("d1", "2.5;40.0")]
+    # missing alias is a positioned reject
+    with pytest.raises(PatternSyntaxError, match="alias"):
+        parse_match(
+            "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+            "RETURN toFloat(h.content)")
