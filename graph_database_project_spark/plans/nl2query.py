@@ -386,6 +386,12 @@ _MOTIF_EXISTS_RULE = re.compile(
     r"which (\w+?)s? have any (\w+?)s?$",
     re.I,
 )
+# r14b: numeric-rollup questions emit aggregates over cast value
+# expressions ("total and average task hours per bulletin")
+_MOTIF_NUMERIC_AGG_RULE = re.compile(
+    r"total (?:and average )?task hours per bulletin",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -523,6 +529,16 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             f"WHERE toFloat(th.content) > {float(m.group(1))!r} "
             "RETURN t.docnbr AS docnbr, nm.content AS task, "
             "th.content AS hours ORDER BY docnbr, task")
+        return compile_pattern(pattern)
+    m = _MOTIF_NUMERIC_AGG_RULE.search(q)
+    if m:
+        # numeric-rollup text (r14b): the casts live inside the
+        # aggregate arguments (string-typed corpus properties)
+        pattern = (
+            "MATCH (t:task)-[:HAS_TASK_HOURS]->(th:task_hours) "
+            "RETURN t.docnbr AS docnbr, count(*) AS n_tasks, "
+            "sum(toInteger(th.content)) AS total_hours, "
+            "avg(toFloat(th.content)) AS avg_hours ORDER BY docnbr")
         return compile_pattern(pattern)
     m = _MOTIF_EXISTS_RULE.search(q)
     if m:

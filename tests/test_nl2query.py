@@ -348,3 +348,26 @@ def test_exists_question_emits_semi_pattern(spark):
         .collect())
     assert got == golden
     assert all(p == "work_instructions" for _, p, _ in got)
+
+
+def test_numeric_agg_question_emits_expr_aggregates(spark):
+    """r14b: the rollup question routes through aggregates over cast
+    expressions and must equal the golden registry key."""
+    from graph_database_project_spark.operators.motifq import (
+        q_graph_motif_numeric_agg)
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(spark, store,
+                      "total and average task hours per bulletin")
+    got = [(r.docnbr, r.n_tasks, r.total_hours, r.avg_hours)
+           for r in df.collect()]
+    golden = [(r.docnbr, r.n_tasks, r.total_hours, r.avg_hours)
+              for r in q_graph_motif_numeric_agg(
+                  spark, "/root/testdata/sf0.01").collect()]
+    assert got == golden == [
+        ("737-00-1028", 2, 90, 45.0),
+        ("737-00-1029", 1, 30, 30.0),
+        ("737-00-1030", 1, 20, 20.0),
+    ]
