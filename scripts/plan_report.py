@@ -82,7 +82,12 @@ def main() -> None:
              "graph_mis_luby",
              # r13 additions: collect(), optional chains, UNION
              "graph_motif_collect", "graph_motif_optional_chain",
-             "graph_motif_union", "graph_motif_optional_where"]
+             "graph_motif_union", "graph_motif_optional_where",
+             # r14 additions: numeric exprs, exists semi, whole-node
+             # collect, CASE keys, expr aggregates
+             "graph_motif_numeric", "graph_motif_exists",
+             "graph_motif_collect_node", "graph_motif_case",
+             "graph_motif_numeric_agg"]
     for name in bench.HEADLINE + extra:
         fn = qs.get(name)
         if fn is None:
