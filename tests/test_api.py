@@ -522,3 +522,30 @@ def test_pattern_endpoint_explain_final(server):
     assert "final" in body["plan_stage"]
     assert "isFinalPlan=true" in body["plan"]
     assert body["n_broadcasts"] >= 1
+
+
+def test_pattern_endpoint_r14_surface(server):
+    """Numeric expressions, exists(), and CASE served over HTTP — the
+    registry keys' exact pattern text plus a positioned 422 for a
+    float in an int-only position."""
+    from graph_database_project_spark.operators.motifq import (
+        _CASE_PATTERN, _EXISTS_PATTERN, _NUMERIC_PATTERN)
+
+    code, body = _post(f"{server}/pattern", {"pattern": _NUMERIC_PATTERN})
+    assert code == 200
+    assert [(r["docnbr"], r["hours"]) for r in body["rows"]] == [
+        ("737-00-1028", "50"), ("737-00-1029", "30")]
+
+    code, body = _post(f"{server}/pattern", {"pattern": _EXISTS_PATTERN})
+    assert code == 200
+    assert all(r["parent"] == "work_instructions" for r in body["rows"])
+    assert len(body["rows"]) == 3
+
+    code, body = _post(f"{server}/pattern", {"pattern": _CASE_PATTERN})
+    assert code == 200
+    assert [r["band"] for r in body["rows"]] == ["heavy", "light", "medium"]
+
+    code, body = _post(f"{server}/pattern", {"pattern":
+        "MATCH (a:task)-[:HAS_NAME]->(b) RETURN b.content AS c LIMIT 1.5"})
+    assert code == 422
+    assert "integer" in body["error"] and "position" in body["error"]

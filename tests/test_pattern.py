@@ -1999,3 +1999,29 @@ def test_return_value_expressions(tinynum):
         parse_match(
             "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
             "RETURN toFloat(h.content)")
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_arithmetic_precedence_matches_python(spark, seed):
+    """Property test: random single-line arithmetic over integer
+    literals parses at Python's operator precedence — the compiled
+    Column and Python's eval agree (floats avoided: / uses exact
+    dyadic operands)."""
+    import random
+
+    rng = random.Random(seed)
+    n_terms = rng.randint(2, 5)
+    terms = [str(rng.randint(1, 9))]
+    for _ in range(n_terms - 1):
+        terms.append(rng.choice(["+", "-", "*"]))
+        terms.append(str(rng.randint(1, 9)))
+    expr = " ".join(terms)
+    expected = eval(expr)  # noqa: S307 — integer-literal arithmetic
+    p = parse_match(
+        f"MATCH (a:A)-[:R]->(b) WHERE a.id + 0 = {expr} RETURN b.name")
+    # evaluate against a literal a_id equal to the expected value
+    from pyspark.sql import functions as F
+    got = (spark.range(1)
+           .withColumn("a_id", F.lit(expected))
+           .select(p.where_fn[0]().alias("ok")).first()["ok"])
+    assert got is True, (expr, expected)
