@@ -678,3 +678,67 @@ def test_union_key_dedup_is_live(spark):
     assert sorted(set(all_rows)) == sorted(union_rows)
     assert len(all_rows) > len(union_rows)
     assert ("737-00-1029",) in union_rows  # the overlapping doc
+
+
+def test_numeric_key_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_numeric (r14): recompute the
+    two-predicate manpower-task filter directly from the XML — the
+    golden is pinned by something other than the engine itself."""
+    expect = []
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        for task in root.findall(".//manpower/task"):
+            hours = task.findtext("task_hours").strip()
+            persons = task.findtext("persons").strip()
+            if int(hours) > 25 and float(hours) / int(persons) > 8.5:
+                expect.append((docnbr, task.findtext("name").strip(),
+                               hours, persons))
+    expect.sort()
+    got = [(r.docnbr, r.task, r.hours, r.persons)
+           for r in motifq.q_graph_motif_numeric(spark, SF).collect()]
+    assert sorted(got) == expect
+    # both predicates are live: each excludes a DIFFERENT task
+    all_tasks = sum(len(ET.parse(p).getroot().findall(".//manpower/task"))
+                    for p in glob.glob(REFERENCE_XML_GLOB))
+    assert all_tasks == 4 and len(expect) == 2
+
+
+def test_exists_key_partition_on_corpus(spark):
+    """Set algebra on the corpus: exists + NOT exists partition the
+    step set per parent — and the description steps fall entirely in
+    the NOT side (the substrate discriminator)."""
+    from graph_database_project_spark.graph.pattern import match_pattern
+    from graph_database_project_spark.operators.xmlq import _store
+
+    st = _store(spark)
+    base = "MATCH (par:work_instructions|description)-[:HAS_STEP]->(s:step) "
+    ret = "RETURN s.docnbr AS docnbr, par.name AS parent, count(s) AS n"
+    tot = {(r.docnbr, r.parent): r.n for r in match_pattern(
+        st.nodes, st.edges, base + ret).collect()}
+    pos = {(r.docnbr, r.parent): r.n for r in match_pattern(
+        st.nodes, st.edges,
+        base + "WHERE (s)-[:HAS_NUMBER]->(:number) " + ret).collect()}
+    neg = {(r.docnbr, r.parent): r.n for r in match_pattern(
+        st.nodes, st.edges,
+        base + "WHERE NOT exists((s)-[:HAS_NUMBER]->(:number)) " + ret).collect()}
+    for k, n in tot.items():
+        assert pos.get(k, 0) + neg.get(k, 0) == n
+    assert all(k[1] == "work_instructions" for k in pos)
+    assert all(k[1] == "description" for k in neg)
+
+
+def test_numeric_agg_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_numeric_agg (r14b): the
+    per-bulletin hour rollups recomputed from the XML."""
+    expect = {}
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        hours = [int(t.findtext("task_hours").strip())
+                 for t in root.findall(".//manpower/task")]
+        expect[docnbr] = (len(hours), sum(hours),
+                          sum(hours) / len(hours))
+    got = {r.docnbr: (r.n_tasks, r.total_hours, r.avg_hours)
+           for r in motifq.q_graph_motif_numeric_agg(spark, SF).collect()}
+    assert got == expect
