@@ -115,7 +115,11 @@ Supported subset — exactly what the compiler supports, nothing more:
   arithmetic at operator precedence (``* /`` bind tighter,
   left-associative; no parentheses — wrap the comparison instead).
   Integer-only positions (SKIP/LIMIT/hop bounds) reject float literals
-  with positions;
+  with positions. Value expressions also serve as RETURN/WITH items
+  (``toFloat(th.content) * 2 AS x`` — alias required) and aggregate
+  arguments (``sum(toInteger(th.content))``), and include
+  ``coalesce(…)`` (first non-NULL — the OPTIONAL-column default idiom)
+  and the toLower/toUpper wrappers;
 * positive existential pattern predicates in WHERE (r14): the bare
   Cypher form ``WHERE (a)-[:T]->(b)`` and ``exists((a)-[:T]->(b))``,
   plus ``NOT exists(…)`` — compiled to a left-SEMI join (the dual of
@@ -1449,6 +1453,19 @@ class _Parser:
             inner = self._value_expr()
             self.expect("punct", ")")
             return lambda: inner().try_cast(typ)
+        if (k == "ident" and v.lower() == "coalesce"
+                and (k1, v1) == ("punct", "(")):
+            # Cypher's coalesce (r14b): first non-NULL of its arguments
+            # — the idiom GPT emits over OPTIONAL MATCH columns. Args
+            # are value expressions or string literals.
+            self.next()
+            self.next()
+            args = [self._case_value()]
+            while self.at("punct", ","):
+                self.next()
+                args.append(self._case_value())
+            self.expect("punct", ")")
+            return lambda: F.coalesce(*[a() for a in args])
         return self._value_ref()
 
     _ARITH_OPS = {
@@ -1792,7 +1809,9 @@ class _Parser:
         k1, v1, _ = self.peek(1)
         if k == "num" or ((k, v) == ("punct", "-") and k1 == "num"):
             return True
-        if (k == "ident" and v.lower() in ("tointeger", "tofloat")
+        if (k == "ident" and v.lower() in ("tointeger", "tofloat",
+                                           "tolower", "toupper",
+                                           "coalesce")
                 and (k1, v1) == ("punct", "(")):
             return True
         if k == "ident" and (k1, v1) == ("punct", "."):

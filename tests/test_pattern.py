@@ -2025,3 +2025,25 @@ def test_arithmetic_precedence_matches_python(spark, seed):
            .withColumn("a_id", F.lit(expected))
            .select(p.where_fn[0]().alias("ok")).first()["ok"])
     assert got is True, (expr, expected)
+
+
+def test_tolower_and_coalesce_in_return(tiny):
+    """r14b: toLower/toUpper as RETURN items; coalesce() over an
+    OPTIONAL MATCH column (the GPT NULL-default idiom) in items and
+    WHERE."""
+    nodes, edges = tiny
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) RETURN toUpper(b.name) AS bn"))
+    assert got == [("B1",), ("B2",)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B) OPTIONAL MATCH (b)-[:T]->(z) "
+        "RETURN b.name AS bn, coalesce(z.name, 'none') AS zn"))
+    assert got2 == [("b1", "none"), ("b2", "none")]
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (b:B) OPTIONAL MATCH (b)-[:T]->(z) "
+        "WHERE coalesce(z.name, 'none') = 'none' "
+        "RETURN b.name AS bn, count(z) AS n"))
+    assert got3 == [("b1", 0), ("b2", 0)]
