@@ -629,17 +629,20 @@ def match_motif(
             result = result.join(rel, cond, "left").drop("_opt_key")
             bound.add(ovar)
             continue
-        if ep.existential:
-            # EXISTS semi-filter (r14) — the positive dual of negated:
-            # left-semi keeps each binding AT MOST ONCE (no row
-            # multiplication), which is exactly Cypher's pattern-
-            # predicate semantics
+        if ep.existential or ep.negated:
+            # pattern PREDICATES (one shared compile — duals by join
+            # type): existential (r14) is Cypher's positive
+            # ``WHERE (a)-[:T]->(b)`` — a left-SEMI keeps each binding
+            # AT MOST ONCE (filters, never multiplies); negated is
+            # ``WHERE NOT …`` — the left-ANTI NOT-EXISTS filter.
+            kind, how = (("existential", "left_semi") if ep.existential
+                         else ("negated", "left_anti"))
             if ep.src in bound and ep.dst in bound:
                 result = result.join(
                     er,
                     (F.col(f"{ep.src}_id") == er["src"])
                     & (F.col(f"{ep.dst}_id") == er["dst"]),
-                    "left_semi",
+                    how,
                 )
                 continue
             bvar, avar, edge_col = (
@@ -647,49 +650,19 @@ def match_motif(
                 else (ep.dst, ep.src, "dst"))
             if refs[avar] != 1 or avar in bound:
                 raise ValueError(
-                    f"existential-edge auxiliary variable {avar!r} must "
+                    f"{kind}-edge auxiliary variable {avar!r} must "
                     "appear in exactly that one edge")
-            # EXISTS an edge to ANY node matching the auxiliary
-            # pattern: semi-join against (edges ⋈ aux-node-pattern)
+            # [NOT] EXISTS an edge to ANY node matching the auxiliary
+            # pattern: semi/anti join against (edges ⋈ aux-node-pattern)
             arel, asel = sides[avar]
             if asel:
                 arel = F.broadcast(arel)
             hit = (er.join(arel,
                            er["dst" if edge_col == "src" else "src"]
                            == F.col(f"{avar}_id"))
-                   .select(er[edge_col].alias("_ex_key")))
+                   .select(er[edge_col].alias("_pred_key")))
             result = result.join(
-                hit, F.col(f"{bvar}_id") == F.col("_ex_key"), "left_semi")
-            aux.add(avar)
-            continue
-        if ep.negated:
-            # NOT-EXISTS anti-filter (Cypher WHERE NOT pattern)
-            if ep.src in bound and ep.dst in bound:
-                result = result.join(
-                    er,
-                    (F.col(f"{ep.src}_id") == er["src"])
-                    & (F.col(f"{ep.dst}_id") == er["dst"]),
-                    "left_anti",
-                )
-                continue
-            bvar, avar, edge_col = (
-                (ep.src, ep.dst, "src") if ep.src in bound
-                else (ep.dst, ep.src, "dst"))
-            if refs[avar] != 1 or avar in bound:
-                raise ValueError(
-                    f"negated-edge auxiliary variable {avar!r} must "
-                    "appear in exactly that one edge")
-            # NOT EXISTS an edge to ANY node matching the auxiliary
-            # pattern: anti-join against (edges ⋈ aux-node-pattern)
-            arel, asel = sides[avar]
-            if asel:
-                arel = F.broadcast(arel)
-            hit = (er.join(arel,
-                           er["dst" if edge_col == "src" else "src"]
-                           == F.col(f"{avar}_id"))
-                   .select(er[edge_col].alias("_neg_key")))
-            result = result.join(
-                hit, F.col(f"{bvar}_id") == F.col("_neg_key"), "left_anti")
+                hit, F.col(f"{bvar}_id") == F.col("_pred_key"), how)
             aux.add(avar)
             continue
         ecarry = ([F.col("rel_type").alias(f"{ep.var}_rel_type")]

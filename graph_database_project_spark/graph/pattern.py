@@ -1357,11 +1357,16 @@ class _Parser:
                 "existential patterns are single-hop — MATCH a "
                 "variable-length edge positively and use DISTINCT")
         new_vars = set(self.nodes) - known
-        if ep.src in new_vars:
+        if ep.src in new_vars or ep.src in self.neg_only:
             raise PatternSyntaxError(
                 f"existential pattern at position {ex_pos} must anchor "
-                f"on an already-bound variable ({ep.src!r} appears only "
-                "inside the exists)")
+                f"on an already-bound variable ({ep.src!r} exists only "
+                "inside a NOT/exists() pattern and binds nothing)")
+        if ep.dst in self.neg_only and ep.dst not in new_vars:
+            raise PatternSyntaxError(
+                f"existential pattern at position {ex_pos} references "
+                f"{ep.dst!r}, which exists only inside another "
+                "NOT/exists() pattern and binds nothing")
         self.neg_only |= new_vars
         self.edges.append(replace(ep, existential=True))
 
@@ -1393,11 +1398,16 @@ class _Parser:
                 f"edge variable {ep.var!r} on a negated pattern "
                 "binds nothing (NOT asserts non-existence)")
         new_vars = set(self.nodes) - known
-        if ep.src in new_vars:
+        if ep.src in new_vars or ep.src in self.neg_only:
             raise PatternSyntaxError(
                 f"NOT pattern at position {not_pos} must anchor on "
-                f"an already-bound variable ({ep.src!r} appears only "
-                "inside the negation)")
+                f"an already-bound variable ({ep.src!r} exists only "
+                "inside a NOT/exists() pattern and binds nothing)")
+        if ep.dst in self.neg_only and ep.dst not in new_vars:
+            raise PatternSyntaxError(
+                f"NOT pattern at position {not_pos} references "
+                f"{ep.dst!r}, which exists only inside another "
+                "NOT/exists() pattern and binds nothing")
         # a variable introduced ONLY inside the NOT binds no output
         # columns — RETURN/WHERE references to it are rejected at
         # parse time (ADVICE r11), preserving the positioned-422
@@ -2055,12 +2065,19 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
             txt = f"{ep.path_var} = shortestPath({txt})"
         return txt
 
-    clauses, opt_clauses, negs = [], [], []
+    clauses, opt_clauses, negs, exs = [], [], [], []
     i = 0
     while i < len(edge_pats):
         ep = edge_pats[i]
         if ep.negated:
             negs.append(ep)
+            i += 1
+            continue
+        if ep.existential:
+            # r14: a positive existential renders as WHERE exists(…) —
+            # rendering it as a plain MATCH clause would re-parse to a
+            # row-multiplying positive edge (different semantics)
+            exs.append(ep)
             i += 1
             continue
         if ep.optional and ep.chain_id is not None:
@@ -2094,15 +2111,17 @@ def render_match(node_pats: list[NodePat], edge_pats: list[EdgePat]) -> str:
     # Clause order in the re-parse therefore differs from edge_pats
     # order when optionals precede negations — semantically harmless
     # (join order, not meaning); the round-trip test compares multisets.
-    if negs and not clauses:
+    if (negs or exs) and not clauses:
         raise ValueError(
-            "cannot render a negation with no positive clause: the "
-            "WHERE NOT would bind to an OPTIONAL MATCH clause as its "
+            "cannot render a pattern predicate with no positive clause: "
+            "the WHERE would bind to an OPTIONAL MATCH clause as its "
             "match-time predicate (r13 Cypher binding), which rejects "
-            "pattern negations — add a positive MATCH clause")
+            "pattern predicates — add a positive MATCH clause")
     out = " ".join(clauses)
-    if negs:
-        out += " WHERE " + " AND ".join(f"NOT {edge(ep)}" for ep in negs)
+    terms = ([f"exists({edge(ep)})" for ep in exs]
+             + [f"NOT {edge(ep)}" for ep in negs])
+    if terms:
+        out += " WHERE " + " AND ".join(terms)
     if opt_clauses:
         out += " " + " ".join(opt_clauses)
     return out
@@ -2309,21 +2328,10 @@ def _apply_projection(out: DataFrame, items, aggregates,
                 continue
             if var == "__expr__":
                 # aggregate over a value expression (r14b) — fld holds
-                # the Column thunk
+                # the Column thunk; falls through to the shared
+                # count/collect/plain dispatch below
                 c = fld()
-                if fn == "count":
-                    aggs.append((F.countDistinct(c) if dist
-                                 else F.count(c)).alias(alias))
-                elif fn == "collect":
-                    coll = F.sort_array(F.collect_set(c) if dist
-                                        else F.collect_list(c))
-                    aggs.append(F.concat_ws(
-                        ";", F.transform(coll, lambda x: x.cast("string"))
-                    ).alias(alias))
-                else:
-                    aggs.append(getattr(F, fn)(c).alias(alias))
-                continue
-            if fld == "__node__":
+            elif fld == "__node__":
                 # collect(v) of a whole node (r14): one deterministic
                 # 'id:name' cell per node — id is the node's identity,
                 # name the human anchor; a NULL id (optional miss)

@@ -212,13 +212,14 @@ _DRIVER_WINDOW = [
     # fresh until the r19 build — so it rotates OUT wholesale. In:
     # (a) the remaining 23-key r09 cohort (last driver check r09 —
     # exactly at the MAX_AGE_ROUNDS=6 boundary when r15 builds; verdict
-    # r13 #3), (b) 25 r10-cohort picks (partial prepay of the r16
-    # obligation — the leftover 17 r10 keys rotate in r15), (c)
-    # nl2query_demo (r12) and pipeline_training_data (r12) as their
-    # modules' reps (neither module has an r09/r10 key), and (d) the
-    # four r14 NEW pattern-surface keys (evicting the r10 picks
-    # agg_pivot / agg_quantiles / agg_rollup / window_ntile /
-    # window_running_sum to r15 — relational keeps 7 window reps).
+    # r13 #3), (b) 19 r10-cohort picks (partial prepay of the r16
+    # obligation — the leftover 23 r10 keys MUST rotate in r15), (c)
+    # nl2query_demo (r12), pipeline_training_data (r12) and
+    # graph_motif_parsed (r11) as extra module reps, and (d) the FIVE
+    # r14 NEW pattern-surface keys (the r10 picks agg_pivot /
+    # agg_quantiles / agg_rollup / window_ntile / window_running_sum /
+    # window_lag_delta yielded their slots to r15 — relational keeps
+    # 7+ window reps).
     # Every family keeps >= 1 window rep (asserted by
     # tests/test_registry.py); every evicted key stays in the local
     # bit-exact parity gate.

@@ -68,11 +68,17 @@ def build_substrate(spark, n: int):
         (k % 1000).cast("string").alias("docnbr"),
         F.create_map().cast("map<string,string>").alias("props"),
     ).localCheckpoint(eager=True)
+    # fanout 0 must mean NO edges: sequence(start, stop) with
+    # start > stop DESCENDS (step -1), silently manufacturing two
+    # edges (incl. a self-loop) for the fanout-0 nodes and killing the
+    # exists discriminator — filter the zero-fanout rows out instead
+    # (r14 review finding: the dead-variation family)
     dnodes = r.filter(k % 10 == 2)
-    has = (dnodes.select(k.alias("src"),
-                         F.explode(F.sequence(
-                             k + 1, k + (F.expr("v div 10") % 5)))
-                         .alias("dst"))
+    has = (dnodes.filter((F.expr("v div 10") % 5) >= 1)
+           .select(k.alias("src"),
+                   F.explode(F.sequence(
+                       k + 1, k + (F.expr("v div 10") % 5)))
+                   .alias("dst"))
            .withColumn("rel_type", F.lit("HAS")))
     t = (r.filter(k % 10 == 1)
          .select(k.alias("src"), (k + 1).alias("dst"),

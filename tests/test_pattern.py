@@ -2047,3 +2047,37 @@ def test_tolower_and_coalesce_in_return(tiny):
         "WHERE coalesce(z.name, 'none') = 'none' "
         "RETURN b.name AS bn, count(z) AS n"))
     assert got3 == [("b1", 0), ("b2", 0)]
+
+
+def test_exists_render_roundtrip():
+    """r14 review finding: render_match must render existential edges
+    as WHERE exists(…) — a plain MATCH rendering would re-parse to a
+    row-multiplying positive edge."""
+    from graph_database_project_spark.graph.pattern import render_match
+
+    p = parse_match(
+        "MATCH (a:A)-[:R]->(b) WHERE (b)-[:S]->(c) RETURN b.name")
+    txt = render_match(p.node_pats, p.edge_pats)
+    assert "exists(" in txt and "WHERE" in txt
+    p2 = parse_match(txt + " RETURN b.name")
+    assert [ep.existential for ep in p2.edge_pats] == \
+        [ep.existential for ep in p.edge_pats]
+    assert [ep.negated for ep in p2.edge_pats] == \
+        [ep.negated for ep in p.edge_pats]
+
+
+def test_chained_pattern_predicates_positioned_rejects():
+    """r14 review finding: anchoring a NOT/exists on a variable that
+    itself exists only inside another NOT/exists must be a POSITIONED
+    parse reject, not an unpositioned compile ValueError."""
+    for bad in [
+        "MATCH (a:A)-[:R]->(b) WHERE (b)-[:S]->(c) AND (c)-[:T]->(d) "
+        "RETURN b.name",
+        "MATCH (a:A)-[:R]->(b) WHERE NOT (b)-[:S]->(c) AND "
+        "NOT (c)-[:T]->(d) RETURN b.name",
+        # dst re-mention of another predicate's aux variable
+        "MATCH (a:A)-[:R]->(b) WHERE (b)-[:S]->(c) AND (b)-[:T]->(c) "
+        "RETURN b.name",
+    ]:
+        with pytest.raises(PatternSyntaxError, match="binds nothing"):
+            parse_match(bad)
