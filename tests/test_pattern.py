@@ -2081,3 +2081,19 @@ def test_chained_pattern_predicates_positioned_rejects():
     ]:
         with pytest.raises(PatternSyntaxError, match="binds nothing"):
             parse_match(bad)
+
+
+def test_case_and_exprs_in_with_items(tinynum):
+    """r14: CASE and value expressions compose with WITH stages — the
+    boundary projects them as plain columns, the trailing WHERE
+    (HAVING shape) filters on the alias, and RETURN re-references it."""
+    nodes, edges = tinynum
+    got = sorted(tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t, CASE WHEN toFloat(h.content) > 10 THEN 'big' "
+        "ELSE 'small' END AS band "
+        "WHERE band = 'big' "
+        "MATCH (t)-[:HAS_PERSONS]->(p:Persons) "
+        "RETURN t.name AS tn, band, p.content AS persons").collect())
+    assert got == [("t1", "big", "5")]
