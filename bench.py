@@ -103,10 +103,10 @@ EXTENDED = [
                                 # HAVING -> re-anchored MATCH) from text
     "graph_motif_shortestpath",  # r12b: shortestPath distance histogram
                                  # (per-h exact sets + min fold, k<=4)
-    "graph_node2vec_walks",     # r12b: second-order biased walks (adds
-                                # an adjacency probe join per round)
     "graph_mis_luby",           # r12b: Luby MIS — job-count-bound
-                                # priority rounds over the union graph
+                                # priority rounds; kept as the codegen-
+                                # cache EVICTION canary (first==median
+                                # telltale, r13 adjudication)
     "graph_motif_textpred",     # r12b: WHERE string predicates (JVM
                                 # Column.contains/startswith filter)
     "graph_motif_collect",      # r13: collect() list aggregate (WITH-
@@ -121,6 +121,9 @@ EXTENDED = [
     "graph_motif_exists",       # r14: left-semi pattern predicate
     "graph_motif_collect_node",  # r14: whole-node collect cells
     "graph_motif_case",         # r14: searched CASE group key
+    "graph_motif_weighted",     # r15: parenthesized exprs + ORDER BY expr
+    "graph_motif_cond_agg",     # r15: sum(CASE WHEN ...) conditional agg
+    "graph_motif_size_concat",  # r15: string '+' concat, size(), WITH
 ]
 
 # BASELINE v2.8 wall policy (pin-and-retire): rows whose operator is
@@ -184,6 +187,12 @@ RETIRED = [
     "graph_scc_coloring",       # r12: hub-safe FW-BW coloring SCC
     "graph_random_walks",       # r12: hash-seeded DeepWalk sampling
     "graph_walk_skipgrams",     # r12: skip-gram pair expansion
+    # r15 retirement (wall policy): operator unchanged since r12b, pin
+    # 3.149 stamped v2.8.3 from BOTH r14 healthy captures, and the r14
+    # driver capture read 3.647 (cold-JIT shape, warm at pin). Offsets
+    # the three new r15 motif rows; graph_mis_luby stays as the
+    # codegen-cache eviction canary.
+    "graph_node2vec_walks",     # r12b: second-order biased walks
 ]
 
 # Bench-only callables (not registry keys) timed within the extended set.

@@ -111,15 +111,36 @@ Supported subset — exactly what the compiler supports, nothing more:
 * numeric value expressions in WHERE (r14): float literals,
   ``toInteger(…)`` / ``toFloat(…)`` cast accessors (the corpus stores
   properties as STRINGS; compiled to ``try_cast`` so malformed values
-  are NULL — Cypher's rule, never an ANSI cast error), and ``+ - * /``
-  arithmetic at operator precedence (``* /`` bind tighter,
-  left-associative; no parentheses — wrap the comparison instead).
-  Integer-only positions (SKIP/LIMIT/hop bounds) reject float literals
-  with positions. Value expressions also serve as RETURN/WITH items
-  (``toFloat(th.content) * 2 AS x`` — alias required) and aggregate
-  arguments (``sum(toInteger(th.content))``), and include
-  ``coalesce(…)`` (first non-NULL — the OPTIONAL-column default idiom)
-  and the toLower/toUpper wrappers;
+  are NULL — Cypher's rule, never an ANSI cast error; r15:
+  ``toInteger`` TRUNCATES numeric strings — ``toInteger('2.5')`` is 2,
+  Neo4j's rule, via a double hop for non-numeric-kinded inputs), and
+  ``+ - * /`` arithmetic at operator precedence (``* /`` bind tighter,
+  left-associative). Integer-only positions (SKIP/LIMIT/hop bounds)
+  reject float literals with positions. Value expressions also serve
+  as RETURN/WITH items (``toFloat(th.content) * 2 AS x`` — alias
+  required) and aggregate arguments (``sum(toInteger(th.content))``),
+  and include ``coalesce(…)`` (first non-NULL — the OPTIONAL-column
+  default idiom) and the toLower/toUpper wrappers;
+* r15 value-expression widenings, each kind-checked at parse time
+  ('num'/'str'/'any' static kinds — mismatches are positioned rejects,
+  never unpositioned plan errors): PARENTHESIZED grouping ``(expr)``
+  (the top probed GPT reject of r14); STRING literals as terms with
+  ``+`` as CONCATENATION when either operand is a string (Cypher's
+  rule; an 'any'-kinded carried column casts to string; a known
+  string×number mix and any string under ``- * /`` are positioned
+  rejects); ``size(value)`` = string length (Cypher's size(string));
+  ``size(collect(…))`` rewritten to count semantics (count skips NULLs
+  exactly as collect does, DISTINCT → countDistinct); searched CASE
+  usable ANYWHERE a value is legal (WHERE positions, aggregate
+  arguments — ``sum(CASE WHEN … THEN 1 ELSE 0 END)``, the
+  conditional-aggregate staple — and nested in arithmetic); sum/avg
+  over a statically string-kinded expression is a positioned reject
+  (ADVICE r14 — was a runtime ANSI error); and ORDER BY accepts a
+  value EXPRESSION over the boundary's OUTPUT columns (``ORDER BY
+  toInteger(hours) DESC`` — unprojected var.field refs are positioned
+  rejects; GPT aliases its items). ``allShortestPaths`` parses as the
+  distance-semantics alias of shortestPath (equal-length ties collapse
+  to one row per pair — the engine binds no path identity);
 * positive existential pattern predicates in WHERE (r14): the bare
   Cypher form ``WHERE (a)-[:T]->(b)`` and ``exists((a)-[:T]->(b))``,
   plus ``NOT exists(…)`` — compiled to a left-SEMI join (the dual of
@@ -232,6 +253,32 @@ def _int_tok(tok: str, pos: int, ctx: str) -> int:
             f"{ctx} takes an integer literal, got {tok!r} at "
             f"position {pos}")
     return int(tok)
+
+def _kinded(thunk, kind: str):
+    """Attach a static TYPE KIND to a value thunk — 'num' (numeric by
+    construction: literals, toInteger/toFloat/size, arithmetic over
+    nums), 'str' (string literals, corpus property fields,
+    toLower/toUpper, concatenation results), or 'any' (carried WITH
+    columns, mixed coalesce — type known only at plan time). The kind
+    drives the r15 ``+`` rule (concat when either side is a string,
+    Cypher's rule; positioned reject on string×number nonsense) and the
+    sum()/avg() parse guard (ADVICE r14: ``sum(toLower(…))`` must be a
+    positioned 422, not a runtime ANSI cast error on the seam)."""
+    thunk.kind = kind
+    return thunk
+
+
+def _kind_of(thunk) -> str:
+    return getattr(thunk, "kind", "any")
+
+
+def _kind_join(kinds) -> str:
+    """The static kind of a multi-branch value (CASE, coalesce):
+    unanimous kind, else 'any'. num-vs-str conflicts are rejected at
+    the call site (with position) before joining."""
+    ks = set(kinds)
+    return next(iter(ks)) if len(ks) == 1 else "any"
+
 
 _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"MATCH", "OPTIONAL", "WHERE", "NOT", "AND", "OR", "RETURN",
@@ -358,6 +405,10 @@ class _Parser:
         # cheap and keeps chain/anon ids distinct across UNION branches)
         self._anon = 0
         self._chain_seq = 0
+        # when set (ORDER BY expressions, r15), _field_ref resolves
+        # leaf references through this callable (OUTPUT columns of the
+        # boundary) instead of the pattern-variable scope
+        self._ref_override = None
         self._reset_query_state()
 
     def _reset_query_state(self) -> None:
@@ -665,7 +716,10 @@ class _Parser:
         — Cypher's result modifiers, valid after RETURN or a WITH
         projection. Items resolve to OUTPUT columns (an alias, or
         var.field which maps through its alias when the item was
-        aliased)."""
+        aliased). An item may also be a VALUE EXPRESSION over output
+        columns (r15 — ``ORDER BY toInteger(hours) DESC``): the sort
+        key is computed on the fly (entries then carry a Column thunk
+        instead of a column name)."""
         outs = self._output_columns(items, aggregates)
         order_by: list[tuple[str, bool]] = []
         skip = limit = None
@@ -673,7 +727,10 @@ class _Parser:
             self.next()
             self.expect("kw", "BY")
             while True:
-                col = self._out_ref(outs, items, "ORDER BY")
+                if self._expr_item_ahead():
+                    col = self._modifier_expr(outs, items)
+                else:
+                    col = self._out_ref(outs, items, "ORDER BY")
                 asc = True
                 if self.at("kw", "ASC"):
                     self.next()
@@ -694,6 +751,24 @@ class _Parser:
             _, tok, pos = self.peek()
             limit = _int_tok(self.expect("num"), pos, "LIMIT")
         return order_by, skip, limit
+
+    def _modifier_expr(self, outs: set[str], items):
+        """An ORDER BY value expression (r15): the full ``_value_expr``
+        grammar with leaf references resolved against the boundary's
+        OUTPUT columns (``_ref_override`` — var.field maps through its
+        alias exactly like a plain ORDER BY item; accessor functions
+        and unprojected pattern variables are positioned rejects).
+        Returns the kinded Column thunk; the caller stores it in the
+        order_by entry in place of a column name."""
+
+        def resolve():
+            return None, self._out_ref(outs, items, "ORDER BY")
+
+        self._ref_override = resolve
+        try:
+            return self._value_expr()
+        finally:
+            self._ref_override = None
 
     def _output_columns(self, items, aggregates) -> set[str]:
         cols: set[str] = set()
@@ -799,10 +874,12 @@ class _Parser:
         k1, v1, _ = self.peek(1)
         k2, v2, _ = self.peek(2)
         if (k0 == "ident" and (k1, v1) == ("punct", "=")
-                and k2 == "ident" and v2.lower() == "shortestpath"):
+                and k2 == "ident"
+                and v2.lower() in ("shortestpath", "allshortestpaths")):
             self._shortest_path(optional, collect)
             return
-        if k0 == "ident" and v0.lower() == "shortestpath" \
+        if k0 == "ident" \
+                and v0.lower() in ("shortestpath", "allshortestpaths") \
                 and (k1, v1) == ("punct", "("):
             raise PatternSyntaxError(
                 "shortestPath must be bound to a path variable "
@@ -867,7 +944,13 @@ class _Parser:
         """``p = shortestPath((a)-[:T*1..k]->(b))`` (r12b) — distance
         semantics: the binding carries ``length(p)``, the minimum hop
         count connecting each (a, b) pair (see motif.EdgePat.path_var).
-        Single edge only; not inside NOT or OPTIONAL MATCH."""
+        Single edge only; not inside NOT or OPTIONAL MATCH.
+        ``allShortestPaths`` (r15) is accepted as an alias: under
+        distance semantics the two are identical per (a, b) pair —
+        every pair keeps its min hop count; the one divergence from
+        Neo4j is row MULTIPLICITY (Neo4j returns one row per tying
+        path; the engine binds no path identity, so equal-length ties
+        collapse to one row — document-level parity, not path-level)."""
         k, pvar, p = self.next()
         if not re.match(r"^[a-z][a-z0-9]*$", pvar):
             raise PatternSyntaxError(
@@ -1276,9 +1359,13 @@ class _Parser:
                         f"allowed {neg_ctx}")
                 self._exists_pattern()
                 has_neg = True
-            elif self.at("punct", "("):
-                # a grouped boolean sub-expression (the lookahead above
-                # ruled out a node pattern)
+            elif (self.at("punct", "(")
+                    and not self._paren_opens_value()):
+                # a grouped boolean sub-expression (the lookaheads ruled
+                # out a node pattern and a parenthesized VALUE
+                # expression — r15, ``WHERE (toInteger(x.f) + 1) * 2 >
+                # 50`` falls through to pred() below, where _value_term
+                # owns the '(')
                 self.next()
                 sub, _ = self._bool_or(pred, False, neg_ctx)
                 self.expect("punct", ")")
@@ -1293,6 +1380,36 @@ class _Parser:
                 continue
             break
         return acc, has_neg
+
+    def _paren_opens_value(self) -> bool:
+        """Cursor on a non-pattern ``(`` inside WHERE: does the group
+        close into a VALUE position — its matching ``)`` followed by an
+        arithmetic/comparison operator or a string-predicate word —
+        rather than a boolean group (followed by AND/OR/clause
+        keyword/EOF)? Pure matching-paren lookahead (r15): grouped
+        value expressions (``WHERE (toInteger(x.f) + 1) * 2 > 50``) and
+        grouped boolean sub-expressions are both legal, and the
+        distinction is decidable only at the matching ``)``. Known
+        residual ambiguity (Cypher shares it): ``(carriedcol) - 1`` is
+        shadowed by the pattern-connector lookahead — don't parenthesize
+        a bare column before a minus."""
+        depth = 0
+        j = self.i
+        while j < len(self.toks) - 1:
+            k, v, _ = self.toks[j]
+            if k == "punct" and v == "(":
+                depth += 1
+            elif k == "punct" and v == ")":
+                depth -= 1
+                if depth == 0:
+                    k2, v2, _ = self.toks[j + 1]
+                    if k2 == "punct":
+                        return (v2 in self._ARITH_PUNCTS
+                                or v2 in _COMPARE_OPS or v2 == "=~")
+                    return (k2 == "ident" and v2.upper() in
+                            ("CONTAINS", "STARTS", "ENDS", "IS", "IN"))
+            j += 1
+        return False
 
     def _looks_like_pattern(self) -> bool:
         """Cursor on ``(`` inside WHERE: does it open a NODE PATTERN
@@ -1422,7 +1539,10 @@ class _Parser:
         """A WHERE value position: ``var.field`` / carried column /
         ``length(p)``, optionally wrapped in ``toLower(…)`` /
         ``toUpper(…)`` (r12b — the case-folding every GPT-emitted
-        CONTAINS uses). Returns a Column thunk."""
+        CONTAINS uses). Returns a kinded Column thunk (see ``_kinded``):
+        ``id``/``len`` fields are numeric, corpus property fields are
+        strings, carried columns are 'any' (their type is whatever the
+        WITH stage computed)."""
         k, v, _ = self.peek()
         k1, v1, _ = self.peek(1)
         if (k == "ident" and v.lower() in ("tolower", "toupper")
@@ -1433,36 +1553,83 @@ class _Parser:
             var, fld = self._field_ref()
             self.expect("punct", ")")
             col = fld if var is None else f"{var}_{fld}"
-            return lambda: getattr(F, fn)(F.col(col))
+            return _kinded(lambda: getattr(F, fn)(F.col(col)), "str")
         var, fld = self._field_ref()
         col = fld if var is None else f"{var}_{fld}"
-        return lambda: F.col(col)
+        kind = ("num" if fld in ("id", "len")
+                else "any" if var is None else "str")
+        return _kinded(lambda: F.col(col), kind)
 
     def _value_term(self):
-        """One term of a WHERE value expression (r14): a numeric
-        literal (int or float, optional unary minus), a
-        ``toInteger(…)`` / ``toFloat(…)`` cast (the corpus stores
+        """One term of a value expression (r14, widened r15): a numeric
+        literal (int or float, optional unary minus), a STRING literal
+        (r15 — concatenation operand), a PARENTHESIZED sub-expression
+        (r15 — GPT parenthesizes arithmetic freely), a searched CASE
+        (r15 — usable anywhere a value is, not just as a RETURN item),
+        a ``toInteger(…)`` / ``toFloat(…)`` cast (the corpus stores
         properties as STRINGS — compiled to try_cast, so a malformed
         value is NULL, Cypher's own rule, never an ANSI cast error),
-        or a ``_value_ref`` (field / carried column / toLower/toUpper
-        wrapper)."""
-        k, v, _ = self.peek()
+        ``size(…)`` over a string value (r15 — Cypher's size(string) is
+        its length; the list form lives in the aggregate rewrite
+        ``size(collect(…))``), ``coalesce(…)``, or a ``_value_ref``
+        (field / carried column / toLower/toUpper wrapper)."""
+        k, v, pos = self.peek()
         k1, v1, _ = self.peek(1)
+        if (k, v) == ("punct", "("):
+            self.next()
+            inner = self._value_expr()
+            self.expect("punct", ")")
+            return inner
         if k == "num":
             lit = _num_value(self.next()[1])
-            return lambda: F.lit(lit)
+            return _kinded(lambda: F.lit(lit), "num")
         if (k, v) == ("punct", "-") and k1 == "num":
             self.next()
             lit = -_num_value(self.next()[1])
-            return lambda: F.lit(lit)
+            return _kinded(lambda: F.lit(lit), "num")
+        if k == "str":
+            lit = _unescape(self.next()[1][1:-1])
+            return _kinded(lambda: F.lit(lit), "str")
+        if (k == "ident" and v.upper() == "CASE"
+                and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
+            return self._case_expr()
         if (k == "ident" and v.lower() in ("tointeger", "tofloat")
                 and (k1, v1) == ("punct", "(")):
-            typ = "bigint" if v.lower() == "tointeger" else "double"
+            to_int = v.lower() == "tointeger"
             self.next()
             self.next()
             inner = self._value_expr()
             self.expect("punct", ")")
-            return lambda: inner().try_cast(typ)
+            if not to_int:
+                return _kinded(lambda: inner().try_cast("double"), "num")
+            if _kind_of(inner) == "num":
+                # already numeric: direct try_cast — a bigint must NOT
+                # round-trip through a double (precision loss past 2^53)
+                return _kinded(lambda: inner().try_cast("bigint"), "num")
+            # Neo4j's toInteger TRUNCATES numeric strings ('2.5' → 2;
+            # ADVICE r14 — plain try_cast to BIGINT yielded NULL), so
+            # string/unknown inputs hop through DOUBLE first; both hops
+            # are try_cast (malformed → NULL, NaN/overflow → NULL, never
+            # an ANSI error) and the double→bigint cast truncates toward
+            # zero on BOTH engines' Spark side. DuckDB oracle mirror:
+            # CAST(trunc(TRY_CAST(x AS DOUBLE)) AS BIGINT) — DuckDB's
+            # bare double→bigint cast ROUNDS, so trunc() is mandatory.
+            return _kinded(
+                lambda: inner().try_cast("double").try_cast("bigint"),
+                "num")
+        if (k == "ident" and v.lower() == "size"
+                and (k1, v1) == ("punct", "(")):
+            self.next()
+            self.next()
+            inner = self._value_expr()
+            self.expect("punct", ")")
+            if _kind_of(inner) == "num":
+                raise PatternSyntaxError(
+                    f"size() at position {pos} takes a string value "
+                    "(Cypher's size(string) = length; the list form is "
+                    "the aggregate rewrite size(collect(…)))")
+            return _kinded(lambda: F.length(inner()).cast("bigint"),
+                           "num")
         if (k == "ident" and v.lower() == "coalesce"
                 and (k1, v1) == ("punct", "(")):
             # Cypher's coalesce (r14b): first non-NULL of its arguments
@@ -1475,7 +1642,14 @@ class _Parser:
                 self.next()
                 args.append(self._case_value())
             self.expect("punct", ")")
-            return lambda: F.coalesce(*[a() for a in args])
+            kinds = {_kind_of(a) for a in args}
+            if {"num", "str"} <= kinds:
+                raise PatternSyntaxError(
+                    f"coalesce() at position {pos} mixes string and "
+                    "numeric arguments — Spark would reject the plan "
+                    "unpositioned; make the arguments one type")
+            return _kinded(lambda: F.coalesce(*[a() for a in args]),
+                           _kind_join(kinds))
         return self._value_ref()
 
     _ARITH_OPS = {
@@ -1483,27 +1657,60 @@ class _Parser:
         "*": lambda a, b: a * b, "/": lambda a, b: a / b,
     }
 
+    def _combine(self, a, b, op: str, pos: int):
+        """Apply one arithmetic/concat operator with the r15 kind rules:
+        ``+`` CONCATENATES when either side is a string (Cypher's rule;
+        an 'any' side is cast to string — F.concat over the carried
+        column), ADDS otherwise; a known string×number mix and any
+        string under ``- * /`` are positioned rejects (they would
+        surface as unpositioned ANSI cast errors at plan time)."""
+        ka, kb = _kind_of(a), _kind_of(b)
+        if op == "+" and "str" in (ka, kb):
+            if "num" in (ka, kb):
+                raise PatternSyntaxError(
+                    f"'+' at position {pos} mixes a string and a "
+                    "numeric operand — keep both sides strings for "
+                    "concatenation, or cast with toInteger()/toFloat() "
+                    "for addition")
+
+            def concat(a=a, b=b, ka=ka, kb=kb):
+                ca, cb = a(), b()
+                if ka != "str":
+                    ca = ca.cast("string")
+                if kb != "str":
+                    cb = cb.cast("string")
+                return F.concat(ca, cb)
+
+            return _kinded(concat, "str")
+        if "str" in (ka, kb):
+            raise PatternSyntaxError(
+                f"'{op}' at position {pos} over a string operand — only "
+                "'+' concatenates; cast with toInteger()/toFloat() for "
+                "arithmetic")
+        fn = self._ARITH_OPS[op]
+        kind = "num" if (ka, kb) == ("num", "num") else "any"
+        return _kinded(lambda a=a, b=b, fn=fn: fn(a(), b()), kind)
+
     def _value_expr(self):
-        """A WHERE value expression (r14): terms composed with
+        """A value expression (r14, widened r15): terms composed with
         ``+ - * /`` at arithmetic precedence (``* /`` bind tighter),
-        left-associative. Covers the GPT-emitted numeric questions
-        ("tasks over 2.5 hours", "hours per person") without a full
-        expression grammar — no parentheses (wrap the comparison
-        instead) and no string concatenation."""
+        left-associative, with parenthesized grouping (r15) and
+        string concatenation (``+`` over strings, r15 — ``a.name +
+        '-' + b.name`` is natural GPT output over the all-string
+        corpus). Covers the GPT-emitted numeric questions ("tasks over
+        2.5 hours", "hours per person") and RETURN shaping."""
 
         def mul():
             left = self._value_term()
             while self.at("punct", "*") or self.at("punct", "/"):
-                op = self._ARITH_OPS[self.next()[1]]
-                right = self._value_term()
-                left = (lambda a=left, b=right, op=op: op(a(), b()))
+                _, op, pos = self.next()
+                left = self._combine(left, self._value_term(), op, pos)
             return left
 
         left = mul()
         while self.at("punct", "+") or self.at("punct", "-"):
-            op = self._ARITH_OPS[self.next()[1]]
-            right = mul()
-            left = (lambda a=left, b=right, op=op: op(a(), b()))
+            _, op, pos = self.next()
+            left = self._combine(left, mul(), op, pos)
         return left
 
     def _predicate(self):
@@ -1618,7 +1825,12 @@ class _Parser:
         column carried through WITH (r12b) → (None, colname);
         ``length(p)`` over a path variable → (p, "len");
         ``id(n)`` / ``type(r)`` accessor functions (r13) → the
-        corresponding carried field."""
+        corresponding carried field. Under an ORDER BY expression
+        (r15), leaves resolve through ``_ref_override`` instead —
+        OUTPUT columns only (accessor functions excluded: the pattern
+        scope's columns may not survive the projection)."""
+        if self._ref_override is not None:
+            return self._ref_override()
         fr = self._maybe_fn_ref()
         if fr is not None:
             return fr
@@ -1687,10 +1899,15 @@ class _Parser:
             k, v, item_pos = self.peek()
             k1, v1, _ = self.peek(1)
             if self._expr_item_ahead():
-                # a numeric VALUE EXPRESSION item (r14b): toInteger/
-                # toFloat casts, numeric literals, or arithmetic over
-                # field refs — ``RETURN toFloat(th.content) * 2 AS x``.
-                # The alias is required (deterministic column name).
+                # a VALUE EXPRESSION item (r14b, widened r15): casts,
+                # literals, arithmetic/concat over field refs,
+                # parenthesized groups, size(), and searched CASE —
+                # ``RETURN toFloat(th.content) * 2 AS x``. Items carry
+                # the sentinel var '__expr__' with the Column thunk in
+                # the fld slot; _apply_projection evaluates it (a
+                # grouping KEY when aggregates are present, Cypher's
+                # implicit-grouping rule). The alias is required
+                # (deterministic column name).
                 expr = self._value_expr()
                 if not self.at("kw", "AS"):
                     _, vv, p = self.peek()
@@ -1706,22 +1923,9 @@ class _Parser:
                     self.next()
                     continue
                 break
-            if (k == "ident" and v.upper() == "CASE"
-                    and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
-                # searched CASE expression (r14) — items carry the
-                # sentinel var '__expr__' with the Column thunk in the
-                # fld slot; _apply_projection evaluates it (a grouping
-                # KEY when aggregates are present, Cypher's implicit-
-                # grouping rule)
-                expr, alias = self._case_item()
-                claim([alias], item_pos)
-                items.append(("__expr__", expr, alias))
-                if self.at("punct", ","):
-                    self.next()
-                    continue
-                break
-            if (k == "ident" and v.lower() in _AGG_FNS
-                    and (k1, v1) == ("punct", "(")):
+            if ((k == "ident" and v.lower() in _AGG_FNS
+                    and (k1, v1) == ("punct", "("))
+                    or self._size_collect_ahead()):
                 ag = self._agg_item()
                 claim([ag[-1]], item_pos)
                 aggs.append(ag)
@@ -1808,10 +2012,13 @@ class _Parser:
     _ARITH_PUNCTS = ("+", "-", "*", "/")
 
     def _expr_item_ahead(self) -> bool:
-        """Pure lookahead: does the cursor open a numeric VALUE
-        EXPRESSION rather than a plain item? True for numeric literals
-        (incl. unary minus), ``toInteger(`` / ``toFloat(`` casts, and
-        a field ref / carried column immediately followed by an
+        """Pure lookahead: does the cursor open a VALUE EXPRESSION
+        rather than a plain item? True for numeric literals (incl.
+        unary minus), string literals (r15 concat operands),
+        parenthesized groups (r15), searched CASE (r15),
+        ``toInteger(`` / ``toFloat(`` / ``size(`` casts and wrappers
+        (``size(collect(`` excluded — that is the aggregate rewrite),
+        and a field ref / carried column immediately followed by an
         arithmetic operator (after a complete plain item the only
         legal tokens are ``,`` / AS / modifiers, so an operator there
         is unambiguous)."""
@@ -1819,10 +2026,19 @@ class _Parser:
         k1, v1, _ = self.peek(1)
         if k == "num" or ((k, v) == ("punct", "-") and k1 == "num"):
             return True
+        if k == "str" or (k, v) == ("punct", "("):
+            return True
+        if (k == "ident" and v.upper() == "CASE"
+                and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
+            return True
         if (k == "ident" and v.lower() in ("tointeger", "tofloat",
                                            "tolower", "toupper",
                                            "coalesce")
                 and (k1, v1) == ("punct", "(")):
+            return True
+        if (k == "ident" and v.lower() == "size"
+                and (k1, v1) == ("punct", "(")
+                and not self._size_collect_ahead()):
             return True
         if k == "ident" and (k1, v1) == ("punct", "."):
             k3, v3, _ = self.peek(3)
@@ -1831,6 +2047,19 @@ class _Parser:
             return True
         return False
 
+    def _size_collect_ahead(self) -> bool:
+        """Pure lookahead for ``size(collect(`` — the list-length-over-
+        collect aggregate rewrite (r15), dispatched to ``_agg_item``
+        (count semantics) instead of the scalar size() term."""
+        k, v, _ = self.peek()
+        k1, v1, _ = self.peek(1)
+        k2, v2, _ = self.peek(2)
+        k3, v3, _ = self.peek(3)
+        return (k == "ident" and v.lower() == "size"
+                and (k1, v1) == ("punct", "(")
+                and k2 == "ident" and v2.lower() == "collect"
+                and (k3, v3) == ("punct", "("))
+
     def _at_word(self, w: str) -> bool:
         """Case-insensitive word check covering BOTH token kinds —
         CASE/WHEN/THEN/ELSE/END are deliberately not reserved (they stay
@@ -1838,15 +2067,19 @@ class _Parser:
         k, v, _ = self.peek()
         return k in ("ident", "kw") and v.upper() == w
 
-    def _case_item(self) -> tuple:
-        """``CASE WHEN <pred> THEN <value> … [ELSE <value>] END AS
-        alias`` (r14) — Cypher's searched CASE in RETURN/WITH items,
-        the GPT seam's bucketing idiom. Predicates are the full WHERE
-        boolean grammar minus pattern predicates (those compile to
-        joins, not expressions); values are string literals or numeric
-        value expressions. Compiled to an ``F.when`` chain; without
-        ELSE the non-matching rows are NULL (Cypher's rule). The alias
-        is REQUIRED — the output column needs a deterministic name."""
+    def _case_expr(self):
+        """``CASE WHEN <pred> THEN <value> … [ELSE <value>] END`` —
+        Cypher's searched CASE (r14 as a RETURN/WITH item; r15 anywhere
+        a value expression is legal: WHERE positions — ``WHERE CASE …
+        END = 1`` — aggregate arguments — ``sum(CASE WHEN … THEN 1 ELSE
+        0 END)``, the conditional-aggregate staple — and nested in
+        arithmetic). Predicates are the full WHERE boolean grammar
+        minus pattern predicates (those compile to joins, not
+        expressions); values are string literals or value expressions.
+        Compiled to an ``F.when`` chain; without ELSE the non-matching
+        rows are NULL (Cypher's rule). Branch values mixing string and
+        numeric kinds are a positioned reject (Spark would reject the
+        F.when chain unpositioned at plan time)."""
         _, _, cpos = self.next()           # CASE
         branches: list[tuple] = []
         while self._at_word("WHEN"):
@@ -1875,13 +2108,14 @@ class _Parser:
             raise PatternSyntaxError(
                 f"expected END at position {p}, got {v!r}")
         self.next()
-        if not self.at("kw", "AS"):
-            _, v, p = self.peek()
+        vals = [v for _, v in branches] + ([other] if other is not None
+                                           else [])
+        kinds = {_kind_of(v) for v in vals}
+        if {"num", "str"} <= kinds:
             raise PatternSyntaxError(
-                f"CASE expression needs an explicit alias — expected AS "
-                f"at position {p}, got {v!r}")
-        self.next()
-        alias = self.expect("ident")
+                f"CASE at position {cpos} mixes string and numeric "
+                "branch values — Spark would reject the plan "
+                "unpositioned; make the branches one type")
 
         def thunk(branches=branches, other=other):
             col = F.when(branches[0][0](), branches[0][1]())
@@ -1889,14 +2123,12 @@ class _Parser:
                 col = col.when(c(), vv())
             return col.otherwise(other()) if other is not None else col
 
-        return thunk, alias
+        return _kinded(thunk, _kind_join(kinds))
 
     def _case_value(self):
-        """A CASE branch value: string literal or numeric/field value
-        expression."""
-        if self.at("str"):
-            lit = _unescape(self.next()[1][1:-1])
-            return lambda: F.lit(lit)
+        """A CASE branch / coalesce argument: any value expression —
+        string literals are value TERMS since r15, so this is pure
+        delegation (kept as a named seam for the two call sites)."""
         return self._value_expr()
 
     def _agg_item(self) -> tuple:
@@ -1906,7 +2138,20 @@ class _Parser:
         WITH (r12b) the argument may also be a carried column,
         ``(fn, None, colname, dist, alias)`` — its numeric-ness for
         sum/avg is the carried value's own (checked at plan time, like
-        Cypher's runtime typing)."""
+        Cypher's runtime typing). ``size(collect(…))`` (r15) rewrites
+        to count semantics: count skips NULLs exactly as collect does,
+        and DISTINCT carries through to countDistinct."""
+        if self._size_collect_ahead():
+            self.next()                    # size
+            self.expect("punct", "(")
+            inner = self._agg_item()       # the collect(...), no AS yet
+            _, var, fld, dist, in_alias = inner
+            self.expect("punct", ")")
+            alias = f"size_{in_alias}"
+            if self.at("kw", "AS"):
+                self.next()
+                alias = self.expect("ident")
+            return ("count", var, fld, dist, alias)
         fn = self.next()[1].lower()
         self.expect("punct", "(")
         dist = False
@@ -1926,12 +2171,24 @@ class _Parser:
                 raise PatternSyntaxError(
                     f"'*' at position {p} is only valid as count(*)")
         elif self._expr_item_ahead():
-            # aggregate over a numeric VALUE EXPRESSION (r14b):
-            # ``sum(toInteger(th.content))``, ``avg(toFloat(x.f) * 2)``
-            # — the "total hours per bulletin" GPT shape. The cast
-            # makes it numeric by construction, so the sum/avg guard
-            # does not apply.
+            # aggregate over a VALUE EXPRESSION (r14b): ``sum(toInteger(
+            # th.content))``, ``avg(toFloat(x.f) * 2)``, ``sum(CASE WHEN
+            # … THEN 1 ELSE 0 END)`` (r15) — the "total hours per
+            # bulletin" / conditional-count GPT shapes. sum/avg over a
+            # statically STRING-kinded expression (toLower, concat,
+            # string CASE branches) is a positioned reject — under ANSI
+            # it would otherwise surface as a runtime Spark cast error
+            # (HTTP 500 on the /pattern seam) instead of the
+            # positioned-422 contract (ADVICE r14). 'any'-kinded
+            # expressions (carried columns) keep Cypher's plan-time
+            # typing.
+            _, _, epos = self.peek()
             expr = self._value_expr()
+            if fn in ("sum", "avg") and _kind_of(expr) == "str":
+                raise PatternSyntaxError(
+                    f"{fn}() needs a numeric argument — the expression "
+                    f"at position {epos} is string-typed; cast with "
+                    "toInteger()/toFloat()")
             self.expect("punct", ")")
             alias = f"{fn}_expr"
             if self.at("kw", "AS"):
@@ -2382,7 +2639,13 @@ def _apply_projection(out: DataFrame, items, aggregates,
 
 def _apply_modifiers(out: DataFrame, order_by, skip, limit) -> DataFrame:
     if order_by:
-        out = out.orderBy(*[F.col(c) if asc else F.col(c).desc()
+        # entries are (output column name, asc) or, for ORDER BY
+        # expressions (r15), (Column thunk over output columns, asc) —
+        # orderBy computes the key on the fly, no hidden column needed
+        def key(c):
+            return F.col(c) if isinstance(c, str) else c()
+
+        out = out.orderBy(*[key(c) if asc else key(c).desc()
                             for c, asc in order_by])
     if skip:
         out = out.offset(skip)

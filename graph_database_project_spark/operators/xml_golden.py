@@ -508,6 +508,26 @@ GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_ROWS = [
     ('737-00-1030', 1, 20, 20.0),
 ]
 
+GOLDEN_GRAPH_MOTIF_WEIGHTED_COLS = [('docnbr', 'VARCHAR'), ('task', 'VARCHAR'), ('hours', 'VARCHAR'), ('weighted', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_WEIGHTED_ROWS = [
+    ('737-00-1028', 'Angle of Attack (AOA) Sensor System Test', '40', 250),
+    ('737-00-1028', 'Operational Readiness Flight', '50', 300),
+]
+
+GOLDEN_GRAPH_MOTIF_COND_AGG_COLS = [('docnbr', 'VARCHAR'), ('n_heavy', 'BIGINT'), ('n_light', 'BIGINT'), ('capped_hours', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_COND_AGG_ROWS = [
+    ('737-00-1028', 2, 0, 70),
+    ('737-00-1029', 1, 0, 30),
+    ('737-00-1030', 0, 1, 20),
+]
+
+GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_COLS = [('docnbr', 'VARCHAR'), ('n_tasks', 'BIGINT'), ('labels', 'VARCHAR'), ('min_name_len', 'BIGINT')]
+GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_ROWS = [
+    ('737-00-1028', 2, 'Angle of Attack (AOA) Sensor System Test (40h);Operational Readiness Flight (50h)', 28),
+    ('737-00-1029', 1, 'Fuel Pump Replacement (30h)', 21),
+    ('737-00-1030', 1, 'Hydraulic System Pressure Check (20h)', 31),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -558,4 +578,7 @@ ORACLE = {
     "graph_motif_collect_node": _values_sql(GOLDEN_GRAPH_MOTIF_COLLECT_NODE_COLS, GOLDEN_GRAPH_MOTIF_COLLECT_NODE_ROWS),
     "graph_motif_case": _values_sql(GOLDEN_GRAPH_MOTIF_CASE_COLS, GOLDEN_GRAPH_MOTIF_CASE_ROWS),
     "graph_motif_numeric_agg": _values_sql(GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_COLS, GOLDEN_GRAPH_MOTIF_NUMERIC_AGG_ROWS),
+    "graph_motif_weighted": _values_sql(GOLDEN_GRAPH_MOTIF_WEIGHTED_COLS, GOLDEN_GRAPH_MOTIF_WEIGHTED_ROWS),
+    "graph_motif_cond_agg": _values_sql(GOLDEN_GRAPH_MOTIF_COND_AGG_COLS, GOLDEN_GRAPH_MOTIF_COND_AGG_ROWS),
+    "graph_motif_size_concat": _values_sql(GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_COLS, GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_ROWS),
 }

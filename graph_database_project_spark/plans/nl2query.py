@@ -392,6 +392,20 @@ _MOTIF_NUMERIC_AGG_RULE = re.compile(
     r"total (?:and average )?task hours per bulletin",
     re.I,
 )
+# r15: conditional-count questions emit the sum(CASE WHEN … THEN 1
+# ELSE 0 END) staple ("how many tasks take at least N hours per
+# bulletin")
+_MOTIF_COND_COUNT_RULE = re.compile(
+    r"how many tasks (?:take|need) (?:at least|over) (\d+) "
+    r"(?:task[- ])?hours per bulletin",
+    re.I,
+)
+# r15: labeling questions emit string-concatenation '+' RETURN items
+# ("label each task with its hours")
+_MOTIF_LABEL_RULE = re.compile(
+    r"label each task with its (?:task[- ])?hours",
+    re.I,
+)
 
 
 def _catalog_rel_signatures(spark: SparkSession, store) -> dict:
@@ -539,6 +553,30 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
             "RETURN t.docnbr AS docnbr, count(*) AS n_tasks, "
             "sum(toInteger(th.content)) AS total_hours, "
             "avg(toFloat(th.content)) AS avg_hours ORDER BY docnbr")
+        return compile_pattern(pattern)
+    m = _MOTIF_COND_COUNT_RULE.search(q)
+    if m:
+        # conditional-count text (r15): the sum(CASE WHEN … THEN 1 ELSE
+        # 0 END) staple over the cast hours — CASE reachable from
+        # aggregate arguments since r15
+        n = int(m.group(1))
+        pattern = (
+            "MATCH (t:task)-[:HAS_TASK_HOURS]->(th:task_hours) "
+            "RETURN t.docnbr AS docnbr, "
+            f"sum(CASE WHEN toInteger(th.content) >= {n} THEN 1 "
+            "ELSE 0 END) AS n_matching, count(*) AS n_tasks "
+            "ORDER BY docnbr")
+        return compile_pattern(pattern)
+    m = _MOTIF_LABEL_RULE.search(q)
+    if m:
+        # concat text (r15): Cypher's string '+' shapes the label cell
+        # ("name (40h)"); size() reports its length
+        pattern = (
+            "MATCH (t:task)-[:HAS_NAME]->(nm:name), "
+            "(t)-[:HAS_TASK_HOURS]->(th:task_hours) "
+            "RETURN t.docnbr AS docnbr, "
+            "nm.content + ' (' + th.content + 'h)' AS label, "
+            "size(nm.content) AS name_len ORDER BY docnbr, label")
         return compile_pattern(pattern)
     m = _MOTIF_EXISTS_RULE.search(q)
     if m:

@@ -358,6 +358,16 @@ _DRIVER_WINDOW = [
     # --- family reps (modules with no r10/r11-cohort key) ---
     "nl2query_demo",
     "pipeline_training_data",
+    # --- r15 NEW pattern-surface keys (never driver-checked) ---
+    # graph_motif_weighted: parenthesized value-expression grouping in
+    # WHERE/RETURN + ORDER BY on an expression over an output column
+    "graph_motif_weighted",
+    # graph_motif_cond_agg: sum(CASE WHEN ... THEN 1 ELSE 0 END) — CASE
+    # reachable from WHERE positions and aggregate arguments
+    "graph_motif_cond_agg",
+    # graph_motif_size_concat: string '+' concat, size(string)=length,
+    # size(collect(...)) count rewrite, composed through WITH
+    "graph_motif_size_concat",
 ]
 
 

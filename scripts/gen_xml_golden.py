@@ -40,7 +40,13 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r14: searched CASE in RETURN (implicit-grouping key)
          "graph_motif_case",
          # r14b: aggregates over value expressions (sum/avg of casts)
-         "graph_motif_numeric_agg"]
+         "graph_motif_numeric_agg",
+         # r15: parenthesized grouping + ORDER BY expression
+         "graph_motif_weighted",
+         # r15: conditional aggregates (sum(CASE WHEN ...))
+         "graph_motif_cond_agg",
+         # r15: string concat '+', size(string), size(collect(...))
+         "graph_motif_size_concat"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

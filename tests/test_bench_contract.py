@@ -104,4 +104,9 @@ def test_retired_set_disjoint_and_policy_shape():
     for canary in ("stream_tumbling_hourly", "multimodal_png_decode"):
         assert canary in bench.EXTENDED
         assert canary not in bench.RETIRED
-    assert len(bench.EXTENDED) <= 22  # re-decide the policy before this
+    # r15 re-decision: the motif family cannot retire while its
+    # compiler is the active build front (pattern.py changes every
+    # round un-retire it), so the floor is 2 canaries + the motif rows;
+    # node2vec retired (pin stamped, mis_luby keeps the codegen canary)
+    # to offset the three corpus-sized r15 rows. Re-decide again here.
+    assert len(bench.EXTENDED) <= 24

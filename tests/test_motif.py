@@ -483,7 +483,15 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # r14: 1-hop motif, CASE-keyed agg; measured 1
             "graph_motif_case": 2,
             # r14b: 1-hop motif, expr-arg aggregates; measured 1
-            "graph_motif_numeric_agg": 2}
+            "graph_motif_numeric_agg": 2,
+            # r15: 3-branch fanout (name/hours/persons broadcast off
+            # label_counts) + total-order sort; measured 3
+            "graph_motif_weighted": 4,
+            # r15: 1-hop motif, CASE-arg aggregates; measured 1
+            "graph_motif_cond_agg": 2,
+            # r15: 2-branch fanout + WITH boundary + collect/size agg +
+            # total-order sort; measured 3
+            "graph_motif_size_concat": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -741,4 +749,68 @@ def test_numeric_agg_matches_elementtree_recompute(spark):
                           sum(hours) / len(hours))
     got = {r.docnbr: (r.n_tasks, r.total_hours, r.avg_hours)
            for r in motifq.q_graph_motif_numeric_agg(spark, SF).collect()}
+    assert got == expect
+
+
+def test_weighted_key_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_weighted (r15): the grouped
+    (hours + 10) * persons score recomputed from the XML — filter,
+    RETURN item, and the ORDER BY expression's DESC-by-hours order."""
+    expect = []
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        for task in root.findall(".//manpower/task"):
+            hours = int(task.findtext("task_hours").strip())
+            persons = int(task.findtext("persons").strip())
+            w = (hours + 10) * persons
+            if w > 150:
+                expect.append((docnbr, task.findtext("name").strip(),
+                               str(hours), w, hours))
+    # the query sorts by toInteger(hours) * -1 then task
+    expect.sort(key=lambda t: (-t[4], t[1]))
+    got = [(r.docnbr, r.task, r.hours, r.weighted)
+           for r in motifq.q_graph_motif_weighted(spark, SF).collect()]
+    assert got == [t[:4] for t in expect]
+    # the filter is live on BOTH sides (keeps 2 of the 4 tasks)
+    assert len(got) == 2
+
+
+def test_cond_agg_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_cond_agg (r15): the
+    conditional-count and capped-sum CASE aggregates recomputed."""
+    expect = {}
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        hours = [int(t.findtext("task_hours").strip())
+                 for t in root.findall(".//manpower/task")]
+        expect[docnbr] = (sum(1 for h in hours if h >= 25),
+                          sum(1 for h in hours if h < 25),
+                          sum(min(h, 35) for h in hours))
+    got = {r.docnbr: (r.n_heavy, r.n_light, r.capped_hours)
+           for r in motifq.q_graph_motif_cond_agg(spark, SF).collect()}
+    assert got == expect
+    # variation is live: the heavy/light split differs across groups
+    assert len({v[:2] for v in expect.values()}) > 1
+
+
+def test_size_concat_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_size_concat (r15): labels
+    built by string '+', size(string) lengths, and the
+    size(collect(...)) count rewrite recomputed from the XML."""
+    expect = {}
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        docnbr = root.findtext("./header/number").strip()
+        labels, name_lens = [], []
+        for task in root.findall(".//manpower/task"):
+            nm = task.findtext("name").strip()
+            hrs = task.findtext("task_hours").strip()
+            labels.append(f"{nm} ({hrs}h)")
+            name_lens.append(len(nm))
+        expect[docnbr] = (len(labels), ";".join(sorted(labels)),
+                          min(name_lens))
+    got = {r.docnbr: (r.n_tasks, r.labels, r.min_name_len)
+           for r in motifq.q_graph_motif_size_concat(spark, SF).collect()}
     assert got == expect

@@ -371,3 +371,37 @@ def test_numeric_agg_question_emits_expr_aggregates(spark):
         ("737-00-1029", 1, 30, 30.0),
         ("737-00-1030", 1, 20, 20.0),
     ]
+
+
+def test_cond_count_question_emits_case_aggregate(spark):
+    """r15: 'how many tasks take at least N hours per bulletin' routes
+    through the sum(CASE WHEN ... THEN 1 ELSE 0 END) conditional
+    aggregate — per-bulletin counts against the corpus hours
+    {1028: 40,50; 1029: 30; 1030: 20}."""
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(spark, store,
+                      "how many tasks take at least 30 hours per bulletin")
+    got = [(r.docnbr, r.n_matching, r.n_tasks) for r in df.collect()]
+    assert got == [
+        ("737-00-1028", 2, 2),
+        ("737-00-1029", 1, 1),
+        ("737-00-1030", 0, 1),
+    ]
+
+
+def test_label_question_emits_concat_pattern(spark):
+    """r15: 'label each task with its hours' routes through string '+'
+    concatenation and size() — label cells match the registry key's
+    hand-verified shapes."""
+    from graph_database_project_spark.operators.xmlq import _store
+    from graph_database_project_spark.plans.nl2query import answer_graph
+
+    store = _store(spark)
+    df = answer_graph(spark, store, "label each task with its hours")
+    got = [(r.docnbr, r.label, r.name_len) for r in df.collect()]
+    assert ("737-00-1029", "Fuel Pump Replacement (30h)", 21) in got
+    assert len(got) == 4
+    assert all(lbl.endswith("h)") for _, lbl, _ in got)

@@ -1979,15 +1979,18 @@ def test_return_value_expressions(tinynum):
         "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
         "RETURN t.name AS tn, toFloat(h.content) * 2 AS dbl"))
     assert got == [("t1", 80.0), ("t2", 5.0)]
-    # sum/avg over a cast expression, implicit grouping; try_cast of
-    # '2.5' to BIGINT is NULL -> t2's sum is NULL (skipped), Cypher rule
+    # sum/avg over a cast expression, implicit grouping. r15 (ADVICE
+    # r14): toInteger follows Neo4j's rule for numeric strings —
+    # '2.5' TRUNCATES to 2 (double hop, try_cast both legs), so the
+    # sum is 40 + 2 = 42; a genuinely malformed string still yields
+    # NULL (skipped by sum)
     got2 = sorted(
         (tuple(r) for r in match_pattern(
             nodes, edges,
             "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
             "RETURN t.docnbr AS docnbr, sum(toInteger(h.content)) AS tot, "
             "avg(toFloat(h.content)) AS avg_h").collect()))
-    assert got2 == [("d1", 40, 21.25)]
+    assert got2 == [("d1", 42, 21.25)]
     # collect over an expression renders the computed values
     got3 = _bindings(match_pattern(
         nodes, edges,
@@ -2097,3 +2100,206 @@ def test_case_and_exprs_in_with_items(tinynum):
         "MATCH (t)-[:HAS_PERSONS]->(p:Persons) "
         "RETURN t.name AS tn, band, p.content AS persons").collect())
     assert got == [("t1", "big", "5")]
+
+
+# --- r15: grouped expressions, CASE anywhere, size(), concat, ORDER BY
+# expressions, allShortestPaths ------------------------------------------------
+
+def test_paren_grouping(tinynum):
+    """r15 verdict #2: parenthesized grouping in value expressions —
+    WHERE, RETURN items, nested, and inside aggregate arguments."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE (toInteger(h.content) + 10) * 2 > 60 RETURN t.name AS tn"))
+    assert got == [("t1",)]          # (40+10)*2=100; (2+10)*2=24
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, ((toFloat(h.content) + 1) * 2) AS x"))
+    assert got2 == [("t1", 82.0), ("t2", 7.0)]
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.docnbr AS d, sum((toInteger(h.content) + 1) * 2) AS s"))
+    assert got3 == [("d1", 88)]      # (40+1)*2 + (2+1)*2
+    # grouping actually changes the value vs precedence
+    flat = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, toFloat(h.content) + 1 * 2 AS x"))
+    assert flat == [("t1", 42.0), ("t2", 4.5)]
+
+
+def test_boolean_vs_value_paren_disambiguation(tinynum):
+    """The matching-paren lookahead: boolean groups, value groups, and
+    pattern predicates coexist in one WHERE."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE (t.name = 't1' OR t.name = 't2') "
+        "AND (toInteger(h.content) + 10) * 2 > 60 "
+        "RETURN t.name AS tn"))
+    assert got == [("t1",)]
+
+
+def test_tointeger_truncates_like_neo4j(tinynum):
+    """ADVICE r14: toInteger('2.5') is 2 (Neo4j truncation), not NULL;
+    malformed strings still NULL."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, toInteger(h.content) AS i"))
+    assert got == [("t1", 40), ("t2", 2)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_PERSONS]->(p:Persons) "
+        "RETURN t.name AS tn, toInteger(p.content) AS i"))
+    assert got2 == [("t1", 5), ("t2", None)]
+
+
+def test_case_in_where_and_aggregate(tinynum):
+    """r15 verdict #3: CASE as a WHERE value and the conditional-
+    aggregate staple sum(CASE WHEN ... THEN 1 ELSE 0 END)."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE CASE WHEN toFloat(h.content) > 10 THEN 1 ELSE 0 END = 1 "
+        "RETURN t.name AS tn"))
+    assert got == [("t1",)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.docnbr AS d, "
+        "sum(CASE WHEN toFloat(h.content) > 10 THEN 1 ELSE 0 END) AS big, "
+        "count(*) AS n"))
+    assert got2 == [("d1", 1, 2)]
+    # CASE composes in arithmetic
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, "
+        "CASE WHEN toFloat(h.content) > 10 THEN 100 ELSE 0 END + 1 AS s"))
+    assert got3 == [("t1", 101), ("t2", 1)]
+
+
+def test_size_string_and_collect(tinynum):
+    """r15 verdict #4: size(string) = length; size(collect(...)) is the
+    count rewrite (DISTINCT carries through)."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE size(h.content) > 2 RETURN t.name AS tn"))
+    assert got == [("t2",)]          # len('2.5')=3 > 2; len('40')=2
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, size(h.content) AS n"))
+    assert got2 == [("t1", 2), ("t2", 3)]
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.docnbr AS d, size(collect(h.content)) AS n"))
+    assert got3 == [("d1", 2)]
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.docnbr AS d, size(collect(DISTINCT t.docnbr)) AS n"))
+    assert got4 == [("d1", 1)]
+    # collect skips NULLs and so does the rewrite (optional misses)
+    got5 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task) OPTIONAL MATCH (t)-[:NOPE]->(z) "
+        "RETURN t.docnbr AS d, size(collect(z)) AS n"))
+    assert got5 == [("d1", 0)]
+
+
+def test_string_concat(tinynum):
+    """r15 verdict #5: '+' concatenates when either operand is a string
+    (Cypher's rule); 'any'-kinded carried columns cast to string."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name + ':' + h.content AS label"))
+    assert got == [("t1:40",), ("t2:2.5",)]
+    # concat in WHERE
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE t.name + ':' + h.content = 't1:40' RETURN t.name AS tn"))
+    assert got2 == [("t1",)]
+    # carried (any-kind) column + string literal -> concat w/ cast
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t.name AS tn, toInteger(h.content) AS hrs "
+        "RETURN tn + '#' AS tag, hrs + 0 AS hrs"))
+    assert got3 == [("t1#", 40), ("t2#", 2)]
+
+
+def test_orderby_expression(tinynum):
+    """r15 verdict #7: ORDER BY on a value expression over output
+    columns — var.field maps through its alias; unprojected refs are
+    positioned rejects."""
+    nodes, edges = tinynum
+    got = [tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, h.content AS hrs "
+        "ORDER BY toFloat(h.content) DESC").collect()]
+    assert got == [("t1", "40"), ("t2", "2.5")]
+    got2 = [tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t.name AS tn, toFloat(h.content) AS hrs "
+        "ORDER BY hrs * -1 "
+        "RETURN tn, hrs").collect()]
+    assert got2 == [("t1", 40.0), ("t2", 2.5)]
+
+
+def test_allshortestpaths_alias(tiny):
+    """r15 verdict #8: allShortestPaths parses as the distance-semantics
+    alias of shortestPath (same binding; per-path multiplicity is
+    documented as collapsed)."""
+    nodes, edges = tiny
+    a = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH p = allShortestPaths((a:A)-[:R|S*1..3]->(c:C)) "
+        "RETURN a.name AS an, length(p) AS d"))
+    b = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH p = shortestPath((a:A)-[:R|S*1..3]->(c:C)) "
+        "RETURN a.name AS an, length(p) AS d"))
+    assert a == b and len(a) > 0
+
+
+def test_r15_rejects():
+    """Positioned rejects: kind mismatches (ADVICE r14 sum/toLower
+    guard included), size() over numerics, ORDER BY expr over
+    unprojected refs."""
+    for bad, hint in [
+        ("MATCH (a)-[:T]->(b) RETURN sum(toLower(b.name)) AS s",
+         "numeric argument"),
+        ("MATCH (a)-[:T]->(b) RETURN avg(b.name + '-') AS s",
+         "numeric argument"),
+        ("MATCH (a)-[:T]->(b) RETURN sum(b.name + 0) AS s", "mixes"),
+        ("MATCH (a)-[:T]->(b) WHERE b.name - 1 > 0 RETURN a.id",
+         "string operand"),
+        ("MATCH (a)-[:T]->(b) RETURN CASE WHEN a.id = 1 THEN 1 "
+         "ELSE 'x' END AS c", "mixes"),
+        ("MATCH (a)-[:T]->(b) RETURN coalesce(b.name, 1) AS c", "mixes"),
+        ("MATCH (a)-[:T]->(b) WHERE size(toInteger(b.content)) > 1 "
+         "RETURN a.id", "string value"),
+        ("MATCH (a)-[:T]->(b) RETURN a.id AS i ORDER BY "
+         "toFloat(b.content)", "not an output"),
+        ("MATCH (a)-[:T]->(b) RETURN (toFloat(b.content) + 1 AS x",
+         "expected"),
+    ]:
+        with pytest.raises(PatternSyntaxError, match=hint):
+            parse_match(bad)
