@@ -141,6 +141,20 @@ Supported subset — exactly what the compiler supports, nothing more:
   rejects; GPT aliases its items). ``allShortestPaths`` parses as the
   distance-semantics alias of shortestPath (equal-length ties collapse
   to one row per pair — the engine binds no path identity);
+* r15 second wave: BOOLEAN ``NOT`` — Cypher's general negation
+  (``WHERE NOT a.name = 'x'``, ``NOT (p OR q)``, under OR, stackable)
+  compiled to ``~pred`` with three-valued NULL semantics, routed apart
+  from the pattern-negation anti-join by lookahead (``NOT (a)-[:T]->
+  (b)`` / ``NOT exists(…)`` keep their anti-join compile and top-level
+  restriction); ``ORDER BY count(*) DESC`` — a bare aggregate in ORDER
+  BY resolves STRUCTURALLY to the matching projected aggregate's alias
+  (absent from the projection → positioned reject); ``toString(expr)``
+  (cast to string, kind 'str' — makes number+string concat legal);
+  the SIMPLE CASE form ``CASE subject WHEN v THEN r … END`` (compiled
+  to searched CASE with subject-equality conditions; a variable
+  literally named ``case`` is reserved in value positions); and ``%``
+  modulo at ``* /`` precedence (both engines follow the dividend's
+  sign);
 * positive existential pattern predicates in WHERE (r14): the bare
   Cypher form ``WHERE (a)-[:T]->(b)`` and ``exists((a)-[:T]->(b))``,
   plus ``NOT exists(…)`` — compiled to a left-SEMI join (the dual of
@@ -230,7 +244,7 @@ _TOKEN_RE = re.compile(
         (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<num>\d+\.\d+|\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct><=|>=|<>|!=|=~|\.\.|<-|->|[()\[\]{}:,.\-<>=*|+/])
+      | (?P<punct><=|>=|<>|!=|=~|\.\.|<-|->|[()\[\]{}:,.\-<>=*|+/%])
     )""",
     re.VERBOSE,
 )
@@ -727,7 +741,13 @@ class _Parser:
             self.next()
             self.expect("kw", "BY")
             while True:
-                if self._expr_item_ahead():
+                ka, va, _ = self.peek()
+                ka1, va1, _ = self.peek(1)
+                if ((ka == "ident" and va.lower() in _AGG_FNS
+                        and (ka1, va1) == ("punct", "("))
+                        or self._size_collect_ahead()):
+                    col = self._modifier_agg_ref(aggregates)
+                elif self._expr_item_ahead():
                     col = self._modifier_expr(outs, items)
                 else:
                     col = self._out_ref(outs, items, "ORDER BY")
@@ -751,6 +771,28 @@ class _Parser:
             _, tok, pos = self.peek()
             limit = _int_tok(self.expect("num"), pos, "LIMIT")
         return order_by, skip, limit
+
+    def _modifier_agg_ref(self, aggregates) -> str:
+        """``ORDER BY count(*) DESC`` (r15): GPT orders by the bare
+        aggregate instead of its alias. The aggregate is re-parsed and
+        matched STRUCTURALLY against the projection's aggregates —
+        (fn, var, field, DISTINCT) equality — resolving to that
+        aggregate's output alias; an aggregate absent from the
+        projection is a positioned reject (the engine sorts the
+        projected frame, it does not compute hidden aggregates).
+        Expression-argument aggregates carry unmatchable thunks —
+        alias those and ORDER BY the alias."""
+        _, _, pos = self.peek()
+        fn, var, fld, dist, _alias = self._agg_item()
+        for rfn, rvar, rfld, rdist, ralias in aggregates:
+            if (rfn == fn and rvar == var and rdist == dist
+                    and not callable(rfld) and not callable(fld)
+                    and rfld == fld):
+                return ralias
+        raise PatternSyntaxError(
+            f"ORDER BY aggregate at position {pos} does not appear in "
+            "the projection — add it as an aliased item and ORDER BY "
+            "the alias")
 
     def _modifier_expr(self, outs: set[str], items):
         """An ORDER BY value expression (r15): the full ``_value_expr``
@@ -1325,14 +1367,16 @@ class _Parser:
         """``and := unary (AND unary)*``; a unary is a NOT pattern or a
         positive existential pattern — ``exists((a)-[:T]->(b))`` or the
         bare Cypher form ``(a)-[:T]->(b)`` (r14) — (side-effects,
-        top-level only: they compile to anti-/semi-joins), a
-        parenthesized sub-expression, or one predicate."""
+        top-level only: they compile to anti-/semi-joins), or a
+        ``_bool_unary`` (boolean NOT / parenthesized sub-expression /
+        one predicate — r15 splits general boolean NOT off from the
+        pattern-negation anti-join via ``_not_is_pattern``)."""
         acc = None
         has_neg = False
         while True:
             k0, v0, _ = self.peek()
             k1, v1, _ = self.peek(1)
-            if self.at("kw", "NOT"):
+            if self.at("kw", "NOT") and self._not_is_pattern():
                 if not allow_negpat:
                     _, _, p = self.peek()
                     raise PatternSyntaxError(
@@ -1359,20 +1403,8 @@ class _Parser:
                         f"allowed {neg_ctx}")
                 self._exists_pattern()
                 has_neg = True
-            elif (self.at("punct", "(")
-                    and not self._paren_opens_value()):
-                # a grouped boolean sub-expression (the lookaheads ruled
-                # out a node pattern and a parenthesized VALUE
-                # expression — r15, ``WHERE (toInteger(x.f) + 1) * 2 >
-                # 50`` falls through to pred() below, where _value_term
-                # owns the '(')
-                self.next()
-                sub, _ = self._bool_or(pred, False, neg_ctx)
-                self.expect("punct", ")")
-                acc = (sub if acc is None
-                       else (lambda a=acc, b=sub: a() & b()))  # noqa: E731
             else:
-                t = pred()
+                t = self._bool_unary(pred, neg_ctx)
                 acc = (t if acc is None
                        else (lambda a=acc, b=t: a() & b()))  # noqa: E731
             if self.at("kw", "AND"):
@@ -1380,6 +1412,52 @@ class _Parser:
                 continue
             break
         return acc, has_neg
+
+    def _not_is_pattern(self) -> bool:
+        """Cursor on NOT: does it negate a PATTERN — ``NOT
+        (a)-[:T]->(b)`` / ``NOT exists(…)``, the anti-join forms —
+        rather than a boolean sub-expression (r15)? Pure lookahead:
+        exists() and a node-pattern-shaped ``(`` are patterns;
+        everything else is Cypher's plain boolean NOT."""
+        k1, v1, _ = self.peek(1)
+        k2, v2, _ = self.peek(2)
+        if (k1 == "ident" and v1.lower() == "exists"
+                and (k2, v2) == ("punct", "(")):
+            return True
+        # shortestPath forms route to the pattern path for its pointed
+        # "binds nothing inside NOT" reject (bare or p =-bound)
+        if k1 == "ident" and v1.lower() in ("shortestpath",
+                                            "allshortestpaths"):
+            return True
+        if k1 == "ident" and (k2, v2) == ("punct", "="):
+            k3, v3, _ = self.peek(3)
+            if (k3 == "ident" and v3.lower() in ("shortestpath",
+                                                 "allshortestpaths")):
+                return True
+        return ((k1, v1) == ("punct", "(")
+                and self._looks_like_pattern(at=1))
+
+    def _bool_unary(self, pred, neg_ctx: str):
+        """One boolean unary: ``[NOT]* (group | predicate)``. Boolean
+        NOT (r15) is Cypher's general negation — ``WHERE NOT a.name =
+        'x'``, ``NOT (p OR q)``, ``NOT x CONTAINS 'y'`` — compiled to
+        ``~pred`` (NULL-safe: ~NULL is NULL and the row drops, Cypher's
+        three-valued rule); the pattern-negation anti-join is routed
+        earlier by ``_not_is_pattern``. A parenthesized group that
+        closes into a VALUE position falls through to the predicate
+        (``(toInteger(x.f) + 1) * 2 > 50`` — ``_value_term`` owns that
+        '(')."""
+        if self.at("kw", "NOT"):
+            self.next()
+            inner = self._bool_unary(pred, neg_ctx)
+            return lambda inner=inner: ~inner()
+        if (self.at("punct", "(") and not self._looks_like_pattern()
+                and not self._paren_opens_value()):
+            self.next()
+            sub, _ = self._bool_or(pred, False, neg_ctx)
+            self.expect("punct", ")")
+            return sub
+        return pred()
 
     def _paren_opens_value(self) -> bool:
         """Cursor on a non-pattern ``(`` inside WHERE: does the group
@@ -1411,8 +1489,9 @@ class _Parser:
             j += 1
         return False
 
-    def _looks_like_pattern(self) -> bool:
-        """Cursor on ``(`` inside WHERE: does it open a NODE PATTERN
+    def _looks_like_pattern(self, at: int = 0) -> bool:
+        """Cursor (or the token ``at`` positions ahead, r15 — the NOT
+        lookahead) on ``(`` inside WHERE: does it open a NODE PATTERN
         (``(a)-…``, ``(a:L)…``, ``(:L)…``, ``({k: 'v'})…``, ``()-…``)
         rather than a parenthesized boolean group? Pure lookahead —
         nothing is consumed. The two grammars are disjoint: a boolean
@@ -1422,19 +1501,19 @@ class _Parser:
         followed by ``)``/``:``/``{``, an anonymous ``:label``/``{…}``,
         or ``()`` — with the ``)`` case disambiguated by the connector
         (``-`` / ``<-``) that must follow."""
-        k1, v1, _ = self.peek(1)
+        k1, v1, _ = self.peek(at + 1)
         if (k1, v1) == ("punct", ":") or (k1, v1) == ("punct", "{"):
             return True          # (:Label…  /  ({k: 'v'}…
         if (k1, v1) == ("punct", ")"):
-            k2, v2, _ = self.peek(2)
+            k2, v2, _ = self.peek(at + 2)
             return k2 == "punct" and v2 in ("-", "<-")   # ()-[…
         if k1 not in ("ident", "kw"):
             return False
-        k2, v2, _ = self.peek(2)
+        k2, v2, _ = self.peek(at + 2)
         if (k2, v2) in (("punct", ":"), ("punct", "{")):
             return True          # (a:Label…  /  (a {…
         if (k2, v2) == ("punct", ")"):
-            k3, v3, _ = self.peek(3)
+            k3, v3, _ = self.peek(at + 3)
             return k3 == "punct" and v3 in ("-", "<-")   # (a)-[…
         return False
 
@@ -1591,7 +1670,11 @@ class _Parser:
             lit = _unescape(self.next()[1][1:-1])
             return _kinded(lambda: F.lit(lit), "str")
         if (k == "ident" and v.upper() == "CASE"
-                and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
+                and (k1, v1) != ("punct", ".")):
+            # searched (CASE WHEN …) or simple (CASE subject WHEN …)
+            # form — the one thing CASE cannot be here is a variable
+            # named 'case' with a field access (Cypher reserves CASE;
+            # the engine reserves it only in value positions)
             return self._case_expr()
         if (k == "ident" and v.lower() in ("tointeger", "tofloat")
                 and (k1, v1) == ("punct", "(")):
@@ -1617,6 +1700,19 @@ class _Parser:
             return _kinded(
                 lambda: inner().try_cast("double").try_cast("bigint"),
                 "num")
+        if (k == "ident" and v.lower() == "tostring"
+                and (k1, v1) == ("punct", "(")):
+            # Cypher's toString (r15) — the explicit cast that makes
+            # number-to-string concatenation legal under the kind rules
+            # ('n=' + toString(count)). DuckDB oracle mirror:
+            # CAST(x AS VARCHAR) — integer renderings agree; avoid
+            # DOUBLE inputs in oracle-checked outputs (float formatting
+            # differs between engines).
+            self.next()
+            self.next()
+            inner = self._value_expr()
+            self.expect("punct", ")")
+            return _kinded(lambda: inner().cast("string"), "str")
         if (k == "ident" and v.lower() == "size"
                 and (k1, v1) == ("punct", "(")):
             self.next()
@@ -1655,6 +1751,9 @@ class _Parser:
     _ARITH_OPS = {
         "+": lambda a, b: a + b, "-": lambda a, b: a - b,
         "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+        # Cypher's modulo (r15) — Spark and DuckDB both follow the
+        # dividend's sign, so the oracles mirror with a bare %
+        "%": lambda a, b: a % b,
     }
 
     def _combine(self, a, b, op: str, pos: int):
@@ -1702,7 +1801,8 @@ class _Parser:
 
         def mul():
             left = self._value_term()
-            while self.at("punct", "*") or self.at("punct", "/"):
+            while (self.at("punct", "*") or self.at("punct", "/")
+                    or self.at("punct", "%")):
                 _, op, pos = self.next()
                 left = self._combine(left, self._value_term(), op, pos)
             return left
@@ -2009,7 +2109,7 @@ class _Parser:
             break
         return items, aggs, bare_edges
 
-    _ARITH_PUNCTS = ("+", "-", "*", "/")
+    _ARITH_PUNCTS = ("+", "-", "*", "/", "%")
 
     def _expr_item_ahead(self) -> bool:
         """Pure lookahead: does the cursor open a VALUE EXPRESSION
@@ -2029,11 +2129,11 @@ class _Parser:
         if k == "str" or (k, v) == ("punct", "("):
             return True
         if (k == "ident" and v.upper() == "CASE"
-                and k1 in ("ident", "kw") and v1.upper() == "WHEN"):
+                and (k1, v1) != ("punct", ".")):
             return True
         if (k == "ident" and v.lower() in ("tointeger", "tofloat",
                                            "tolower", "toupper",
-                                           "coalesce")
+                                           "tostring", "coalesce")
                 and (k1, v1) == ("punct", "(")):
             return True
         if (k == "ident" and v.lower() == "size"
@@ -2079,15 +2179,32 @@ class _Parser:
         Compiled to an ``F.when`` chain; without ELSE the non-matching
         rows are NULL (Cypher's rule). Branch values mixing string and
         numeric kinds are a positioned reject (Spark would reject the
-        F.when chain unpositioned at plan time)."""
+        F.when chain unpositioned at plan time). r15 also accepts the
+        SIMPLE form ``CASE subject WHEN v1 THEN r1 … END`` — compiled
+        to the searched form with ``subject = vN`` equality conditions
+        (subject-vs-WHEN-value kind mixes positioned-rejected)."""
         _, _, cpos = self.next()           # CASE
+        subject = None
+        if not self._at_word("WHEN"):
+            subject = self._value_expr()
         branches: list[tuple] = []
         while self._at_word("WHEN"):
-            self.next()
-            cond, _ = self._bool_or(
-                self._predicate, allow_negpat=False,
-                neg_ctx="inside a CASE expression — pattern predicates "
-                        "compile to joins, not expressions")
+            _, _, wpos = self.next()
+            if subject is None:
+                cond, _ = self._bool_or(
+                    self._predicate, allow_negpat=False,
+                    neg_ctx="inside a CASE expression — pattern "
+                            "predicates compile to joins, not "
+                            "expressions")
+            else:
+                wv = self._case_value()
+                ks = {_kind_of(subject), _kind_of(wv)}
+                if {"num", "str"} <= ks:
+                    raise PatternSyntaxError(
+                        f"WHEN at position {wpos} compares the CASE "
+                        "subject against a value of the other type "
+                        "(string vs numeric) — cast one side")
+                cond = (lambda s=subject, w=wv: s() == w())
             if not self._at_word("THEN"):
                 _, v, p = self.peek()
                 raise PatternSyntaxError(
@@ -2097,8 +2214,7 @@ class _Parser:
         if not branches:
             raise PatternSyntaxError(
                 f"CASE at position {cpos} needs at least one WHEN "
-                "branch (only the searched form — CASE WHEN pred THEN "
-                "value — is supported)")
+                "branch")
         other = None
         if self._at_word("ELSE"):
             self.next()

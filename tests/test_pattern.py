@@ -2303,3 +2303,113 @@ def test_r15_rejects():
     ]:
         with pytest.raises(PatternSyntaxError, match=hint):
             parse_match(bad)
+
+
+# --- r15 second wave: boolean NOT, ORDER BY aggregates, toString,
+# simple CASE, modulo ----------------------------------------------------------
+
+def test_boolean_not(tinynum):
+    """r15: NOT as general boolean negation (Cypher's rule) — routed
+    apart from the pattern-negation anti-join by lookahead; NOT now
+    composes under OR and doubles up."""
+    nodes, edges = tinynum
+    base = "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+    got = _bindings(match_pattern(
+        nodes, edges, base + "WHERE NOT t.name = 't1' RETURN t.name AS tn"))
+    assert got == [("t2",)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        base + "WHERE NOT (t.name = 't1' OR t.name = 'zz') "
+        "RETURN t.name AS tn"))
+    assert got2 == [("t2",)]
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        base + "WHERE NOT h.content CONTAINS '.' RETURN t.name AS tn"))
+    assert got3 == [("t1",)]
+    # boolean NOT under OR is legal (pattern NOT is not)
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        base + "WHERE NOT t.name = 't1' OR h.content = '40' "
+        "RETURN t.name AS tn"))
+    assert got4 == [("t1",), ("t2",)]
+    got5 = _bindings(match_pattern(
+        nodes, edges,
+        base + "WHERE NOT NOT t.name = 't1' RETURN t.name AS tn"))
+    assert got5 == [("t1",)]
+    # three-valued logic: NOT NULL-predicate stays NULL -> row drops
+    got6 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_PERSONS]->(pp:Persons) "
+        "WHERE NOT toInteger(pp.content) > 99 RETURN t.name AS tn"))
+    assert got6 == [("t1",)]       # 'oops' casts NULL; ~NULL drops
+    # the anti-join forms still route to patterns
+    got7 = _bindings(match_pattern(
+        nodes, edges,
+        base + "WHERE NOT (t)-[:NOPE]->(:Hours) RETURN t.name AS tn"))
+    assert got7 == [("t1",), ("t2",)]
+    with pytest.raises(PatternSyntaxError, match="AND-ed at the top"):
+        parse_match(base + "WHERE NOT (t)-[:NOPE]->(z) OR t.name = 'x' "
+                    "RETURN t.name")
+
+
+def test_orderby_bare_aggregate(tinynum):
+    """r15: ORDER BY count(*) resolves structurally to the projected
+    aggregate's alias; aggregates absent from the projection are
+    positioned rejects."""
+    nodes, edges = tinynum
+    got = [tuple(r) for r in match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, count(h) AS n "
+        "ORDER BY count(h) DESC, tn").collect()]
+    assert got == [("t1", 1), ("t2", 1)]
+    with pytest.raises(PatternSyntaxError, match="does not appear"):
+        parse_match(
+            "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+            "RETURN t.name AS tn, count(*) AS n ORDER BY min(h.content)")
+
+
+def test_tostring_and_modulo(tinynum):
+    """r15: toString() makes number+string concat legal under the kind
+    rules; % is mul-precedence arithmetic on both engines' dividend-
+    sign convention."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name + '#' + toString(t.id) AS tag"))
+    assert got == [("t1#1",), ("t2#2",)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WHERE t.id % 2 = 0 RETURN t.name AS tn"))
+    assert got2 == [("t2",)]
+    # % binds at * / precedence: 5 + id % 2, not (5 + id) % 2
+    got4 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, 5 + t.id % 2 AS v"))
+    assert got4 == [("t1", 6), ("t2", 5)]
+
+
+def test_simple_case(tinynum):
+    """r15: the simple CASE form compiles to searched CASE with
+    subject-equality conditions; subject/WHEN-value kind mixes are
+    positioned rejects."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, CASE h.content WHEN '40' THEN 'forty' "
+        "WHEN '2.5' THEN 'frac' ELSE 'other' END AS w"))
+    assert got == [("t1", "forty"), ("t2", "frac")]
+    # numeric subject
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "RETURN t.name AS tn, CASE toInteger(h.content) % 2 "
+        "WHEN 0 THEN 'even' ELSE 'odd' END AS par"))
+    assert got2 == [("t1", "even"), ("t2", "even")]
+    with pytest.raises(PatternSyntaxError, match="other type"):
+        parse_match("MATCH (a)-[:T]->(b) RETURN CASE a.name WHEN 1 "
+                    "THEN 'x' END AS c")
