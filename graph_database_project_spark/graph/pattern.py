@@ -455,6 +455,11 @@ class _Parser:
         self.carried_nodes: set[str] = set()  # vars carried bare
         self.carried_edges: set[str] = set()  # edge vars carried bare
         self.carried_cols: set[str] = set()   # ALL carried output columns
+        # static kind per carried column (r15 review fix): what lets
+        # `a + b` over two carried STRING columns concatenate (Cypher)
+        # instead of compiling numeric addition into an unpositioned
+        # AnalysisException
+        self.carried_kinds: dict[str, str] = {}
         self.join_vars: list[str] = []  # carried vars re-anchored this stage
         # shortest-path variables (r12b): global collision space + the
         # ones in scope for the current stage
@@ -662,7 +667,12 @@ class _Parser:
         self.carried_edges = {var for var, fld, alias in items
                               if var is not None and fld == "rel_type"
                               and alias == f"{var}_rel_type"}
+        # kinds computed BEFORE reassigning carried_kinds — carried-
+        # column refs inside this boundary's items read the PREVIOUS
+        # stage's kinds
+        new_kinds = self._carried_kinds(items, aggs)
         self.carried_cols = set(outs)
+        self.carried_kinds = new_kinds
         # follow-on reading clauses form the new stage's pattern
         self._begin_stage()
         stage_pos = self._match_clauses()
@@ -711,6 +721,45 @@ class _Parser:
             list(self.nodes.values()), self.edges, self.clauses,
             self.where_fn, tuple(self.join_vars),
             self.optional_wheres))
+
+    def _carried_kinds(self, items, aggs) -> dict[str, str]:
+        """Static kind of every column a WITH boundary carries (r15
+        review fix): plain field items inherit the field's kind (id/len
+        numeric, corpus properties string), expression items the
+        expression's computed kind, bare variables their per-field
+        kinds, and aggregates count/sum/avg → numeric, collect → the
+        flattened string, min/max → the argument's kind. Upgrading
+        carried columns from 'any' to real kinds makes the '+' rule and
+        the sum/avg/comparison guards correct ACROSS WITH boundaries —
+        two carried strings concatenate instead of compiling numeric
+        addition into an unpositioned AnalysisException."""
+        kinds: dict[str, str] = {}
+
+        def field_kind(var, fld):
+            if var is None:            # a prior boundary's column
+                return self.carried_kinds.get(fld, "any")
+            if fld in ("id", "len"):
+                return "num"
+            return "str"
+
+        for var, fld, alias in items or []:
+            if var == "__expr__":
+                kinds[alias] = _kind_of(fld)
+            elif fld is None:
+                for c in _CARRY:
+                    kinds[f"{var}_{c}"] = "num" if c == "id" else "str"
+            else:
+                kinds[alias] = field_kind(var, fld)
+        for fn, var, fld, _dist, alias in aggs:
+            if fn in ("count", "sum", "avg"):
+                kinds[alias] = "num"
+            elif fn == "collect":
+                kinds[alias] = "str"
+            elif var == "__expr__":
+                kinds[alias] = _kind_of(fld)
+            else:                      # min/max over a field/column
+                kinds[alias] = field_kind(var, fld)
+        return kinds
 
     def _begin_stage(self) -> None:
         self.nodes = {}
@@ -1393,9 +1442,13 @@ class _Parser:
                         f"allowed {neg_ctx}")
                 self._exists_pattern()
                 has_neg = True
-            elif self.at("punct", "(") and self._looks_like_pattern():
+            elif self.at("punct", "(") and (
+                    self._looks_like_pattern()
+                    or ((k1, v1) == ("punct", "(")
+                        and self._looks_like_pattern(at=1))):
                 # Cypher's bare pattern predicate (r14) — positive
-                # existential, the dual of NOT (a)-[:T]->(b)
+                # existential, the dual of NOT (a)-[:T]->(b); r15 sees
+                # through one redundant wrapper paren
                 if not allow_negpat:
                     _, _, p = self.peek()
                     raise PatternSyntaxError(
@@ -1434,8 +1487,14 @@ class _Parser:
             if (k3 == "ident" and v3.lower() in ("shortestpath",
                                                  "allshortestpaths")):
                 return True
-        return ((k1, v1) == ("punct", "(")
-                and self._looks_like_pattern(at=1))
+        if (k1, v1) != ("punct", "("):
+            return False
+        # see through ONE redundant wrapper paren (r15 review fix:
+        # GPT/Neo4j-legal ``NOT ((a)-[:T]->(b))`` must stay an
+        # anti-join, not a boolean NOT over a rejected group)
+        return (self._looks_like_pattern(at=1)
+                or ((k2, v2) == ("punct", "(")
+                    and self._looks_like_pattern(at=2)))
 
     def _bool_unary(self, pred, neg_ctx: str):
         """One boolean unary: ``[NOT]* (group | predicate)``. Boolean
@@ -1533,6 +1592,11 @@ class _Parser:
             self.next()
             self.expect("punct", "(")
             wrapped = True
+        elif self.at("punct", "(") and not self._looks_like_pattern():
+            # one redundant wrapper paren around the bare pattern
+            # predicate (r15 review fix — GPT parenthesizes freely)
+            self.next()
+            wrapped = True
         known = set(self.nodes)
         exs: list[EdgePat] = []
         self._path(optional=False, collect=exs)
@@ -1579,6 +1643,11 @@ class _Parser:
         if wrapped:
             self.next()
             self.expect("punct", "(")
+        elif self.at("punct", "(") and not self._looks_like_pattern():
+            # one redundant wrapper paren: NOT ((a)-[:T]->(b)) — the
+            # r15 review's misleading-reject finding
+            self.next()
+            wrapped = True
         known = set(self.nodes)
         negs: list[EdgePat] = []
         self._path(optional=False, collect=negs)
@@ -1635,8 +1704,12 @@ class _Parser:
             return _kinded(lambda: getattr(F, fn)(F.col(col)), "str")
         var, fld = self._field_ref()
         col = fld if var is None else f"{var}_{fld}"
-        kind = ("num" if fld in ("id", "len")
-                else "any" if var is None else "str")
+        if var is None:
+            # a carried WITH column: its boundary-computed kind (r15
+            # review fix; 'any' only when genuinely underivable)
+            kind = self.carried_kinds.get(fld, "any")
+        else:
+            kind = "num" if fld in ("id", "len") else "str"
         return _kinded(lambda: F.col(col), kind)
 
     def _value_term(self):
@@ -1690,16 +1763,26 @@ class _Parser:
                 # round-trip through a double (precision loss past 2^53)
                 return _kinded(lambda: inner().try_cast("bigint"), "num")
             # Neo4j's toInteger TRUNCATES numeric strings ('2.5' → 2;
-            # ADVICE r14 — plain try_cast to BIGINT yielded NULL), so
-            # string/unknown inputs hop through DOUBLE first; both hops
-            # are try_cast (malformed → NULL, NaN/overflow → NULL, never
-            # an ANSI error) and the double→bigint cast truncates toward
-            # zero on BOTH engines' Spark side. DuckDB oracle mirror:
-            # CAST(trunc(TRY_CAST(x AS DOUBLE)) AS BIGINT) — DuckDB's
-            # bare double→bigint cast ROUNDS, so trunc() is mandatory.
-            return _kinded(
-                lambda: inner().try_cast("double").try_cast("bigint"),
-                "num")
+            # ADVICE r14 — plain try_cast to BIGINT yielded NULL).
+            # Integer-FORMATTED values take the exact direct cast (r15
+            # review fix: an unconditional double hop silently rounded
+            # '9007199254740993' and carried BIGINTs past 2^53); only
+            # decimal/scientific forms hop through DOUBLE, truncating
+            # toward zero. All casts are try_cast (malformed → NULL,
+            # NaN/overflow → NULL, never an ANSI error). DuckDB oracle
+            # mirror: CASE WHEN regexp_matches(s, '^\s*-?\d+\s*$') THEN
+            # TRY_CAST(s AS BIGINT) ELSE TRY_CAST(trunc(TRY_CAST(s AS
+            # DOUBLE)) AS BIGINT) END — DuckDB's bare double→bigint
+            # cast ROUNDS, so trunc() is mandatory on the decimal arm.
+
+            def to_int_col(inner=inner):
+                s = inner().cast("string")
+                return (F.when(s.rlike(r"^\s*-?\d+\s*$"),
+                               s.try_cast("bigint"))
+                        .otherwise(s.try_cast("double")
+                                    .try_cast("bigint")))
+
+            return _kinded(to_int_col, "num")
         if (k == "ident" and v.lower() == "tostring"
                 and (k1, v1) == ("punct", "(")):
             # Cypher's toString (r15) — the explicit cast that makes
@@ -1839,9 +1922,19 @@ class _Parser:
                 f"expected comparison operator at position {p}, got {op!r}")
         if self.at("str"):
             lit = _unescape(self.next()[1][1:-1])
-            rhs = lambda: F.lit(lit)  # noqa: E731
+            rhs = _kinded(lambda: F.lit(lit), "str")
         else:
             rhs = self._value_expr()
+        # comparison kind guard (r15 review fix): a statically known
+        # string×number comparison would pass parse and die as an
+        # unpositioned ANSI cast error at execution — the exact class
+        # the kind system turns into positioned rejects ('any' sides
+        # keep Cypher's plan-time typing)
+        if {"num", "str"} <= {_kind_of(lhs), _kind_of(rhs)}:
+            raise PatternSyntaxError(
+                f"comparison at position {p} mixes a string and a "
+                "numeric side — cast one side with toInteger()/"
+                "toFloat()/toString()")
         ops = {"=": lambda a, b: a == b,
                "<>": lambda a, b: a != b, "!=": lambda a, b: a != b,
                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
@@ -2336,8 +2429,17 @@ class _Parser:
             is_node = self._is_node_var(var)
             if (not is_edge and not is_node and var in self.carried_cols
                     and not self.at("punct", ".")):
-                # aggregate over a carried column (r12b)
+                # aggregate over a carried column (r12b); a column the
+                # boundary computed as a STRING is a positioned
+                # sum/avg reject (r15 — same contract as the expr
+                # branch), 'any' keeps Cypher's plan-time typing
                 fld, var = var, None
+                if (fn in ("sum", "avg")
+                        and self.carried_kinds.get(fld) == "str"):
+                    raise PatternSyntaxError(
+                        f"{fn}() needs a numeric argument — carried "
+                        f"column {fld!r} is string-typed; cast with "
+                        "toInteger()/toFloat()")
                 self.expect("punct", ")")
                 alias = f"{fn}_{fld}"
                 if self.at("kw", "AS"):

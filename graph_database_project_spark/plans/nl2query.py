@@ -396,7 +396,7 @@ _MOTIF_NUMERIC_AGG_RULE = re.compile(
 # ELSE 0 END) staple ("how many tasks take at least N hours per
 # bulletin")
 _MOTIF_COND_COUNT_RULE = re.compile(
-    r"how many tasks (?:take|need) (?:at least|over) (\d+) "
+    r"how many tasks (?:take|need) (at least|over|more than) (\d+) "
     r"(?:task[- ])?hours per bulletin",
     re.I,
 )
@@ -558,12 +558,16 @@ def answer_graph(spark: SparkSession, store, question: str) -> DataFrame:
     if m:
         # conditional-count text (r15): the sum(CASE WHEN … THEN 1 ELSE
         # 0 END) staple over the cast hours — CASE reachable from
-        # aggregate arguments since r15
-        n = int(m.group(1))
+        # aggregate arguments since r15. 'at least N' is inclusive
+        # (>=), 'over/more than N' strict (>) — the r15 review caught
+        # the first draft compiling both to >= (a task of exactly N
+        # hours silently counted for 'over N')
+        op = ">=" if m.group(1).lower() == "at least" else ">"
+        n = int(m.group(2))
         pattern = (
             "MATCH (t:task)-[:HAS_TASK_HOURS]->(th:task_hours) "
             "RETURN t.docnbr AS docnbr, "
-            f"sum(CASE WHEN toInteger(th.content) >= {n} THEN 1 "
+            f"sum(CASE WHEN toInteger(th.content) {op} {n} THEN 1 "
             "ELSE 0 END) AS n_matching, count(*) AS n_tasks "
             "ORDER BY docnbr")
         return compile_pattern(pattern)

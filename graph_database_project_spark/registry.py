@@ -205,89 +205,6 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # (all ≥1x driver-green, freshest checks in the file set). Every family
 # keeps ≥1 window rep (asserted by tests/test_registry.py); every
 # evicted key stays in the local bit-exact parity gate.
-# ================= r14 rotation (historical; window re-assigned below) ===
-# The r14 window (all 50 keys re-confirmed green in CORRECTNESS_r14):
-#    # The ENTIRE r13 window (r07 stragglers + r08 cohort + r13 NEW keys
-#     # + the six r09 picks) was re-confirmed green in CORRECTNESS_r13 —
-#     # fresh until the r19 build — so it rotates OUT wholesale. In:
-#     # (a) the remaining 23-key r09 cohort (last driver check r09 —
-#     # exactly at the MAX_AGE_ROUNDS=6 boundary when r15 builds; verdict
-#     # r13 #3), (b) 19 r10-cohort picks (partial prepay of the r16
-#     # obligation — the leftover 23 r10 keys MUST rotate in r15), (c)
-#     # nl2query_demo (r12), pipeline_training_data (r12) and
-#     # graph_motif_parsed (r11) as extra module reps, and (d) the FIVE
-#     # r14 NEW pattern-surface keys (the r10 picks agg_pivot /
-#     # agg_quantiles / agg_rollup / window_ntile / window_running_sum /
-#     # window_lag_delta yielded their slots to r15 — relational keeps
-#     # 7+ window reps).
-#     # Every family keeps >= 1 window rep (asserted by
-#     # tests/test_registry.py); every evicted key stays in the local
-#     # bit-exact parity gate.
-#     # --- r09 cohort (23 keys, MUST re-confirm this round) ---
-#     "assoc_basket_rules",
-#     "bpe_learn_merges",
-#     "cardinality_hll_grouped",
-#     "embedding_mrl_audit",
-#     "embedding_outlier",
-#     "fuzzy_join_typo_linkage",
-#     "graph_densest_subgraph",
-#     "graph_khop_undirected",
-#     "graph_temporal_multisource",
-#     "multimodal_frame_sample",
-#     "multimodal_phash_neardup",
-#     "multimodal_resize",
-#     "mutation_table_diff",
-#     "sample_split",
-#     "sample_systematic",
-#     "shard_assign",
-#     "skyline_pareto",
-#     "stream_dedup",
-#     "stream_dedup_gate",
-#     "text_fingerprint",
-#     "text_hybrid_rrf",
-#     "ts_cusum_changepoint",
-#     "udtf_bigram_explode",
-#     # --- r14 NEW keys (never driver-checked; the motifq reps) ---
-#     # graph_motif_numeric: float literals + toInteger/toFloat casts +
-#     # arithmetic in WHERE (string-typed corpus properties)
-#     "graph_motif_numeric",
-#     # graph_motif_exists: positive existential pattern predicate
-#     # (left-semi, the dual of WHERE NOT's anti-join)
-#     "graph_motif_exists",
-#     # graph_motif_collect_node: collect(v) of a whole node — 'id:name'
-#     # cells (was silently collect(v.id) before r14)
-#     "graph_motif_collect_node",
-#     # graph_motif_case: searched CASE in RETURN as implicit-group key
-#     "graph_motif_case",
-#     # graph_motif_numeric_agg: sum/avg over cast value expressions
-#     "graph_motif_numeric_agg",
-#     # --- family reps (modules with no r09/r10-cohort key) ---
-#     "nl2query_demo",
-#     "pipeline_training_data",
-#     "graph_motif_parsed",
-#     # --- r10 cohort picks (19 of 42 picked, 6 yielded their slots;
-#     #     prepaying the r16 obligation) ---
-#     "agg_approx_distinct",
-#     "agg_stats_moments",
-#     "batch_padding_audit",
-#     "cardinality_hll",
-#     "dedup_ngram_jaccard",
-#     "filter_project",
-#     "graph_pagerank",
-#     "join_anti",
-#     "join_inner",
-#     "join_semi",
-#     "mutation_property_set",
-#     "q05_local_supplier_volume",
-#     "q18_large_volume",
-#     "sessionize",
-#     "sim_knn_per_vector",
-#     "sort_topk",
-#     "text_token_count",
-#     "ts_anomaly_zscore",
-#     "xml_shared_linenumbers",
-# ]
-
 # ================= r15 rotation =================
 # The entire r14 window re-confirmed green in CORRECTNESS_r14 (fresh until
 # the r20 build), so it rotates OUT wholesale. In:

@@ -390,6 +390,16 @@ def test_cond_count_question_emits_case_aggregate(spark):
         ("737-00-1029", 1, 1),
         ("737-00-1030", 0, 1),
     ]
+    # 'over N' is STRICT (r15 review finding: the first draft compiled
+    # both phrasings to >=, silently counting the exactly-30h task)
+    df2 = answer_graph(spark, store,
+                       "how many tasks take over 30 hours per bulletin")
+    got2 = [(r.docnbr, r.n_matching, r.n_tasks) for r in df2.collect()]
+    assert got2 == [
+        ("737-00-1028", 2, 2),
+        ("737-00-1029", 0, 1),
+        ("737-00-1030", 0, 1),
+    ]
 
 
 def test_label_question_emits_concat_pattern(spark):

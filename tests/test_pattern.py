@@ -2413,3 +2413,83 @@ def test_simple_case(tinynum):
     with pytest.raises(PatternSyntaxError, match="other type"):
         parse_match("MATCH (a)-[:T]->(b) RETURN CASE a.name WHEN 1 "
                     "THEN 'x' END AS c")
+
+
+# --- r15 review fixes ---------------------------------------------------------
+
+def test_carried_kind_tracking(tinynum):
+    """r15 review: WITH boundaries record each carried column's static
+    kind — two carried strings CONCATENATE under '+' (was an
+    unpositioned AnalysisException on numeric addition), carried
+    numerics still add, and sum() over a string-kinded carried column
+    is a positioned reject."""
+    nodes, edges = tinynum
+    got = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t.name AS a, h.content AS b RETURN a + b AS ab"))
+    assert got == [("t140",), ("t22.5",)]
+    got2 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t.docnbr AS d, toInteger(h.content) AS hrs "
+        "RETURN d, sum(hrs) AS tot"))
+    assert got2 == [("d1", 42)]
+    with pytest.raises(PatternSyntaxError, match="numeric"):
+        parse_match("MATCH (a)-[:T]->(b) WITH a.name AS nm, b.id AS i "
+                    "RETURN sum(nm) AS s")
+    # kinds survive CHAINED boundaries (second WITH reads the first's)
+    got3 = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (t:Task)-[:HAS_HOURS]->(h:Hours) "
+        "WITH t.name AS a, h.content AS b "
+        "WITH a + b AS ab "
+        "RETURN ab + '!' AS bang"))
+    assert got3 == [("t140!",), ("t22.5!",)]
+
+
+def test_tointeger_exact_integer_path(tinynum):
+    """r15 review: integer-formatted inputs take the exact BIGINT cast
+    (no double round-trip past 2^53); decimal forms still truncate."""
+    nodes, edges = tinynum
+    big = 9007199254740993          # 2^53 + 1 — not double-representable
+    extra = nodes.sparkSession.createDataFrame(
+        [(big, ["Big"], "b1", str(big), "d1", {})], nodes.schema)
+    got = _bindings(match_pattern(
+        nodes.union(extra),
+        edges.union(edges.sparkSession.createDataFrame(
+            [(1, big, "B")], edges.schema)),
+        "MATCH (t:Task)-[:B]->(g:Big) "
+        "RETURN toInteger(g.content) AS i"))
+    assert got == [(big,)]
+
+
+def test_comparison_kind_guard():
+    """r15 review: statically-known string-vs-number comparisons are
+    positioned rejects (were runtime ANSI cast errors)."""
+    for bad in [
+        "MATCH (a)-[:T]->(b) WHERE a.name + '-' + b.name > 5 "
+        "RETURN a.id AS i",
+        "MATCH (a)-[:T]->(b) WHERE toInteger(a.content) = 'x' "
+        "RETURN a.id AS i",
+        "MATCH (a)-[:T]->(b) WHERE size(a.name) = 'long' "
+        "RETURN a.id AS i",
+    ]:
+        with pytest.raises(PatternSyntaxError, match="mixes"):
+            parse_match(bad)
+
+
+def test_not_pattern_with_redundant_paren(tiny):
+    """r15 review: NOT ((a)-[:T]->(b)) / WHERE ((a)-[:T]->(b)) keep
+    their anti-/semi-join compile through one wrapper paren."""
+    nodes, edges = tiny
+    neg = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE NOT ((b)-[:S]->(:C)) "
+        "RETURN b.name AS bn"))
+    assert neg == []
+    pos = _bindings(match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE ((b)-[:S]->(:C)) "
+        "RETURN b.name AS bn"))
+    assert pos == [("b1",), ("b2",)]
