@@ -528,6 +528,12 @@ GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_ROWS = [
     ('737-00-1030', 1, 'Hydraulic System Pressure Check (20h)', 31),
 ]
 
+GOLDEN_GRAPH_MOTIF_BOOLEXPR_COLS = [('team', 'VARCHAR'), ('n_tasks', 'BIGINT'), ('rems', 'VARCHAR')]
+GOLDEN_GRAPH_MOTIF_BOOLEXPR_ROWS = [
+    ('crew', 2, '0r;10r'),
+    ('small', 1, '10r'),
+]
+
 
 def _values_sql(cols, rows):
     """Render a typed constant table: SELECT * FROM (VALUES ...) t(cols)."""
@@ -581,4 +587,5 @@ ORACLE = {
     "graph_motif_weighted": _values_sql(GOLDEN_GRAPH_MOTIF_WEIGHTED_COLS, GOLDEN_GRAPH_MOTIF_WEIGHTED_ROWS),
     "graph_motif_cond_agg": _values_sql(GOLDEN_GRAPH_MOTIF_COND_AGG_COLS, GOLDEN_GRAPH_MOTIF_COND_AGG_ROWS),
     "graph_motif_size_concat": _values_sql(GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_COLS, GOLDEN_GRAPH_MOTIF_SIZE_CONCAT_ROWS),
+    "graph_motif_boolexpr": _values_sql(GOLDEN_GRAPH_MOTIF_BOOLEXPR_COLS, GOLDEN_GRAPH_MOTIF_BOOLEXPR_ROWS),
 }

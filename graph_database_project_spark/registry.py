@@ -211,13 +211,14 @@ _MODULES = [relational, tpch_ext, mutation, graphq, dedup, similarity,
 # (a) the remaining 23-key r10 cohort (last driver check r10 — exactly at
 #     the MAX_AGE_ROUNDS=6 boundary when the r16 build runs; verdict r14
 #     #1 says rotate NOW),
-# (b) 22 picks from the 47-key r11 cohort (r11 hits the boundary at the
+# (b) 21 picks from the 47-key r11 cohort (r11 hits the boundary at the
 #     r17 build — a 47-key cohort can't rotate in one 50-slot window, so
 #     this is the first half of the mandated r15/r16 split; the remaining
-#     25 r11 keys — the agg_* quartet, the 14 TPC-H q06–q21 shapes,
+#     26 r11 keys — the agg_* quartet, the 14 TPC-H q06–q21 shapes,
 #     graph_scc/_condensation/pagerank_incremental, join_left_agg,
-#     ts_rollup_multires/ts_seasonal_decompose, window_topk_per_group —
-#     MUST rotate in r16),
+#     ts_rollup_multires/ts_seasonal_decompose, window_topk_per_group,
+#     and graph_motif_fanout (yielded its r15 slot to the r15b
+#     graph_motif_boolexpr key) — MUST rotate in r16),
 # (c) nl2query_demo + pipeline_training_data as the nl2query/pipeline
 #     family reps (those modules have no r10/r11-cohort key), and
 # (d) this round's NEW pattern-surface keys as they land (grouped value
@@ -256,7 +257,6 @@ _DRIVER_WINDOW = [
     "dedup_weighted_mass",
     "dq_audit",
     "graph_motif_chain",
-    "graph_motif_fanout",
     "graph_motif_negation",
     "graph_motif_optional",
     "graph_motif_shared",
@@ -285,6 +285,10 @@ _DRIVER_WINDOW = [
     # graph_motif_size_concat: string '+' concat, size(string)=length,
     # size(collect(...)) count rewrite, composed through WITH
     "graph_motif_size_concat",
+    # graph_motif_boolexpr (r15b): boolean NOT, simple CASE, % modulo,
+    # toString(), ORDER BY on a bare aggregate (took graph_motif_fanout's
+    # slot — fanout moved to the r16 obligation)
+    "graph_motif_boolexpr",
 ]
 
 

@@ -46,7 +46,9 @@ names = ["xml_label_counts", "xml_rel_signatures", "xml_khop_flagship",
          # r15: conditional aggregates (sum(CASE WHEN ...))
          "graph_motif_cond_agg",
          # r15: string concat '+', size(string), size(collect(...))
-         "graph_motif_size_concat"]
+         "graph_motif_size_concat",
+         # r15b: boolean NOT, simple CASE, %, toString, ORDER BY agg
+         "graph_motif_boolexpr"]
 out = []
 out.append('"""Golden-constant DuckDB oracles for the sf-invariant ``xml_*`` queries.')
 out.append('')

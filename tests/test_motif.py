@@ -491,7 +491,10 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             "graph_motif_cond_agg": 2,
             # r15: 2-branch fanout + WITH boundary + collect/size agg +
             # total-order sort; measured 3
-            "graph_motif_size_concat": 4}
+            "graph_motif_size_concat": 4,
+            # r15b: 2-branch fanout + CASE-keyed agg + total-order
+            # sort; measured 3
+            "graph_motif_boolexpr": 4}
     for name, fn in motifq.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
@@ -814,3 +817,31 @@ def test_size_concat_matches_elementtree_recompute(spark):
     got = {r.docnbr: (r.n_tasks, r.labels, r.min_name_len)
            for r in motifq.q_graph_motif_size_concat(spark, SF).collect()}
     assert got == expect
+
+
+def test_boolexpr_matches_elementtree_recompute(spark):
+    """Independent oracle for graph_motif_boolexpr (r15b): boolean NOT
+    filter, simple-CASE team split, %-modulo/toString tags, and the
+    count-desc order recomputed from the XML."""
+    rows = []
+    for path in sorted(glob.glob(REFERENCE_XML_GLOB)):
+        root = ET.parse(path).getroot()
+        for task in root.findall(".//manpower/task"):
+            hours = task.findtext("task_hours").strip()
+            persons = task.findtext("persons").strip()
+            if hours == "20":          # the NOT filter
+                continue
+            team = "crew" if persons == "5" else "small"
+            rows.append((team, f"{int(hours) % 20}r"))
+    expect = {}
+    for team, tag in rows:
+        expect.setdefault(team, []).append(tag)
+    expected = sorted(
+        ((t, len(tags), ";".join(sorted(tags))) for t, tags in
+         expect.items()),
+        key=lambda r: (-r[1], r[0]))
+    got = [(r.team, r.n_tasks, r.rems)
+           for r in motifq.q_graph_motif_boolexpr(spark, SF).collect()]
+    assert got == expected
+    # the NOT filter and the team split are both live
+    assert len(got) == 2 and got[0][1] != got[1][1]
