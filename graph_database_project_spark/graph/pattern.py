@@ -152,9 +152,12 @@ Supported subset — exactly what the compiler supports, nothing more:
   (cast to string, kind 'str' — makes number+string concat legal);
   the SIMPLE CASE form ``CASE subject WHEN v THEN r … END`` (compiled
   to searched CASE with subject-equality conditions; a variable
-  literally named ``case`` is reserved in value positions); and ``%``
+  literally named ``case`` is reserved in value positions); ``%``
   modulo at ``* /`` precedence (both engines follow the dividend's
-  sign);
+  sign); and ``RETURN [DISTINCT] *`` — every named in-scope variable
+  in declaration order (nodes → carried columns, edge variables →
+  rel_type; anonymous/negation-only vars excluded; single-stage only,
+  and path variables must be projected explicitly as length(p));
 * positive existential pattern predicates in WHERE (r14): the bare
   Cypher form ``WHERE (a)-[:T]->(b)`` and ``exists((a)-[:T]->(b))``,
   plus ``NOT exists(…)`` — compiled to a left-SEMI join (the dual of
@@ -431,6 +434,7 @@ class _Parser:
         own variables, WITH environment, and RETURN."""
         self.nodes: dict[str, NodePat] = {}
         self.edges: list[EdgePat] = []
+        self.anon_vars: set[str] = set()  # parser-generated node vars
         self.edge_vars: dict[str, int] = {}  # var -> declaration position
         # edge vars declared in the CURRENT stage (self.edge_vars stays
         # the whole-query collision space; out-of-scope vars must not
@@ -958,6 +962,7 @@ class _Parser:
             v = f"anon{self._anon}"
             self._anon += 1
             if v not in self.nodes:
+                self.anon_vars.add(v)
                 return v
 
     def _path(self, optional: bool, collect: list | None = None) -> None:
@@ -2064,6 +2069,39 @@ class _Parser:
         if self.at("kw", "DISTINCT"):
             self.next()
             self.distinct = True
+        if self.at("punct", "*"):
+            # Cypher's ``RETURN *`` (r15b — GPT emits it constantly):
+            # every NAMED variable in scope, in declaration order —
+            # node variables expand to their carried columns, edge
+            # variables to rel_type. Single-stage only (after a WITH,
+            # list the carried items explicitly — the same stance as
+            # the WITH * reject); anonymous, negation-only and path
+            # variables are excluded (paths bind the DISTANCE — return
+            # length(p) explicitly).
+            _, _, star_pos = self.next()
+            if self.stages:
+                raise PatternSyntaxError(
+                    f"'RETURN *' at position {star_pos} after a WITH "
+                    "boundary is not supported — list the carried items "
+                    "explicitly")
+            if self.stage_path_vars:
+                raise PatternSyntaxError(
+                    f"'RETURN *' at position {star_pos} with a path "
+                    "variable in scope — the engine binds the DISTANCE; "
+                    "project the other variables and length(...) "
+                    "explicitly")
+            items = [(v, None, v) for v in self.nodes
+                     if v not in self.anon_vars
+                     and v not in self.neg_only]
+            items += [(v, "rel_type", f"{v}_rel_type")
+                      for v in self.edge_vars
+                      if v in self.stage_edge_vars]
+            if not items:
+                raise PatternSyntaxError(
+                    f"'RETURN *' at position {star_pos} has no named "
+                    "variables to project")
+            self.returns = items
+            return
         self.returns, self.aggregates, _ = self._projection()
 
     def _projection(self) -> tuple[list, list, set[str]]:

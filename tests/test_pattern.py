@@ -2493,3 +2493,33 @@ def test_not_pattern_with_redundant_paren(tiny):
         "MATCH (a:A)-[:R]->(b:B) WHERE ((b)-[:S]->(:C)) "
         "RETURN b.name AS bn"))
     assert pos == [("b1",), ("b2",)]
+
+
+def test_return_star(tiny):
+    """r15b: RETURN * projects every named in-scope variable in
+    declaration order (nodes -> carried columns, edge vars ->
+    rel_type); anonymous/negation-only vars excluded; WITH-staged and
+    path-var queries are positioned rejects."""
+    nodes, edges = tiny
+    df = match_pattern(nodes, edges, "MATCH (a:A)-[r:R]->(b:B) RETURN *")
+    assert df.columns == [
+        "a_id", "a_name", "a_content", "a_docnbr",
+        "b_id", "b_name", "b_content", "b_docnbr", "r_rel_type"]
+    got = sorted((r.a_name, r.b_name, r.r_rel_type) for r in df.collect())
+    assert got == [("a1", "b1", "R"), ("a2", "b2", "R")]
+    # anonymous node excluded from *
+    df2 = match_pattern(nodes, edges, "MATCH (a:A)-[:R]->(:B) RETURN *")
+    assert df2.columns == ["a_id", "a_name", "a_content", "a_docnbr"]
+    # negation-only variable excluded
+    df3 = match_pattern(
+        nodes, edges,
+        "MATCH (a:A)-[:R]->(b:B) WHERE NOT (b)-[:T]->(z) RETURN *")
+    assert not any(c.startswith("z_") for c in df3.columns)
+    for bad, hint in [
+        ("MATCH (a:A)-[:R]->(b) WITH a RETURN *", "after a WITH"),
+        ("MATCH p = shortestPath((a:A)-[:R*1..2]->(b)) RETURN *",
+         "path variable"),
+        ("MATCH (:A)-[:R]->(:B) RETURN *", "no named"),
+    ]:
+        with pytest.raises(PatternSyntaxError, match=hint):
+            parse_match(bad)
