@@ -228,6 +228,30 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
                                or isinstance(pat.rel_type, str)))
     if not unique_by_contract:
         er = er.distinct()
+    if pat.max_hops > 1:
+        # r15 optimization: a DataFrame plan re-expands a subtree PER
+        # REFERENCE (no CTE sharing — the CLAUDE.md multi-consumer rule),
+        # and the exact-h chain below references ``er`` once per hop and
+        # each hop's pair set twice (the next hop's join + the union), so
+        # the unrolled plan re-ran hop h's joins and dedup shuffles
+        # (max_hops - h) extra times: graph_motif_shortestpath (1..4)
+        # executed 31 hash exchanges / 10 er derivations per run,
+        # graph_motif_varlength (1..3) 18/6. Materializing the loop-
+        # invariant ``er`` and each intermediate hop once (the same
+        # localCheckpoint idiom every graph loop here uses) makes the
+        # expansion O(max_hops): each hop's join + distinct runs exactly
+        # once. Same rows out — this is pure plan shape. Each CONSUMER of
+        # a materialized relation gets a fresh-attribute re-projection:
+        # union branches sharing one LogicalRDD's attribute ids trip
+        # Union.rewriteConstraints ("key not found" on constraint
+        # attributes outside the child's output).
+        er = er.localCheckpoint(eager=True)
+
+        def _ref(ck: DataFrame) -> DataFrame:
+            return ck.select(*[F.col(c).alias(c) for c in ck.columns])
+    else:
+        def _ref(ck: DataFrame) -> DataFrame:
+            return ck
     if pat.path_var is not None:
         if not (1 <= pat.min_hops <= pat.max_hops <= 8):
             raise ValueError(
@@ -238,16 +262,22 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
         # of exactly h edges exists} IS the BFS distance (min_hops=1);
         # with a higher lower bound it is the shortest admissible length
         cur = er
-        acc = (er.withColumn("len", F.lit(1).cast("long"))
+        acc = (_ref(er).withColumn("len", F.lit(1).cast("long"))
                if pat.min_hops <= 1 else None)
         for h in range(2, pat.max_hops + 1):
-            cur = (cur.alias("a")
-                   .join(er.alias("b"), F.col("a.dst") == F.col("b.src"))
+            cur = (_ref(cur).alias("a")
+                   .join(_ref(er).alias("b"),
+                         F.col("a.dst") == F.col("b.src"))
                    .select(F.col("a.src").alias("src"),
                            F.col("b.dst").alias("dst"))
                    .distinct())
+            if h < pat.max_hops:
+                # referenced by the next hop's join AND (possibly) the
+                # union — materialize once; the last hop has a single
+                # consumer, so it stays lazy
+                cur = cur.localCheckpoint(eager=True)
             if h >= pat.min_hops:
-                step = cur.withColumn("len", F.lit(h).cast("long"))
+                step = _ref(cur).withColumn("len", F.lit(h).cast("long"))
                 acc = step if acc is None else acc.unionByName(step)
         return acc.groupBy("src", "dst").agg(F.min("len").alias("len"))
     if (pat.min_hops, pat.max_hops) == (1, 1):
@@ -261,18 +291,26 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
             f"bad hop range {pat.min_hops}..{pat.max_hops} (want 1<=min"
             "<=max<=8; use graph/traverse.k_hop beyond that)")
     # variable-length expansion: exact-h pair sets chained by equi-join,
-    # unioned over the requested range — reachability (DISTINCT pairs)
+    # unioned over the requested range — reachability (DISTINCT pairs).
+    # The cross-hop dedup runs ONCE on the final union (r15) instead of
+    # per hop: unioning per-hop-distinct sets then distinct-ing the lot
+    # is the same set with max_hops-2 fewer full-accumulator shuffles.
     cur = er
-    acc = er if pat.min_hops <= 1 else None
+    sets = [_ref(er)] if pat.min_hops <= 1 else []
     for h in range(2, pat.max_hops + 1):
-        cur = (cur.alias("a")
-               .join(er.alias("b"), F.col("a.dst") == F.col("b.src"))
+        cur = (_ref(cur).alias("a")
+               .join(_ref(er).alias("b"), F.col("a.dst") == F.col("b.src"))
                .select(F.col("a.src").alias("src"),
                        F.col("b.dst").alias("dst"))
                .distinct())
+        if h < pat.max_hops:
+            cur = cur.localCheckpoint(eager=True)
         if h >= pat.min_hops:
-            acc = cur if acc is None else acc.unionByName(cur).distinct()
-    return acc
+            sets.append(_ref(cur))
+    acc = sets[0]
+    for s in sets[1:]:
+        acc = acc.unionByName(s)
+    return acc.distinct() if len(sets) > 1 else acc
 
 
 def edge_distinct_where(edge_pats: list[EdgePat]) -> Column | None:
