@@ -49,21 +49,34 @@ def k_hop(seeds: DataFrame, edges: DataFrame, depth: int,
         )
     edges = edges.select("src", "dst")
 
-    visited = seeds.select("seed", "node", F.lit(0).alias("depth")).distinct()
-    frontier = visited
+    v0 = seeds.select("seed", "node", F.lit(0).alias("depth")).distinct() \
+        .localCheckpoint(eager=True)
+    # visited is kept as a UNION of per-hop checkpointed frontiers rather
+    # than re-checkpointed wholesale each hop (r15): every layer is already
+    # materialized, so the union is free to reference — the old
+    # ``visited.union(nxt).localCheckpoint()`` re-wrote ALL visited rows
+    # once per hop (O(k·|visited|) extra materialization jobs).
+    layers = [v0]
+    frontier = v0
     for hop in range(1, depth + 1):
+        visited_keys = layers[0].select("seed", "node")
+        for l in layers[1:]:
+            visited_keys = visited_keys.union(l.select("seed", "node"))
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select("seed", F.col("dst").alias("node"), F.lit(hop).alias("depth"))
             .distinct()
             # min-depth semantics: drop nodes already reached at a lower depth
-            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .join(visited_keys, ["seed", "node"], "left_anti")
         )
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
         frontier = nxt
+    visited = layers[0]
+    for l in layers[1:]:
+        visited = visited.union(l)
     return visited
 
 

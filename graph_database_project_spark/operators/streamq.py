@@ -125,8 +125,12 @@ def _run_available_now(result: DataFrame, spark: SparkSession,
             # for); the timeout only bites on a genuine mismatch
             deadline = time.monotonic() + 15.0
             drained = listener.rows_for(str(q.id))
+            # 10 ms poll: progress events land a few ms after
+            # awaitTermination, and a 100 ms step was charging every
+            # drain 0.2-0.3 s of pure sleep (measured r15 — 2-3 polls
+            # per run); the deadline only bites on a real mismatch
             while drained != expected_input_rows and time.monotonic() < deadline:
-                time.sleep(0.1)
+                time.sleep(0.01)
                 drained = listener.rows_for(str(q.id))
             if drained != expected_input_rows:
                 raise AssertionError(
