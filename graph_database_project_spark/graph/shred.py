@@ -162,7 +162,10 @@ def build_graph(shred: DataFrame, batch: str = DEFAULT_BATCH) -> tuple[DataFrame
         F.col("id").alias("parent_id"), F.col("path").alias("jp"),
         F.col("docnbr").alias("jd"),
     )
-    pc = child.join(parent, ["jp", "jd"])
+    # pc is consumed twice (HAS_* down-edges + IS_PART_OF up-edges) and a
+    # DataFrame plan re-expands per reference — materialize the join once
+    # (r15; same multi-consumer rule as the graph loops).
+    pc = child.join(parent, ["jp", "jd"]).localCheckpoint(eager=True)
     edges_down = pc.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst"),
         F.concat(F.lit("HAS_"), _sanitize_rel("child_tag")).alias("rel_type"),
@@ -203,7 +206,12 @@ def build_graph(shred: DataFrame, batch: str = DEFAULT_BATCH) -> tuple[DataFrame
         F.col("id").alias("eff_id"), F.col("path").alias("eff_path"),
         F.col("docnbr").alias("docnbr"),
     )
-    fan = fan.join(eff_nodes, ["eff_path", "docnbr"])
+    # the effectivity fan (split → explode × explode → join) is consumed
+    # SIX times downstream (airplane_nodes, line_nodes, and the four
+    # eff_edges projections via fan_ids) — without a boundary the whole
+    # subtree re-executed per consumer (r15: measured ~2.3 s → ~1.4 s for
+    # the full ingest at sf0.1)
+    fan = fan.join(eff_nodes, ["eff_path", "docnbr"]).localCheckpoint(eager=True)
 
     airplane_id = _node_id(F.lit("Airplane"), F.col("airplane_type"), F.lit(None),
                            F.lit(None), F.col("docnbr"), b)
