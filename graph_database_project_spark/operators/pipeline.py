@@ -142,8 +142,17 @@ def q_funnel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts")).cast("date")
-    activity = ev.select("user_id", wk.alias("week")).distinct()
-    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # activity feeds three consumers (cohorts → base, and the grid join)
+    # and cohorts two — a DataFrame plan re-expands per reference, so the
+    # events scan + the (user, week) distinct shuffle re-ran 3x and the
+    # per-user min agg 2x (r15: 3 events scans / 6 exchanges → 1 / 3).
+    # Both relations are collapsed far below the raw stream (pairs /
+    # users), so materializing them is the cheap side of the trade.
+    activity = (ev.select("user_id", wk.alias("week")).distinct()
+                .localCheckpoint(eager=True))
+    cohorts = (activity.groupBy("user_id")
+               .agg(F.min("week").alias("cohort_week"))
+               .localCheckpoint(eager=True))
     base = cohorts.groupBy("cohort_week").agg(
         F.countDistinct("user_id").alias("cohort_size"))
     return (

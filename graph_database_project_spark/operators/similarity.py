@@ -479,7 +479,11 @@ def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-cached build/serve split (_ivf_index).
     """
     cents, cells, e = _ivf_index(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # the 1-row query vector is consumed by the exact arm, the cell
+    # ranking, and every curve point — materialize once instead of
+    # re-deriving per reference (r15 multi-consumer rule)
+    qv = (e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+          .localCheckpoint(eager=True))
     cos = _dot(F.col("v"), F.col("qv")) / (
         F.sqrt(_dot(F.col("v"), F.col("v")))
         * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
@@ -494,8 +498,10 @@ def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for p in IVF_SWEEP_NPROBES:
         probe = ranked_cells.orderBy("d", "cell").limit(p).select("cell")
+        # cand feeds BOTH the in-cell top-k and the candidate count — one
+        # materialization per curve point instead of two cell joins (r15)
         cand = (cells.join(F.broadcast(probe), "cell")
-                .filter(F.col("vec_id") != 0))
+                .filter(F.col("vec_id") != 0).localCheckpoint(eager=True))
         approx = (cand.crossJoin(F.broadcast(qv))
                   .withColumn("cosine", F.round(cos, 6))
                   .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)

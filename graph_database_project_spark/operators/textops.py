@@ -1456,10 +1456,15 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("s").agg(F.min("doc_id").alias("first_doc")))
     per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     max_doc = docs.agg(F.max("doc_id").alias("max_doc"))
+    # cuts is consumed three times (word cuts, shingle cuts, token cuts)
+    # and embeds the max_doc aggregate — per-reference re-expansion was
+    # re-scanning documents for max(doc_id) once per consumer (r15:
+    # 4 documents scans → 2). 7 rows; materialize once.
     cuts = spark.createDataFrame([(p,) for p in VOCAB_GROWTH_PCTS],
                                  "pct int") \
         .crossJoin(F.broadcast(max_doc)) \
-        .select("pct", F.expr("(pct * max_doc) div 100").alias("thr"))
+        .select("pct", F.expr("(pct * max_doc) div 100").alias("thr")) \
+        .localCheckpoint(eager=True)
 
     def at_cuts(first, out):
         return (first.join(F.broadcast(cuts),

@@ -598,13 +598,20 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_name")
     li = _t(spark, sf_dir, "lineitem")
+    # unit_cost feeds both the per-part min and the join-back — without a
+    # materialization boundary the lineitem scan + join + aggregation
+    # re-ran per reference (r15: 2 lineitem / 3 part scans → 1 / 2). The
+    # aggregate output is (part, supplier)-sized, the cheap side to hold.
     unit_cost = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost"))
-    )
-    min_cost = unit_cost.groupBy(F.col("l_partkey").alias("_pk")) \
-        .agg(F.min("supply_cost").alias("_min_cost"))
+    ).localCheckpoint(eager=True)
+    # checkpointed inputs carry no stats, so the dim-sized per-part min
+    # needs its broadcast made explicit (CLAUDE.md LogicalRDD rule)
+    min_cost = F.broadcast(
+        unit_cost.groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.min("supply_cost").alias("_min_cost")))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     return (
         unit_cost.join(
