@@ -95,7 +95,12 @@ EAGER_ON_BUILD_KEYS = {"sim_ivf_topk", "sim_ivfpq_topk",
                        "bpe_learn_merges",  # checkpointed vocab + per-round winners
                        "bpe_token_count",  # same learn loop at construction
                        "ts_seasonal_decompose",  # checkpointed day series
-                       "ts_rollup_incremental"}
+                       "ts_rollup_incremental",
+                       # r15 materialize-once refactors (same family)
+                       "funnel_retention_cohorts",  # checkpointed activity + cohorts
+                       "q02_min_cost_supplier",  # checkpointed unit-cost agg
+                       "vocab_growth_heaps",  # checkpointed doc_id bounds
+                       "sim_ivf_recall_curve"}  # checkpointed probe + candidates
 # every graph_ key runs an eager-checkpointed loop or edge materialization
 # EXCEPT the pure-aggregation degree histogram (lazy — exact-key exempt)
 EAGER_ON_BUILD_PREFIXES = ("xml_", "graph_")

@@ -434,7 +434,10 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
     # catalog-bounded labels ride broadcasts under label_counts)
     ceil = {"graph_motif_chain": 7, "graph_motif_fanout": 10,
             "graph_motif_shared": 5, "graph_motif_negation": 5,
-            "graph_motif_varlength": 18,
+            # r15 optimization pin: each hop of the *1..k expansion is
+            # localCheckpointed and joins/dedups exactly ONCE (was 18 —
+            # the per-reference re-expansion shape); measured 7
+            "graph_motif_varlength": 8,
             # r11 text-front-end keys: every labeled side broadcasts
             # (labeling in the pattern STRING is the plan lever — the
             # unlabeled first draft ran 12 exchanges); optional's
@@ -452,11 +455,12 @@ def test_motif_plans_no_cartesian_and_shuffle_bounds(spark):
             # boundary's implicit-grouping agg, and the stage join back
             # on d_id — measured 8
             "graph_motif_pipeline": 8,
-            # r12b: shortestPath 1..4 — per-h exact sets chain+union
-            # (the same per-reference re-expansion family as varlength,
-            # bounded by the k<=8 cap), min-fold, and the final
-            # implicit-grouping agg — measured 31
-            "graph_motif_shortestpath": 32,
+            # r12b: shortestPath 1..4 — per-h exact sets chain+union,
+            # min-fold, and the final implicit-grouping agg. r15
+            # optimization pin: per-hop localCheckpoint makes the
+            # expansion O(k) (was 31 = per-reference re-expansion);
+            # measured 7
+            "graph_motif_shortestpath": 8,
             # r12b: 2-hop chain + JVM string-predicate filter — measured 4
             "graph_motif_textpred": 4,
             # r13: WITH boundary agg + re-anchor join + final

@@ -706,6 +706,11 @@ def test_no_per_reference_rederivation_in_multi_consumer_plans(spark):
         "graph_densest_subgraph": 0,  # edge list + per-round peels checkpointed
         "graph_pagerank_personalized": 0,  # verts/edges/pvec/ranks checkpointed
         "graph_betweenness_sampled": 0,    # und/layers/T tables checkpointed
+        # r15 materialize-once refactors: post-fix scan counts pinned
+        "funnel_retention_cohorts": 0,  # activity + cohorts checkpointed (was 3 events scans)
+        "q02_min_cost_supplier": 3,     # unit-cost agg checkpointed (was 6 scans)
+        "vocab_growth_heaps": 1,        # doc_id bounds checkpointed (was 4 scans)
+        "sim_ivf_recall_curve": 0,      # probe + candidate sets checkpointed (was 4 scans)
     }
     qs = all_queries()
     for name, bound in BOUNDS.items():
