@@ -89,8 +89,8 @@ EXTENDED = [
     "stream_tumbling_hourly",   # real readStream → availableNow drain
     "multimodal_png_decode",    # real zlib/filter PNG codec via mapInPandas
     # recent rows (operator changed / added within the last 3 rounds)
-    "graph_motif_varlength",    # r10: *1..3 reachability expansion (the
-                                # heaviest motif plan — 18 exchanges)
+    "graph_motif_varlength",    # r10: *1..3 reachability expansion
+                                # (r15: per-hop materialization, 8 exch)
     "graph_motif_negation",     # r10: NOT-EXISTS anti-join motif
     "graph_motif_parsed",       # r11: MATCH-string front-end (text→plan)
     "graph_motif_optional",     # r11: OPTIONAL MATCH left-outer motif
