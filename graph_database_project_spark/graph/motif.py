@@ -53,6 +53,31 @@ _CARRY = ["id", "name", "content", "docnbr"]
 
 _VAR_RE = re.compile(r"^[a-z][a-z0-9]*$")
 
+# How the var-length expansion materializes its multi-consumer relations
+# (the loop-invariant edge set + each intermediate hop). All three keep
+# the SAME O(k) logical sharing; they differ in WHEN the shared relation
+# computes:
+#   "eager" — localCheckpoint(eager=True): one Spark job per relation at
+#       construction (the r15 shape). Serial job latency at small SF.
+#   "lazy"  — localCheckpoint(eager=False): the same LogicalRDD plan
+#       shape, but the RDD computes inside the FIRST consuming job and
+#       is persisted for every later reference — zero extra jobs, same
+#       single computation per hop.
+#   "none"  — no boundary: the plan re-expands per reference (the r14
+#       shape, O(k^2) joins — kept only as the A/B control).
+# r16 default: "lazy" (VERDICT r15 #2 A/B, scripts/motif_ckpt_ab_r16.py
+# — lazy ≤ eager on every interleaved min/median at sf0.1 while cutting
+# the per-query driver job count by 2-3, and the O(k) sharing at scale
+# is identical). Env override SPARK_GRAFT_MOTIF_CKPT is for A/B probes,
+# not production.
+_CKPT_MODE = __import__("os").environ.get("SPARK_GRAFT_MOTIF_CKPT", "lazy")
+
+
+def _hop_materialize(df: DataFrame) -> DataFrame:
+    if _CKPT_MODE == "none":
+        return df
+    return df.localCheckpoint(eager=(_CKPT_MODE == "eager"))
+
 
 @dataclass(frozen=True)
 class NodePat:
@@ -245,7 +270,7 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
         # union branches sharing one LogicalRDD's attribute ids trip
         # Union.rewriteConstraints ("key not found" on constraint
         # attributes outside the child's output).
-        er = er.localCheckpoint(eager=True)
+        er = _hop_materialize(er)
 
         def _ref(ck: DataFrame) -> DataFrame:
             return ck.select(*[F.col(c).alias(c) for c in ck.columns])
@@ -274,8 +299,8 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
             if h < pat.max_hops:
                 # referenced by the next hop's join AND (possibly) the
                 # union — materialize once; the last hop has a single
-                # consumer, so it stays lazy
-                cur = cur.localCheckpoint(eager=True)
+                # consumer, so it stays unshared
+                cur = _hop_materialize(cur)
             if h >= pat.min_hops:
                 step = _ref(cur).withColumn("len", F.lit(h).cast("long"))
                 acc = step if acc is None else acc.unionByName(step)
@@ -304,7 +329,7 @@ def _edge_rel(edges: DataFrame, pat: EdgePat,
                        F.col("b.dst").alias("dst"))
                .distinct())
         if h < pat.max_hops:
-            cur = cur.localCheckpoint(eager=True)
+            cur = _hop_materialize(cur)
         if h >= pat.min_hops:
             sets.append(_ref(cur))
     acc = sets[0]

@@ -257,11 +257,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key is the band bucket (sub-quadratic: candidates ≈ true
     pairs + collision noise ≪ n²); the heavy shingle arrays are NOT carried
     through the join — candidates join back to the shingle relation by id.
-    Both self-join sides canonicalize to the same plan → Catalyst reuses
-    one exchange for both.
+
+    r16 (VERDICT r15 #3, work-profiled at 8.75 task-seconds — the one
+    compute-bound headline row):
+    * the banded signature relation is materialized ONCE with a LAZY
+      localCheckpoint — the md5 base hash + 12 affine minhashes (the
+      row's dominant CPU term) used to evaluate twice, once per
+      self-join side (Catalyst does not reuse the subtree; the r05
+      audit's ReusedExchange=0 finding). Lazy (eager=False) keeps zero
+      extra Spark jobs: the RDD computes inside the first consuming job
+      and both join sides read the cached partitions. At 100 TB this is
+      the signature table an LSH service materializes anyway.
+    * the verify join-back BROADCASTS the candidate pair list and
+      STREAMS the shingle relation — the old shape broadcast the whole
+      (doc_id, shingles) relation twice (heavy array payloads); the
+      candidate list is the LSH output, sparse by design (≈ true pairs
+      + collision noise). At a scale where candidates outgrow a
+      broadcast, slice them per band range and process slices as
+      independent jobs (guide §8) — not needed at any tested SF.
     """
     sh = _shingle_rel(spark, sf_dir).filter(F.size("shingles") > 0)
-    slim = minhash_bands(sh)
+    slim = minhash_bands(sh).localCheckpoint(eager=False)
     a = slim.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
     b_ = slim.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk")
     cand = (
@@ -279,7 +295,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        sh_b.join(F.broadcast(sh_a.join(F.broadcast(cand), "doc_a")),
+                  "doc_b")
         .withColumn("jaccard_ppm",
                     exact_jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)

@@ -717,17 +717,27 @@ def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: und/deg checkpoint once (loop invariants); each sweep is two
     keyed shuffles (k_{i,c} neighbor rollup, Σtot per community) + one
-    per-node window over candidate rows (groups bounded by degree, never
+    per-node argmax over candidate rows (groups bounded by degree, never
     corpus-wide); labels checkpoint per sweep (loop state). Σtot joins by
     key with NO broadcast hint — community count starts at |V| and is
     sf-growing (the r05 hint-audit rule).
+
+    r16 sweep fusion (VERDICT r15 #4): the loop STATE carries deg —
+    ``labels`` checkpoints as (node, community, deg) — so Σtot is one
+    map-side-combined aggregate over the state (the old labels⋈deg join
+    per sweep is gone) and the argmax join reads c_cur and deg in ONE
+    state join (the old separate deg + cur joins are gone). Checkpointed
+    relations carry no stats, so each removed join was a full SMJ (two
+    exchanges); plan evidence in plans/r16/. The per-node winner is a
+    single ``min_by(cand, struct(-score, cand))`` aggregate — identical
+    to the old ``row_number() over (score DESC, cand ASC) = 1`` pick
+    (score is BIGINT, negation exact), but map-side combinable and
+    sort-free (the bpe_learn_merges r08 idiom).
 
     Output: the modularity_score audit row + an exact labels checksum
     (Σ node·community) so the oracle must reproduce the identical
     partition, not merely an equally-good one.
     """
-    from pyspark.sql.window import Window as W
-
     vertices, edges = _lpa_graph(spark, sf_dir)
     und = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
@@ -738,8 +748,15 @@ def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     upairs = deg.agg(F.sum("deg").cast("long").alias("u")) \
         .localCheckpoint(eager=True)
-    labels = vertices.select("node", F.col("node").alias("community")) \
-        .localCheckpoint(eager=True)
+    # loop state carries deg (r16): isolated nodes (absent from und/deg)
+    # take deg 0 — their only candidate is their own community with
+    # k = 0 and score 0, so they keep their label exactly as the old
+    # inner-join-on-deg form did by never reaching the argmax at all
+    labels = (vertices.join(deg, "node", "left")
+              .select("node", F.col("node").alias("community"),
+                      F.coalesce(F.col("deg"), F.lit(0).cast("long"))
+                      .alias("deg"))
+              .localCheckpoint(eager=True))
     for s in range(1, LOUVAIN_SWEEPS + 1):
         ldst = labels.select(F.col("node").alias("dst"),
                              F.col("community").alias("cn"))
@@ -747,33 +764,33 @@ def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("src").alias("node"),
                          F.col("cn").alias("cand"))
                 .agg(F.count(F.lit(1)).alias("k")))
-        sigma = (labels.join(deg, "node")
-                 .groupBy(F.col("community").alias("cand"))
+        sigma = (labels.groupBy(F.col("community").alias("cand"))
                  .agg(F.sum("deg").cast("long").alias("tot")))
         stay = labels.select("node", F.col("community").alias("cand"),
                              F.lit(0).cast("long").alias("k"))
         cand = (k_ic.unionByName(stay)
                 .groupBy("node", "cand").agg(F.max("k").alias("k")))
-        cur = labels.select("node", F.col("community").alias("c_cur"))
+        state = labels.select("node", F.col("community").alias("c_cur"),
+                              "deg")
         adj_tot = (F.col("tot")
                    - F.when(F.col("cand") == F.col("c_cur"),
                             F.col("deg")).otherwise(F.lit(0)))
         pick = (cand.join(sigma, "cand")
-                .join(deg, "node").join(cur, "node")
+                .join(state, "node")
                 .crossJoin(F.broadcast(upairs))
                 .withColumn("score",
                             F.col("u") * F.col("k") - F.col("deg") * adj_tot)
-                .withColumn("rn", F.row_number().over(
-                    W.partitionBy("node")
-                    .orderBy(F.desc("score"), F.asc("cand"))))
-                .filter(F.col("rn") == 1)
-                .select("node", F.col("cand").alias("new_c")))
+                .groupBy("node")
+                .agg(F.min_by("cand",
+                              F.struct((-F.col("score")).alias("ns"),
+                                       F.col("cand"))).alias("new_c")))
         active = ((F.col("node") + F.lit(s)) % 2 == 0)
         labels = (labels.join(pick, "node", "left")
                   .select("node",
                           F.when(active & F.col("new_c").isNotNull(),
                                  F.col("new_c"))
-                          .otherwise(F.col("community")).alias("community"))
+                          .otherwise(F.col("community")).alias("community"),
+                          "deg")
                   .localCheckpoint(eager=True))
     # per-row mod before the sum: a raw Σ node·community wraps silently in
     # Spark and errors in DuckDB past ~sf30 (r09 review finding); with the

@@ -13,6 +13,29 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _env_shuffle_partitions() -> int:
+    """``SPARK_GRAFT_SHUFFLE_PARTITIONS`` parsed defensively (r15 advice):
+    an empty / non-numeric / non-positive value must NOT break every
+    session build (``int('')`` raises) or hand Spark an invalid
+    ``spark.sql.shuffle.partitions`` — fall back to the default with a
+    warning instead."""
+    raw = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "").strip()
+    if not raw:
+        return 0
+    try:
+        n = int(raw)
+    except ValueError:
+        n = -1
+    if n <= 0:
+        import warnings
+        warnings.warn(
+            f"ignoring SPARK_GRAFT_SHUFFLE_PARTITIONS={raw!r} "
+            f"(want a positive integer); using "
+            f"{DEFAULT_SHUFFLE_PARTITIONS}")
+        return 0
+    return n
+
+
 def get_spark(app_name: str = "graph_database_project_spark",
               cpus: int | str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -33,8 +56,7 @@ def get_spark(app_name: str = "graph_database_project_spark",
     # AQE then coalesces small stages instead of a constant under-
     # partitioning large ones.
     shuffle_partitions = (shuffle_partitions
-                          or int(os.environ.get(
-                              "SPARK_GRAFT_SHUFFLE_PARTITIONS", 0))
+                          or _env_shuffle_partitions()
                           or DEFAULT_SHUFFLE_PARTITIONS)
     builder = (
         SparkSession.builder
