@@ -148,11 +148,14 @@ def q_funnel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user min agg 2x (r15: 3 events scans / 6 exchanges → 1 / 3).
     # Both relations are collapsed far below the raw stream (pairs /
     # users), so materializing them is the cheap side of the trade.
+    # r16: LAZY localCheckpoints — same one-computation sharing, but the
+    # RDDs compute inside the one consuming action instead of two serial
+    # driver jobs at construction (the motif/shred A/B family).
     activity = (ev.select("user_id", wk.alias("week")).distinct()
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     cohorts = (activity.groupBy("user_id")
                .agg(F.min("week").alias("cohort_week"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     base = cohorts.groupBy("cohort_week").agg(
         F.countDistinct("user_id").alias("cohort_size"))
     return (

@@ -1449,7 +1449,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize once (the unigram/PMI/BM25 precedent; two lazy references
     # re-ran the explode over two full scans, r09 scan audit)
     tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word")) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     first_w = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
     first_s = (_shingle_rel(spark, sf_dir)
                .select("doc_id", F.explode("shingles").alias("s"))
@@ -1460,11 +1460,14 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and embeds the max_doc aggregate — per-reference re-expansion was
     # re-scanning documents for max(doc_id) once per consumer (r15:
     # 4 documents scans → 2). 7 rows; materialize once.
+    # r16: tok/cuts go LAZY — the one consuming action computes each
+    # once (cached RDD) with no serial construction jobs; sharing and
+    # scan counts unchanged (pinned in tests/test_plans.py)
     cuts = spark.createDataFrame([(p,) for p in VOCAB_GROWTH_PCTS],
                                  "pct int") \
         .crossJoin(F.broadcast(max_doc)) \
         .select("pct", F.expr("(pct * max_doc) div 100").alias("thr")) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
 
     def at_cuts(first, out):
         return (first.join(F.broadcast(cuts),

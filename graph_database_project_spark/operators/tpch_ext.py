@@ -602,11 +602,14 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization boundary the lineitem scan + join + aggregation
     # re-ran per reference (r15: 2 lineitem / 3 part scans → 1 / 2). The
     # aggregate output is (part, supplier)-sized, the cheap side to hold.
+    # r16: lazy — computes once inside the consuming action (the
+    # broadcast build is the first consumer) instead of a serial job at
+    # construction; sharing and plan shape unchanged.
     unit_cost = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # checkpointed inputs carry no stats, so the dim-sized per-part min
     # needs its broadcast made explicit (CLAUDE.md LogicalRDD rule)
     min_cost = F.broadcast(
